@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB (tables = parquet views
+over <sfDir>), and compares: schema (column names), row count, and exact
+values after sorting columns by name and rows by all columns.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_fail = 0
+    import os
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if name not in oracles:
+            print(f"[rows-only] {name}: rows={len(got)}")
+            continue
+        exp = con.execute(oracles[name]).df()
+        g, e = canon(got), canon(exp)
+        status = []
+        if list(g.columns) != list(e.columns):
+            status.append(f"COLS got={list(g.columns)} exp={list(e.columns)}")
+        elif len(g) != len(e):
+            status.append(f"ROWS got={len(g)} exp={len(e)}")
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            except AssertionError as ex:
+                status.append("VALUES " + str(ex).split("\n")[0])
+                # show first differing rows for debug
+                neq = (g.astype(str) != e.astype(str)).any(axis=1)
+                if neq.any():
+                    i = neq.idxmax()
+                    status.append(f" first diff row {i}: got={g.iloc[i].to_dict()} exp={e.iloc[i].to_dict()}")
+        if status:
+            n_fail += 1
+            print(f"[FAIL] {name}: " + " | ".join(status))
+        else:
+            print(f"[ok]   {name}: rows={len(g)}")
+    print(f"\n{len(names) - n_fail}/{len(names)} pass")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
