@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all
+    CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ AdvancedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.t
+
+/** Advanced / pipeline-shaped queries: multimodal byte-column metadata
+  * and event sessionization (the stateful-streaming semantics expressed
+  * as a deterministic batch window query; the incremental form lives in
+  * graft.streaming).
+  */
+object AdvancedQueries {
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q34_multimodal_meta",
+      "Multimodal column plumbing, metadata side: treat payloads as " +
+        "opaque bytes — byte length, content digest, modality tag. (The " +
+        "binary decode path is exercised in graft.multimodal with a " +
+        "stubbed decoder; parquet testdata has no real media bytes.)",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          sha2(col("text"), 256).as("digest"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "image")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+            .otherwise("video").as("modality")),
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS digest,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality
+        FROM documents""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q35_sessionize",
+      "Sessionization: per-user sessions split at >30-min gaps " +
+        "(lag + cumulative-sum window), rolled up to one row per " +
+        "session. The batch-declarative equivalent of " +
+        "flatMapGroupsWithState.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val gapped = ev
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull, 1)
+              // micros, not seconds: DuckDB's epoch() keeps fractions, so a
+              // whole-second comparison would disagree on the boundary
+              .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+              .otherwise(0))
+          .withColumn("session_seq",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        gapped.groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("session_value"))
+      },
+      Some("""
+        WITH gapped AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM gapped)
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        FROM sessions GROUP BY user_id, session_seq"""))
+  )
+}

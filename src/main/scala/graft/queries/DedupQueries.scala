@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.operators.Dedup
+import graft.queries.Tables.t
+
+/** Deduplication queries over `documents`: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. North-star operators (BASELINE.json); the reference's
+  * only dedup is best-file-per-company (src/transform.py:109-145), which
+  * q06 covers — these generalize it to content-based near-dup at scale.
+  */
+object DedupQueries {
+
+  private val K = 16          // minhash family size
+  private val RPB = 4         // rows per LSH band -> 4 bands
+  private val NB = K / RPB
+  private val SHINGLE = 3     // words per shingle
+  private val JT = 0.8        // near-dup verification threshold
+
+  /** DuckDB: per-doc 3-word shingle list. */
+  private val shinglesSql = Portable.wordShinglesSql("text", SHINGLE)
+
+  /** DuckDB: m0..m15 minhash columns from a shingle list column `sh`. */
+  private def minhashColsSql: String =
+    (0 until K).map(i => s"${Portable.minhashSql(i, "sh")} AS m$i").mkString(",\n               ")
+
+  private def bandExprSql(b: Int): String = {
+    val parts = (b * RPB until (b + 1) * RPB).map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+    Portable.pmd5Sql(s"concat_ws(',', $parts)")
+  }
+
+  private val sigCte = s"""
+        WITH sig AS (
+          SELECT doc_id, $minhashColsSql
+          FROM (SELECT doc_id, $shinglesSql AS sh FROM documents))"""
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q26_exact_dedup",
+      "Exact dedup via hash-groupBy on the 60-bit content hash: one " +
+        "representative (min doc_id) + copy count per distinct text. " +
+        "The shuffle key is 8 bytes, never the document body.",
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id"),
+      Some(s"""
+        SELECT ${Portable.pmd5Sql("text")} AS text_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q27_minhash_bands",
+      s"MinHash signatures ($K salted hashes over $SHINGLE-word " +
+        s"shingles) folded into $NB LSH band keys per document.",
+      (s, dir) => {
+        val sig = Dedup.minhashSignature(t(s, dir, "documents"), "text", K, SHINGLE)
+        Dedup.bandKeys(sig, K, RPB)
+          .select(col("doc_id") +: (0 until NB).map(b => col(s"b$b")): _*)
+      },
+      Some(s"""$sigCte
+        SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
+        FROM sig""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q28_lsh_dup_pairs",
+      "MinHash-LSH near-dup pipeline: band-key equi-join generates " +
+        "candidate pairs (no cross product), exact token-set Jaccard " +
+        s"verifies at threshold $JT.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val banded = Dedup.bandKeys(
+          Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
+        val cands = Dedup.lshCandidates(banded, "doc_id", NB)
+        val sets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ts"))
+        cands
+          .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("ts", "ts_a"), "id_a")
+          .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("ts", "ts_b"), "id_b")
+          .select(col("id_a"), col("id_b"),
+            Dedup.jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
+          .filter(col("jaccard") >= JT)
+      },
+      Some(s"""$sigCte,
+        banded AS (
+          SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
+          FROM sig),
+        bk AS (
+          ${(0 until NB).map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bk l JOIN bk r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents)
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / len(list_distinct(a.ts || b.ts)) AS jaccard
+        FROM cand JOIN sets a ON cand.id_a = a.doc_id
+                  JOIN sets b ON cand.id_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / len(list_distinct(a.ts || b.ts)) >= $JT""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q29_simhash",
+      "60-bit SimHash signature per document over distinct-token " +
+        "hashes (bit-majority vote).",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          Dedup.simhash(col("text")).as("simhash")),
+      Some(s"""
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 60), j ->
+                 CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+        FROM (SELECT doc_id,
+                     list_transform(list_distinct(string_split(text, ' ')),
+                                    tk -> ${Portable.pmd5Sql("tk")}) AS hs
+              FROM documents)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q30_ngram_jaccard",
+      "Character 3-gram Jaccard near-dup pairs, blocked on " +
+        "(lang, source) — candidate generation is an equi-join on the " +
+        "block key, then exact set verification at 0.9.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
+          Dedup.charNgrams(col("text"), 3).as("gs"))
+        val l = withSet.as("l")
+        val r = withSet.as("r")
+        l.join(r, col("l.lang") === col("r.lang") &&
+            col("l.source") === col("r.source") &&
+            col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+            Dedup.jaccard(col("l.gs"), col("r.gs")).as("jaccard"))
+          .filter(col("jaccard") >= 0.9)
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(CASE WHEN length(text) < 3 THEN []
+                   ELSE list_transform(generate_series(1, length(text) - 2),
+                          i -> substr(text, i, 3)) END) AS gs
+          FROM documents)
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE)
+                 / len(list_distinct(l.gs || r.gs)) AS jaccard
+        FROM g l JOIN g r
+          ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+        WHERE CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE)
+                 / len(list_distinct(l.gs || r.gs)) >= 0.9"""))
+  )
+}
