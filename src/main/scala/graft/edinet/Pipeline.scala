@@ -1,0 +1,81 @@
+package graft.edinet
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Model._
+
+/** S8 + N5: guarded CSV sink (reference src/load.py:8-31). */
+object Sink {
+
+  /** Write the final frame as a single UTF-8 headered CSV under
+    * `outDir/fileName`. Returns false (and writes nothing) on empty
+    * input — the reference's empty-pipeline guard (src/load.py:20-22,
+    * main.py:33-35). `coalesce(1)` mirrors the reference's
+    * one-output-file contract; for genuinely large outputs call with
+    * `single = false` to keep one file per partition. */
+  def writeCsv(df: DataFrame, outDir: String, fileName: String,
+      single: Boolean = true): Boolean = {
+    if (df.isEmpty) false
+    else {
+      val out = if (single) df.coalesce(1) else df
+      out.write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/$fileName")
+      true
+    }
+  }
+}
+
+/** §3.1: the composed EDINET pipeline, network-free — starts from files
+  * already landed on disk (the ingest client is graft.ingest, built
+  * against recorded fixtures; there is no egress in this environment).
+  *
+  * main.py:13-40 becomes one declarative plan:
+  *   company master -> best-file manifest -> per-format statement parse
+  *   -> union -> revenue transform -> guarded sink.
+  */
+object Pipeline {
+
+  /** Run over a directory of extracted statement files named per the
+    * `E{code}_{yyyymmdd}_{type}.{csv|xbrl}` convention. */
+  def run(spark: SparkSession, masterCsv: String, filesDir: String,
+      outDir: String): Boolean = {
+    val result = transform(spark, masterCsv, filesDir)
+    Sink.writeCsv(result, outDir, "japan_company_data")
+  }
+
+  def transform(spark: SparkSession, masterCsv: String, filesDir: String): DataFrame = {
+    val companies = CompanyMaster.load(spark, masterCsv)
+
+    // Manifest from the landed files; ingest sequence from the filename's
+    // lexicographic order (stable stand-in for API return order).
+    val bin = spark.read.format("binaryFile")
+      .load(s"$filesDir/*")
+      .select(col("path"), col("content"))
+    val manifest = BestFile.parseManifest(
+      bin.select(col("path"))
+        .withColumn("seq", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("path")))))
+    val best = BestFile.bestPerCompany(manifest)
+
+    // Parse only the winners (dedup-before-parse, SURVEY §4): semi-join
+    // the binary source against the selected manifest, then branch by
+    // format. The manifest is tiny -> broadcast semi-join.
+    val winners = bin.join(
+      broadcast(best.select(col("path"), col("fmt"), col("edinet_code"))),
+      Seq("path"))
+    val csvRows = StatementSources.parseCsvBytes(
+      spark, winners.filter(col("fmt") === "csv").select("path", "content"))
+    val xbrlRows = StatementSources.parseXbrlBytes(
+      spark, winners.filter(col("fmt") === "xbrl").select("path", "content"))
+    val stmts = csvRows.unionByName(xbrlRows)
+
+    // Attach edinet_code from the manifest (filename-as-metadata becomes
+    // a manifest column, SURVEY §1.1).
+    val withCode = stmts.join(
+      broadcast(best.select(col("path").as("file"), col("edinet_code"))),
+      Seq("file"))
+
+    RevenueTransform(withCode, companies)
+  }
+}
