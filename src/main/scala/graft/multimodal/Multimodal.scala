@@ -1,0 +1,137 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages that run per-partition in bounded-size batches.
+  *
+  * The Spark-side mechanics (schema, batching, partition preservation,
+  * column pruning before the expensive stage) are real and tested. The
+  * codec itself is a STUB: this container ships no image/audio
+  * libraries, so [[StubCodec]] produces deterministic fake decodes with
+  * the same interface a real codec (JavaCV/TwelveMonkeys/ffmpeg) would
+  * have. Swap `Codec` implementations to go live; nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata accompanying every payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("kind", StringType),       // image | audio | video
+    StructField("n_bytes", LongType),
+    StructField("digest", StringType)))
+
+  /** Attach a payload + metadata struct to any DataFrame with a source
+    * column (here: utf-8 bytes of `textCol` stand in for media bytes —
+    * the testdata has no real media; the schema is what matters). */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("meta", struct(
+        when(pmod(col(idCol), lit(3)) === 0, "image")
+          .when(pmod(col(idCol), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        octet_length(col(textCol)).cast(LongType).as("n_bytes"),
+        sha2(col(textCol), 256).as("digest")))
+
+  /** What a decode produces, whatever the codec. */
+  final case class Decoded(
+      width: Int, height: Int, channels: Int, frames: Int,
+      meanIntensity: Double)
+
+  /** The codec seam. Real implementations decode bytes; the stub is
+    * deterministic arithmetic on the payload so tests are stable. */
+  trait Codec extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): Option[Decoded]
+  }
+
+  /** Deterministic fake: "dimensions" derived from payload length,
+    * "intensity" = mean unsigned byte. A real codec plugs in here —
+    * the ??? is the honest marker for the missing native decode. */
+  object StubCodec extends Codec {
+    override def decode(kind: String, payload: Array[Byte]): Option[Decoded] = {
+      if (payload == null || payload.isEmpty) None
+      else {
+        val n = payload.length
+        val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+        val d = kind match {
+          case "image" => Decoded(n % 640 + 1, n % 480 + 1, 3, 1, mean)
+          case "audio" => Decoded(0, 0, 2, n / 4 + 1, mean)
+          case "video" => Decoded(n % 640 + 1, n % 480 + 1, 3, n / 1024 + 1, mean)
+          case _ => return None
+        }
+        Some(d)
+      }
+    }
+    /** Entry point a real native decoder would fill in. Deliberately
+      * unimplemented: calling it states loudly that no codec is wired. */
+    def nativeDecode(bytes: Array[Byte]): Decoded = ???
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("frames", IntegerType),
+    StructField("mean_intensity", DoubleType)))
+
+  /** Decode + feature-extract, batched per partition (the Scala
+    * equivalent of `mapInPandas`: bounded batches keep peak memory at
+    * batchSize x payload, independent of partition row count). Input
+    * must have (idCol, payload, meta); rows the codec rejects are
+    * dropped (per-file error isolation, like the EDINET parsers). */
+  def extractFeatures(df: DataFrame, idCol: String, codec: Codec,
+      batchSize: Int = 64): DataFrame = {
+    val pruned = df.select(col(idCol).cast(LongType).as("id"),
+      col("payload"), col("meta.kind").as("kind"))
+    val enc = RowEncoder.encoderFor(featureSchema)
+    pruned.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would amortize per-batch init (model load, JNI
+        // handle) here — this is the seam the batching exists for
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val kind = r.getString(2)
+          codec.decode(kind, payload).map(d =>
+            Row(id, kind, d.width, d.height, d.channels, d.frames, d.meanIntensity))
+        }
+      }
+    }(enc)
+  }
+
+  /** "Resize" stage: deterministic byte subsampling (every factor-th
+    * byte) standing in for a pixel resize — binary in, binary out, same
+    * schema, so downstream stages are oblivious. Real impl: codec
+    * resize in the same per-partition loop. */
+  def resizePayload(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val resized =
+            if (payload == null) null
+            else payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+          Row(r.getLong(0), resized)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video-kind rows: emit one row per sampled frame
+    * index (0, step, 2*step, ... < frames). */
+  def sampleFrames(features: DataFrame, step: Int): DataFrame =
+    features
+      .filter(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("frames") - 1, lit(step))))
+      .select(col("id"), col("frame_idx"), col("width"), col("height"))
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  // file streams need a DIRECTORY source; stage the single parquet file
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("windowed agg with watermark over a file stream matches the batch query") {
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.windowedAgg(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("win_out")
+    // batch reference: q19 logic at 1h granularity
+    val batch = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .groupBy("bucket", "event_type").agg(count(lit(1)).as("n"))
+    // append mode + AvailableNow emits only watermark-closed windows; all
+    // emitted windows must match the batch counts exactly
+    val joined = got.alias("s").join(batch.alias("b"), Seq("bucket", "event_type"))
+    assert(got.count() > 0)
+    assert(joined.filter(col("s.n") =!= col("b.n")).isEmpty)
+  }
+
+  test("stateful sessionization: sessions partition each user's events") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    // batch-mode flatMapGroupsWithState: one pass, no timeouts fire, so
+    // emitted sessions are the CLOSED ones; per-user open tails stay in
+    // state. Closed sessions must agree with the batch q35 window query.
+    val sessions = EventsStream.sessionize(events).collect()
+    val batchSessions = graft.queries.AdvancedQueries.all
+      .find(_.name == "q35_sessionize").get
+      .run(spark, "/root/testdata/sf0.001")
+      .collect()
+    val users = events.select("user_id").distinct().count()
+    // every closed session has a batch counterpart (same user, start, size)
+    val batchKeys = batchSessions.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(sessions.nonEmpty)
+    sessions.foreach { s =>
+      assert(batchKeys.contains((s.user_id, s.session_start, s.n_events.toLong)),
+        s"no batch counterpart for $s")
+    }
+    // closed + open (<= one open per user) accounts for every batch session
+    assert(sessions.length + users >= batchSessions.length)
+  }
+}
