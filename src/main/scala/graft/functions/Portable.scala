@@ -20,6 +20,16 @@ object Portable {
   /** 60-bit portable hash of a string column (first 15 hex chars of md5). */
   def pmd5(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Driver-side twin of [[pmd5]] — same value, computed in Scala. Used
+    * to precompute literal tables (e.g. LSH hyperplanes) so the hash
+    * never runs per-row on the executors. */
+  def pmd5Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Salted variant: independent hash family member `i` (for MinHash etc.). */
   def pmd5Salted(i: Int, c: Column): Column = pmd5(concat(lit(s"$i:"), c))
 
@@ -58,15 +68,74 @@ object Portable {
        | END""".stripMargin.replaceAll("\n", " ")
   }
 
-  /** MinHash value for hash-family member `i` over an array-of-strings column.
-    * Empty array -> Long.MaxValue sentinel (kept deterministic). */
-  def minhash(i: Int, shingles: Column): Column =
-    coalesce(
-      array_min(transform(shingles, s => pmd5(concat(lit(s"$i:"), s)))),
-      lit(Long.MaxValue))
+  /** MinHash family: md5 is paid ONCE per shingle ([[baseHashes]]); the
+    * k family members are affine maps (a_i*h + b_i) mod P over that base
+    * hash — the standard construction, 16x cheaper than k salted md5
+    * passes and identical arithmetic in both engines. P = 2^31-1 keeps
+    * a_i*h below 2^62 (no 64-bit overflow on either side). */
+  val MinhashP = 2147483647L // 2^31 - 1 (prime)
 
-  def minhashSql(i: Int, shinglesSql: String): String =
-    s"coalesce(list_min(list_transform($shinglesSql, s -> ${pmd5Sql(s"concat('$i:', s)")})), ${Long.MaxValue})"
+  def minhashParams(i: Int): (Long, Long) =
+    (pmd5Local(s"a$i") % (MinhashP - 1) + 1, pmd5Local(s"b$i") % MinhashP)
+
+  /** Base hash per shingle: pmd5 reduced into the family field. */
+  def baseHashes(shingles: Column): Column =
+    transform(shingles, s => pmd5(s) % MinhashP)
+
+  def baseHashesSql(shinglesSql: String): String =
+    s"list_transform($shinglesSql, s -> ${pmd5Sql("s")} % $MinhashP)"
+
+  /** 3-word-shingle hashes via token-hash combination: each TOKEN is
+    * md5-hashed once, shingle hashes are polynomial combinations mod P.
+    * ~7x fewer md5 calls than hashing each shingle string, and the
+    * shingle strings are never materialized — the hot-loop version for
+    * large corpora. Empty when the doc has <3 tokens. */
+  val ShingleB = 1000003L // combination base; P*B < 2^52, no overflow
+
+  /** Token-hash array (one md5 per token). Materialize this as a column
+    * before combining — expression references inside lambdas re-evaluate
+    * their argument, so the hashing must sit behind a projection. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => pmd5(t) % MinhashP)
+
+  /** Shingle hashes from a MATERIALIZED token-hash array column:
+    * zip_with over shifted slices — each array evaluates once per row,
+    * the combine is pure arithmetic. */
+  def shingleHashesFromTokens(th: Column): Column = {
+    val n = size(th)
+    val h12 = zip_with(th, slice(th, lit(2), n - 1),
+      (x, y) => (x * ShingleB + y) % MinhashP)
+    val h123 = zip_with(h12, slice(th, lit(3), n - 2),
+      (x, y) => (x * ShingleB + y) % MinhashP)
+    when(n < 3, array().cast(ArrayType(LongType)))
+      .otherwise(slice(h123, lit(1), n - 2))
+  }
+
+  /** DuckDB twin: token-hash list expression + the same combine. `thSql`
+    * must be a plain column reference (materialized in a CTE). */
+  def tokenHashesSql(textSql: String): String =
+    s"list_transform(string_split($textSql, ' '), t -> ${pmd5Sql("t")} % $MinhashP)"
+
+  def shingleHashesFromTokensSql(th: String): String =
+    s"""CASE WHEN len($th) < 3 THEN CAST([] AS BIGINT[])
+       | ELSE list_transform(generate_series(1, len($th) - 2),
+       |        i -> (($th[i] * $ShingleB + $th[i + 1]) % $MinhashP
+       |              * $ShingleB + $th[i + 2]) % $MinhashP)
+       | END""".stripMargin.replaceAll("\n", " ")
+
+  /** MinHash member `i` over a base-hash array column. Empty array ->
+    * Long.MaxValue sentinel (kept deterministic). */
+  def minhash(i: Int, hashes: Column): Column = {
+    val (a, b) = minhashParams(i)
+    coalesce(
+      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % MinhashP)),
+      lit(Long.MaxValue))
+  }
+
+  def minhashSql(i: Int, hashesSql: String): String = {
+    val (a, b) = minhashParams(i)
+    s"coalesce(list_min(list_transform($hashesSql, h -> ($a * h + $b) % $MinhashP)), ${Long.MaxValue})"
+  }
 
   /** Polynomial rolling-hash fingerprint over the token sequence, mod 1e9+7.
     * h_0 = 0; h_k = (h_{k-1} * 31 + (pmd5(tok) % 1e6)) % 1e9+7 — all

@@ -36,12 +36,19 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** k salted minhashes over `n`-word shingles: columns m0..m(k-1). */
+  /** k-member minhash signature over 3-word shingles: columns
+    * m0..m(k-1). md5 is paid once per TOKEN (not per shingle, not per
+    * family member): token hashes are materialized, shingle hashes are
+    * arithmetic combinations, and the k members are affine maps
+    * (see [[Portable]]). */
   def minhashSignature(df: DataFrame, textCol: String, k: Int, shingleLen: Int): DataFrame = {
-    val sh = Portable.wordShingles(col(textCol), shingleLen)
-    val withSh = df.withColumn("__sh", sh)
-    val sig = (0 until k).map(i => Portable.minhash(i, col("__sh")).as(s"m$i"))
-    withSh.select(col("*") +: sig: _*).drop("__sh")
+    require(shingleLen == 3, "token-combine construction is fixed at 3-word shingles")
+    val withTh = df.withColumn("__th", Portable.tokenHashes(col(textCol)))
+    val withHs = withTh
+      .withColumn("__hs", Portable.shingleHashesFromTokens(col("__th")))
+      .drop("__th")
+    val sig = (0 until k).map(i => Portable.minhash(i, col("__hs")).as(s"m$i"))
+    withHs.select(col("*") +: sig: _*).drop("__hs")
   }
 
   /** Band keys over a minhash signature: bands of `rowsPerBand` hashes,
@@ -92,10 +99,12 @@ object Dedup {
   }
 
   /** Exact token-set Jaccard similarity between two array columns
-    * (inputs must already be distinct sets). */
+    * (inputs must already be distinct sets). Union size is derived as
+    * |A|+|B|-|A∩B| — one hash-set pass per pair instead of also
+    * materializing `array_distinct(concat(a,b))`. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
-      size(array_distinct(concat(a, b)))
+      (size(a) + size(b) - size(array_intersect(a, b)))
 
   /** Blocked near-duplicate pairs by exact token-set Jaccard: candidate
     * pairs are restricted to equal `blockCols` (an equi-join, shuffle-
@@ -123,6 +132,24 @@ object Dedup {
         .otherwise(transform(
           sequence(lit(1), length(text) - (n - 1)),
           i => text.substr(i, lit(n)))))
+
+  /** Hashed variant: n-grams reduced to 31-bit longs via the portable
+    * hash. Set intersections then compare longs, not strings — the
+    * per-pair verification cost at corpus scale. In-doc hash collisions
+    * merge set members deterministically on BOTH engines, so oracle
+    * equality holds. */
+  def charNgramHashes(text: Column, n: Int): Column =
+    array_distinct(
+      when(length(text) < n, array().cast(ArrayType(LongType)))
+        .otherwise(transform(
+          sequence(lit(1), length(text) - (n - 1)),
+          i => Portable.pmd5(text.substr(i, lit(n))) % Portable.MinhashP)))
+
+  def charNgramHashesSql(textSql: String, n: Int): String =
+    s"""list_distinct(CASE WHEN length($textSql) < $n THEN CAST([] AS BIGINT[])
+       | ELSE list_transform(generate_series(1, length($textSql) - ${n - 1}),
+       |        i -> ${Portable.pmd5Sql(s"substr($textSql, i, $n)")} % ${Portable.MinhashP})
+       | END)""".stripMargin.replaceAll("\n", " ")
 
   /** Top-1-per-group representative selection after near-dup clustering:
     * given (id_a, id_b) duplicate edges, keep the smallest id of each

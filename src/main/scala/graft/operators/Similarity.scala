@@ -11,40 +11,48 @@ import graft.functions.Portable
   * (`array<float>`), plus embedding-based near-dup detection.
   *
   * Scale design:
+  *  - vectors are cast to double arrays ONCE and the L2 norm is computed
+  *    ONCE per vector (an O(n) projection), never per pair — the n^2
+  *    stage multiplies two precomputed scalars;
   *  - brute force = broadcast(queries) x corpus — linear in corpus size,
   *    no shuffle of the corpus, window top-k partitioned by query;
-  *  - LSH = deterministic random-hyperplane signatures; candidate
-  *    generation is an equi-join on the signature bucket, cutting the
-  *    scanned fraction to ~2^-bits per query while keeping the same
-  *    scoring expression.
+  *  - LSH = deterministic random-hyperplane signatures from a plane
+  *    matrix precomputed driver-side into array literals; candidate
+  *    generation is an equi-join on the signature bucket.
   *
   * Dot products fold left-to-right in doubles (`aggregate`), so scores
   * are bit-reproducible (and match DuckDB's `list_reduce` fold).
   */
 object Similarity {
 
-  /** Deterministic left-fold dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Deterministic left-fold dot product of two DOUBLE-array columns. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  /** Float array -> double array (do this once, upstream of any join). */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast(DoubleType))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Per-vector projection: id, double vector `v`, precomputed norm
+    * `nv`. The only per-pair work left downstream is one dot + divide. */
+  private def prep(df: DataFrame, idCol: String, outId: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as(outId), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dotD(col("v"), col("v"))))
+
+  def cosineFromPrepped(av: Column, an: Column, bv: Column, bn: Column): Column =
+    dotD(av, bv) / (an * bn)
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); corpus is scanned once. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(prep(queries, idCol, "query_id", vecCol)
+      .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
+    val c = prep(corpus, idCol, "neighbor_id", vecCol)
     val scored = q.crossJoin(c)
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -53,19 +61,22 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `j`,
-    * dimension `i` -> uniform in [-1, 1) derived from the portable hash
-    * (reproducible across engines and runs — no RNG state). */
-  private def planeComponent(j: Int, i: Column): Column =
-    (pmod(Portable.pmd5(concat(lit(s"p$j,"), i.cast(StringType))), lit(2000L))
-      .cast(DoubleType) - 1000.0) / 1000.0
+    * dimension `i` (1-based) -> uniform in [-1, 1) derived from the
+    * portable hash (reproducible across engines and runs — no RNG
+    * state; the DuckDB oracle recomputes the same value from md5). */
+  def planeComponent(j: Int, i: Int): Double =
+    (Portable.pmd5Local(s"p$j,$i") % 2000L - 1000L).toDouble / 1000.0
 
-  /** Sign-random-projection signature: `bits` hyperplanes -> one long
-    * bucket id per vector. */
-  def srpSignature(vec: Column, bits: Int): Column = {
-    val dims = sequence(lit(1), size(vec))
+  /** Sign-random-projection signature over a DOUBLE-array column. The
+    * plane matrix is precomputed driver-side into array LITERALS
+    * ([[Portable.pmd5Local]]), so executors fold plain doubles — no
+    * hashing per row, which is what survives a billion-vector corpus.
+    * `dim` fixed at plan time (embedding width). */
+  def srpSignature(vecD: Column, bits: Int, dim: Int): Column = {
     (0 until bits).map { j =>
-      val proj = aggregate(dims, lit(0.0),
-        (acc, i) => acc + element_at(vec, i).cast(DoubleType) * planeComponent(j, i))
+      val plane = typedLit((1 to dim).map(i => planeComponent(j, i)).toSeq)
+      val proj = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+        (acc, i) => acc + element_at(vecD, i) * element_at(plane, i))
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -76,14 +87,15 @@ object Similarity {
     * trades recall for scan fraction. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, bits: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      srpSignature(col(vecCol), bits).as("bucket"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpSignature(col(vecCol), bits).as("bucket")))
+      k: Int, bits: Int, dim: Int): DataFrame = {
+    val c = prep(corpus, idCol, "neighbor_id", vecCol)
+      .withColumn("bucket", srpSignature(col("v"), bits, dim))
+    val q = broadcast(prep(queries, idCol, "query_id", vecCol)
+      .withColumn("bucket", srpSignature(col("v"), bits, dim))
+      .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
     val scored = q.join(c, Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -93,17 +105,18 @@ object Similarity {
 
   /** Embedding near-duplicate pairs within equal-`blockCol` groups:
     * pairs (a<b) with cosine >= threshold. Equi-join on the block key —
-    * no cross product. */
+    * no cross product; norms precomputed per vector, not per pair. */
   def blockedCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
-    val s = df.select(col(idCol), col(blockCol), col(vecCol).as("v"))
+    val s = df.select(col(idCol), col(blockCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dotD(col("v"), col("v"))))
     val l = s.as("l")
     val r = s.as("r")
     l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        cosine(col("l.v"), col("r.v")).as("cos"))
+        cosineFromPrepped(col("l.v"), col("l.nv"), col("r.v"), col("r.nv")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

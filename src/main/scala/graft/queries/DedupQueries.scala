@@ -19,12 +19,9 @@ object DedupQueries {
   private val SHINGLE = 3     // words per shingle
   private val JT = 0.8        // near-dup verification threshold
 
-  /** DuckDB: per-doc 3-word shingle list. */
-  private val shinglesSql = Portable.wordShinglesSql("text", SHINGLE)
-
-  /** DuckDB: m0..m15 minhash columns from a shingle list column `sh`. */
+  /** DuckDB: m0..m15 minhash columns from a shingle-hash list column `hs`. */
   private def minhashColsSql: String =
-    (0 until K).map(i => s"${Portable.minhashSql(i, "sh")} AS m$i").mkString(",\n               ")
+    (0 until K).map(i => s"${Portable.minhashSql(i, "hs")} AS m$i").mkString(",\n               ")
 
   private def bandExprSql(b: Int): String = {
     val parts = (b * RPB until (b + 1) * RPB).map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
@@ -34,7 +31,9 @@ object DedupQueries {
   private val sigCte = s"""
         WITH sig AS (
           SELECT doc_id, $minhashColsSql
-          FROM (SELECT doc_id, $shinglesSql AS sh FROM documents))"""
+          FROM (SELECT doc_id, ${Portable.shingleHashesFromTokensSql("th")} AS hs
+                FROM (SELECT doc_id, ${Portable.tokenHashesSql("text")} AS th
+                      FROM documents)))"""
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -68,7 +67,10 @@ object DedupQueries {
         "candidate pairs (no cross product), exact token-set Jaccard " +
         s"verifies at threshold $JT.",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        // the testdata table is one small parquet file = one input split;
+        // spread rows before the (expensive) signature projection so all
+        // cores shingle+hash — on a real corpus the file count does this
+        val docs = t(s, dir, "documents").repartition(col("doc_id"))
         val banded = Dedup.bandKeys(
           Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
         val cands = Dedup.lshCandidates(banded, "doc_id", NB)
@@ -106,7 +108,7 @@ object DedupQueries {
       "60-bit SimHash signature per document over distinct-token " +
         "hashes (bit-majority vote).",
       (s, dir) =>
-        t(s, dir, "documents").select(
+        t(s, dir, "documents").repartition(col("doc_id")).select(
           col("doc_id"),
           Dedup.simhash(col("text")).as("simhash")),
       Some(s"""
@@ -125,31 +127,48 @@ object DedupQueries {
         "(lang, source) — candidate generation is an equi-join on the " +
         "block key, then exact set verification at 0.9.",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        // single-file table: spread before the n-gram projection (above);
+        // hashed n-grams so the pair verification intersects longs
+        val docs = t(s, dir, "documents").repartition(col("doc_id"))
         val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
-          Dedup.charNgrams(col("text"), 3).as("gs"))
+          Dedup.charNgramHashes(col("text"), 3).as("gs"))
+          .withColumn("sz", size(col("gs")))
         val l = withSet.as("l")
         val r = withSet.as("r")
+        // size band is a NECESSARY condition for jaccard >= 0.9
+        // (min(|A|,|B|) >= 0.9*max) — prunes pairs before the O(|A|+|B|)
+        // intersection without changing the result set
+        // the size band is a NECESSARY condition for jaccard >= 0.9
+        // (min(|A|,|B|) >= 0.9*max); guarding the jaccard expression with
+        // it FORCES cheap-first evaluation — Catalyst otherwise pushes the
+        // jaccard filter to the FRONT of the join condition and pays the
+        // intersection for every blocked pair
+        val guarded = when(
+          col("l.sz").cast("double") >= col("r.sz") * 0.9 &&
+            col("r.sz").cast("double") >= col("l.sz") * 0.9,
+          Dedup.jaccard(col("l.gs"), col("r.gs")))
         l.join(r, col("l.lang") === col("r.lang") &&
             col("l.source") === col("r.source") &&
             col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
-            Dedup.jaccard(col("l.gs"), col("r.gs")).as("jaccard"))
+            guarded.as("jaccard"))
           .filter(col("jaccard") >= 0.9)
       },
-      Some("""
+      Some(s"""
         WITH g AS (
-          SELECT doc_id, lang, source,
-                 list_distinct(CASE WHEN length(text) < 3 THEN []
-                   ELSE list_transform(generate_series(1, length(text) - 2),
-                          i -> substr(text, i, 3)) END) AS gs
-          FROM documents)
-        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-               CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE)
-                 / len(list_distinct(l.gs || r.gs)) AS jaccard
-        FROM g l JOIN g r
-          ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
-        WHERE CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE)
-                 / len(list_distinct(l.gs || r.gs)) >= 0.9"""))
+          SELECT doc_id, lang, source, gs, len(gs) AS sz
+          FROM (SELECT doc_id, lang, source,
+                 ${graft.operators.Dedup.charNgramHashesSql("text", 3)} AS gs
+                FROM documents))
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                 CASE WHEN CAST(l.sz AS DOUBLE) >= r.sz * 0.9
+                       AND CAST(r.sz AS DOUBLE) >= l.sz * 0.9
+                      THEN CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE)
+                             / (l.sz + r.sz - len(list_intersect(l.gs, r.gs)))
+                      END AS jaccard
+          FROM g l JOIN g r
+            ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id)
+        WHERE jaccard >= 0.9"""))
   )
 }
