@@ -82,11 +82,15 @@ object Dedup {
       .distinct()
   }
 
-  /** 60-bit SimHash over the doc's distinct tokens. Pure-SQL expression
-    * (portable); at petabyte scale swap in a custom Catalyst Expression
-    * computing all 60 bit-counters in one token pass. */
-  def simhash(textCol: Column): Column = {
-    val hs = transform(array_distinct(split(textCol, " ")), t => Portable.pmd5(t))
+  /** Token-hash array for SimHash (full-width pmd5 over distinct tokens). */
+  def simhashTokenHashes(textCol: Column): Column =
+    transform(array_distinct(split(textCol, " ")), t => Portable.pmd5(t))
+
+  /** 60-bit SimHash over the doc's distinct tokens — composed-SQL form
+    * (60 bit-passes). Kept as the portable reference implementation;
+    * [[simhash]] is the production path. */
+  def simhashComposed(textCol: Column): Column = {
+    val hs = simhashTokenHashes(textCol)
     aggregate(
       transform(sequence(lit(0), lit(59)), j =>
         when(
@@ -97,6 +101,14 @@ object Dedup {
       lit(0L),
       (acc, b) => acc + b)
   }
+
+  /** 60-bit SimHash, production path: native one-pass Catalyst
+    * expression ([[graft.expressions.SimHash60]], codegen'd) over the
+    * same token hashes — bit-identical to [[simhashComposed]]. Takes the
+    * session because Spark 4's Column<->Expression seam is the function
+    * registry. */
+  def simhash(spark: org.apache.spark.sql.SparkSession, textCol: Column): Column =
+    graft.expressions.SimHash60(spark, simhashTokenHashes(textCol))
 
   /** Exact token-set Jaccard similarity between two array columns
     * (inputs must already be distinct sets). Union size is derived as

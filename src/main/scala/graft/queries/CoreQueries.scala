@@ -401,6 +401,53 @@ object CoreQueries {
         FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""")),
     // ----------------------------------------------------------------
     Q(
+      "q36_rollup",
+      "Hierarchical rollup (beyond the reference: grouping-set " +
+        "aggregation): order counts/revenue by (year, priority) with " +
+        "subtotal and grand-total rows; nulls sentineled for the " +
+        "cross-engine compare.",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("y", year(col("o_orderdate")))
+          .rollup(col("y"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("revenue"))
+          .select(
+            coalesce(col("y").cast(StringType), lit("ALL")).as("y"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("revenue")),
+      Some("""
+        SELECT coalesce(CAST(y AS VARCHAR), 'ALL') AS y,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM (SELECT year(o_orderdate) AS y, o_orderpriority, o_totalprice FROM orders)
+        GROUP BY ROLLUP (y, o_orderpriority)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q37_except",
+      "Set difference: nations present among customers but absent among " +
+        "suppliers (EXCEPT distinct semantics).",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q38_intersect",
+      "Set intersection: nations with both customers and suppliers.",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier""")),
+    // ----------------------------------------------------------------
+    Q(
       "q20_coalesce_const",
       "F12/F13: constant columns + coalesce defaulting (ref " +
         "src/transform.py:64,208 'Japan' / unitRef default).",

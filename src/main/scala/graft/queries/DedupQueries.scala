@@ -110,7 +110,7 @@ object DedupQueries {
       (s, dir) =>
         t(s, dir, "documents").repartition(col("doc_id")).select(
           col("doc_id"),
-          Dedup.simhash(col("text")).as("simhash")),
+          Dedup.simhash(s, col("text")).as("simhash")),
       Some(s"""
         SELECT doc_id,
                CAST(list_sum(list_transform(range(0, 60), j ->

@@ -47,6 +47,14 @@ object EventsStream {
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup on event id with watermark-bounded state:
+    * the incremental form of q26's hash-dedup. State holds only ids
+    * newer than (max event time - delay) — bounded at any corpus rate. */
+  def dedupedStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   // Timestamps kept as-is (micros precision); a millis round-trip would

@@ -39,6 +39,24 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("s.n") =!= col("b.n")).isEmpty)
   }
 
+  test("streaming dedup drops the duplicated input file's rows") {
+    // stage the same parquet twice -> every event arrives twice
+    val d2 = java.nio.file.Files.createTempDirectory("events-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d2.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d2.resolve("b.parquet"))
+    val q = EventsStream.dedupedStream(EventsStream.readStream(spark, d2.toString))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("dedup_out").count()
+    val distinct = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events").count()
+    assert(n == distinct)
+  }
+
   test("stateful sessionization: sessions partition each user's events") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
