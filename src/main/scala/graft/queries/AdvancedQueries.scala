@@ -16,6 +16,75 @@ object AdvancedQueries {
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
+      "q39_salted_agg",
+      "Skew-safe two-stage salted aggregation over the hot event_type " +
+        "key (5 values): deterministic salt from event_id, exact " +
+        "decimal partials — identical result to the direct groupBy, " +
+        "but the wide stage fans out over salt buckets.",
+      (s, dir) =>
+        graft.operators.Skew.saltedCountSum(
+          Tables.t(s, dir, "events"),
+          keys = Seq("event_type"),
+          saltFrom = col("event_id"),
+          saltBuckets = 16,
+          sums = Seq(
+            (col("value").cast(DecimalType(12, 2)), "sum_value")))
+          .withColumn("sum_value", col("sum_value").cast(DoubleType))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q40_weighted_avg",
+      "Typed Aggregator (custom UDAF surface): quantity-weighted mean " +
+        "price per return flag, exact integer-cents buffer.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.Aggregators
+        Tables.t(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .as[Aggregators.PriceRow]
+          .groupByKey(_.l_returnflag)
+          .agg(Aggregators.WeightedAvgPrice.toColumn.name("w_avg_price"))
+          .toDF("l_returnflag", "w_avg_price")
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0)
+                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_avg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q41_pivot",
+      "Pivot / crosstab: order counts by year x priority, fixed pivot " +
+        "values (missing combinations zeroed to match the oracle's " +
+        "FILTER counts).",
+      (s, dir) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val p = Tables.t(s, dir, "orders")
+          .withColumn("y", year(col("o_orderdate")))
+          .groupBy("y")
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+          .toDF("y", "urgent", "high", "medium", "notspec", "low")
+        prios.zip(Seq("urgent", "high", "medium", "notspec", "low")).foldLeft(p) {
+          case (df, (_, c)) => df.withColumn(c, coalesce(col(c), lit(0L)))
+        }.orderBy("y")
+      },
+      Some("""
+        SELECT year(o_orderdate) AS y,
+               count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+               count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+               count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+               count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+               count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        FROM orders GROUP BY y ORDER BY y""")),
+    // ----------------------------------------------------------------
+    Q(
       "q34_multimodal_meta",
       "Multimodal column plumbing, metadata side: treat payloads as " +
         "opaque bytes — byte length, content digest, modality tag. (The " +

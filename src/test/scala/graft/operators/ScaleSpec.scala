@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-citizenship proofs: the physical plans do what ARCHITECTURE.md
+  * claims (bucketed co-located joins avoid shuffles; salted aggregation
+  * matches the direct result). */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join with ZERO shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    // disable auto-broadcast so the join would OTHERWISE shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the only exchange allowed is the final groupBy's, keyed on
+      // o_orderpriority — the JOIN itself must be shuffle-free
+      val joinSection = plan.split("HashAggregate").last
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey")
+        && !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join shuffled:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      // every lineitem row matched exactly one order
+      assert(joined.agg(sum(col("n"))).collect().head.getLong(0) == 6000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation == direct groupBy") {
+    val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val salted = Skew.saltedCountSum(ev, Seq("event_type"), col("event_id"), 16,
+      Seq((col("value").cast("decimal(12,2)"), "sum_value")))
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+}
