@@ -128,16 +128,15 @@ object DedupQueries {
         "block key, then exact set verification at 0.9.",
       (s, dir) => {
         // single-file table: spread before the n-gram projection (above);
-        // hashed n-grams so the pair verification intersects longs
+        // hashed n-grams SORTED once per row so the n^2 verification is a
+        // native two-pointer merge (no per-pair hash set)
         val docs = t(s, dir, "documents").repartition(col("doc_id"))
         val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
-          Dedup.charNgramHashes(col("text"), 3).as("gs"))
+          array_sort(Dedup.charNgramHashes(col("text"), 3)).as("gs"))
           .withColumn("sz", size(col("gs")))
         val l = withSet.as("l")
         val r = withSet.as("r")
-        // size band is a NECESSARY condition for jaccard >= 0.9
-        // (min(|A|,|B|) >= 0.9*max) — prunes pairs before the O(|A|+|B|)
-        // intersection without changing the result set
+        val inter = graft.expressions.SortedIntersectSize(s, col("l.gs"), col("r.gs"))
         // the size band is a NECESSARY condition for jaccard >= 0.9
         // (min(|A|,|B|) >= 0.9*max); guarding the jaccard expression with
         // it FORCES cheap-first evaluation — Catalyst otherwise pushes the
@@ -146,7 +145,7 @@ object DedupQueries {
         val guarded = when(
           col("l.sz").cast("double") >= col("r.sz") * 0.9 &&
             col("r.sz").cast("double") >= col("l.sz") * 0.9,
-          Dedup.jaccard(col("l.gs"), col("r.gs")))
+          inter.cast("double") / (col("l.sz") + col("r.sz") - inter))
         l.join(r, col("l.lang") === col("r.lang") &&
             col("l.source") === col("r.source") &&
             col("l.doc_id") < col("r.doc_id"))
