@@ -85,6 +85,62 @@ object AdvancedQueries {
         FROM orders GROUP BY y ORDER BY y""")),
     // ----------------------------------------------------------------
     Q(
+      "q42_asof_join",
+      "Backward as-of join (operator Spark lacks; composed union+window, " +
+        "one shuffle, no per-key quadratic work): each event picks up " +
+        "the user's most recent order at or before the event time.",
+      (s, dir) => {
+        val events = Tables.t(s, dir, "events")
+          .select("event_id", "user_id", "ts", "event_type")
+        val orders = Tables.t(s, dir, "orders")
+        graft.operators.AsOfJoin.backward(
+          events, "user_id", "ts",
+          orders, "o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""
+        WITH u AS (
+          SELECT o_custkey AS k, o_orderdate AS t, 0 AS side, o_orderkey AS p,
+                 CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type
+          FROM orders
+          UNION ALL
+          SELECT user_id, ts, 1, CAST(NULL AS BIGINT), event_id, event_type
+          FROM events),
+        c AS (
+          SELECT *, last_value(p IGNORE NULLS) OVER (PARTITION BY k
+                   ORDER BY t ASC, side ASC, p ASC
+                   ROWS UNBOUNDED PRECEDING) AS asof_o_orderkey
+          FROM u)
+        SELECT event_id, k AS user_id, t AS ts, event_type, asof_o_orderkey
+        FROM c WHERE side = 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q43_interval_join",
+      "Interval (range) join: same-user event pairs where b falls within " +
+        "5 minutes after a — equi key + time-range condition, the batch " +
+        "twin of the stream-stream join in graft.streaming.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events").select("event_id", "user_id", "ts")
+        val a = ev.as("a")
+        val b = ev.as("b")
+        a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+            col("b.ts") >= col("a.ts") &&
+            col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES") &&
+            col("a.event_id") =!= col("b.event_id"))
+          .select(
+            col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+            (unix_micros(col("b.ts")) - unix_micros(col("a.ts"))).as("gap_us"))
+      },
+      Some("""
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+         AND a.event_id <> b.event_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "q34_multimodal_meta",
       "Multimodal column plumbing, metadata side: treat payloads as " +
         "opaque bytes — byte length, content digest, modality tag. (The " +

@@ -47,6 +47,24 @@ object EventsStream {
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval self-join: pairs of same-user events where
+    * the second falls within `window` after the first. Watermarks bound
+    * the join state on both sides — without them the state grows
+    * unboundedly at any sustained rate. Batch twin: q43_interval_join. */
+  def intervalSelfJoin(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val a = events.select(col("event_id").as("id_a"), col("user_id"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", watermarkDelay)
+    val b = events.select(col("event_id").as("id_b"),
+      col("user_id").as("user_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", watermarkDelay)
+    a.join(b,
+      col("user_id") === col("user_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES") &&
+        col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Streaming exact-dedup on event id with watermark-bounded state:
     * the incremental form of q26's hash-dedup. State holds only ids
     * newer than (max event time - delay) — bounded at any corpus rate. */

@@ -57,6 +57,19 @@ class StreamingSpec extends SparkSpec {
     assert(n == distinct)
   }
 
+  test("stream-stream interval join emits the same pairs as the batch twin") {
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.intervalSelfJoin(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_out").count()
+    val batch = graft.queries.AdvancedQueries.all
+      .find(_.name == "q43_interval_join").get
+      .run(spark, "/root/testdata/sf0.001").count()
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
   test("stateful sessionization: sessions partition each user's events") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
