@@ -103,6 +103,52 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest
+    * "centroid" cell once (an O(n * k) projection); each query probes
+    * only its `nprobe` nearest cells — candidates come from an equi-join
+    * on the cell id, like the SRP variant but with data-adaptive cells.
+    *
+    * Centroids here are a deterministic sample (first `k` corpus
+    * vectors) rather than trained k-means: the partition/probe/score
+    * machinery — the part that must scale — is identical, and results
+    * stay reproducible and oracle-checkable. Swap in trained centroids
+    * without touching the query path.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(prep(
+      corpus.filter(col(idCol) < nCells), idCol, "cell", vecCol)
+      .withColumnRenamed("v", "cv").withColumnRenamed("nv", "cn"))
+
+    def nearestCells(side: DataFrame, outId: String, n: Int): DataFrame = {
+      val p = prep(side, idCol, outId, vecCol)
+      val scored = p.crossJoin(cents)
+        .select(col(outId), col("v"), col("nv"), col("cell"),
+          cosineFromPrepped(col("v"), col("nv"), col("cv"), col("cn")).as("cscore"))
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("cscore").desc, col("cell").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+    }
+
+    val assigned = nearestCells(corpus, "neighbor_id", 1)
+      .select(col("neighbor_id"), col("v"), col("nv"), col("cell"))
+    val probes = broadcast(nearestCells(queries, "query_id", nProbe)
+      .select(col("query_id"), col("v").as("qv"), col("nv").as("qn"), col("cell")))
+
+    val scored = probes.join(assigned, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
+      // a neighbor can sit in several probed cells -> dedup before rank
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Embedding near-duplicate pairs within equal-`blockCol` groups:
     * pairs (a<b) with cosine >= threshold. Equi-join on the block key —
     * no cross product; norms precomputed per vector, not per pair. */

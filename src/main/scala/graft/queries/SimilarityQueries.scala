@@ -47,7 +47,49 @@ object SimilarityQueries {
       s"CASE WHEN $proj > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
 
+  private val NCELLS = 16
+  private val NPROBE = 2
+
   val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q44_ann_ivf",
+      s"IVF-style ANN: corpus assigned once to $NCELLS deterministic " +
+        s"cells, queries probe their $NPROBE nearest cells, candidates " +
+        "come from the cell equi-join — the data-adaptive scale path " +
+        "next to SRP-LSH.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          e.repartition(col("vec_id")), e.filter(col("vec_id") < NQ),
+          "vec_id", "embedding", TOPK, NCELLS, NPROBE)
+      },
+      Some(s"""
+        WITH ${prepCte()},
+        cents AS (
+          SELECT vec_id AS cell, v AS cv, nv AS cn FROM prep WHERE vec_id < $NCELLS),
+        cscored AS (
+          SELECT p.vec_id, p.v, p.nv, c.cell,
+                 ${foldSql("p.v", "c.cv")} / (p.nv * c.cn) AS cscore
+          FROM prep p, cents c),
+        cranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cscore DESC, cell ASC) AS crank
+          FROM cscored),
+        assigned AS (
+          SELECT vec_id AS neighbor_id, v, nv, cell FROM cranked WHERE crank = 1),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv, nv AS qn, cell
+          FROM cranked WHERE vec_id < $NQ AND crank <= $NPROBE),
+        scored AS (
+          SELECT DISTINCT q.query_id, a.neighbor_id,
+                 ${foldSql("q.qv", "a.v")} / (q.qn * a.nv) AS score
+          FROM probes q JOIN assigned a ON q.cell = a.cell)
+        SELECT query_id, rank, neighbor_id, score
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored)
+        WHERE rank <= $TOPK""")),
     // ----------------------------------------------------------------
     Q(
       "q31_ann_bruteforce",
