@@ -126,6 +126,77 @@ object TextQueries {
             FROM documents))""")),
     // ----------------------------------------------------------------
     Q(
+      "q45_edit_distance",
+      "Fuzzy near-dup by Levenshtein distance: supplier-name pairs " +
+        "within edit distance 2 (blocked by equal length band via the " +
+        "necessary-condition guard, same pattern as q30).",
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        val l = sup.as("l")
+        val r = sup.as("r")
+        // |len(a)-len(b)| <= 2 is necessary for distance <= 2: cheap guard
+        val guarded = when(
+          abs(length(col("l.s_name")) - length(col("r.s_name"))) <= 2,
+          levenshtein(col("l.s_name"), col("r.s_name")))
+        l.join(r, col("l.s_suppkey") < col("r.s_suppkey"))
+          .select(col("l.s_suppkey").as("id_a"), col("r.s_suppkey").as("id_b"),
+            guarded.as("dist"))
+          .filter(col("dist") <= 2)
+      },
+      Some("""
+        SELECT id_a, id_b, dist FROM (
+          SELECT l.s_suppkey AS id_a, r.s_suppkey AS id_b,
+                 CASE WHEN abs(length(l.s_name) - length(r.s_name)) <= 2
+                      THEN CAST(levenshtein(l.s_name, r.s_name) AS INTEGER) END AS dist
+          FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey)
+        WHERE dist <= 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q46_median",
+      "Exact median by deterministic rank selection (no interpolation-" +
+        "formula drift between engines): per-segment median account " +
+        "balance as the mean of the two middle ranked values.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+          // integer floor-div (`div`), NOT Column./ which is double division
+          // and would silently drop the lower-middle row for even n
+          .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+          .groupBy(col("c_mktsegment"))
+          .agg((sum(col("c_acctbal")) / count(lit(1))).as("median_acctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment, sum(c_acctbal) / count(*) AS median_acctbal
+        FROM (SELECT c_mktsegment, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+                     count(*) OVER (PARTITION BY c_mktsegment) AS n
+              FROM customer)
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q47_word_count",
+      "The canonical exploded word count: top-20 tokens across the " +
+        "corpus with deterministic tie-break.",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(20),
+      Some("""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
       "q25_fingerprint",
       "Document fingerprinting: polynomial rolling hash over the token " +
         "sequence (order-sensitive, unlike the set-based measures).",
