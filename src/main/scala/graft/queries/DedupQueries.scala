@@ -134,23 +134,32 @@ object DedupQueries {
         val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
           array_sort(Dedup.charNgramHashes(col("text"), 3)).as("gs"))
           .withColumn("sz", size(col("gs")))
-        val l = withSet.as("l")
-        val r = withSet.as("r")
-        val inter = graft.expressions.SortedIntersectSize(s, col("l.gs"), col("r.gs"))
-        // the size band is a NECESSARY condition for jaccard >= 0.9
-        // (min(|A|,|B|) >= 0.9*max); guarding the jaccard expression with
-        // it FORCES cheap-first evaluation — Catalyst otherwise pushes the
-        // jaccard filter to the FRONT of the join condition and pays the
-        // intersection for every blocked pair
-        val guarded = when(
-          col("l.sz").cast("double") >= col("r.sz") * 0.9 &&
-            col("r.sz").cast("double") >= col("l.sz") * 0.9,
-          inter.cast("double") / (col("l.sz") + col("r.sz") - inter))
-        l.join(r, col("l.lang") === col("r.lang") &&
-            col("l.source") === col("r.source") &&
-            col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
-            guarded.as("jaccard"))
+
+        // candidate phase joins ONLY the narrow columns — the blocked
+        // join would otherwise materialize both ~2KB n-gram arrays for
+        // every candidate pair before the size band can prune; the size
+        // band is a NECESSARY condition for jaccard >= 0.9
+        // (min(|A|,|B|) >= 0.9*max)
+        val slim = withSet.select("doc_id", "lang", "source", "sz")
+        val cands = slim.as("l")
+          .join(slim.as("r"),
+            col("l.lang") === col("r.lang") &&
+              col("l.source") === col("r.source") &&
+              col("l.doc_id") < col("r.doc_id") &&
+              col("l.sz").cast("double") >= col("r.sz") * 0.9 &&
+              col("r.sz").cast("double") >= col("l.sz") * 0.9)
+          .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+
+        // verify phase: arrays fetched only for surviving pairs
+        val sets = withSet.select(col("doc_id"), col("gs"), col("sz"))
+        val inter = graft.expressions.SortedIntersectSize(s, col("gs_a"), col("gs_b"))
+        cands
+          .join(sets.select(col("doc_id").as("id_a"),
+            col("gs").as("gs_a"), col("sz").as("sz_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"),
+            col("gs").as("gs_b"), col("sz").as("sz_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (inter.cast("double") / (col("sz_a") + col("sz_b") - inter)).as("jaccard"))
           .filter(col("jaccard") >= 0.9)
       },
       Some(s"""
