@@ -74,6 +74,9 @@ object Dedup {
     val exploded = banded
       .select(col(idCol), explode(bandStructs).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      // self-joined below: without persist the whole upstream signature
+      // pipeline (shingle + minhash) runs once PER SIDE
+      .persist()
     val l = exploded.as("l")
     val r = exploded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&

@@ -157,6 +157,8 @@ object Similarity {
       threshold: Double): DataFrame = {
     val s = df.select(col(idCol), col(blockCol), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", sqrt(dotD(col("v"), col("v"))))
+      // self-joined: persist or the cast+norm projection runs per side
+      .persist()
     val l = s.as("l")
     val r = s.as("r")
     l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&

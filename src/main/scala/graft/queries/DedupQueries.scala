@@ -131,9 +131,14 @@ object DedupQueries {
         // hashed n-grams SORTED once per row so the n^2 verification is a
         // native two-pointer merge (no per-pair hash set)
         val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        // persist the projection: it feeds the candidate join (both
+        // sides) and both verify-phase broadcasts — uncached, Spark
+        // recomputes the hashing 3-4x. (At real corpus scale this
+        // materializes to storage instead of memory: same idea.)
         val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
           array_sort(Dedup.charNgramHashes(col("text"), 3)).as("gs"))
           .withColumn("sz", size(col("gs")))
+          .persist()
 
         // candidate phase joins ONLY the narrow columns — the blocked
         // join would otherwise materialize both ~2KB n-gram arrays for
@@ -154,10 +159,10 @@ object DedupQueries {
         val sets = withSet.select(col("doc_id"), col("gs"), col("sz"))
         val inter = graft.expressions.SortedIntersectSize(s, col("gs_a"), col("gs_b"))
         cands
-          .join(sets.select(col("doc_id").as("id_a"),
-            col("gs").as("gs_a"), col("sz").as("sz_a")), "id_a")
-          .join(sets.select(col("doc_id").as("id_b"),
-            col("gs").as("gs_b"), col("sz").as("sz_b")), "id_b")
+          .join(broadcast(sets.select(col("doc_id").as("id_a"),
+            col("gs").as("gs_a"), col("sz").as("sz_a"))), "id_a")
+          .join(broadcast(sets.select(col("doc_id").as("id_b"),
+            col("gs").as("gs_b"), col("sz").as("sz_b"))), "id_b")
           .select(col("id_a"), col("id_b"),
             (inter.cast("double") / (col("sz_a") + col("sz_b") - inter)).as("jaccard"))
           .filter(col("jaccard") >= 0.9)
