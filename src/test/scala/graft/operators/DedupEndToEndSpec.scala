@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Full near-dup pipeline over a corpus with PLANTED duplicates (the
+  * testdata has none exact and few near): signature -> bands -> LSH
+  * candidates -> verify -> drop. */
+class DedupEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+
+  // 0: original; 1: exact copy; 2: one word changed (near-dup);
+  // 3: unrelated; 4: half the words (not a near-dup at 0.7)
+  private lazy val corpus = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("warm", "cold")),
+    (3L, "completely different content about spark partitions and shuffle behavior at scale"),
+    (4L, base.split(" ").take(9).mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one representative per distinct text") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(0L) == 2L)         // docs 0 and 1 collapse, min id kept
+    assert(out.values.sum == 5L)
+    assert(out.size == 4)
+  }
+
+  test("minhash LSH surfaces the exact and near duplicates, verify filters") {
+    val sig = Dedup.minhashSignature(corpus, "text", k = 16, shingleLen = 3)
+    val bands = Dedup.bandKeys(sig, k = 16, rowsPerBand = 4)
+    val cands = Dedup.lshCandidates(bands, "doc_id", nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), "exact copies must share every band")
+    assert(cands.contains((0L, 2L)) || cands.contains((1L, 2L)),
+      "one-word edit should collide in at least one band")
+
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    val verified = cands.toSeq.toDF("id_a", "id_b")
+      .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("ts_a"), col("ts_b")).as("j"))
+      .filter(col("j") >= 0.7)
+    val pairs = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+
+    val cleaned = Dedup.dropNearDuplicates(corpus, "doc_id",
+      verified.select("id_a", "id_b"))
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && kept.contains(0L), "min-id representative survives")
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+}
