@@ -46,11 +46,18 @@ object CompanyMaster {
 
   /** J1 pre-step (SURVEY §7.4.6): dedupe to one row per EDINET code so
     * the enrichment inner join reproduces pandas' `.iloc[0]` first-match.
-    * `min_by` on a per-file sequence keeps "first row wins". */
+    *
+    * "First row" order comes from `monotonically_increasing_id`, which
+    * equals file order only for a single-split read — true for the real
+    * master (one CSV well under a split boundary). For multi-file /
+    * multi-split inputs Spark's file packing reorders partitions, so a
+    * stable lexicographic tiebreak backs it up: the pick stays
+    * deterministic even where "first" is not physically defined. */
   def dedupeByCode(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(MasterCols.EdinetCode))
-      .orderBy(monotonically_increasing_id())
+      .orderBy(monotonically_increasing_id(),
+        col(MasterCols.NameEn).asc, col(MasterCols.Industry).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -16,13 +16,19 @@ object Sink {
     * `single = false` to keep one file per partition. */
   def writeCsv(df: DataFrame, outDir: String, fileName: String,
       single: Boolean = true): Boolean = {
-    if (df.isEmpty) false
-    else {
-      val out = if (single) df.coalesce(1) else df
-      out.write.mode("overwrite").option("header", "true")
-        .csv(s"$outDir/$fileName")
-      true
-    }
+    // persist around the guard: isEmpty is an action, and without the
+    // cache the whole parse/transform plan would execute twice (once for
+    // the probe, once for the write)
+    val cached = df.persist()
+    try {
+      if (cached.isEmpty) false
+      else {
+        val out = if (single) cached.coalesce(1) else cached
+        out.write.mode("overwrite").option("header", "true")
+          .csv(s"$outDir/$fileName")
+        true
+      }
+    } finally cached.unpersist()
   }
 }
 
@@ -56,6 +62,10 @@ object Pipeline {
       bin.select(col("path"))
         .withColumn("seq", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("path")))))
+      // only target document types compete for best-file (reference
+      // filters the doc list before download, src/extract.py:158; a
+      // stray quarterly report must not displace the annual filing)
+      .filter(col("doc_type").isin(targetDocTypes: _*))
     val best = BestFile.bestPerCompany(manifest)
 
     // Parse only the winners (dedup-before-parse, SURVEY §4): semi-join

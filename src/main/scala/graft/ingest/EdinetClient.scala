@@ -68,29 +68,38 @@ object EdinetClient {
   }
 
   /** F2 + S4 + L3: inclusive daily range -> one list call per date,
-    * failures skipped, results concatenated in date order. */
+    * failures skipped, results concatenated in date order.
+    *
+    * `limiter` defaults to a fresh bucket; callers running several
+    * phases against the SAME API must pass one shared limiter, or the
+    * configured budget applies per phase, not per client (the
+    * reference's LimiterAdapter is session-wide, src/extract.py:16-19).
+    */
   def documentsByDateRange(
       transport: Transport, cfg: Config,
-      start: LocalDate, end: LocalDate): Seq[DocMeta] = {
-    val limiter = new RateLimiter(cfg.requestsPerSecond, cfg.sleeper)
+      start: LocalDate, end: LocalDate,
+      limiter: RateLimiter = null): Seq[DocMeta] = {
+    val lim = Option(limiter).getOrElse(new RateLimiter(cfg.requestsPerSecond, cfg.sleeper))
     Iterator.iterate(start)(_.plusDays(1))
       .takeWhile(!_.isAfter(end))
-      .flatMap(d => withRetries(cfg, limiter)(transport.listDocuments(d)).getOrElse(Nil))
+      .flatMap(d => withRetries(cfg, lim)(transport.listDocuments(d)).getOrElse(Nil))
       .toSeq
   }
 
   /** P7/J2 happens in the engine; L1 + S5 here: fetch the first
     * `limit` docs' bytes (CSV type=5 preferred over XBRL type=1 per
-    * S7), skipping failures. Returns (meta, ext, bytes). */
+    * S7), skipping failures. Returns (meta, ext, bytes). Share
+    * `limiter` with the list phase (see [[documentsByDateRange]]). */
   def downloadDocuments(
       transport: Transport, cfg: Config,
-      docs: Seq[DocMeta], limit: Option[Int]): Seq[(DocMeta, String, Array[Byte])] = {
-    val limiter = new RateLimiter(cfg.requestsPerSecond, cfg.sleeper)
+      docs: Seq[DocMeta], limit: Option[Int],
+      limiter: RateLimiter = null): Seq[(DocMeta, String, Array[Byte])] = {
+    val lim = Option(limiter).getOrElse(new RateLimiter(cfg.requestsPerSecond, cfg.sleeper))
     val take = limit.fold(docs)(docs.take)
     take.flatMap { d =>
       graft.edinet.ArchiveExtract.targetExtension(d.csvFlag, d.xbrlFlag).flatMap { ext =>
         val fetchType = if (ext == "csv") 5 else 1
-        withRetries(cfg, limiter)(transport.fetchDocument(d.docID, fetchType))
+        withRetries(cfg, lim)(transport.fetchDocument(d.docID, fetchType))
           .map(bytes => (d, ext, bytes))
       }
     }

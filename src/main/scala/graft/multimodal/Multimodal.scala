@@ -131,6 +131,10 @@ object Multimodal {
   def sampleFrames(features: DataFrame, step: Int): DataFrame =
     features
       .filter(col("kind") === "video")
+      // frames=0 (codec parsed but empty) would make sequence(0,-1,step)
+      // throw and kill the job — drop such rows, same isolation contract
+      // as extractFeatures
+      .filter(col("frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("frames") - 1, lit(step))))
       .select(col("id"), col("frame_idx"), col("width"), col("height"))

@@ -54,13 +54,19 @@ object AsOfJoin {
       .select(l.columns.map(col): _*)
 
     // rights sort before lefts at equal time (inclusive match); among
-    // equal-time rights the LAST (max payload) wins the carry
+    // equal-time rights the LAST (max payload) wins the carry.
+    // The carry wraps the payload in a struct: `last(payload ignoreNulls)`
+    // would skip a right row whose payload IS null and resurrect an older
+    // one — the struct is non-null for every right row, so the newest
+    // right ROW wins even when its payload is null.
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(rAligned)
-      .withColumn(s"asof_$rightPayload", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__carry",
+        last(when(col("__side") === 0, struct(col("__p"))), ignoreNulls = true).over(w))
+      .withColumn(s"asof_$rightPayload", col("__carry.__p"))
       .filter(col("__side") === 1)
-      .drop("__k", "__t", "__side", "__p")
+      .drop("__k", "__t", "__side", "__p", "__carry")
   }
 }

@@ -134,11 +134,12 @@ object TextQueries {
         val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
         val l = sup.as("l")
         val r = sup.as("r")
-        // |len(a)-len(b)| <= 2 is necessary for distance <= 2: cheap guard
-        val guarded = when(
-          abs(length(col("l.s_name")) - length(col("r.s_name"))) <= 2,
-          levenshtein(col("l.s_name"), col("r.s_name")))
-        l.join(r, col("l.s_suppkey") < col("r.s_suppkey"))
+        // |len(a)-len(b)| <= 2 is necessary for distance <= 2: it goes in
+        // the JOIN condition (prunes pair enumeration) AND guards the
+        // projection (cheap-first evaluation, as in q30)
+        val band = abs(length(col("l.s_name")) - length(col("r.s_name"))) <= 2
+        val guarded = when(band, levenshtein(col("l.s_name"), col("r.s_name")))
+        l.join(r, col("l.s_suppkey") < col("r.s_suppkey") && band)
           .select(col("l.s_suppkey").as("id_a"), col("r.s_suppkey").as("id_b"),
             guarded.as("dist"))
           .filter(col("dist") <= 2)

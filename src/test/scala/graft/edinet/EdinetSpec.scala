@@ -188,12 +188,17 @@ class PipelineSpec extends SparkSpec {
     writeXbrl(files, "E00006_20240401_120.xbrl", xbrlContent())
     // Unknown company: guarded out by the join (P9)
     writeStatementCsv(files, "E99999_20240401_120.csv", statementCsvContent())
+    // Non-target doc type (quarterly 140) arriving LATER than the annual
+    // report: must not displace it in best-file selection
+    writeStatementCsv(files, "E00001_20240901_140.csv", statementCsvContent(
+      series = Seq(("CurrentYearDuration", "JPY", "123456789"))))
 
     val out = Pipeline.transform(spark, master, files.toString)
       .orderBy("companyname", "year").collect()
 
     val byCompany = out.groupBy(_.getAs[String]("companyname"))
-    // Alpha: 5 years 2020..2024 with 1000..5000
+    // Alpha: 5 years 2020..2024 with 1000..5000 — from the ANNUAL (120)
+    // filing; the later quarterly (140) was filtered before selection
     val alpha = byCompany("Alpha Corp").map(r =>
       (r.getAs[Int]("year"), r.getAs[Long]("revenue")))
     assert(alpha.toSeq.sorted == Seq((2020, 1000L), (2021, 2000L), (2022, 3000L), (2023, 4000L), (2024, 5000L)))

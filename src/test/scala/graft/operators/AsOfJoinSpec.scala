@@ -32,6 +32,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> -1L, 2L -> 100L, 3L -> 101L, 4L -> -1L))
   }
 
+  test("null payload on the newest right row is carried, not skipped") {
+    val events = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (Some(100L), 10L, ts("2024-01-01 10:00:00")),
+      (None: Option[Long], 10L, ts("2024-01-01 11:00:00")) // newest, null payload
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = AsOfJoin.backward(events, "user_id", "ts",
+      orders, "o_custkey", "o_orderdate", "o_orderkey").collect()
+    // the match is the 11:00 row — its null payload must surface, not 100
+    assert(out.head.isNullAt(out.head.fieldIndex("asof_o_orderkey")))
+  }
+
   test("tie at equal right times: max payload wins (deterministic)") {
     val events = Seq((1L, 10L, ts("2024-01-02 00:00:00"))).toDF("event_id", "user_id", "ts")
     val orders = Seq(

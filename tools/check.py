@@ -31,8 +31,16 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     import os
-    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    dirs = set(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    # iterate the ORACLE keys (plus any extra rows-only dumps): a query
+    # that crashed in Verify writes no directory and must FAIL here, not
+    # silently vanish from the gate
+    names = sorted(dirs | set(oracles))
     for name in names:
+        if name not in dirs:
+            n_fail += 1
+            print(f"[FAIL] {name}: no output written (query crashed in Verify?)")
+            continue
         got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         if name not in oracles:
             print(f"[rows-only] {name}: rows={len(got)}")
