@@ -104,6 +104,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Embedding stage at the same codec seam: payload bytes -> a unit
+    * `array<float>` vector. The stub derives a normalized byte-bigram
+    * histogram — deterministic, content-sensitive, identical inputs give
+    * identical vectors, so downstream ANN/dedup (graft.operators.
+    * Similarity) is testable end-to-end. A real encoder (CLIP et al.)
+    * replaces the per-batch closure; batching amortizes model init
+    * exactly as in [[extractFeatures]]. */
+  def embedPayload(df: DataFrame, idCol: String, dim: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    require(dim > 0)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("embedding", org.apache.spark.sql.types.ArrayType(FloatType))))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch init seam (model load) lives here
+          batch.iterator.flatMap { r =>
+            val payload = r.getAs[Array[Byte]](1)
+            if (payload == null || payload.length < 2) None
+            else {
+              val hist = new Array[Float](dim)
+              var i = 0
+              while (i < payload.length - 1) {
+                val bigram = ((payload(i) & 0xff) * 131 + (payload(i + 1) & 0xff)) % dim
+                hist(bigram) += 1f
+                i += 1
+              }
+              val norm = math.sqrt(hist.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+              val unit = if (norm == 0f) hist else hist.map(_ / norm)
+              Some(Row(r.getLong(0), unit.toSeq))
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** "Resize" stage: deterministic byte subsampling (every factor-th
     * byte) standing in for a pixel resize — binary in, binary out, same
     * schema, so downstream stages are oblivious. Real impl: codec
