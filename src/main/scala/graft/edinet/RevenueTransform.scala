@@ -59,14 +59,29 @@ object RevenueTransform {
     * SKIPPED (reference src/transform.py:189-193). F7 + P11: non-integer
     * values are SKIPPED via try_cast (src/transform.py:196-202).
     * F13: missing unit defaults to JPY (src/transform.py:64). */
-  def normalize(series: DataFrame): DataFrame = {
+  def normalize(series: DataFrame): DataFrame = normalize(series, None)
+
+  /** With an optional [[org.apache.spark.sql.Observation]]: the
+    * reference LOGS every skipped row (src/transform.py:191,199); the
+    * Spark-native equivalent is observed metrics — counted in the same
+    * pass, no extra job, readable after the action completes. */
+  def normalize(series: DataFrame,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val offsetExpr = contextYearOffsets.foldLeft(lit(null).cast(IntegerType)) {
       case (acc, (ctx, off)) => when(C === ctx, off).otherwise(acc)
     }
-    series
+    val annotated = series
       .withColumn("year_offset", offsetExpr)
-      .filter(col("year_offset").isNotNull) // P10 skip
       .withColumn("revenue", expr(s"try_cast(`${StmtCols.Value}` AS BIGINT)"))
+    val observed = obs match {
+      case Some(o) => annotated.observe(o,
+        count(when(col("year_offset").isNull, 1)).as("n_unknown_context"),
+        count(when(col("year_offset").isNotNull && col("revenue").isNull, 1))
+          .as("n_bad_value"))
+      case None => annotated
+    }
+    observed
+      .filter(col("year_offset").isNotNull) // P10 skip
       .filter(col("revenue").isNotNull) // P11 skip
       .withColumn("year", col("fiscal_year") + col("year_offset"))
       .filter(col("year").isNotNull) // file had no parsable fiscal year

@@ -34,6 +34,22 @@ object EdinetClient {
       retryDelayMs: Long = 1000,
       sleeper: Long => Unit = Thread.sleep)
 
+  object Config {
+    /** N6: build from the reference's settings.env keys
+      * (config/settings.env: REQUEST_PER_SECOND, MAX_RETRIES,
+      * RETRY_DELAY in seconds). Unknown/absent keys keep defaults;
+      * unparsable values keep defaults rather than failing startup. */
+    def fromEnv(env: Map[String, String]): Config = {
+      def num[T](key: String, parse: String => T, dflt: T): T =
+        env.get(key).flatMap(v => scala.util.Try(parse(v.trim)).toOption).getOrElse(dflt)
+      val d = Config()
+      Config(
+        requestsPerSecond = num("REQUEST_PER_SECOND", _.toDouble, d.requestsPerSecond),
+        maxRetries = num("MAX_RETRIES", _.toInt, d.maxRetries),
+        retryDelayMs = num("RETRY_DELAY", s => (s.toDouble * 1000).toLong, d.retryDelayMs))
+    }
+  }
+
   /** N1: token-bucket pacing — at most requestsPerSecond, enforced by
     * inter-request spacing (the reference's LimiterAdapter,
     * src/extract.py:16-19). Single-threaded by design: ingest runs on
