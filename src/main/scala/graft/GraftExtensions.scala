@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{SimHash60, SortedIntersectSize}
+import graft.expressions.{RewriteSortedIntersect, SimHash60, SortedIntersectSize}
 
 /** Session-extension entry point: makes the engine's native expressions
   * available as SQL functions in ANY session configured with
@@ -26,5 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
+    // size(array_intersect(array_sort(a), array_sort(b))) -> merge walk
+    ext.injectOptimizerRule(_ => RewriteSortedIntersect)
   }
 }
