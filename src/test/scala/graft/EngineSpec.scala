@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EngineSpec extends SparkSpec {
+
+  test("attach registers all tables + native functions for plain SQL use") {
+    Engine.attach(spark, "/root/testdata/sf0.001")
+    val r = spark.sql("""
+      SELECT (SELECT count(*) FROM lineitem) AS li,
+             (SELECT count(*) FROM documents) AS docs,
+             simhash60(array(1L)) AS sig""").collect().head
+    assert(r.getLong(0) == 6000L)
+    assert(r.getLong(1) == 500L)
+    assert(r.getLong(2) == 1L)
+    // events view carries the normalized timestamp type
+    assert(spark.table("events").schema("ts").dataType.typeName == "timestamp")
+  }
+}
+
+/** Scale-citizenship proof: partition pruning reaches the scan. */
+class PartitionPruningSpec extends SparkSpec {
+
+  test("date-partitioned writes prune untouched partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part-orders").toString
+    graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+
+    val q = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("o_year") && !scan.contains("PartitionFilters: []"),
+      s"partition filter missing:\n$scan")
+    // only the one partition directory is read
+    val files = q.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("o_year=1997")))
+  }
+}
