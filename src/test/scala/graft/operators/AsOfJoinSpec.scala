@@ -44,6 +44,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("asof_o_orderkey")))
   }
 
+  test("randomized cross-check against a brute-force reference (seed 42)") {
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val events = (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong, new Timestamp(base + rnd.nextInt(1000000) * 1000L))
+    }
+    val orders = (0 until 100).map { i =>
+      (1000L + i, rnd.nextInt(6).toLong, new Timestamp(base + rnd.nextInt(1000000) * 1000L))
+    }
+    // brute force: per event, max (time, payload) among at-or-before rows
+    val expected = events.map { case (eid, k, t) =>
+      val matches = orders.filter(o => o._2 == k && !o._3.after(t))
+      eid -> (if (matches.isEmpty) None
+              else Some(matches.maxBy(o => (o._3.getTime, o._1))._1))
+    }.toMap
+
+    val out = AsOfJoin.backward(
+      events.toDF("event_id", "user_id", "ts"), "user_id", "ts",
+      orders.toDF("o_orderkey", "o_custkey", "o_orderdate"),
+      "o_custkey", "o_orderdate", "o_orderkey")
+      .collect().map { r =>
+        r.getAs[Long]("event_id") ->
+          (if (r.isNullAt(r.fieldIndex("asof_o_orderkey"))) None
+           else Some(r.getAs[Long]("asof_o_orderkey")))
+      }.toMap
+    assert(out.size == 200)
+    expected.foreach { case (eid, exp) =>
+      assert(out(eid) == exp, s"event $eid: got ${out(eid)}, expected $exp")
+    }
+  }
+
   test("tie at equal right times: max payload wins (deterministic)") {
     val events = Seq((1L, 10L, ts("2024-01-02 00:00:00"))).toDF("event_id", "user_id", "ts")
     val orders = Seq(
