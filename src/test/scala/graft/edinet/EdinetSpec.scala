@@ -97,6 +97,16 @@ class StatementCsvSpec extends SparkSpec {
     assert(rows(5).getAs[String](StmtCols.ContextId) == "Prior4YearDuration")
   }
 
+  test("CRLF line endings parse identically to LF") {
+    val dir = tempDir()
+    writeStatementCsv(dir, "E00001_20240401_120.csv",
+      statementCsvContent().replace("\n", "\r\n"))
+    val rows = StatementSources.readCsv(spark, dir.toString + "/*.csv")
+      .orderBy("row_idx").collect()
+    assert(rows.length == 6)
+    assert(rows(1).getAs[String](StmtCols.Value) == "5000")
+  }
+
   test("undecodable / malformed file is skipped, not fatal (N3)") {
     val dir = tempDir()
     java.nio.file.Files.write(dir.resolve("E00009_20240401_120.csv"),
