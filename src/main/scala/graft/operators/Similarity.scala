@@ -60,42 +60,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Deterministic pseudo-random hyperplane component: plane `j`,
-    * dimension `i` (1-based) -> uniform in [-1, 1) derived from the
+  /** Deterministic pseudo-random hyperplane component: table `t`, plane
+    * `j`, dimension `i` (1-based) -> uniform in [-1, 1) derived from the
     * portable hash (reproducible across engines and runs — no RNG
     * state; the DuckDB oracle recomputes the same value from md5). */
-  def planeComponent(j: Int, i: Int): Double =
-    (Portable.pmd5Local(s"p$j,$i") % 2000L - 1000L).toDouble / 1000.0
+  def planeComponent(t: Int, j: Int, i: Int): Double =
+    (Portable.pmd5Local(s"p$t:$j,$i") % 2000L - 1000L).toDouble / 1000.0
 
-  /** Sign-random-projection signature over a DOUBLE-array column. The
-    * plane matrix is precomputed driver-side into array LITERALS
-    * ([[Portable.pmd5Local]]), so executors fold plain doubles — no
-    * hashing per row, which is what survives a billion-vector corpus.
-    * `dim` fixed at plan time (embedding width). */
-  def srpSignature(vecD: Column, bits: Int, dim: Int): Column = {
+  /** Sign-random-projection signature over a DOUBLE-array column for
+    * table `t`. The plane matrix is precomputed driver-side into array
+    * LITERALS ([[Portable.pmd5Local]]), so executors fold plain doubles
+    * — no hashing per row, which is what survives a billion-vector
+    * corpus. `dim` fixed at plan time (embedding width). */
+  def srpSignature(vecD: Column, bits: Int, dim: Int, t: Int): Column = {
     (0 until bits).map { j =>
-      val plane = typedLit((1 to dim).map(i => planeComponent(j, i)).toSeq)
+      val plane = typedLit((1 to dim).map(i => planeComponent(t, j, i)).toSeq)
       val proj = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
         (acc, i) => acc + element_at(vecD, i) * element_at(plane, i))
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: exact cosine top-k but only among corpus vectors
-    * in the same SRP bucket as the query. Candidate generation is an
-    * equi-join on the bucket id. Recall < 1 by construction; `bits`
-    * trades recall for scan fraction. */
+  /** Multi-table SRP-LSH ANN: `tables` independent plane sets, each
+    * hashing every vector to a bucket; candidates are the UNION over
+    * tables of same-bucket vectors (the standard recall lever — one
+    * 8-bit table on a random corpus recalls little beyond self; L
+    * tables scan ~L*2^-bits of the corpus and recall grows fast).
+    * Candidate generation stays an equi-join on (table, bucket); pairs
+    * found in several tables dedupe via distinct before ranking. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, bits: Int, dim: Int): DataFrame = {
-    val c = prep(corpus, idCol, "neighbor_id", vecCol)
-      .withColumn("bucket", srpSignature(col("v"), bits, dim))
-    val q = broadcast(prep(queries, idCol, "query_id", vecCol)
-      .withColumn("bucket", srpSignature(col("v"), bits, dim))
+      k: Int, bits: Int, dim: Int, tables: Int = 4): DataFrame = {
+    def withBuckets(df: DataFrame): DataFrame =
+      df.select(col("*"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), srpSignature(col("v"), bits, dim, t).as("bucket"))): _*)).as("tb"))
+        .select(col("*"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        .drop("tb")
+    val c = withBuckets(prep(corpus, idCol, "neighbor_id", vecCol))
+    val q = broadcast(withBuckets(prep(queries, idCol, "query_id", vecCol))
       .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
-    val scored = q.join(c, Seq("bucket"))
+    val scored = q.join(c, Seq("t", "bucket"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -37,12 +37,15 @@ object SimilarityQueries {
   private def scoreSql(qa: String, qb: String): String =
     s"${foldSql(s"$qa.v", s"$qb.v")} / ($qa.nv * $qb.nv)"
 
-  /** DuckDB: SRP bucket id — must mirror Similarity.srpSignature exactly
-    * (same plane values, same fold order). Planes are emitted as
-    * literal lists, exactly like the Spark plan. */
-  private def srpSql(v: String): String =
+  private val TABLES = 4
+
+  /** DuckDB: SRP bucket id for table `t` — must mirror
+    * Similarity.srpSignature exactly (same plane values, same fold
+    * order). Planes are emitted as literal lists, exactly like the
+    * Spark plan. */
+  private def srpSql(v: String, t: Int): String =
     (0 until BITS).map { j =>
-      val plane = (1 to 64).map(i => Similarity.planeComponent(j, i)).mkString("[", ", ", "]")
+      val plane = (1 to 64).map(i => Similarity.planeComponent(t, j, i)).mkString("[", ", ", "]")
       val proj = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 64), i -> $v[i] * ($plane)[i])), (acc, x) -> acc + x)"
       s"CASE WHEN $proj > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
@@ -134,23 +137,26 @@ object SimilarityQueries {
     // ----------------------------------------------------------------
     Q(
       "q33_ann_lsh",
-      s"SRP-LSH bucketed ANN ($BITS-bit signatures from a precomputed " +
-        "literal plane matrix): same scoring, candidates restricted to " +
-        "the query's bucket via equi-join — the path that survives a " +
-        "100x corpus.",
+      s"Multi-table SRP-LSH ANN ($TABLES tables x $BITS-bit signatures " +
+        "from precomputed literal plane matrices): candidates are the " +
+        "union over tables of same-bucket vectors (equi-join on " +
+        "(table, bucket)) — the recall lever that survives a 100x corpus.",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         Similarity.lshTopK(
           e.repartition(col("vec_id")), e.filter(col("vec_id") < NQ),
-          "vec_id", "embedding", TOPK, BITS, dim = 64)
+          "vec_id", "embedding", TOPK, BITS, dim = 64, tables = TABLES)
       },
       Some(s"""
         WITH ${prepCte()},
-        sig AS (SELECT vec_id, v, nv, ${srpSql("v")} AS bucket FROM prep),
+        bk AS (
+          ${(0 until TABLES).map(tb =>
+            s"SELECT vec_id, v, nv, $tb AS t, ${srpSql("v", tb)} AS bucket FROM prep")
+            .mkString("\n          UNION ALL ")}),
         scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  ${scoreSql("q", "c")} AS score
-          FROM sig q JOIN sig c ON q.bucket = c.bucket
+          FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
           WHERE q.vec_id < $NQ)
         SELECT query_id, rank, neighbor_id, score
         FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id

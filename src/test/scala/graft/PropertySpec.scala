@@ -32,8 +32,8 @@ object PortableProps extends Properties("Portable") {
     }
 
   property("SRP plane components in [-1, 1)") =
-    forAll(Gen.choose(0, 15), Gen.choose(1, 64)) { (j, i) =>
-      val c = Similarity.planeComponent(j, i)
+    forAll(Gen.choose(0, 7), Gen.choose(0, 15), Gen.choose(1, 64)) { (t, j, i) =>
+      val c = Similarity.planeComponent(t, j, i)
       c >= -1.0 && c < 1.0
     }
 }
