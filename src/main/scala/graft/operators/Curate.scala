@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextAnalysis => TA}
+
+/** The composed training-data curation pipeline: quality gate ->
+  * language filter -> exact dedup -> near-dup removal, as one chained
+  * transform over a documents frame. Each stage is the corresponding
+  * standalone operator; this is the glue a corpus job actually runs.
+  *
+  * Stage order is cost-ordered on purpose: the scalar quality/language
+  * filters (codegen'd projections, no shuffle) shrink the corpus BEFORE
+  * the dedup stages pay their shuffles — the same filter-before-expensive
+  * discipline as the reference's filter-before-download (SURVEY §4).
+  */
+object Curate {
+
+  final case class Config(
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Nil, // empty = keep all
+      stopwords: Seq[String] = TA.EnMarkers,
+      minhashK: Int = 16,
+      bandsRows: Int = 4,
+      shingleLen: Int = 3,
+      nearDupThreshold: Double = 0.8)
+
+  /** @return curated frame with the same schema as the input. */
+  def apply(docs: DataFrame, textCol: String, idCol: String,
+      cfg: Config = Config()): DataFrame = {
+    // 1-2: scalar gates, pure projection
+    val gated = docs
+      .filter(TA.qualityScore(col(textCol), cfg.stopwords) >= cfg.minQuality)
+    val langFiltered =
+      if (cfg.keepLangs.isEmpty) gated
+      else gated.filter(
+        TA.langIdHeuristic(col(textCol), Seq(
+          "sqlish" -> Seq("table", "row", "column", "query", "filter"),
+          "sparkish" -> Seq("spark", "shuffle", "partition", "stream", "batch"),
+          "plain" -> Seq("the", "a", "fast", "slow", "small", "big")))
+          .isin(cfg.keepLangs: _*))
+
+    // 3: exact dedup — keep each content hash's min-id representative
+    val keep = Dedup.exact(langFiltered, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val exactDeduped = langFiltered.join(keep, Seq(idCol), "left_semi")
+
+    // 4: near-dup removal via MinHash-LSH candidates + exact verify
+    val banded = Dedup.bandKeys(
+      Dedup.minhashSignature(exactDeduped, textCol, cfg.minhashK, cfg.shingleLen),
+      cfg.minhashK, cfg.bandsRows)
+    val cands = Dedup.lshCandidates(banded, idCol, cfg.minhashK / cfg.bandsRows)
+    val sets = exactDeduped.select(col(idCol),
+      array_distinct(split(col(textCol), " ")).as("__ts"))
+    val verified = cands
+      .join(sets.select(col(idCol).as("id_a"), col("__ts").as("__ts_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__ts").as("__ts_b")), "id_b")
+      .filter(Dedup.jaccard(col("__ts_a"), col("__ts_b")) >= cfg.nearDupThreshold)
+      .select("id_a", "id_b")
+    Dedup.dropNearDuplicates(exactDeduped, idCol, verified)
+  }
+}
