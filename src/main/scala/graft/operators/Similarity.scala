@@ -91,11 +91,13 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, bits: Int, dim: Int, tables: Int = 4): DataFrame = {
+    val session = corpus.sparkSession
+    // all tables' buckets in one native pass (SrpBuckets); posexplode's
+    // position IS the table index
     def withBuckets(df: DataFrame): DataFrame =
-      df.select(col("*"), explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), srpSignature(col("v"), bits, dim, t).as("bucket"))): _*)).as("tb"))
-        .select(col("*"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-        .drop("tb")
+      df.select(col("*"),
+        posexplode(graft.expressions.SrpBuckets(session, col("v"), bits, tables, dim)))
+        .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
     val c = withBuckets(prep(corpus, idCol, "neighbor_id", vecCol))
     val q = broadcast(withBuckets(prep(queries, idCol, "query_id", vecCol))
       .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
