@@ -84,8 +84,10 @@ object SimHash60 {
     * public seam is the session function registry: register once
     * (idempotent), then build the call with `call_function`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash60", exprs => SimHash60(exprs.head), "scala_udf")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("simhash60")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash60", exprs => SimHash60(exprs.head), "scala_udf")
 
   def apply(spark: SparkSession, tokenHashes: Column): Column = {
     register(spark)

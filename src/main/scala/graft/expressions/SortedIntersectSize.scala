@@ -73,9 +73,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 object SortedIntersectSize {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size",
-      exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "sorted_intersect_size",
+        exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
 
   def apply(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -105,8 +105,11 @@ case class SrpBuckets(child: Expression, bits: Int, tables: Int, dim: Int)
 object SrpBuckets {
   def apply(spark: SparkSession, vecD: Column, bits: Int, tables: Int, dim: Int): Column = {
     val name = s"srp_buckets_${bits}_${tables}_$dim"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => SrpBuckets(exprs.head, bits, tables, dim), "scala_udf")
+    // register once per session (re-registering logs a WARN per query)
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => SrpBuckets(exprs.head, bits, tables, dim), "scala_udf")
     org.apache.spark.sql.functions.call_function(name, vecD)
   }
 }
