@@ -119,17 +119,28 @@ object AdvancedQueries {
         "5 minutes after a — equi key + time-range condition, the batch " +
         "twin of the stream-stream join in graft.streaming.",
       (s, dir) => {
-        val ev = Tables.t(s, dir, "events").select("event_id", "user_id", "ts")
-        val a = ev.as("a")
-        val b = ev.as("b")
-        a.join(b,
-          col("a.user_id") === col("b.user_id") &&
-            col("b.ts") >= col("a.ts") &&
-            col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES") &&
-            col("a.event_id") =!= col("b.event_id"))
-          .select(
-            col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
-            (unix_micros(col("b.ts")) - unix_micros(col("a.ts"))).as("gap_us"))
+        // time-bucketed range join: joining on user alone makes every
+        // per-user history a quadratic block (666 events/user at sf0.1
+        // -> 440k pair evals per user; unbounded at corpus scale).
+        // Bucket ts into window-width cells: a match within [t, t+5min]
+        // lives in the probe's cell or the next one, so the probe side
+        // explodes into two equi keys and pair work is bounded by
+        // in-window density, not history length.
+        val W = 300L * 1000000L // 5 min in micros
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            expr(s"unix_micros(ts) div $W").as("cell"))
+        val probe = ev.select(col("event_id").as("id_a"),
+            col("user_id"), col("ts").as("ts_a"),
+            explode(array(col("cell"), col("cell") + 1)).as("cell"))
+        val build = ev.select(col("event_id").as("id_b"),
+          col("user_id"), col("ts").as("ts_b"), col("cell"))
+        probe.join(build, Seq("user_id", "cell"))
+          .filter(col("ts_b") >= col("ts_a") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES") &&
+            col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
       },
       Some("""
         SELECT a.event_id AS id_a, b.event_id AS id_b,
