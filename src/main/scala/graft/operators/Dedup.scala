@@ -26,12 +26,15 @@ import graft.functions.Portable
 object Dedup {
 
   /** Exact dedup: one representative row (min of `idCol`) per distinct
-    * value of `textCol`, with the duplicate count. Groups by the 60-bit
-    * content hash, not the text itself, so the shuffle key is fixed-width
-    * (collision probability at 10^12 docs ~ 10^-6 — acceptable for
-    * training-data dedup; use two independent salts if not). */
+    * value of `textCol`, with the duplicate count. Groups by TWO
+    * independently-salted 60-bit content hashes — a fixed 16-byte
+    * shuffle key regardless of document size, with joint collision
+    * probability ~2^-120 per pair (a single 60-bit hash starts merging
+    * distinct documents around 10^9 of them). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(Portable.pmd5(col(textCol)).as("text_hash"))
+    df.groupBy(
+      Portable.pmd5(col(textCol)).as("text_hash"),
+      Portable.pmd5Salted(1, col(textCol)).as("text_hash2"))
       .agg(
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))

@@ -39,14 +39,16 @@ object DedupQueries {
     // ----------------------------------------------------------------
     Q(
       "q26_exact_dedup",
-      "Exact dedup via hash-groupBy on the 60-bit content hash: one " +
-        "representative (min doc_id) + copy count per distinct text. " +
-        "The shuffle key is 8 bytes, never the document body.",
+      "Exact dedup via hash-groupBy on two independently-salted 60-bit " +
+        "content hashes (16-byte compound key, ~2^-120 pair collision): " +
+        "one representative (min doc_id) + copy count per distinct " +
+        "text. The shuffle key never carries the document body.",
       (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id"),
       Some(s"""
         SELECT ${Portable.pmd5Sql("text")} AS text_hash,
+               ${Portable.pmd5SaltedSql(1, "text")} AS text_hash2,
                min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM documents GROUP BY 1""")),
+        FROM documents GROUP BY 1, 2""")),
     // ----------------------------------------------------------------
     Q(
       "q27_minhash_bands",

@@ -25,7 +25,7 @@ class DedupEndToEndSpec extends SparkSpec {
 
   test("exact dedup keeps one representative per distinct text") {
     val out = Dedup.exact(corpus, "text", "doc_id")
-      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
     assert(out(0L) == 2L)         // docs 0 and 1 collapse, min id kept
     assert(out.values.sum == 5L)
     assert(out.size == 4)
