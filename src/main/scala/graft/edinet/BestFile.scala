@@ -11,9 +11,12 @@ import Model._
   *
   * Filename convention `E{digits}_{yyyymmdd}_{docType}.{csv|xbrl}`
   * (reference src/utils/helper.py:82-86). Priority: docType 130
-  * (correction) beats 120; among equals the LAST seen wins (the
-  * reference's dict-overwrite order) — reproduced with a carried
-  * ingest-sequence column and a window sort.
+  * (correction) beats 120. The reference's dict only overwrites when
+  * `doc_type == '130'` ("if company_code not in company_files or
+  * doc_type == 130", src/transform.py:133), so when corrections exist
+  * the LAST 130 wins, and with no correction the FIRST seen file wins —
+  * reproduced with a carried ingest-sequence column and a window sort
+  * whose tiebreak direction depends on the doc type.
   */
 object BestFile {
 
@@ -37,15 +40,18 @@ object BestFile {
       .drop("fname")
   }
 
-  /** Top-1-per-company: corrected (130) wins, then highest ingest seq.
+  /** Top-1-per-company: corrected (130) wins; among 130s the last
+    * ingest seq wins (every 130 overwrites), among plain filings the
+    * FIRST seq wins (non-130s never overwrite an existing entry).
     * One shuffle on edinet_code over the (tiny) manifest — the selection
     * happens BEFORE any expensive statement parsing, preserving the
     * reference's dedup-before-parse ordering (SURVEY §4). */
   def bestPerCompany(manifest: DataFrame, seqCol: String = "seq"): DataFrame = {
+    val isCorrection = col("doc_type") === correctionDocType
     val w = Window.partitionBy(col("edinet_code"))
       .orderBy(
-        (col("doc_type") === correctionDocType).desc,
-        col(seqCol).desc)
+        isCorrection.desc,
+        when(isCorrection, -col(seqCol)).otherwise(col(seqCol)).asc)
     manifest
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

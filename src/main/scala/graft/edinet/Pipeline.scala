@@ -54,14 +54,18 @@ object Pipeline {
     val companies = CompanyMaster.load(spark, masterCsv)
 
     // Manifest from the landed files; ingest sequence from the filename's
-    // lexicographic order (stable stand-in for API return order).
+    // lexicographic order (stable stand-in for API return order). The
+    // sequence is derived PER ROW from fields already in the name —
+    // within a company (the only scope bestPerCompany compares seqs in),
+    // (submit_ymd, fmt) ordering IS filename ordering — so a
+    // hundred-million-file manifest needs no global single-partition
+    // window sort.
     val bin = spark.read.format("binaryFile")
       .load(s"$filesDir/*")
       .select(col("path"), col("content"))
-    val manifest = BestFile.parseManifest(
-      bin.select(col("path"))
-        .withColumn("seq", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("path")))))
+    val manifest = BestFile.parseManifest(bin.select(col("path")))
+      .withColumn("seq",
+        col("submit_ymd").cast("long") * 2 + (col("fmt") === "xbrl").cast("long"))
       // only target document types compete for best-file (reference
       // filters the doc list before download, src/extract.py:158; a
       // stray quarterly report must not displace the annual filing)

@@ -58,7 +58,10 @@ object RevenueTransform {
   /** F6 + P10: decode relative-year contexts; unknown context ids are
     * SKIPPED (reference src/transform.py:189-193). F7 + P11: non-integer
     * values are SKIPPED via try_cast (src/transform.py:196-202).
-    * F13: missing unit defaults to JPY (src/transform.py:64). */
+    * The unit column passes through untouched: the reference's JPY
+    * default is an XBRL-parse concern (src/transform.py:64, applied in
+    * [[StatementSources.parseXbrlBytes]]); a CSV row with a missing
+    * ユニットID keeps its null, as in the reference. */
   def normalize(series: DataFrame): DataFrame = normalize(series, None)
 
   /** With an optional [[org.apache.spark.sql.Observation]]: the
@@ -85,7 +88,7 @@ object RevenueTransform {
       .filter(col("revenue").isNotNull) // P11 skip
       .withColumn("year", col("fiscal_year") + col("year_offset"))
       .filter(col("year").isNotNull) // file had no parsable fiscal year
-      .withColumn("revenue_unit", coalesce(U, lit("JPY")))
+      .withColumn("revenue_unit", U)
   }
 
   /** J1 + F12: enrich with company attributes via broadcast inner join

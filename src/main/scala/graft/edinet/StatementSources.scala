@@ -72,14 +72,23 @@ object StatementSources {
 
   /** S3: XBRL instance documents (reference src/transform.py:11-74).
     * StAX streaming parse in document order; emits the same statement
-    * schema. Mirrors the reference's positional contract:
-    *  - the element whose tag ends `CurrentPeriodEndDateDEI` is surfaced
-    *    as a synthetic `jpdei_cor:CurrentFiscalYearEndDateDEI` row so the
+    * schema. Mirrors the reference's positional contract exactly:
+    *  - elements whose tag ends `CurrentPeriodEndDateDEI` are surfaced
+    *    as synthetic `jpdei_cor:CurrentFiscalYearEndDateDEI` rows so the
     *    downstream year-extraction is format-agnostic;
-    *  - the <=5 elements FOLLOWING the `NumberOfSubmissionDEI` marker
-    *    (document order) are the revenue series (src/transform.py:53-67);
-    *    they are emitted with the element id of the first of them, which
-    *    reproduces the CSV path's "element at row 1 selects the series".
+    *  - the revenue window is the 5 elements FOLLOWING the first
+    *    `NumberOfSubmissionDEI` marker in PRE-ORDER (the reference's
+    *    `list(root.iter())`, src/transform.py:53-67). Every element
+    *    consumes a window slot whether or not it is emitted; emission
+    *    additionally requires a contextRef and non-empty text (the
+    *    reference's `if context_ref and revenue_elem.text` truthiness,
+    *    so whitespace-only text IS emitted but `None`/empty is not);
+    *  - an element's text is what precedes its first child (ElementTree
+    *    `.text`), and a missing unitRef defaults to JPY here, on the
+    *    XBRL path only (src/transform.py:64 `elem.get('unitRef','JPY')`);
+    *  - emitted rows carry the element id of the first emitted window
+    *    element, which reproduces the CSV path's "element at row 1
+    *    selects the series".
     */
   def readXbrl(spark: SparkSession, pathGlob: String): DataFrame = {
     val bin = spark.read.format("binaryFile").load(pathGlob)
@@ -96,49 +105,63 @@ object StatementSources {
         val path = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)
         try {
-          val out = ArrayBuffer.empty[Row]
-          var rowIdx = 0L
-          def emit(el: String, ctx: String, unit: String, v: String): Unit = {
-            out += Row(path, rowIdx, el, ctx, unit, v); rowIdx += 1
+          // Tracked element: text frozen at first child (ElementTree
+          // `.text` semantics); kind 0 = fiscal-date, 1 = revenue window.
+          final class Tracked(val kind: Int, val local: String,
+              val ctx: String, val unit: String) {
+            val text = new StringBuilder
+            var childSeen = false
           }
           val reader = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+          val facts = ArrayBuffer.empty[Tracked]   // in pre-order start order
+          var stack = List.empty[Tracked]          // null entry = untracked
           var afterMarker = false
-          var revenueLeft = 0
-          var revenueElementId: String = null
-          var pendingCtx: String = null
-          var pendingUnit: String = null
-          var pendingLocal: String = null
-          val text = new StringBuilder
+          var windowLeft = 0
           while (reader.hasNext) {
             reader.next() match {
               case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+                stack.headOption.foreach(t => if (t != null) t.childSeen = true)
                 val local = reader.getLocalName
-                text.setLength(0)
-                pendingLocal = local
-                pendingCtx = Option(reader.getAttributeValue(null, "contextRef")).orNull
-                pendingUnit = Option(reader.getAttributeValue(null, "unitRef")).orNull
+                val ctx = Option(reader.getAttributeValue(null, "contextRef")).orNull
+                val unit = Option(reader.getAttributeValue(null, "unitRef")).orNull
+                val tracked: Tracked =
+                  if (local.endsWith("CurrentPeriodEndDateDEI"))
+                    new Tracked(0, local, ctx, unit)
+                  else if (afterMarker && windowLeft > 0) {
+                    windowLeft -= 1 // every element consumes a slot
+                    new Tracked(1, local, ctx, unit)
+                  } else if (!afterMarker && local.contains("NumberOfSubmissionDEI")) {
+                    afterMarker = true; windowLeft = 5; null
+                  } else null
+                if (tracked != null) facts += tracked
+                stack = tracked :: stack
               case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
-                text.append(reader.getText)
-              case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
-                val local = reader.getLocalName
-                if (pendingLocal == local) {
-                  val v = text.toString.trim
-                  if (local.endsWith("CurrentPeriodEndDateDEI")) {
-                    emit(fiscalYearEndElement, pendingCtx, pendingUnit, v)
-                  } else if (local.contains("NumberOfSubmissionDEI")) {
-                    afterMarker = true
-                    revenueLeft = 5
-                  } else if (afterMarker && revenueLeft > 0 && pendingCtx != null) {
-                    if (revenueElementId == null) revenueElementId = local
-                    emit(revenueElementId, pendingCtx, pendingUnit, v)
-                    revenueLeft -= 1
-                  }
-                  pendingLocal = null
+                stack.headOption.foreach { t =>
+                  if (t != null && !t.childSeen) t.text.append(reader.getText)
                 }
+              case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+                if (stack.nonEmpty) stack = stack.tail
               case _ => ()
             }
           }
           reader.close()
+          val out = ArrayBuffer.empty[Row]
+          var rowIdx = 0L
+          var revenueElementId: String = null
+          facts.foreach { t =>
+            val raw = t.text.toString
+            if (t.kind == 0) {
+              if (raw.trim.nonEmpty) {
+                out += Row(path, rowIdx, fiscalYearEndElement, t.ctx, t.unit, raw.trim)
+                rowIdx += 1
+              }
+            } else if (t.ctx != null && raw.nonEmpty) { // reference truthiness
+              if (revenueElementId == null) revenueElementId = t.local
+              out += Row(path, rowIdx, revenueElementId, t.ctx,
+                if (t.unit == null) "JPY" else t.unit, raw)
+              rowIdx += 1
+            }
+          }
           out.iterator
         } catch { case _: Exception => Iterator.empty } // bad XML: skip file
       }

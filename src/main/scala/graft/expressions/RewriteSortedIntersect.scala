@@ -9,7 +9,10 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * over long arrays becomes the native two-pointer
   * [[SortedIntersectSize]] — intersection COUNTS never need the
   * intersection ARRAY, and the explicit `array_sort` calls prove the
-  * merge-walk precondition, so the rewrite is sound by construction.
+  * merge-walk precondition. [[SortedIntersectSize]] counts distinct
+  * common values (skipping duplicate runs), exactly `array_intersect`'s
+  * dedup semantics, so the rewrite is semantics-preserving for ALL
+  * inputs, duplicates included.
   *
   * Only fires for the default ascending comparator and non-null long
   * elements (what the dedup pipeline produces); anything else is left

@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * verification (near-dup Jaccard) that allocation happens once per
   * CANDIDATE PAIR, which is the hot loop. Sorting happens once per ROW
   * upstream (`array_sort` in the per-vector projection), so the n^2
-  * stage does pure pointer arithmetic. Same integer as
-  * `size(array_intersect(a,b))` on distinct inputs, so DuckDB oracles
-  * are unchanged.
+  * stage does pure pointer arithmetic. Counts DISTINCT common values
+  * (duplicate runs are skipped on a match), so it equals
+  * `size(array_intersect(a,b))` — which deduplicates — on ALL sorted
+  * inputs, not just distinct-element ones; DuckDB oracles are unchanged
+  * and the optimizer rewrite in [[graft.expressions.RewriteSortedIntersect]]
+  * is semantics-preserving.
   *
   * Codegen'd (`doGenCode`); null array -> null; elements non-null.
   */
@@ -36,7 +39,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     while (i < nx && j < ny) {
       val vx = x.getLong(i)
       val vy = y.getLong(j)
-      if (vx == vy) { c += 1; i += 1; j += 1 }
+      if (vx == vy) {
+        c += 1
+        // skip the whole duplicate run on BOTH sides so repeated common
+        // values count once, matching array_intersect's dedup semantics
+        i += 1; while (i < nx && x.getLong(i) == vx) i += 1
+        j += 1; while (j < ny && y.getLong(j) == vy) j += 1
+      }
       else if (vx < vy) i += 1
       else j += 1
     }
@@ -59,7 +68,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |while ($i < $nx && $j < $ny) {
          |  final long $vx = $a.getLong($i);
          |  final long $vy = $b.getLong($j);
-         |  if ($vx == $vy) { $c++; $i++; $j++; }
+         |  if ($vx == $vy) {
+         |    $c++;
+         |    $i++; while ($i < $nx && $a.getLong($i) == $vx) { $i++; }
+         |    $j++; while ($j < $ny && $b.getLong($j) == $vy) { $j++; }
+         |  }
          |  else if ($vx < $vy) { $i++; } else { $j++; }
          |}
          |${ev.value} = $c;

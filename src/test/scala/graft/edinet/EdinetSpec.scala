@@ -67,10 +67,19 @@ class BestFileSpec extends SparkSpec {
     assert(best.head.getAs[String]("doc_type") == "130")
   }
 
-  test("among equal types the last seen wins (dict-overwrite order)") {
+  test("among plain 120 filings the FIRST seen wins (dict never overwrites non-130)") {
     val m = manifest("/x/E00001_20240401_120.csv", "/x/E00001_20240409_120.csv")
     val best = BestFile.bestPerCompany(m).collect()
-    assert(best.head.getAs[String]("submit_ymd") == "20240409")
+    assert(best.head.getAs[String]("submit_ymd") == "20240401")
+  }
+
+  test("among corrections the LAST 130 wins (every 130 overwrites)") {
+    val m = manifest(
+      "/x/E00001_20240401_130.csv", "/x/E00001_20240405_130.csv",
+      "/x/E00001_20240409_120.csv")
+    val best = BestFile.bestPerCompany(m).collect()
+    assert(best.length == 1)
+    assert(best.head.getAs[String]("submit_ymd") == "20240405")
   }
 
   test("one winner per company") {
@@ -128,8 +137,9 @@ class XbrlSpec extends SparkSpec {
     assert(rows.length == 6)
     assert(rows(0).getAs[String](StmtCols.ElementId) == fiscalYearEndElement)
     assert(rows(0).getAs[String](StmtCols.Value) == "2024-03-31")
-    // missing unitRef surfaces as null (F13 defaults it later)
-    assert(rows(3).getAs[String](StmtCols.UnitId) == null)
+    // missing unitRef defaults to JPY at parse time, XBRL path only
+    // (reference transform.py:64 elem.get('unitRef','JPY'))
+    assert(rows(3).getAs[String](StmtCols.UnitId) == "JPY")
     assert(rows(5).getAs[String](StmtCols.Value) == "10000")
   }
 
@@ -138,6 +148,34 @@ class XbrlSpec extends SparkSpec {
     writeXbrl(dir, "E00002_20240401_120.xbrl", "<not-xml")
     val rows = StatementSources.readXbrl(spark, dir.toString + "/*.xbrl")
     assert(rows.isEmpty)
+  }
+
+  test("window slots are consumed by skipped elements too (ref positional contract)") {
+    // 5-slot window after the marker: a no-contextRef element and an
+    // empty-text element occupy slots 2 and 3 without emitting, so the
+    // 5th value ("extra" would be 6th) must NOT be pulled in.
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<x:root xmlns:x="urn:t">
+         |  <x:CurrentPeriodEndDateDEI contextRef="c">2024-03-31</x:CurrentPeriodEndDateDEI>
+         |  <x:NumberOfSubmissionDEI contextRef="c">1</x:NumberOfSubmissionDEI>
+         |  <x:A contextRef="CurrentYearDuration" unitRef="JPY">100</x:A>
+         |  <x:NoCtx>200</x:NoCtx>
+         |  <x:Empty contextRef="Prior1YearDuration"></x:Empty>
+         |  <x:B contextRef="Prior2YearDuration" unitRef="JPY">300</x:B>
+         |  <x:C contextRef="Prior3YearDuration" unitRef="JPY">400</x:C>
+         |  <x:Beyond contextRef="Prior4YearDuration" unitRef="JPY">999</x:Beyond>
+         |</x:root>""".stripMargin
+    val dir = tempDir()
+    writeXbrl(dir, "E00003_20240401_120.xbrl", xml)
+    val rows = StatementSources.readXbrl(spark, dir.toString + "/*.xbrl")
+      .orderBy("row_idx").collect()
+    // fiscal row + exactly 3 emitted window values (100, 300, 400)
+    assert(rows.length == 4)
+    val vals = rows.drop(1).map(_.getAs[String](StmtCols.Value)).toSeq
+    assert(vals == Seq("100", "300", "400"))
+    // all emitted under the first emitted element's id ("A")
+    assert(rows.drop(1).map(_.getAs[String](StmtCols.ElementId)).toSet == Set("A"))
   }
 }
 

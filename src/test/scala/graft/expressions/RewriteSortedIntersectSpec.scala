@@ -21,6 +21,24 @@ class RewriteSortedIntersectSpec extends SparkSpec {
       s"no rewrite in:\n$rewritten")
   }
 
+  test("rewritten plan returns builtin answers on duplicate-element inputs") {
+    // end-to-end through the injected rule: with duplicates on both sides
+    // the rewrite must still equal the (deduplicating) builtin
+    val dups = Seq(
+      (Seq(1L, 2L, 1L), Seq(1L, 3L, 1L)),
+      (Seq(2L, 2L, 2L), Seq(2L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(3L, 2L, 1L))
+    ).toDF("a", "b")
+    val n = dups.select(
+      expr("size(array_intersect(array_sort(a), array_sort(b)))").as("n"))
+    val plan = n.queryExecution.analyzed
+    assert(RewriteSortedIntersect(plan).expressions
+      .exists(_.exists(_.isInstanceOf[SortedIntersectSize])))
+    val viaRule = spark.sessionState.executePlan(RewriteSortedIntersect(plan))
+      .executedPlan.executeCollect().map(_.getInt(0)).toSeq
+    assert(viaRule == Seq(1, 1, 3))
+  }
+
   test("rule leaves non-eligible shapes alone (unsorted args, string elements)") {
     val unsorted = df.select(expr("size(array_intersect(a, b))"))
       .queryExecution.analyzed
