@@ -77,9 +77,12 @@ object Dedup {
     val exploded = banded
       .select(col(idCol), explode(bandStructs).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-      // self-joined below: without persist the whole upstream signature
-      // pipeline (shingle + minhash) runs once PER SIDE
-      .persist()
+      // self-joined below: without materialization the whole upstream
+      // signature pipeline (shingle + minhash) runs once PER SIDE.
+      // localCheckpoint (not persist): blocks are freed when the frame
+      // is garbage-collected, so a long-lived session running many
+      // queries doesn't accumulate never-unpersisted cache entries.
+      .localCheckpoint()
     val l = exploded.as("l")
     val r = exploded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -169,10 +172,76 @@ object Dedup {
        |        i -> ${Portable.pmd5Sql(s"substr($textSql, i, $n)")} % ${Portable.MinhashP})
        | END)""".stripMargin.replaceAll("\n", " ")
 
-  /** Top-1-per-group representative selection after near-dup clustering:
-    * given (id_a, id_b) duplicate edges, keep the smallest id of each
-    * direct-duplicate neighborhood (single-hop; full transitive closure
-    * is an iterative connected-components job, out of relational scope). */
-  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  /** One large-star round: every node connects its strictly-larger
+    * neighbors to the minimum of its closed neighborhood. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: edges oriented large->small; every node
+    * connects its smaller neighbors (and itself) to their minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+    oriented.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** Connected components over a duplicate-pair edge list via
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) to
+    * fixpoint. Returns (id, comp) for every node that appears in an
+    * edge, comp = the component's minimum id.
+    *
+    * Scale: each round is two key-partitioned shuffles over the EDGE
+    * list (already tiny relative to the corpus — only near-dup pairs),
+    * converges in O(log n) rounds regardless of chain length, and each
+    * round is localCheckpoint'ed so lineage doesn't grow with the
+    * iteration count. No driver-side graph state. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sides are distinct sets: equal iff same size and no diff
+      done = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    // converged to stars: every non-root points at its component min
+    edges.select(col("src").as("id"), col("dst").as("comp"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("comp")))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+  }
+
+  /** Representative selection after near-dup clustering: given
+    * (id_a, id_b) duplicate edges, keep ONE row (the minimum id) per
+    * TRANSITIVE duplicate cluster — a chain A~B~C collapses to A even
+    * though A and C share no edge. Rows outside any cluster pass
+    * through. Generalizes the reference's one-best-per-key dedup
+    * (src/transform.py:109-145) to content clusters. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val nonRoots = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(nonRoots, Seq(idCol), "left_anti")
+  }
 }

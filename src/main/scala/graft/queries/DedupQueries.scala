@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -35,6 +36,49 @@ object DedupQueries {
                 FROM (SELECT doc_id, ${Portable.tokenHashesSql("text")} AS th
                       FROM documents)))"""
 
+  /** The q28 LSH-verified near-dup pair pipeline, shared with q48's
+    * transitive clustering: band-key equi-join candidates, exact
+    * token-set Jaccard verification at [[JT]]. */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    // the testdata table is one small parquet file = one input split;
+    // spread rows before the (expensive) signature projection so all
+    // cores shingle+hash — on a real corpus the file count does this
+    val docs = t(s, dir, "documents").repartition(col("doc_id"))
+    val banded = Dedup.bandKeys(
+      Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
+    val cands = Dedup.lshCandidates(banded, "doc_id", NB)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    cands
+      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("ts", "ts_a"), "id_a")
+      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("ts", "ts_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
+      .filter(col("jaccard") >= JT)
+  }
+
+  /** DuckDB twin of [[lshVerifiedPairs]] as a `pairs` CTE. */
+  private val pairsCte = s"""$sigCte,
+        banded AS (
+          SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
+          FROM sig),
+        bk AS (
+          ${(0 until NB).map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bk l JOIN bk r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+        pairs AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                   / len(list_distinct(a.ts || b.ts)) AS jaccard
+          FROM cand JOIN sets a ON cand.id_a = a.doc_id
+                    JOIN sets b ON cand.id_b = b.doc_id
+          WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                   / len(list_distinct(a.ts || b.ts)) >= $JT)"""
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -68,42 +112,29 @@ object DedupQueries {
       "MinHash-LSH near-dup pipeline: band-key equi-join generates " +
         "candidate pairs (no cross product), exact token-set Jaccard " +
         s"verifies at threshold $JT.",
-      (s, dir) => {
-        // the testdata table is one small parquet file = one input split;
-        // spread rows before the (expensive) signature projection so all
-        // cores shingle+hash — on a real corpus the file count does this
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
-        val banded = Dedup.bandKeys(
-          Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
-        val cands = Dedup.lshCandidates(banded, "doc_id", NB)
-        val sets = docs.select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("ts"))
-        cands
-          .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("ts", "ts_a"), "id_a")
-          .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("ts", "ts_b"), "id_b")
-          .select(col("id_a"), col("id_b"),
-            Dedup.jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
-          .filter(col("jaccard") >= JT)
-      },
-      Some(s"""$sigCte,
-        banded AS (
-          SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
-          FROM sig),
-        bk AS (
-          ${(0 until NB).map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
-            .mkString("\n          UNION ALL ")}),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-          FROM bk l JOIN bk r
-            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-        sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents)
-        SELECT id_a, id_b,
-               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                 / len(list_distinct(a.ts || b.ts)) AS jaccard
-        FROM cand JOIN sets a ON cand.id_a = a.doc_id
-                  JOIN sets b ON cand.id_b = b.doc_id
-        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                 / len(list_distinct(a.ts || b.ts)) >= $JT""")),
+      (s, dir) => lshVerifiedPairs(s, dir),
+      Some(s"""$pairsCte
+        SELECT id_a, id_b, jaccard FROM pairs""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q48_neardup_components",
+      "Transitive near-dup clustering: connected components (large-" +
+        "star/small-star to fixpoint) over the q28 LSH-verified pair " +
+        "graph — a duplicate chain A~B~C lands in ONE cluster even " +
+        "though A and C share no edge. Output: every clustered doc " +
+        "with its component representative (min doc_id).",
+      (s, dir) =>
+        Dedup.connectedComponents(lshVerifiedPairs(s, dir))
+          .select(col("id").as("doc_id"), col("comp")),
+      Some(s"""${pairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs),
+        walk(id, r) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON w.r = s.src)
+        SELECT id AS doc_id, MIN(r) AS comp FROM walk GROUP BY id""")),
     // ----------------------------------------------------------------
     Q(
       "q29_simhash",
@@ -133,14 +164,16 @@ object DedupQueries {
         // hashed n-grams SORTED once per row so the n^2 verification is a
         // native two-pointer merge (no per-pair hash set)
         val docs = t(s, dir, "documents").repartition(col("doc_id"))
-        // persist the projection: it feeds the candidate join (both
-        // sides) and both verify-phase broadcasts — uncached, Spark
-        // recomputes the hashing 3-4x. (At real corpus scale this
-        // materializes to storage instead of memory: same idea.)
+        // materialize the projection: it feeds the candidate join (both
+        // sides) and both verify-phase broadcasts — unmaterialized,
+        // Spark recomputes the hashing 3-4x. localCheckpoint (not
+        // persist) so the blocks are freed on GC with no unpersist
+        // bookkeeping. (At real corpus scale this materializes to
+        // storage instead of memory: same idea.)
         val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
           array_sort(Dedup.charNgramHashes(col("text"), 3)).as("gs"))
           .withColumn("sz", size(col("gs")))
-          .persist()
+          .localCheckpoint()
 
         // candidate phase joins ONLY the narrow columns — the blocked
         // join would otherwise materialize both ~2KB n-gram arrays for

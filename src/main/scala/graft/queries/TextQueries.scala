@@ -128,18 +128,33 @@ object TextQueries {
     Q(
       "q45_edit_distance",
       "Fuzzy near-dup by Levenshtein distance: supplier-name pairs " +
-        "within edit distance 2 (blocked by equal length band via the " +
-        "necessary-condition guard, same pattern as q30).",
+        "within edit distance 2. Candidates come from a length-cell " +
+        "EQUI-join (q43's cell trick): every name lands in cell " +
+        "`length div 3`; |len(a)-len(b)| <= 2 (necessary for dist <= 2) " +
+        "implies the cells differ by at most 1, so the probe side " +
+        "explodes into {cell-1, cell, cell+1} and equi-joins the build " +
+        "side's single cell — each qualifying pair matches exactly once " +
+        "(on the build row's unique cell), so no dedup pass is needed. " +
+        "Pair enumeration is bounded per cell instead of cartesian; " +
+        "no BroadcastNestedLoopJoin in the plan.",
       (s, dir) => {
-        val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
-        val l = sup.as("l")
-        val r = sup.as("r")
-        // |len(a)-len(b)| <= 2 is necessary for distance <= 2: it goes in
-        // the JOIN condition (prunes pair enumeration) AND guards the
-        // projection (cheap-first evaluation, as in q30)
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"),
+            expr("length(s_name) div 3").as("cell"))
+        val probe = sup.select(col("s_suppkey"), col("s_name"),
+          explode(array(col("cell") - 1, col("cell"), col("cell") + 1))
+            .as("cell_key"))
+        val build = sup.withColumnRenamed("cell", "cell_key")
+        // the length band stays as a cheap post-join conjunct; BOTH cheap
+        // conditions (band + pair ordering) guard the levenshtein so the
+        // pushed-down dist filter never evaluates it on unordered pairs
+        // (cheap-first evaluation, as in q30)
         val band = abs(length(col("l.s_name")) - length(col("r.s_name"))) <= 2
-        val guarded = when(band, levenshtein(col("l.s_name"), col("r.s_name")))
-        l.join(r, col("l.s_suppkey") < col("r.s_suppkey") && band)
+        val guarded = when(band && col("l.s_suppkey") < col("r.s_suppkey"),
+          levenshtein(col("l.s_name"), col("r.s_name")))
+        probe.as("l").join(build.as("r"),
+            col("l.cell_key") === col("r.cell_key") &&
+            col("l.s_suppkey") < col("r.s_suppkey") && band)
           .select(col("l.s_suppkey").as("id_a"), col("r.s_suppkey").as("id_b"),
             guarded.as("dist"))
           .filter(col("dist") <= 2)

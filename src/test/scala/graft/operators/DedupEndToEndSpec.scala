@@ -58,4 +58,38 @@ class DedupEndToEndSpec extends SparkSpec {
     assert(!kept.contains(1L) && kept.contains(0L), "min-id representative survives")
     assert(kept.contains(3L) && kept.contains(4L))
   }
+
+  test("connected components: chains, shuffled edge order, isolated pair") {
+    // 1-2-3-4 chain (no 1~3/1~4/2~4 edges), 7-8 pair, order scrambled
+    val pairs = Seq((3L, 4L), (1L, 2L), (7L, 8L), (2L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("long chain converges (log-round contraction, not diameter-bound)") {
+    val n = 40
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == n)
+    assert(comps.values.forall(_ == 1L))
+  }
+
+  test("dropNearDuplicates collapses a planted A~B~C chain to one representative") {
+    val chainDocs = Seq(
+      (10L, "a"), (11L, "b"), (12L, "c"), (20L, "standalone")
+    ).toDF("doc_id", "text")
+    // B bridges A and C; A and C share no edge
+    val edges = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(chainDocs, "doc_id", edges)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L), s"chain must collapse to min id; got $kept")
+  }
+
+  test("empty pair set is a no-op") {
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dropNearDuplicates(corpus, "doc_id", none).count() == 5)
+  }
 }
