@@ -158,16 +158,60 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Embedding near-duplicate pairs via SRP-LSH candidate generation:
+    * pairs sharing at least one (table, bucket) across `tables`
+    * independent `bits`-bit sign-random-projection signatures, then
+    * EXACT cosine verification at `threshold`.
+    *
+    * This is the scale path that block-key blocking is not: a
+    * low-cardinality block makes in-block pair work grow O(n^2) with
+    * the corpus, while here the bucket count is 2^bits per table — set
+    * bits ~ log2(n / B) and the expected bucket population B, and with
+    * it the per-bucket pair work, stays constant as the corpus grows.
+    * Recall is tuned independently with `tables` (candidates are the
+    * union over tables). Candidate generation is an equi-join on
+    * (table, bucket); vectors and norms are fetched by id equi-join
+    * only for surviving pairs (no broadcast hint — AQE picks one when
+    * a side is small). */
+  def srpCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bits: Int, dim: Int, tables: Int): DataFrame = {
+    val session = df.sparkSession
+    // feeds the bucket join (slim) and the verify-phase joins: one
+    // materialization, blocks freed on GC (no unpersist bookkeeping)
+    val prepped = prep(df, idCol, idCol, vecCol).localCheckpoint()
+    val slim = prepped.select(col(idCol),
+      posexplode(graft.expressions.SrpBuckets(session, col("v"), bits, tables, dim)))
+      .select(col(idCol), col("pos").as("t"), col("col").as("bucket"))
+    val cands = slim.as("l").join(slim.as("r"),
+        col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(prepped.select(col(idCol).as("id_a"),
+        col("v").as("va"), col("nv").as("na")), "id_a")
+      .join(prepped.select(col(idCol).as("id_b"),
+        col("v").as("vb"), col("nv").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineFromPrepped(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs within equal-`blockCol` groups:
     * pairs (a<b) with cosine >= threshold. Equi-join on the block key —
-    * no cross product; norms precomputed per vector, not per pair. */
+    * no cross product; norms precomputed per vector, not per pair.
+    * NOTE: only scale-safe when the block key's cardinality grows with
+    * the corpus (per-block population bounded); for low-cardinality
+    * blocks use [[srpCosinePairs]]. */
   def blockedCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val s = df.select(col(idCol), col(blockCol), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", sqrt(dotD(col("v"), col("v"))))
-      // self-joined: persist or the cast+norm projection runs per side
-      .persist()
+      // self-joined: materialize or the cast+norm projection runs per
+      // side; localCheckpoint so blocks are freed on GC
+      .localCheckpoint()
     val l = s.as("l")
     val r = s.as("r")
     l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&

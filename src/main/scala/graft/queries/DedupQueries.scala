@@ -20,9 +20,9 @@ object DedupQueries {
   private val SHINGLE = 3     // words per shingle
   private val JT = 0.8        // near-dup verification threshold
 
-  /** DuckDB: m0..m15 minhash columns from a shingle-hash list column `hs`. */
-  private def minhashColsSql: String =
-    (0 until K).map(i => s"${Portable.minhashSql(i, "hs")} AS m$i").mkString(",\n               ")
+  /** DuckDB: m0..m15 minhash columns from a hash list column. */
+  private def minhashColsSql(hs: String = "hs"): String =
+    (0 until K).map(i => s"${Portable.minhashSql(i, hs)} AS m$i").mkString(",\n               ")
 
   private def bandExprSql(b: Int): String = {
     val parts = (b * RPB until (b + 1) * RPB).map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
@@ -31,7 +31,7 @@ object DedupQueries {
 
   private val sigCte = s"""
         WITH sig AS (
-          SELECT doc_id, $minhashColsSql
+          SELECT doc_id, ${minhashColsSql()}
           FROM (SELECT doc_id, ${Portable.shingleHashesFromTokensSql("th")} AS hs
                 FROM (SELECT doc_id, ${Portable.tokenHashesSql("text")} AS th
                       FROM documents)))"""

@@ -43,12 +43,18 @@ object SimilarityQueries {
     * Similarity.srpSignature exactly (same plane values, same fold
     * order). Planes are emitted as literal lists, exactly like the
     * Spark plan. */
-  private def srpSql(v: String, t: Int): String =
-    (0 until BITS).map { j =>
+  private def srpSql(v: String, t: Int, bits: Int = BITS): String =
+    (0 until bits).map { j =>
       val plane = (1 to 64).map(i => Similarity.planeComponent(t, j, i)).mkString("[", ", ", "]")
       val proj = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 64), i -> $v[i] * ($plane)[i])), (acc, x) -> acc + x)"
       s"CASE WHEN $proj > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
+
+  // q32 SRP-LSH near-dup parameters: 6-bit buckets (64 per table; the
+  // bits ~ log2(n/B) scale lever), 8 tables for recall at the weak 0.3
+  // threshold
+  private val ND_BITS = 6
+  private val ND_TABLES = 8
 
   private val NCELLS = 16
   private val NPROBE = 2
@@ -119,20 +125,31 @@ object SimilarityQueries {
     // ----------------------------------------------------------------
     Q(
       "q32_embedding_neardup",
-      s"Embedding near-dup pairs: cosine >= $COS_T within equal-label " +
-        "blocks (equi-join candidate generation, per-vector norms).",
+      s"Embedding near-dup pairs: cosine >= $COS_T, candidates from " +
+        s"$ND_TABLES independent $ND_BITS-bit SRP-LSH bucket tables " +
+        "(equi-join on (table, bucket)) and exact cosine verification " +
+        "on survivors — per-bucket pair work stays bounded as the " +
+        "corpus grows, unlike low-cardinality label blocking.",
       (s, dir) =>
-        Similarity.blockedCosinePairs(
+        Similarity.srpCosinePairs(
           // single-file table: spread before the norm projection
           t(s, dir, "embeddings").repartition(col("vec_id")),
-          "vec_id", "embedding", "label", COS_T),
+          "vec_id", "embedding", COS_T,
+          bits = ND_BITS, dim = 64, tables = ND_TABLES),
       Some(s"""
-        WITH ${prepCte(extra = ", label")}
+        WITH ${prepCte()},
+        bk AS (
+          ${(0 until ND_TABLES).map(tb =>
+            s"SELECT vec_id, $tb AS t, ${srpSql("v", tb, ND_BITS)} AS bucket FROM prep")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM bk l JOIN bk r
+            ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
         SELECT id_a, id_b, cos FROM (
-          SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-                 ${scoreSql("l", "r")} AS cos
-          FROM prep l JOIN prep r
-            ON l.label = r.label AND l.vec_id < r.vec_id)
+          SELECT id_a, id_b, ${foldSql("a.v", "b.v")} / (a.nv * b.nv) AS cos
+          FROM cand JOIN prep a ON cand.id_a = a.vec_id
+                    JOIN prep b ON cand.id_b = b.vec_id)
         WHERE cos >= $COS_T""")),
     // ----------------------------------------------------------------
     Q(
