@@ -54,6 +54,15 @@ object Dedup {
     withHs.select(col("*") +: sig: _*).drop("__hs")
   }
 
+  /** k-member minhash signature over an ALREADY-MATERIALIZED hash-array
+    * column (char n-gram hashes, shingle hashes, any set sketched by
+    * Jaccard): columns m0..m(k-1) appended. Lets LSH candidate
+    * generation sketch exactly the set the verifier measures. */
+  def minhashFromHashes(df: DataFrame, hashesCol: String, k: Int): DataFrame = {
+    val sig = (0 until k).map(i => Portable.minhash(i, col(hashesCol)).as(s"m$i"))
+    df.select(col("*") +: sig: _*)
+  }
+
   /** Band keys over a minhash signature: bands of `rowsPerBand` hashes,
     * each band hashed to one 60-bit key. Output columns b0..b(nBands-1). */
   def bandKeys(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {

@@ -156,67 +156,88 @@ object DedupQueries {
     // ----------------------------------------------------------------
     Q(
       "q30_ngram_jaccard",
-      "Character 3-gram Jaccard near-dup pairs, blocked on " +
-        "(lang, source) — candidate generation is an equi-join on the " +
-        "block key, then exact set verification at 0.9.",
+      "Character 3-gram Jaccard near-dup pairs: candidates come from " +
+        s"MinHash-LSH band keys ($K hashes, $NB bands) computed over " +
+        "the SAME 3-gram hash set the verifier measures, then exact " +
+        "set verification at 0.9. Band-key equi-join candidates keep " +
+        "pair work bounded as the corpus grows — a low-cardinality " +
+        "(lang, source) block would be quadratic in corpus size " +
+        "(pairs at J>=0.9 share a band with p ~ 0.99).",
       (s, dir) => {
-        // single-file table: spread before the n-gram projection (above);
-        // hashed n-grams SORTED once per row so the n^2 verification is a
+        // single-file table: spread before the n-gram projection;
+        // hashed n-grams SORTED once per row so the verification is a
         // native two-pointer merge (no per-pair hash set)
         val docs = t(s, dir, "documents").repartition(col("doc_id"))
-        // materialize the projection: it feeds the candidate join (both
-        // sides) and both verify-phase broadcasts — unmaterialized,
-        // Spark recomputes the hashing 3-4x. localCheckpoint (not
-        // persist) so the blocks are freed on GC with no unpersist
-        // bookkeeping. (At real corpus scale this materializes to
-        // storage instead of memory: same idea.)
-        val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
+        // materialize the projection: it feeds the signature pipeline
+        // and both verify-phase joins — unmaterialized, Spark
+        // recomputes the hashing 3-4x. localCheckpoint (not persist)
+        // so the blocks are freed on GC with no unpersist bookkeeping.
+        // (At real corpus scale this materializes to storage: same idea.)
+        val withSet = docs.select(col("doc_id"),
           array_sort(Dedup.charNgramHashes(col("text"), 3)).as("gs"))
           .withColumn("sz", size(col("gs")))
           .localCheckpoint()
 
-        // candidate phase joins ONLY the narrow columns — the blocked
-        // join would otherwise materialize both ~2KB n-gram arrays for
-        // every candidate pair before the size band can prune; the size
-        // band is a NECESSARY condition for jaccard >= 0.9
-        // (min(|A|,|B|) >= 0.9*max)
-        val slim = withSet.select("doc_id", "lang", "source", "sz")
-        val cands = slim.as("l")
-          .join(slim.as("r"),
-            col("l.lang") === col("r.lang") &&
-              col("l.source") === col("r.source") &&
-              col("l.doc_id") < col("r.doc_id") &&
-              col("l.sz").cast("double") >= col("r.sz") * 0.9 &&
-              col("r.sz").cast("double") >= col("l.sz") * 0.9)
-          .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+        // candidate phase: minhash the 3-gram set, band, equi-join on
+        // (band, key). Empty sets are excluded — their all-sentinel
+        // signature would otherwise form one degenerate all-pairs
+        // bucket, and an empty set can never reach J >= 0.9 anyway.
+        val banded = Dedup.bandKeys(
+          Dedup.minhashFromHashes(
+            withSet.filter(col("sz") > 0).select("doc_id", "gs"), "gs", K),
+          K, RPB)
+        val cands = Dedup.lshCandidates(banded, "doc_id", NB)
 
-        // verify phase: arrays fetched only for surviving pairs
+        // verify phase: arrays fetched only for candidate pairs (plain
+        // id equi-joins — AQE broadcasts a side when it is small; a
+        // hint would force shipping the whole gs table at corpus
+        // scale). The size band is a NECESSARY condition for
+        // jaccard >= 0.9 (min(|A|,|B|) >= 0.9*max), and gating the
+        // merge-walk behind `when` keeps Catalyst from reordering the
+        // expensive intersect in front of it.
         val sets = withSet.select(col("doc_id"), col("gs"), col("sz"))
         val inter = graft.expressions.SortedIntersectSize(s, col("gs_a"), col("gs_b"))
         cands
-          .join(broadcast(sets.select(col("doc_id").as("id_a"),
-            col("gs").as("gs_a"), col("sz").as("sz_a"))), "id_a")
-          .join(broadcast(sets.select(col("doc_id").as("id_b"),
-            col("gs").as("gs_b"), col("sz").as("sz_b"))), "id_b")
+          .join(sets.select(col("doc_id").as("id_a"),
+            col("gs").as("gs_a"), col("sz").as("sz_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"),
+            col("gs").as("gs_b"), col("sz").as("sz_b")), "id_b")
           .select(col("id_a"), col("id_b"),
-            (inter.cast("double") / (col("sz_a") + col("sz_b") - inter)).as("jaccard"))
+            when(
+              col("sz_a").cast("double") >= col("sz_b") * 0.9 &&
+                col("sz_b").cast("double") >= col("sz_a") * 0.9,
+              inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
+              .as("jaccard"))
           .filter(col("jaccard") >= 0.9)
       },
       Some(s"""
         WITH g AS (
-          SELECT doc_id, lang, source, gs, len(gs) AS sz
-          FROM (SELECT doc_id, lang, source,
+          SELECT doc_id, gs, len(gs) AS sz
+          FROM (SELECT doc_id,
                  ${graft.operators.Dedup.charNgramHashesSql("text", 3)} AS gs
-                FROM documents))
+                FROM documents)),
+        sig AS (
+          SELECT doc_id, ${minhashColsSql("gs")}
+          FROM g WHERE sz > 0),
+        banded AS (
+          SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
+          FROM sig),
+        bk AS (
+          ${(0 until NB).map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bk l JOIN bk r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
         SELECT id_a, id_b, jaccard FROM (
-          SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-                 CASE WHEN CAST(l.sz AS DOUBLE) >= r.sz * 0.9
-                       AND CAST(r.sz AS DOUBLE) >= l.sz * 0.9
-                      THEN CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE)
-                             / (l.sz + r.sz - len(list_intersect(l.gs, r.gs)))
+          SELECT id_a, id_b,
+                 CASE WHEN CAST(a.sz AS DOUBLE) >= b.sz * 0.9
+                       AND CAST(b.sz AS DOUBLE) >= a.sz * 0.9
+                      THEN CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                             / (a.sz + b.sz - len(list_intersect(a.gs, b.gs)))
                       END AS jaccard
-          FROM g l JOIN g r
-            ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id)
+          FROM cand JOIN g a ON cand.id_a = a.doc_id
+                    JOIN g b ON cand.id_b = b.doc_id)
         WHERE jaccard >= 0.9"""))
   )
 }
