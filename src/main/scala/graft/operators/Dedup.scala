@@ -88,10 +88,11 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
       // self-joined below: without materialization the whole upstream
       // signature pipeline (shingle + minhash) runs once PER SIDE.
-      // localCheckpoint (not persist): blocks are freed when the frame
-      // is garbage-collected, so a long-lived session running many
-      // queries doesn't accumulate never-unpersisted cache entries.
-      .localCheckpoint()
+      // persist (not localCheckpoint): lineage is kept, so losing an
+      // executor recomputes instead of failing the job, and the blocks
+      // are owned by the session cache — `spark.catalog.clearCache()`
+      // (or `unpersist`) frees them after the terminal action.
+      .persist()
     val l = exploded.as("l")
     val r = exploded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -214,27 +215,71 @@ object Dedup {
     * edge, comp = the component's minimum id.
     *
     * Scale: each round is two key-partitioned shuffles over the EDGE
-    * list (already tiny relative to the corpus — only near-dup pairs),
-    * converges in O(log n) rounds regardless of chain length, and each
-    * round is localCheckpoint'ed so lineage doesn't grow with the
-    * iteration count. No driver-side graph state. */
+    * list (already tiny relative to the corpus — only near-dup pairs)
+    * and converges in O(log n) rounds regardless of chain length. No
+    * driver-side graph state.
+    *
+    * Execution harness: ONE Spark job per round — the round's edge set
+    * is persisted and a single aggregate computes (row count,
+    * commutative checksum); the fixpoint test compares those two
+    * numbers against the previous round (both sides are distinct sets,
+    * so equal count + equal 60-bit checksum means equal sets up to a
+    * ~2^-60 collision). The previous round's cache is unpersisted as
+    * soon as its successor is materialized, so the loop holds at most
+    * two edge sets in memory and leaves only the final one for the
+    * caller (freed by `unpersist`/`clearCache` after the terminal
+    * action). The logical plan is truncated each round at an RDD
+    * boundary — lineage is KEPT (a lost executor recomputes through
+    * it), unlike `localCheckpoint`, which would make any block loss
+    * fatal on a real cluster.
+    *
+    * For very long chains on unreliable clusters, pass `checkpointDir`:
+    * rounds then write reliable checkpoints to that directory
+    * (replicated storage), bounding recovery cost to one round. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    var edges = pairs
-      .select(col(idA).as("src"), col(idB).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      idB: String = "id_b", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    // one job: materializes the (persisted) frame AND returns its
+    // (count, checksum) — sum of a 60-bit row hash mod a prime stays
+    // inside Long under ANSI arithmetic up to ~2^33 rows
+    def materializeWithStats(df: DataFrame): (DataFrame, Long, Long) = {
+      val handle =
+        if (checkpointDir.isDefined) df.checkpoint() // reliable, eager, truncates plan
+        else df.persist()
+      val row = handle.agg(
+        count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))), lit(0L)))
+        .head()
+      // truncate the logical plan at an RDD boundary so per-round plan
+      // size stays O(1) instead of compounding (checkpoint already did)
+      val truncated =
+        if (checkpointDir.isDefined) handle
+        else handle.sparkSession.createDataFrame(handle.rdd, handle.schema)
+      (truncated, row.getLong(0), row.getLong(1))
+    }
+
+    var (edges, prevCount, prevSum) = materializeWithStats(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    var handle = edges // the persisted frame backing `edges`
     var iter = 0
-    var done = edges.isEmpty
+    var done = prevCount == 0L
     while (!done && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // both sides are distinct sets: equal iff same size and no diff
-      done = next.count() == edges.count() && next.except(edges).isEmpty
-      edges = next
+      val (next, c, s) = materializeWithStats(smallStar(largeStar(edges)))
+      if (checkpointDir.isEmpty) handle.unpersist()
+      done = c == prevCount && s == prevSum
+      prevCount = c; prevSum = s
+      edges = next; handle = next
       iter += 1
     }
-    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "returning best-effort components (labels may not be minimal)")
     // converged to stars: every non-root points at its component min
     edges.select(col("src").as("id"), col("dst").as("comp"))
       .union(edges.select(col("dst").as("id"), col("dst").as("comp")))

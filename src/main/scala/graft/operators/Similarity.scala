@@ -178,8 +178,10 @@ object Similarity {
       bits: Int, dim: Int, tables: Int): DataFrame = {
     val session = df.sparkSession
     // feeds the bucket join (slim) and the verify-phase joins: one
-    // materialization, blocks freed on GC (no unpersist bookkeeping)
-    val prepped = prep(df, idCol, idCol, vecCol).localCheckpoint()
+    // materialization. persist keeps lineage (recomputable on executor
+    // loss) and registers with the session cache, so callers free it
+    // with `clearCache()`/`unpersist` after their terminal action.
+    val prepped = prep(df, idCol, idCol, vecCol).persist()
     val slim = prepped.select(col(idCol),
       posexplode(graft.expressions.SrpBuckets(session, col("v"), bits, tables, dim)))
       .select(col(idCol), col("pos").as("t"), col("col").as("bucket"))
@@ -210,8 +212,8 @@ object Similarity {
     val s = df.select(col(idCol), col(blockCol), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", sqrt(dotD(col("v"), col("v"))))
       // self-joined: materialize or the cast+norm projection runs per
-      // side; localCheckpoint so blocks are freed on GC
-      .localCheckpoint()
+      // side; persist keeps lineage and is freed by clearCache/unpersist
+      .persist()
     val l = s.as("l")
     val r = s.as("r")
     l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&

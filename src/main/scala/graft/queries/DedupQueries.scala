@@ -170,13 +170,13 @@ object DedupQueries {
         val docs = t(s, dir, "documents").repartition(col("doc_id"))
         // materialize the projection: it feeds the signature pipeline
         // and both verify-phase joins — unmaterialized, Spark
-        // recomputes the hashing 3-4x. localCheckpoint (not persist)
-        // so the blocks are freed on GC with no unpersist bookkeeping.
+        // recomputes the hashing 3-4x. persist keeps lineage and the
+        // bench/verify harness frees it via clearCache between queries.
         // (At real corpus scale this materializes to storage: same idea.)
         val withSet = docs.select(col("doc_id"),
           array_sort(Dedup.charNgramHashes(col("text"), 3)).as("gs"))
           .withColumn("sz", size(col("gs")))
-          .localCheckpoint()
+          .persist()
 
         // candidate phase: minhash the 3-gram set, band, equi-join on
         // (band, key). Empty sets are excluded — their all-sentinel

@@ -77,6 +77,25 @@ class DedupEndToEndSpec extends SparkSpec {
     assert(comps.values.forall(_ == 1L))
   }
 
+  test("connected components: maxIter=1 returns best-effort partial labels, no throw") {
+    val pairs = (1 until 40).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.nonEmpty, "best-effort result expected, not an exception")
+    assert(comps.values.forall(c => c >= 1L && c <= 40L))
+  }
+
+  test("connected components: reliable checkpoint dir gives identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = Seq((3L, 4L), (1L, 2L), (7L, 8L), (2L, 3L)).toDF("id_a", "id_b")
+    val viaPersist = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCheckpoint = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCheckpoint == viaPersist)
+  }
+
   test("dropNearDuplicates collapses a planted A~B~C chain to one representative") {
     val chainDocs = Seq(
       (10L, "a"), (11L, "b"), (12L, "c"), (20L, "standalone")
