@@ -219,67 +219,116 @@ object Dedup {
     * and converges in O(log n) rounds regardless of chain length. No
     * driver-side graph state.
     *
-    * Execution harness: ONE Spark job per round — the round's edge set
-    * is persisted and a single aggregate computes (row count,
-    * commutative checksum); the fixpoint test compares those two
-    * numbers against the previous round (both sides are distinct sets,
-    * so equal count + equal 60-bit checksum means equal sets up to a
-    * ~2^-60 collision). The previous round's cache is unpersisted as
-    * soon as its successor is materialized, so the loop holds at most
-    * two edge sets in memory and leaves only the final one for the
-    * caller (freed by `unpersist`/`clearCache` after the terminal
-    * action). The logical plan is truncated each round at an RDD
-    * boundary — lineage is KEPT (a lost executor recomputes through
-    * it), unlike `localCheckpoint`, which would make any block loss
-    * fatal on a real cluster.
+    * Execution harness (persist path): ONE Spark job per round — the
+    * round's edge set is persisted and a single aggregate computes
+    * (row count, two independently-keyed commutative checksums); the
+    * fixpoint test compares those against the previous round. Both
+    * sides are distinct sets, and each checksum is a sum of ~30-bit
+    * residues (`pmod(xxhash64, prime)`), so one checksum bounds
+    * false convergence at ~1e-9 per round and the two independent
+    * primes/column-orders jointly at ~1e-18 (~2^-60). The previous
+    * round's PERSISTED handle is unpersisted as soon as its successor
+    * is materialized, so the loop holds at most two edge sets in
+    * executor storage and leaves only the final one for the caller
+    * (see the public-API note below). The logical plan is truncated
+    * each round at an RDD boundary so plan size stays O(1) —
+    * lineage is KEPT (a lost executor recomputes through it), unlike
+    * `localCheckpoint`, which would make any block loss fatal on a
+    * real cluster. The truncation is not free: the `.rdd` round-trip
+    * decodes each row to an external `Row` and re-encodes it on every
+    * consumption, and the resulting `LogicalRDD` carries default
+    * (maximum) size statistics — acceptable here because each round's
+    * consumers are key equi-joins that shuffle regardless.
     *
     * For very long chains on unreliable clusters, pass `checkpointDir`:
     * rounds then write reliable checkpoints to that directory
-    * (replicated storage), bounding recovery cost to one round. */
+    * (replicated storage), bounding recovery cost to one round. The
+    * checkpoint path costs TWO jobs per round (the eager checkpoint
+    * write, then the stats aggregate over the checkpointed data); each
+    * round's files are deleted as soon as the successor round is on
+    * disk, so the directory holds at most two rounds.
+    *
+    * Cache contract: the returned frame reads the final round's
+    * persisted edge set (or checkpoint files). Free it after the
+    * terminal action with `spark.catalog.clearCache()` (the handle is
+    * internal); on the checkpoint path, delete `checkpointDir`.
+    *
+    * @param failOnNonConvergence when true (default), not reaching the
+    *   fixpoint within `maxIter` rounds throws `IllegalStateException`
+    *   — downstream consumers ([[dropNearDuplicates]]) would silently
+    *   under-dedup on unconverged labels. Pass false to accept
+    *   best-effort labels (logged as a warning). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      failOnNonConvergence: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
-    // one job: materializes the (persisted) frame AND returns its
-    // (count, checksum) — sum of a 60-bit row hash mod a prime stays
-    // inside Long under ANSI arithmetic up to ~2^33 rows
-    def materializeWithStats(df: DataFrame): (DataFrame, Long, Long) = {
-      val handle =
-        if (checkpointDir.isDefined) df.checkpoint() // reliable, eager, truncates plan
-        else df.persist()
-      val row = handle.agg(
-        count(lit(1)),
-        coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))), lit(0L)))
-        .head()
-      // truncate the logical plan at an RDD boundary so per-round plan
-      // size stays O(1) instead of compounding (checkpoint already did)
-      val truncated =
-        if (checkpointDir.isDefined) handle
-        else handle.sparkSession.createDataFrame(handle.rdd, handle.schema)
-      (truncated, row.getLong(0), row.getLong(1))
+    // stats aggregate: row count + two commutative checksums under
+    // independent keys (different prime, different column order). Sums
+    // of ~2^30 residues stay inside Long under ANSI arithmetic up to
+    // ~2^33 rows.
+    val statsCols = Seq(
+      count(lit(1)),
+      coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))), lit(0L)),
+      coalesce(sum(pmod(xxhash64(col("dst"), col("src")), lit(998244353L))), lit(0L)))
+
+    final case class Round(frame: DataFrame, free: () => Unit,
+        count: Long, sum1: Long, sum2: Long)
+
+    // persist path: one job (the aggregate materializes the cache);
+    // `frame` is the plan-truncated view, `free` unpersists the
+    // PERSISTED handle (the truncated LogicalRDD has no cache entry —
+    // unpersisting it would be a no-op).
+    // checkpoint path: two jobs (eager checkpoint write + stats);
+    // `free` deletes that round's checkpoint files.
+    def materializeWithStats(df: DataFrame): Round = {
+      if (checkpointDir.isDefined) {
+        val rdd = df.rdd
+        rdd.checkpoint()
+        rdd.count() // eager: materialize to reliable storage now
+        val frame = spark.createDataFrame(rdd, df.schema)
+        val row = frame.agg(statsCols.head, statsCols.tail: _*).head()
+        val free = () => rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          ()
+        }
+        Round(frame, free, row.getLong(0), row.getLong(1), row.getLong(2))
+      } else {
+        val handle = df.persist()
+        val row = handle.agg(statsCols.head, statsCols.tail: _*).head()
+        val truncated = spark.createDataFrame(handle.rdd, handle.schema)
+        Round(truncated, () => { handle.unpersist(); () },
+          row.getLong(0), row.getLong(1), row.getLong(2))
+      }
     }
 
-    var (edges, prevCount, prevSum) = materializeWithStats(
+    var cur = materializeWithStats(
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    var handle = edges // the persisted frame backing `edges`
     var iter = 0
-    var done = prevCount == 0L
+    var done = cur.count == 0L
     while (!done && iter < maxIter) {
-      val (next, c, s) = materializeWithStats(smallStar(largeStar(edges)))
-      if (checkpointDir.isEmpty) handle.unpersist()
-      done = c == prevCount && s == prevSum
-      prevCount = c; prevSum = s
-      edges = next; handle = next
+      val next = materializeWithStats(smallStar(largeStar(cur.frame)))
+      cur.free() // predecessor's cache/files, not the truncated wrapper
+      done = next.count == cur.count && next.sum1 == cur.sum1 && next.sum2 == cur.sum2
+      cur = next
       iter += 1
     }
-    if (!done)
+    val edges = cur.frame
+    if (!done) {
+      if (failOnNonConvergence)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds; " +
+            "labels would under-dedup downstream. Raise maxIter or pass " +
+            "failOnNonConvergence=false for best-effort labels.")
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did not converge in $maxIter rounds; " +
           "returning best-effort components (labels may not be minimal)")
+    }
     // converged to stars: every non-root points at its component min
     edges.select(col("src").as("id"), col("dst").as("comp"))
       .union(edges.select(col("dst").as("id"), col("dst").as("comp")))

@@ -77,13 +77,62 @@ class DedupEndToEndSpec extends SparkSpec {
     assert(comps.values.forall(_ == 1L))
   }
 
-  test("connected components: maxIter=1 returns best-effort partial labels, no throw") {
+  test("connected components: maxIter=1 throws by default (strict), " +
+      "best-effort only when explicitly requested") {
     val pairs = (1 until 40).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs, maxIter = 1)
+    // strict default: unconverged labels would silently under-dedup
+    // downstream, so the fixpoint failure must surface
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    }
+    val comps = Dedup.connectedComponents(pairs, maxIter = 1,
+        failOnNonConvergence = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.nonEmpty, "best-effort result expected, not an exception")
     assert(comps.values.forall(c => c >= 1L && c <= 40L))
+  }
+
+  test("connected components: loop holds at most two cached edge sets " +
+      "and leaves exactly one for the caller") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 40-node chain needs several contraction rounds — the round-3 leak
+    // (no-op unpersist of the truncated wrapper) left one cached edge
+    // set PER ROUND here; the fix leaves exactly the final one
+    val pairs = (1 until 40).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, maxIter = 10)
+    assert(comps.count() == 40)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before == 1,
+      s"expected exactly 1 cached edge set after return, got ${after - before}")
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("connected components: checkpoint dir holds at most two rounds " +
+      "of files during the loop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-gc").toString
+    val pairs = (1 until 40).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, maxIter = 10,
+      checkpointDir = Some(dir))
+    assert(comps.count() == 40)
+    // per-round cleanup: everything but the final round's rdd-* files
+    // must be gone (each round deletes its predecessor once the
+    // successor is safely on disk)
+    def rddDirs(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walk(p).forEach { q =>
+        if (java.nio.file.Files.isDirectory(q) &&
+          q.getFileName.toString.startsWith("rdd-")) out += q
+      }
+      out.toSeq
+    }
+    val remaining = rddDirs(java.nio.file.Paths.get(dir))
+    assert(remaining.size == 1,
+      s"expected only the final round's checkpoint on disk, got $remaining")
   }
 
   test("connected components: reliable checkpoint dir gives identical labels") {
