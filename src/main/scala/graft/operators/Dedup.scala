@@ -129,6 +129,43 @@ object Dedup {
   def simhash(spark: org.apache.spark.sql.SparkSession, textCol: Column): Column =
     graft.expressions.SimHash60(spark, simhashTokenHashes(textCol))
 
+  /** SimHash Hamming near-duplicate pairs over a signature column
+    * (the consumer of [[simhash]]): signatures are pigeonholed into
+    * `bands` keys of `bandBits` bits each; pairs within Hamming
+    * distance `maxHamming` differ in at most `maxHamming` bands, so
+    * with `maxHamming < bands` every qualifying pair shares at least
+    * one identical band key — the band equi-join is a PROVABLY
+    * complete candidate generator, and it shuffles like any key join
+    * (no cross product; 2^bandBits buckets per band bound the
+    * per-bucket population as the corpus grows). Verification is one
+    * xor + popcount on the pair's signatures, carried through the
+    * join — no second lookup. Output: (id_a, id_b, hamming). */
+  def simhashHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, bands: Int = 4, bandBits: Int = 15): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands ($maxHamming >= $bands)")
+    val mask = (1L << bandBits) - 1
+    val banded = sigs
+      .select(col(idCol), col(sigCol).as("__sig"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col(sigCol), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      // self-joined: without materialization the upstream signature
+      // pipeline runs once per side; persist keeps lineage and is
+      // freed by the caller's clearCache/unpersist (see lshCandidates)
+      .persist()
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
+      // filter BEFORE distinct: multi-band matches collapse after the
+      // cheap popcount gate, shrinking the dedup shuffle
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact token-set Jaccard similarity between two array columns
     * (inputs must already be distinct sets). Union size is derived as
     * |A|+|B|-|A∩B| — one hash-set pass per pair instead of also

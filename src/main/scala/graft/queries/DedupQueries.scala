@@ -238,6 +238,41 @@ object DedupQueries {
                       END AS jaccard
           FROM cand JOIN g a ON cand.id_a = a.doc_id
                     JOIN g b ON cand.id_b = b.doc_id)
-        WHERE jaccard >= 0.9"""))
+        WHERE jaccard >= 0.9""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q49_simhash_hamming",
+      "SimHash Hamming near-dup pairs — the consumer of q29's " +
+        "signatures: each 60-bit signature is pigeonholed into 4 " +
+        "15-bit band keys (Hamming <= 3 forces at least one identical " +
+        "band, so the band equi-join is a complete, non-cartesian " +
+        "candidate generator), then one xor+popcount per candidate " +
+        "verifies the distance.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val sigs = docs.select(col("doc_id"),
+          Dedup.simhash(s, col("text")).as("sig"))
+        Dedup.simhashHammingPairs(sigs, "doc_id", "sig",
+          maxHamming = 3, bands = 4, bandBits = 15)
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 60), j ->
+                   CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+          FROM (SELECT doc_id,
+                       list_transform(list_distinct(string_split(text, ' ')),
+                                      tk -> ${Portable.pmd5Sql("tk")}) AS hs
+                FROM documents)),
+        bk AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 15}) & 32767 AS key FROM sh")
+            .mkString("\n          UNION ALL ")})
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               CAST(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming
+        FROM bk l JOIN bk r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3"""))
   )
 }

@@ -59,6 +59,20 @@ class DedupEndToEndSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L))
   }
 
+  test("simhash hamming pairs: exact copy found at distance 0, unrelated doc excluded") {
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.simhash(spark, col("text")).as("sig"))
+    val pairs = Dedup.simhashHammingPairs(sigs, "doc_id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(0), "exact copies share every bit")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair at Hamming <= 3")
+    // completeness only holds when maxHamming < bands (pigeonhole)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashHammingPairs(sigs, "doc_id", "sig", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("connected components: chains, shuffled edge order, isolated pair") {
     // 1-2-3-4 chain (no 1~3/1~4/2~4 edges), 7-8 pair, order scrambled
     val pairs = Seq((3L, 4L), (1L, 2L), (7L, 8L), (2L, 3L)).toDF("id_a", "id_b")
