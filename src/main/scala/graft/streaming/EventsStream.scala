@@ -26,14 +26,19 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-stream source over an events parquet directory. */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  /** File-stream source over an events parquet directory.
+    * `maxFilesPerTrigger` caps files per micro-batch — tests use 1 to
+    * force one batch per staged file (deterministic watermark steps). */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .schema(eventSchema)
       .format("parquet")
       .option("path", dir)
-      .load()
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load()
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling-window counts/sums per event type with a watermark: the
     * incremental form of q19. Watermark bounds state: at 100 TB/day the
@@ -77,49 +82,83 @@ object EventsStream {
       event_type: String, value: Double)
   // Timestamps kept as-is (micros precision); a millis round-trip would
   // shift session boundaries vs the batch query
-  case class SessionState(start: Timestamp, end: Timestamp, n: Int, value: Double)
+  case class PartialSession(start: Timestamp, end: Timestamp, n: Int, value: Double)
+  case class SessionBuffer(sessions: List[PartialSession])
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, session_value: Double)
 
-  /** Stateful sessionization (gap = 30 min): flatMapGroupsWithState with
-    * a processing-time timeout emitting closed sessions. The q35 batch
-    * window query is the backfill-equivalent; this form is incremental
-    * and state-bounded (one small SessionState per active user). */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
-      implicit outEnc: org.apache.spark.sql.Encoder[SessionOut],
-      stEnc: org.apache.spark.sql.Encoder[SessionState]): Dataset[SessionOut] = {
+  /** Gap-merge: each incoming event is a singleton session; the union
+    * with the buffered partials, sorted by start, folds adjacent
+    * intervals whose gap is <= gapMs — exactly the batch q35 session
+    * rule, but incremental and ORDER-INDEPENDENT: a late event that
+    * bridges two buffered sessions merges all three. */
+  private def gapMerge(existing: List[PartialSession], incoming: Seq[Event],
+      gapMs: Long): List[PartialSession] = {
+    val all = (existing ++ incoming.map(e => PartialSession(e.ts, e.ts, 1, e.value)))
+      .sortBy(s => (s.start.getTime, s.end.getTime))
+    all.foldLeft(List.empty[PartialSession]) {
+      case (cur :: done, s) if s.start.getTime - cur.end.getTime <= gapMs =>
+        PartialSession(cur.start,
+          if (s.end.getTime > cur.end.getTime) s.end else cur.end,
+          cur.n + s.n, cur.value + s.value) :: done
+      case (acc, s) => s :: acc
+    }.reverse
+  }
 
-    def flush(userId: Long, st: SessionState): SessionOut =
-      SessionOut(userId, st.start, st.end, st.n, st.value)
+  /** Stateful sessionization (gap = 30 min): flatMapGroupsWithState
+    * with an EVENT-TIME timeout, so closed sessions depend only on the
+    * data's timestamps and the watermark — a backfill replay of the
+    * same files, in any order and at any speed, emits the same
+    * sessions as live execution and as the batch q35 query
+    * (processing-time timeouts would close sessions on wall-clock,
+    * diverging under out-of-order replay).
+    *
+    * State per user is the list of gap-merged partial sessions still
+    * inside the watermark horizon — bounded: a session whose close is
+    * watermark-proven (end + gap < watermark; no unlocked future event
+    * can extend or bridge it, late rows beyond the watermark are
+    * dropped upstream) is emitted and leaves the state. The event-time
+    * timer fires at the earliest pending close, so idle users flush
+    * without new input.
+    *
+    * Run in BATCH mode (no watermark exists), every session closes:
+    * the output IS the batch q35 result — same code, bounded input.
+    *
+    * Session values fold in interval-merge order, which can differ
+    * from strict event order across micro-batches; `session_value` is
+    * therefore sum-equal but not bit-order-identical to batch folds
+    * (start/end/n are exact). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[SessionOut],
+      stEnc: org.apache.spark.sql.Encoder[SessionBuffer]): Dataset[SessionOut] = {
 
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            val out = state.getOption.map(flush(userId, _)).toSeq
-            state.remove()
-            out.iterator
+      .flatMapGroupsWithState[SessionBuffer, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val merged = gapMerge(existing, batch.toSeq, gapMs)
+          // batch mode has no watermark (getCurrentWatermarkMs throws):
+          // all input is present, every session is final
+          val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MaxValue)
+          // strict <: an event AT the watermark can still arrive and an
+          // event at exactly end+gap still joins the session
+          val (closed, open) =
+            if (wm == Long.MaxValue) (merged, Nil)
+            else merged.partition(s => s.end.getTime + gapMs < wm)
+          if (open.isEmpty) {
+            if (state.exists) state.remove()
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var cur = state.getOption.orNull
-            sorted.foreach { e =>
-              if (cur == null) cur = SessionState(e.ts, e.ts, 1, e.value)
-              else if (e.ts.getTime - cur.end.getTime > gapMs) {
-                closed += flush(userId, cur)
-                cur = SessionState(e.ts, e.ts, 1, e.value)
-              } else {
-                cur = SessionState(cur.start, e.ts, cur.n + 1, cur.value + e.value)
-              }
-            }
-            if (cur != null) {
-              state.update(cur)
-              state.setTimeoutDuration(gapMs)
-            }
-            closed.iterator
+            state.update(SessionBuffer(open))
+            // fire when the earliest pending session becomes closable
+            // (must be strictly beyond the current watermark)
+            val nextClose = open.map(_.end.getTime + gapMs).min
+            state.setTimeoutTimestamp(math.max(nextClose, wm + 1))
           }
+          closed.map(s => SessionOut(userId, s.start, s.end, s.n, s.value)).iterator
       }
   }
 }

@@ -120,30 +120,104 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream=$got batch=$batch")
   }
 
-  test("stateful sessionization: sessions partition each user's events") {
+  test("stateful sessionization: batch mode reproduces the q35 result exactly") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventsStream.Event]
-    // batch-mode flatMapGroupsWithState: one pass, no timeouts fire, so
-    // emitted sessions are the CLOSED ones; per-user open tails stay in
-    // state. Closed sessions must agree with the batch q35 window query.
+    // batch mode has no watermark -> every session is final: the
+    // operator's output IS the batch q35 result, session for session
     val sessions = EventsStream.sessionize(events).collect()
     val batchSessions = graft.queries.AdvancedQueries.all
       .find(_.name == "q35_sessionize").get
       .run(spark, "/root/testdata/sf0.001")
       .collect()
-    val users = events.select("user_id").distinct().count()
-    // every closed session has a batch counterpart (same user, start, size)
-    val batchKeys = batchSessions.map(r =>
+    val got = sessions.map(s =>
+      (s.user_id, s.session_start, s.session_end, s.n_events.toLong)).toSet
+    val want = batchSessions.map(r =>
       (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
-        r.getAs[Long]("n_events"))).toSet
-    assert(sessions.nonEmpty)
-    sessions.foreach { s =>
-      assert(batchKeys.contains((s.user_id, s.session_start, s.n_events.toLong)),
-        s"no batch counterpart for $s")
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSet
+    assert(sessions.length == batchSessions.length)
+    assert(got == want)
+  }
+
+  test("event-time sessionization: out-of-order shuffled replay emits " +
+      "exactly the batch sessions (closed set)") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("events-sess")
+    val stage = root.resolve("in"); java.nio.file.Files.createDirectories(stage)
+    val all = graft.queries.Tables.t(spark, sfDir, "events")
+    val gapMs = 30 * 60 * 1000L
+    val delayMs = 4L * 24 * 3600 * 1000 // watermark "4 days" covers the staged disorder
+
+    // stage 10 time-decile files, but (a) every 7th event lands one
+    // file LATE (~3 days of cross-batch disorder, inside the 4-day
+    // watermark) and (b) rows inside each file are hash-shuffled; a
+    // processing-time/arrival-order implementation emits sessions that
+    // don't exist in batch under this replay
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    val filed = all
+      .withColumn("decile", ntile(10).over(w) - 1)
+      .withColumn("f", least(lit(9),
+        col("decile") + when(col("event_id") % 7 === 0, 1).otherwise(0)))
+    def stageFile(name: String, df: org.apache.spark.sql.DataFrame, order: Int): Unit = {
+      val scratch = root.resolve(s"scratch_$name")
+      df.orderBy(xxhash64(col("event_id"))) // shuffled intra-file order
+        .select(col("event_id"),
+          (unix_micros(col("ts")) * 1000).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      // the file source processes oldest-mtime first: make order explicit
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + order * 60000L))
     }
-    // closed + open (<= one open per user) accounts for every batch session
-    assert(sessions.length + users >= batchSessions.length)
+    for (i <- 0 until 10)
+      stageFile(f"f$i%02d", filed.filter(col("f") === i).drop("decile", "f"), i)
+    // sentinel: one far-future event pushes the final watermark beyond
+    // every real session's close; its own session stays open/filtered
+    val realMaxMs = all.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val sentinelUser = 999999L
+    stageFile("f10", Seq(
+      (9999999L, new java.sql.Timestamp(realMaxMs + 40L * 24 * 3600 * 1000),
+        sentinelUser, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), 10)
+
+    val stream = EventsStream.readStream(spark, stage.toString, maxFilesPerTrigger = Some(1))
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionize(stream, gapMs, watermarkDelay = "4 days")
+      .writeStream.outputMode("append").format("memory").queryName("sess_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val got = spark.table("sess_stream")
+      .filter(col("user_id") =!= sentinelUser)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Int]("n_events").toLong))
+    val batch = graft.queries.AdvancedQueries.all
+      .find(_.name == "q35_sessionize").get.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    val batchSet = batch.toSet
+    assert(got.nonEmpty, "no sessions closed — watermark never advanced?")
+    // soundness: every emitted session exists in the batch result,
+    // exactly (user, start, end, size) — despite the shuffled replay
+    got.foreach(s => assert(batchSet.contains(s), s"streamed session not in batch: $s"))
+    assert(got.length == got.toSet.size, "duplicate session emitted")
+    // completeness: every batch session provably closed by the last
+    // REAL file's watermark (realMax - delay at the sentinel batch's
+    // start) must have been emitted; later closes depend on a trailing
+    // no-data batch the trigger need not run
+    val wmGuaranteed = realMaxMs - delayMs
+    val gotSet = got.toSet
+    val mustClose = batch.filter(s => s._3.getTime + gapMs < wmGuaranteed - 1000)
+    assert(mustClose.nonEmpty, "test data yields no guaranteed-closed sessions")
+    mustClose.foreach(s => assert(gotSet.contains(s),
+      s"batch session not emitted though watermark passed it: $s"))
   }
 }
