@@ -112,23 +112,62 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Deterministic seeded k-means for IVF cells: init = the first `k`
+    * corpus vectors by id (the deterministic seed), then `iters` Lloyd
+    * rounds under cosine. Two tricks keep it exact and cross-engine
+    * reproducible (oracle-checkable in DuckDB):
+    *
+    *  - the updated "centroid" is the (unnormalized) SUM of the cell's
+    *    vectors, not the mean — cosine assignment is scale-invariant,
+    *    so sum and mean induce identical cells, and the sum avoids a
+    *    division whose operand order could differ;
+    *  - the sum folds the cell's vectors in ascending id order
+    *    (sort_array over (id, v) structs), so the double additions
+    *    associate identically on every engine and run.
+    *
+    * Each round is one corpus × k broadcast scoring pass plus a k-group
+    * aggregation — no driver-side loops over data; only the round count
+    * is driver-controlled. At real corpus scale, train on a sample (the
+    * standard IVF recipe) and assign the full corpus once with the
+    * frozen centroids; the machinery is identical. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame = {
+    val prepped = prep(corpus, idCol, "__tid", vecCol)
+    var cents = prepped.filter(col("__tid") < k)
+      .select(col("__tid").as("cell"), col("v").as("cv"), col("nv").as("cn"))
+    val zero = typedLit(Seq.fill(dim)(0.0))
+    for (_ <- 0 until iters) {
+      val scored = prepped.crossJoin(broadcast(cents))
+        .select(col("__tid"), col("v"), col("cell"),
+          cosineFromPrepped(col("v"), col("nv"), col("cv"), col("cn")).as("cscore"))
+      val w = Window.partitionBy(col("__tid"))
+        .orderBy(col("cscore").desc, col("cell").asc)
+      val assigned = scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+      cents = assigned.groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("__tid").as("i"), col("v").as("vv"))))
+          .as("sv"))
+        .select(col("cell"),
+          aggregate(col("sv"), zero,
+            (acc, s) => zip_with(acc, s.getField("vv"), (x, y) => x + y)).as("cv"))
+        .withColumn("cn", sqrt(dotD(col("cv"), col("cv"))))
+    }
+    cents
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest
-    * "centroid" cell once (an O(n * k) projection); each query probes
+    * centroid cell once (an O(n * k) projection); each query probes
     * only its `nprobe` nearest cells — candidates come from an equi-join
     * on the cell id, like the SRP variant but with data-adaptive cells.
     *
-    * Centroids here are a deterministic sample (first `k` corpus
-    * vectors) rather than trained k-means: the partition/probe/score
-    * machinery — the part that must scale — is identical, and results
-    * stay reproducible and oracle-checkable. Swap in trained centroids
-    * without touching the query path.
-    */
+    * Centroids are trained with [[trainIvfCentroids]] (`trainIters`
+    * deterministic Lloyd rounds from the first-`nCells` seed);
+    * `trainIters = 0` reproduces the untrained seed cells. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int, nProbe: Int): DataFrame = {
-    val cents = broadcast(prep(
-      corpus.filter(col(idCol) < nCells), idCol, "cell", vecCol)
-      .withColumnRenamed("v", "cv").withColumnRenamed("nv", "cn"))
+      k: Int, nCells: Int, nProbe: Int, trainIters: Int = 2, dim: Int = 64): DataFrame = {
+    val cents = broadcast(
+      trainIvfCentroids(corpus, idCol, vecCol, nCells, trainIters, dim))
 
     def nearestCells(side: DataFrame, outId: String, n: Int): DataFrame = {
       val p = prep(side, idCol, outId, vecCol)
