@@ -79,7 +79,11 @@ object Dedup {
     * explode turns each doc into `nBands` (bandIdx, bandKey) rows; the
     * self-equi-join on those keys is a normal shuffle join — this is the
     * piece that scales where a cross join cannot. Pairs sharing several
-    * bands are deduplicated with `distinct`. */
+    * bands are deduplicated with `distinct`.
+    *
+    * @note persists an internal self-joined projection; call
+    *   `spark.catalog.clearCache()` after the terminal action (the
+    *   graft cache contract for every operator noting this). */
   def lshCandidates(banded: DataFrame, idCol: String, nBands: Int): DataFrame = {
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)
@@ -139,7 +143,10 @@ object Dedup {
     * (no cross product; 2^bandBits buckets per band bound the
     * per-bucket population as the corpus grows). Verification is one
     * xor + popcount on the pair's signatures, carried through the
-    * join — no second lookup. Output: (id_a, id_b, hamming). */
+    * join — no second lookup. Output: (id_a, id_b, hamming).
+    *
+    * @note persists an internal self-joined projection; call
+    *   `spark.catalog.clearCache()` after the terminal action. */
   def simhashHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, bands: Int = 4, bandBits: Int = 15): DataFrame = {
     require(maxHamming < bands,

@@ -211,7 +211,10 @@ object Similarity {
     * union over tables). Candidate generation is an equi-join on
     * (table, bucket); vectors and norms are fetched by id equi-join
     * only for surviving pairs (no broadcast hint — AQE picks one when
-    * a side is small). */
+    * a side is small).
+    *
+    * @note persists the internal (v, norm) projection; call
+    *   `spark.catalog.clearCache()` after the terminal action. */
   def srpCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bits: Int, dim: Int, tables: Int): DataFrame = {
@@ -244,7 +247,10 @@ object Similarity {
     * no cross product; norms precomputed per vector, not per pair.
     * NOTE: only scale-safe when the block key's cardinality grows with
     * the corpus (per-block population bounded); for low-cardinality
-    * blocks use [[srpCosinePairs]]. */
+    * blocks use [[srpCosinePairs]].
+    *
+    * @note persists the internal (v, norm) projection; call
+    *   `spark.catalog.clearCache()` after the terminal action. */
   def blockedCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
