@@ -27,8 +27,9 @@ object CorpusQueries {
       s"Deterministic $SAMPLE_PCT% corpus sample by content-free hash " +
         "threshold on the key: pmd5('s:'||doc_id) % 100 < " +
         s"$SAMPLE_PCT. The reproducible way to sample at corpus scale " +
-        "— no RNG state, stable across retries, engines and runs, and " +
-        "the filter pushes to the scan (no shuffle at all).",
+        "— no RNG state, stable across retries, engines and runs; the " +
+        "filter runs inside the scan's codegen stage (zero shuffles, " +
+        "3-column ReadSchema).",
       (s, dir) =>
         t(s, dir, "documents")
           .filter(
@@ -84,7 +85,9 @@ object CorpusQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents").repartition(col("doc_id"))
         val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
+        // corpus count straight off the scan — the defensive repartition
+        // would add a full-corpus shuffle to a metadata-cheap count
+        val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val dfreq = toks.select("doc_id", "token").distinct()
           .groupBy("token").agg(count(lit(1)).as("df"))
         val tf = toks.filter(col("doc_id") < RANK_DOCS)
