@@ -49,7 +49,11 @@ final class HttpTransport(
     resp.body()
   }
 
-  private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
+  /** Percent-encoding valid in BOTH query values and path segments:
+    * URLEncoder emits form encoding, whose '+' means a literal plus in
+    * a path (a docId with a space would silently 404) — map it to %20. */
+  private def enc(s: String): String =
+    URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
 
   override def listDocuments(date: LocalDate): Try[Seq[DocMeta]] = Try {
     val url = s"$baseUrl/documents.json?date=${enc(date.toString)}" +

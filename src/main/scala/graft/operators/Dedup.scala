@@ -287,10 +287,11 @@ object Dedup {
     * For very long chains on unreliable clusters, pass `checkpointDir`:
     * rounds then write reliable checkpoints to that directory
     * (replicated storage), bounding recovery cost to one round. The
-    * checkpoint path costs TWO jobs per round (the eager checkpoint
-    * write, then the stats aggregate over the checkpointed data); each
-    * round's files are deleted as soon as the successor round is on
-    * disk, so the directory holds at most two rounds.
+    * checkpoint path costs THREE jobs per round (compute+cache, the
+    * checkpoint write from cache, then the stats aggregate over the
+    * checkpointed files) but computes each edge set once; each round's
+    * files are deleted as soon as the successor round is on disk, so
+    * the directory holds at most two rounds.
     *
     * Cache contract: the returned frame reads the final round's
     * persisted edge set (or checkpoint files). Free it after the
@@ -330,10 +331,15 @@ object Dedup {
     def materializeWithStats(df: DataFrame): Round = {
       if (checkpointDir.isDefined) {
         val rdd = df.rdd
+        // cache across the two actions: without it the checkpoint WRITE
+        // job recomputes the whole contraction lineage the count job
+        // just ran (the recompute the RDD.checkpoint docs warn about)
+        rdd.persist()
         rdd.checkpoint()
-        rdd.count() // eager: materialize to reliable storage now
+        rdd.count() // job 1 computes+caches; job 2 writes the checkpoint from cache
         val frame = spark.createDataFrame(rdd, df.schema)
-        val row = frame.agg(statsCols.head, statsCols.tail: _*).head()
+        val row = frame.agg(statsCols.head, statsCols.tail: _*).head() // job 3
+        rdd.unpersist()
         val free = () => rdd.getCheckpointFile.foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

@@ -129,7 +129,13 @@ object Similarity {
     * aggregation — no driver-side loops over data; only the round count
     * is driver-controlled. At real corpus scale, train on a sample (the
     * standard IVF recipe) and assign the full corpus once with the
-    * frozen centroids; the machinery is identical. */
+    * frozen centroids; the machinery is identical.
+    *
+    * Contract: `idCol` must cover [0, k) (the seed is `id < k` — an
+    * id space that skips those values seeds no cells and every query
+    * then finds no candidates), and `dim` must equal the vector width
+    * (`zip_with` null-pads a mismatch into null centroids). Both hold
+    * for the harness tables; assert them upstream for foreign data. */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dim: Int): DataFrame = {
     val prepped = prep(corpus, idCol, "__tid", vecCol)

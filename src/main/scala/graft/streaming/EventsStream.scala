@@ -87,19 +87,27 @@ object EventsStream {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, session_value: Double)
 
+  /** Full-precision epoch micros of a Timestamp — gap comparisons must
+    * run at the data's micros precision: `getTime` truncates to millis,
+    * and a sub-millisecond boundary gap would merge here while the
+    * batch q35 query (micros arithmetic) splits. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Gap-merge: each incoming event is a singleton session; the union
     * with the buffered partials, sorted by start, folds adjacent
     * intervals whose gap is <= gapMs — exactly the batch q35 session
-    * rule, but incremental and ORDER-INDEPENDENT: a late event that
-    * bridges two buffered sessions merges all three. */
+    * rule (compared in micros), but incremental and ORDER-INDEPENDENT:
+    * a late event that bridges two buffered sessions merges all three. */
   private def gapMerge(existing: List[PartialSession], incoming: Seq[Event],
       gapMs: Long): List[PartialSession] = {
+    val gapUs = gapMs * 1000L
     val all = (existing ++ incoming.map(e => PartialSession(e.ts, e.ts, 1, e.value)))
-      .sortBy(s => (s.start.getTime, s.end.getTime))
+      .sortBy(s => (micros(s.start), micros(s.end)))
     all.foldLeft(List.empty[PartialSession]) {
-      case (cur :: done, s) if s.start.getTime - cur.end.getTime <= gapMs =>
+      case (cur :: done, s) if micros(s.start) - micros(cur.end) <= gapUs =>
         PartialSession(cur.start,
-          if (s.end.getTime > cur.end.getTime) s.end else cur.end,
+          if (micros(s.end) > micros(cur.end)) s.end else cur.end,
           cur.n + s.n, cur.value + s.value) :: done
       case (acc, s) => s :: acc
     }.reverse
@@ -133,6 +141,12 @@ object EventsStream {
       implicit outEnc: org.apache.spark.sql.Encoder[SessionOut],
       stEnc: org.apache.spark.sql.Encoder[SessionBuffer]): Dataset[SessionOut] = {
 
+    // resolved at plan time: batch execution has no watermark — all
+    // input is present and every session is final. (Not inferred from
+    // a getCurrentWatermarkMs failure: swallowing arbitrary exceptions
+    // there would turn a genuine streaming-side error into silently
+    // closing every open session.)
+    val streaming = events.isStreaming
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
@@ -141,22 +155,26 @@ object EventsStream {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionBuffer]) =>
           val existing = state.getOption.map(_.sessions).getOrElse(Nil)
           val merged = gapMerge(existing, batch.toSeq, gapMs)
-          // batch mode has no watermark (getCurrentWatermarkMs throws):
-          // all input is present, every session is final
-          val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MaxValue)
+          val gapUs = gapMs * 1000L
           // strict <: an event AT the watermark can still arrive and an
-          // event at exactly end+gap still joins the session
+          // event at exactly end+gap still joins the session; watermark
+          // is millis — compare in micros at the conservative boundary
           val (closed, open) =
-            if (wm == Long.MaxValue) (merged, Nil)
-            else merged.partition(s => s.end.getTime + gapMs < wm)
+            if (!streaming) (merged, Nil)
+            else {
+              val wmUs = state.getCurrentWatermarkMs() * 1000L
+              merged.partition(s => micros(s.end) + gapUs < wmUs)
+            }
           if (open.isEmpty) {
             if (state.exists) state.remove()
           } else {
             state.update(SessionBuffer(open))
-            // fire when the earliest pending session becomes closable
-            // (must be strictly beyond the current watermark)
-            val nextClose = open.map(_.end.getTime + gapMs).min
-            state.setTimeoutTimestamp(math.max(nextClose, wm + 1))
+            // fire when the earliest pending session becomes closable:
+            // round the micros close-time UP to millis, and keep it
+            // strictly beyond the current watermark
+            val nextCloseMs = open.map(s =>
+              Math.floorDiv(micros(s.end) + gapUs + 999L, 1000L)).min
+            state.setTimeoutTimestamp(math.max(nextCloseMs, state.getCurrentWatermarkMs() + 1))
           }
           closed.map(s => SessionOut(userId, s.start, s.end, s.n, s.value)).iterator
       }

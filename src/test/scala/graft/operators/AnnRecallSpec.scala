@@ -32,7 +32,8 @@ class AnnRecallSpec extends SparkSpec {
     def recall(approx: Map[Long, Seq[Long]]): Double =
       (0L until 8L).map(id => approx(id).toSet.intersect(exact(id).toSet).size / 5.0).sum / 8.0
     val lshOld = recall(neighbors(Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 8, 64, 4)))
-    val lshNew = recall(neighbors(Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 5, 64, 8)))
+    val lshN = neighbors(Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 5, 64, 8))
+    val lshNew = recall(lshN)
     val ivfSeed = recall(neighbors(
       Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 16, 3, trainIters = 0)))
     val ivfTrained = recall(neighbors(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 16, 3)))
@@ -53,7 +54,6 @@ class AnnRecallSpec extends SparkSpec {
     // relative order among SHARED neighbors must agree with the exact
     // ranking (LSH may skip exact neighbors absent from its candidates,
     // but never reorder the ones it found)
-    val lshN = neighbors(Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 5, 64, 8))
     (0L until 8L).foreach { id =>
       val sharedSet = lshN(id).toSet.intersect(exact(id).toSet)
       val lshOrder = lshN(id).filter(sharedSet)
