@@ -218,6 +218,61 @@ object AdvancedQueries {
         SELECT user_id, session_seq, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
-        FROM sessions GROUP BY user_id, session_seq"""))
+        FROM sessions GROUP BY user_id, session_seq""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q53_window_analytics",
+      "Analytic-window family over per-user event streams (user_id < " +
+        "20): sequence number, inter-event gap in exact micros (lag), " +
+        "and a running value total in DECIMAL partials (prefix sums " +
+        "are order-fixed, so decimal keeps them engine-exact; raw " +
+        "double running sums would drift). One shuffle on user_id " +
+        "serves all three window functions.",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 20)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        ev.select(
+          col("user_id"), col("event_id"),
+          row_number().over(w).as("seq"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("gap_us"),
+          sum(col("value").cast(DecimalType(12, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_value"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS INTEGER) AS seq,
+               epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
+                 (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q54_sliding_window",
+      "Sliding-window counts (2-hour windows advancing hourly — each " +
+        "event lands in exactly 2 buckets) per event type: the batch " +
+        "twin of Structured Streaming's overlapping `window()`. The " +
+        "oracle reproduces Spark's epoch-aligned window starts with " +
+        "an unnest over the slide offsets; map-side combine collapses " +
+        "rows before the (window_start, event_type) exchange.",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("sum_value")),
+      Some("""
+        SELECT make_timestamp(3600000000 * (epoch_us(ts) // 3600000000)
+                 - i * 3600000000) AS win_start,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(i)
+        GROUP BY 1, 2"""))
   )
 }
