@@ -36,21 +36,20 @@ object Bench {
       }.toMap
     // Variance guard (BASELINE.md "Measurement method"): the host is
     // multi-tenant with ±50-100% wall-clock noise on single-shot runs.
-    // Run the whole suite twice in this JVM and report, per query, the
-    // MINIMUM of the two passes: min is the standard noise-robust
-    // estimator for wall time (noise is strictly additive — scheduler
-    // preemption, cold page cache, JIT warmup can only slow a pass,
-    // never speed it up), so per-query min across passes estimates the
-    // code's actual cost, not the host's worst moment.
-    val pass1 = runSuite()
-    val pass2 = runSuite()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    // Run the whole suite three times in this JVM and report, per
+    // query, the MINIMUM across passes: min is the standard noise-
+    // robust estimator for wall time (noise is strictly additive —
+    // scheduler preemption, cold page cache, JIT warmup can only slow
+    // a pass, never speed it up), so per-query min estimates the
+    // code's actual cost, not the host's worst moment. Three passes
+    // (~1-2 min total) widen the window past most contention bursts.
+    val passes = Seq.fill(3)(runSuite())
+    val results = passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val p1 = pass1.values.sum
-    val p2 = pass2.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass1_total":$p1,"pass2_total":$p2,"method":"per-query min of 2 in-JVM passes"}""")
+    val pt = passes.map(_.values.sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${pt.mkString(",")}],"method":"per-query min of 3 in-JVM passes"}""")
     spark.stop()
   }
 }
