@@ -40,14 +40,19 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Tumbling-window counts/sums per event type with a watermark: the
-    * incremental form of q19. Watermark bounds state: at 100 TB/day the
-    * state store holds only windows newer than (max event time - delay). */
+  /** Tumbling — or, with `slide`, overlapping — window counts/sums per
+    * event type with a watermark: the incremental form of q19 (and of
+    * q54 when sliding). Watermark bounds state: at 100 TB/day the
+    * state store holds only windows newer than (max event time -
+    * delay); a slide of 1/k the length multiplies state k-fold. */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
-      watermarkDelay: String = "2 hours"): DataFrame =
+      watermarkDelay: String = "2 hours", slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(
+        slide.map(s => window(col("ts"), windowLen, s))
+          .getOrElse(window(col("ts"), windowLen)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))

@@ -120,6 +120,62 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream=$got batch=$batch")
   }
 
+  test("sliding windowed agg over a stream matches the batch q54 buckets") {
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.windowedAgg(stream, windowLen = "2 hours", slide = Some("1 hour"))
+      .writeStream.outputMode("append").format("memory").queryName("slide_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("slide_out")
+      .select(col("bucket").as("win_start"), col("event_type"), col("n"))
+    val batch = graft.queries.AdvancedQueries.all
+      .find(_.name == "q54_sliding_window").get
+      .run(spark, "/root/testdata/sf0.001")
+    // append mode emits only watermark-closed windows; each must match
+    // its batch counterpart exactly
+    val joined = got.alias("s").join(batch.alias("b"), Seq("win_start", "event_type"))
+    assert(got.count() > 0)
+    assert(joined.count() == got.count(), "emitted window missing from batch")
+    assert(joined.filter(col("s.n") =!= col("b.n")).isEmpty)
+  }
+
+  test("sessionization is input-order independent (randomized property)") {
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    val baseUs = 1700000000000000L
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 300).map { i =>
+        val us = baseUs + rnd.nextLong(48L * 3600 * 1000000) // 48h spread
+        val t = new java.sql.Timestamp(us / 1000)
+        t.setNanos(((us % 1000000) * 1000).toInt)
+        EventsStream.Event(i.toLong, t, rnd.nextInt(5).toLong, "view", rnd.nextInt(100) / 10.0)
+      }
+      // in-memory reference: the batch session fold in micros
+      def us(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val want = events.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (us(e.ts), e.event_id))
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+        var (start, end, n) = (0L, 0L, 0)
+        sorted.foreach { e =>
+          val t = us(e.ts)
+          if (n == 0) { start = t; end = t; n = 1 }
+          else if (t - end > gapMs * 1000L) {
+            sessions += ((u, start, end, n)); start = t; end = t; n = 1
+          } else { end = t; n += 1 }
+        }
+        if (n > 0) sessions += ((u, start, end, n))
+        sessions
+      }.toSet
+      val got = EventsStream.sessionize(rnd.shuffle(events).toDS(), gapMs)
+        .collect()
+        .map(s => (s.user_id, us(s.session_start), us(s.session_end), s.n_events))
+        .toSet
+      assert(got == want, s"seed $seed: sessions diverge from the ordered fold")
+    }
+  }
+
   test("stateful sessionization: batch mode reproduces the q35 result exactly") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
