@@ -19,6 +19,41 @@ object CorpusQueries {
   private val POSTINGS = 10    // q51 postings kept per token
   private val RANK_DOCS = 50   // q52 docs ranked (doc_id bound)
   private val TOP_TERMS = 5    // q52 terms per doc
+  private val CDC_W = 8        // q55 rolling-hash window (chars)
+  private val CDC_DIV = 64     // q55 boundary divisor (~avg chunk len)
+
+  /** DuckDB twin of [[Chunking.cdcChunks]] as a `chunks` CTE (one row
+    * per chunk: doc_id, idx, clen, chash). Boundary positions must be
+    * assembled order-safely — DuckDB's list_distinct does NOT preserve
+    * order, so the interior list is filtered below length(text)
+    * instead of deduplicated against the final boundary. */
+  private val chunksCte: String = {
+    val pow31 = Seq.iterate(1L, CDC_W)(_ * 31L)
+    val hsum = (0 until CDC_W).map(k => s"ch[i-$k] * ${pow31(k)}").mkString(" + ")
+    s"""chars AS (
+       |          SELECT doc_id, text,
+       |                 list_transform(generate_series(1, length(text)),
+       |                   j -> ${Portable.pmd5Sql("substr(text, j, 1)")} % 65536) AS ch
+       |          FROM documents),
+       |        bounds AS (
+       |          SELECT doc_id, text,
+       |                 list_concat(list_concat(
+       |                   [CAST(0 AS BIGINT)],
+       |                   list_filter(list_filter(generate_series($CDC_W, length(text)),
+       |                                 i -> ($hsum) % $CDC_DIV = 0),
+       |                               p -> p < length(text))),
+       |                   [CAST(length(text) AS BIGINT)]) AS b
+       |          FROM chars),
+       |        chunks AS (
+       |          SELECT doc_id, c.idx, c.clen, c.chash
+       |          FROM (SELECT doc_id,
+       |                 unnest(list_transform(generate_series(1, len(b) - 1), x ->
+       |                   struct_pack(idx := x,
+       |                     clen := b[x+1] - b[x],
+       |                     chash := ${Portable.pmd5Sql(
+                               "substr(text, CAST(b[x] + 1 AS INTEGER), CAST(b[x+1] - b[x] AS INTEGER))")}))) AS c
+       |                FROM bounds))""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -120,6 +155,45 @@ object CorpusQueries {
         FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, token ASC) AS INTEGER) AS rank
               FROM scored)
-        WHERE rank <= $TOP_TERMS"""))
+        WHERE rank <= $TOP_TERMS""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q55_cdc_chunks",
+      s"Content-defined chunking: rolling-hash boundaries ($CDC_W-char " +
+        s"window, divisor $CDC_DIV ~ avg chunk length) split each " +
+        "document so chunk edges move WITH the content — an insertion " +
+        "shifts only the chunk it lands in, the property fixed blocks " +
+        "lack. Pure per-row projection: no shuffle, no pair work.",
+      (s, dir) =>
+        graft.operators.Chunking.cdcChunks(
+          t(s, dir, "documents").repartition(col("doc_id")),
+          "text", "doc_id", CDC_W, CDC_DIV),
+      Some(s"""
+        WITH $chunksCte
+        SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+               clen AS chunk_len, chash AS chunk_hash
+        FROM chunks""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q56_duplicate_chunks",
+      "Sub-document dedup over the CDC chunks: chunk hashes shared by " +
+        "more than one document (boilerplate, templated sections) with " +
+        "occurrence stats. The dedup aggregation shuffles 8-byte chunk " +
+        "hashes, never chunk text.",
+      (s, dir) =>
+        graft.operators.Chunking.duplicateChunks(
+          graft.operators.Chunking.cdcChunks(
+            t(s, dir, "documents").repartition(col("doc_id")),
+            "text", "doc_id", CDC_W, CDC_DIV),
+          "doc_id"),
+      Some(s"""
+        WITH $chunksCte
+        SELECT chash AS chunk_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS first_doc
+        FROM chunks
+        GROUP BY chash
+        HAVING count(DISTINCT doc_id) > 1"""))
   )
 }
