@@ -125,7 +125,7 @@ class StreamingSpec extends SparkSpec {
     val q = EventsStream.windowedAgg(stream, windowLen = "2 hours", slide = Some("1 hour"))
       .writeStream.outputMode("append").format("memory").queryName("slide_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "sliding-window stream did not finish in 120 s")
     val got = spark.table("slide_out")
       .select(col("bucket").as("win_start"), col("event_type"), col("n"))
     val batch = graft.queries.AdvancedQueries.all
@@ -248,7 +248,7 @@ class StreamingSpec extends SparkSpec {
     val q = EventsStream.sessionize(stream, gapMs, watermarkDelay = "4 days")
       .writeStream.outputMode("append").format("memory").queryName("sess_stream")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "sessionization replay did not finish in 180 s")
 
     val got = spark.table("sess_stream")
       .filter(col("user_id") =!= sentinelUser)
