@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.Portable
+import graft.operators.Curate
+
+/** Streaming curation: the batch [[Curate]] pipeline applied per
+  * micro-batch via foreachBatch — the production shape of continuous
+  * corpus ingestion (new document files land, each batch is gated,
+  * deduped and appended).
+  *
+  * Cross-batch semantics: each batch curates INTERNALLY with the full
+  * pipeline, then drops documents whose content hash already exists in
+  * the sink — so exact duplicates never land twice, across batches AND
+  * across failure/replay (foreachBatch may re-deliver a batch; the
+  * sink anti-join makes the append content-idempotent, which is the
+  * exactly-once recipe foreachBatch requires of its sink). Near-dup
+  * removal is within-batch only: cross-batch NEAR dups are a periodic
+  * compaction job over the landed corpus ([[graft.operators.Dedup]] +
+  * [[graft.operators.Maintenance]]), not a per-batch scan.
+  *
+  * Scale note: the sink anti-join reads only the content-hash column
+  * of the landed parquet (column pruning — 8 bytes/doc); at real
+  * corpus scale the hashes would live in a compacted index table
+  * maintained by the same job, same join shape.
+  */
+object CurateStream {
+
+  def start(docs: DataFrame, textCol: String, idCol: String,
+      outDir: String, checkpointDir: String,
+      cfg: Curate.Config = Curate.Config(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val step: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      val spark = batch.sparkSession
+      val curated = Curate(batch.toDF(), textCol, idCol, cfg)
+        .withColumn("__h", Portable.pmd5(col(textCol)))
+      val sinkHasData = {
+        val p = new org.apache.hadoop.fs.Path(outDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+      }
+      val fresh =
+        if (!sinkHasData) curated
+        else {
+          val existing = spark.read.parquet(outDir)
+            .select(Portable.pmd5(col(textCol)).as("__h")).distinct()
+          curated.join(existing, Seq("__h"), "left_anti")
+        }
+      fresh.drop("__h").write.mode("append").parquet(outDir)
+    }
+    docs.writeStream
+      .foreachBatch(step)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}
