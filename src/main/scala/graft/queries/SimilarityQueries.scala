@@ -217,6 +217,38 @@ object SimilarityQueries {
         FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
-        WHERE rank <= $TOPK"""))
+        WHERE rank <= $TOPK""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q57_int8_quantize",
+      "Int8 scalar quantization of the embedding corpus (symmetric " +
+        "scale = max|x|/127, codes floor(x/scale)) with per-vector " +
+        "scale, code checksum and reconstruction MSE — the 4x storage " +
+        "path for billion-vector corpora, as a pure per-row " +
+        "projection. floor instead of round keeps the codes " +
+        "bit-identical across engines (round-half modes differ).",
+      (s, dir) =>
+        Similarity.int8Quantize(
+          t(s, dir, "embeddings").repartition(col("vec_id")),
+          "vec_id", "embedding", dim = 64),
+      Some(s"""
+        WITH pv AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        scaled AS (
+          SELECT vec_id, v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) / 127 AS scale
+          FROM pv)
+        SELECT vec_id, scale,
+               CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(CASE WHEN scale = 0 THEN 0 ELSE floor(v[i] / scale) END AS BIGINT) * i))
+                 AS BIGINT) AS code_checksum,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, 64), i ->
+                   (v[i] - (CASE WHEN scale = 0 THEN 0 ELSE floor(v[i] / scale) END) * scale)
+                   * (v[i] - (CASE WHEN scale = 0 THEN 0 ELSE floor(v[i] / scale) END) * scale))),
+                 (a, x) -> a + x) / 64 AS mse
+        FROM scaled"""))
   )
 }
