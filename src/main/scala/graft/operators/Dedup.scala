@@ -105,6 +105,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-table LSH candidates: pairs (left id, right id) sharing at
+    * least one band key ACROSS two banded frames — the decontamination
+    * shape (training corpus × held-out eval set), where the self-join's
+    * `id < id` dedup does not apply. Same scale story as
+    * [[lshCandidates]]: an equi-join on (band, key), never a cross
+    * product; band the SMALL side (the eval set) and the join
+    * broadcasts it for free. */
+  def lshCandidatesAcross(bandedL: DataFrame, bandedR: DataFrame,
+      idCol: String, nBands: Int): DataFrame = {
+    def explodeBands(df: DataFrame, outId: String): DataFrame = {
+      val bandStructs = array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)
+      df.select(col(idCol).as(outId), explode(bandStructs).as("bk"))
+        .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    explodeBands(bandedL, "id_l")
+      .join(explodeBands(bandedR, "id_r"), Seq("band", "key"))
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+  }
+
   /** Token-hash array for SimHash (full-width pmd5 over distinct tokens). */
   def simhashTokenHashes(textCol: Column): Column =
     transform(array_distinct(split(textCol, " ")), t => Portable.pmd5(t))

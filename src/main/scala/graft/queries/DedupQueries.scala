@@ -241,6 +241,53 @@ object DedupQueries {
         WHERE jaccard >= 0.9""")),
     // ----------------------------------------------------------------
     Q(
+      "q58_decontaminate",
+      "Train/eval decontamination: training docs (doc_id >= 100) whose " +
+        "content near-duplicates a held-out eval doc (doc_id < 100) — " +
+        "MinHash-LSH band keys joined ACROSS the two sets (no cross " +
+        s"product; the small eval side broadcasts), exact token-set " +
+        s"Jaccard verified at $JT. The standard pre-training leakage " +
+        "check, built from the same signature family as q28.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        // the doc_id filters sit BELOW the signature projection, so the
+        // corpus is signed exactly once across the two branches
+        val banded = Dedup.bandKeys(
+          Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
+        val cands = Dedup.lshCandidatesAcross(
+          banded.filter(col("doc_id") >= 100),
+          banded.filter(col("doc_id") < 100), "doc_id", NB)
+          .select(col("id_l").as("train_id"), col("id_r").as("eval_id"))
+        val sets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ts"))
+        cands
+          .join(sets.select(col("doc_id").as("train_id"), col("ts").as("ts_t")), "train_id")
+          .join(sets.select(col("doc_id").as("eval_id"), col("ts").as("ts_e")), "eval_id")
+          .select(col("train_id"), col("eval_id"),
+            Dedup.jaccard(col("ts_t"), col("ts_e")).as("jaccard"))
+          .filter(col("jaccard") >= JT)
+      },
+      Some(s"""$sigCte,
+        banded AS (
+          SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
+          FROM sig),
+        bk AS (
+          ${(0 until NB).map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS train_id, r.doc_id AS eval_id
+          FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+          WHERE l.doc_id >= 100 AND r.doc_id < 100),
+        sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents)
+        SELECT train_id, eval_id, jaccard FROM (
+          SELECT train_id, eval_id,
+                 CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                   / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+          FROM cand JOIN sets a ON cand.train_id = a.doc_id
+                    JOIN sets b ON cand.eval_id = b.doc_id)
+        WHERE jaccard >= $JT""")),
+    // ----------------------------------------------------------------
+    Q(
       "q49_simhash_hamming",
       "SimHash Hamming near-dup pairs — the consumer of q29's " +
         "signatures: each 60-bit signature is pigeonholed into 4 " +
