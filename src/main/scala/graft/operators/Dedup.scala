@@ -126,6 +126,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Prefix-filtering set-similarity join (the ssjoin/PPJoin family):
+    * the third candidate-generation paradigm next to key blocking and
+    * LSH — and unlike LSH it is EXACT-COMPLETE: every pair with
+    * Jaccard >= tNum/tDen is guaranteed a candidate. Each doc's
+    * distinct tokens are ordered by ascending global frequency (rare
+    * first, the order that minimizes candidates); a pair at threshold
+    * t must share a token inside each side's prefix of length
+    * |T| - ceil(t|T|) + 1, so candidates come from an equi-join on
+    * prefix tokens. The threshold is a RATIONAL (tNum/tDen) so the
+    * prefix length is exact integer arithmetic — a float ceil would
+    * round differently at representability boundaries.
+    *
+    * Scale: two token-keyed shuffles (global df, per-doc sort) plus
+    * the prefix equi-join; rare-first ordering keeps hot tokens out
+    * of prefixes, bounding per-key join fan-out. Output:
+    * (id_a, id_b, jaccard) at jaccard >= t.
+    *
+    * @note persists an internal self-joined projection; call
+    *   `spark.catalog.clearCache()` after the terminal action. */
+  def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col(idCol),
+        transform(col("st"), s => s.getField("tok")).as("ts"),
+        size(col("st")).as("sz"))
+      // prefix length via exact integer ceil: sz - ceil(t*sz) + 1
+      .withColumn("plen",
+        col("sz") - expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1)
+    val pref = sorted
+      .select(col(idCol), explode(slice(col("ts"), lit(1), col("plen"))).as("ptok"))
+      // self-joined below: materialize or the df-join + sort pipeline
+      // runs once per side (freed by the caller's clearCache)
+      .persist()
+    val cands = pref.as("l").join(pref.as("r"),
+        col("l.ptok") === col("r.ptok") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val sets = sorted.select(col(idCol), col("ts"), col("sz"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("ts").as("ts_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("ts").as("ts_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ts_a"), col("ts_b"))).cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - size(array_intersect(col("ts_a"), col("ts_b")))))
+          .as("jaccard"))
+      .filter(col("jaccard") * tDen >= tNum)
+  }
+
   /** Token-hash array for SimHash (full-width pmd5 over distinct tokens). */
   def simhashTokenHashes(textCol: Column): Column =
     transform(array_distinct(split(textCol, " ")), t => Portable.pmd5(t))

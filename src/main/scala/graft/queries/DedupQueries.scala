@@ -288,6 +288,48 @@ object DedupQueries {
         WHERE jaccard >= $JT""")),
     // ----------------------------------------------------------------
     Q(
+      "q59_prefix_ssjoin",
+      "Prefix-filtering set-similarity join (ssjoin/PPJoin family): " +
+        "tokens ordered rare-first by global frequency; a pair at " +
+        "Jaccard >= 4/5 must share a token inside each side's " +
+        "|T|-ceil(0.8|T|)+1 prefix, so the prefix equi-join is an " +
+        "EXACT-COMPLETE candidate generator — the deterministic " +
+        "counterpart to q28's probabilistic LSH. Rational threshold " +
+        "keeps the prefix length in exact integer arithmetic. Scoped " +
+        "to a 500-doc slice: the synthetic corpus is template-heavy " +
+        "(~25% of ALL pairs share 80% vocabulary — word order differs, " +
+        "so shingle-LSH skips them), and completeness means the output " +
+        "IS every such pair; a real corpus has ppm-level density.",
+      (s, dir) =>
+        Dedup.prefixFilterPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 500)
+            .repartition(col("doc_id")),
+          "text", "doc_id", tNum = 4, tDen = 5),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents WHERE doc_id < 500),
+        dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+        sorted AS (
+          SELECT doc_id, list(tok ORDER BY df, tok) AS ts,
+                 CAST(count(*) AS BIGINT) AS sz
+          FROM toks JOIN dfreq USING (tok) GROUP BY doc_id),
+        pre AS (
+          SELECT doc_id,
+                 unnest(list_slice(ts, 1, CAST(sz - ((4*sz + 4) // 5) + 1 AS INTEGER))) AS ptok
+          FROM sorted),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM pre l JOIN pre r ON l.ptok = r.ptok AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                   / (a.sz + b.sz - len(list_intersect(a.ts, b.ts))) AS jaccard
+          FROM cand JOIN sorted a ON cand.id_a = a.doc_id
+                    JOIN sorted b ON cand.id_b = b.doc_id)
+        WHERE jaccard * 5 >= 4""")),
+    // ----------------------------------------------------------------
+    Q(
       "q49_simhash_hamming",
       "SimHash Hamming near-dup pairs — the consumer of q29's " +
         "signatures: each 60-bit signature is pigeonholed into 4 " +

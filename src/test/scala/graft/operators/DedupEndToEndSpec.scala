@@ -59,6 +59,33 @@ class DedupEndToEndSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L))
   }
 
+  test("prefix-filter ssjoin finds planted dups and dominates LSH (exact-complete)") {
+    spark.catalog.clearCache()
+    val pp = Dedup.prefixFilterPairs(corpus, "text", "doc_id", tNum = 7, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp.contains((0L, 1L)), "exact copies must pair")
+    assert(pp.contains((0L, 2L)) && pp.contains((1L, 2L)), "one-word edit is J>=0.7")
+    assert(!pp.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc excluded")
+
+    // on the real corpus at the q28 threshold: prefix filtering is
+    // exact-complete, so every LSH-found pair must also be found here
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val prefixPairs = Dedup.prefixFilterPairs(docs, "text", "doc_id", 4, 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.bandKeys(
+      Dedup.minhashSignature(docs, "text", 16, 3), 16, 4)
+    val lshPairs = Dedup.lshCandidates(banded, "doc_id", 4)
+      .join(docs.select(col("doc_id").as("id_a"),
+        array_distinct(split(col("text"), " ")).as("ts_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"),
+        array_distinct(split(col("text"), " ")).as("ts_b")), "id_b")
+      .filter(Dedup.jaccard(col("ts_a"), col("ts_b")) * 5 >= 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(prefixPairs),
+      s"LSH found pairs prefix filtering missed: ${lshPairs -- prefixPairs}")
+    spark.catalog.clearCache()
+  }
+
   test("simhash hamming pairs: exact copy found at distance 0, unrelated doc excluded") {
     val sigs = corpus.select(col("doc_id"),
       Dedup.simhash(spark, col("text")).as("sig"))
