@@ -78,6 +78,31 @@ object CorpusQueries {
               < $SAMPLE_PCT""")),
     // ----------------------------------------------------------------
     Q(
+      "q60_stratified_sample",
+      "Stratified (per-source) deterministic sampling — data-mixing " +
+        "rates per stratum: 50% of src0, 25% of src1, 10% of " +
+        "everything else, all by the same content-free hash threshold " +
+        "as q50 (no RNG state, reproducible, scan-stage filter). The " +
+        "shape of every training-mixture job: rates vary by stratum, " +
+        "selection stays a pure projection.",
+      (s, dir) => {
+        val keyHash =
+          Portable.pmd5(concat(lit("s:"), col("doc_id").cast("string"))) % 100
+        val rate = when(col("source") === "src0", 50)
+          .when(col("source") === "src1", 25)
+          .otherwise(10)
+        t(s, dir, "documents")
+          .filter(keyHash < rate)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ${Portable.pmd5Sql("concat('s:', CAST(doc_id AS VARCHAR))")} % 100
+              < CASE WHEN source = 'src0' THEN 50
+                     WHEN source = 'src1' THEN 25 ELSE 10 END""")),
+    // ----------------------------------------------------------------
+    Q(
       "q51_inverted_index",
       "Inverted-index construction: explode distinct tokens, group by " +
         s"token, keep document frequency and the first $POSTINGS " +
