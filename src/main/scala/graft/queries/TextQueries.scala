@@ -222,6 +222,72 @@ object TextQueries {
           Portable.rollingFingerprint(col("text")).as("fp")),
       Some(s"""
         SELECT doc_id, ${Portable.rollingFingerprintSql("text")} AS fp
-        FROM documents"""))
+        FROM documents""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q61_repetition_stats",
+      "Gopher/C4-style repetition signals per document: duplicate-word " +
+        "fraction (1 - distinct/total), top-unigram fraction and " +
+        "top-bigram fraction, plus the standard flag (dup > 0.3 or " +
+        "top unigram > 0.2). The canonical repetition-quality ruleset " +
+        "for pretraining corpora — two token-keyed aggregations, " +
+        "exact integer counts, mirrored division shapes.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val ua = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum(col("c")).as("total"), max(col("c")).as("topc"),
+            count(lit(1)).as("nd"))
+        val withTs = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val bg = withTs.select(col("doc_id"),
+          explode(when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        val ba = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum(col("c")).as("btotal"), max(col("c")).as("btopc"))
+        val joined = ua.join(ba, Seq("doc_id"), "left")
+        joined.select(
+          col("doc_id"),
+          col("total").as("n_words"), col("nd").as("n_distinct"),
+          (lit(1.0) - col("nd").cast("double") / col("total")).as("dup_word_frac"),
+          (col("topc").cast("double") / col("total")).as("top_unigram_frac"),
+          when(col("btotal").isNull, lit(0.0))
+            .otherwise(col("btopc").cast("double") / col("btotal")).as("top_bigram_frac"))
+          .withColumn("flagged",
+            ((lit(1.0) - col("n_distinct").cast("double") / col("n_words")) > 0.3 ||
+              (col("top_unigram_frac") > 0.2)).cast("int"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        ua AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                 CAST(max(c) AS BIGINT) AS topc, CAST(count(*) AS BIGINT) AS nd
+          FROM uni GROUP BY doc_id),
+        bgl AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(ts) >= 2
+                   THEN list_transform(generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS bg
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+        bi AS (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY 1, 2),
+        ba AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS btotal,
+                 CAST(max(c) AS BIGINT) AS btopc
+          FROM bi GROUP BY doc_id)
+        SELECT ua.doc_id, total AS n_words, nd AS n_distinct,
+               1.0 - CAST(nd AS DOUBLE) / total AS dup_word_frac,
+               CAST(topc AS DOUBLE) / total AS top_unigram_frac,
+               CASE WHEN btotal IS NULL THEN 0.0
+                    ELSE CAST(btopc AS DOUBLE) / btotal END AS top_bigram_frac,
+               CAST((1.0 - CAST(nd AS DOUBLE) / total) > 0.3
+                    OR (CAST(topc AS DOUBLE) / total) > 0.2 AS INTEGER) AS flagged
+        FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id"""))
   )
 }
