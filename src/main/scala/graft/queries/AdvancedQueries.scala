@@ -273,6 +273,37 @@ object AdvancedQueries {
                event_type, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(i)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q62_json_extract",
+      "Typed JSON extraction from the events props column (from_json " +
+        "with an explicit schema — malformed rows become nulls, not " +
+        "failures) and grouped stats over the extracted field. The " +
+        "semi-structured column pattern every event pipeline needs; " +
+        "parsing is a scan-stage projection, the aggregate shuffles " +
+        "5 group keys.",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            from_json(col("props"), StructType.fromDDL("k BIGINT")).getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("k")).as("n_parsed"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            (sum(col("k")).cast(DoubleType) / count(col("k"))).as("avg_k")),
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(count(k) AS BIGINT) AS n_parsed,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k,
+               CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        FROM (SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type"""))
   )
 }
