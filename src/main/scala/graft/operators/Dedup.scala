@@ -85,11 +85,7 @@ object Dedup {
     *   `spark.catalog.clearCache()` after the terminal action (the
     *   graft cache contract for every operator noting this). */
   def lshCandidates(banded: DataFrame, idCol: String, nBands: Int): DataFrame = {
-    val bandStructs = array((0 until nBands).map(b =>
-      struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)
-    val exploded = banded
-      .select(col(idCol), explode(bandStructs).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val exploded = bandExplode(banded, idCol, idCol, nBands)
       // self-joined below: without materialization the whole upstream
       // signature pipeline (shingle + minhash) runs once PER SIDE.
       // persist (not localCheckpoint): lineage is kept, so losing an
@@ -113,17 +109,20 @@ object Dedup {
     * product; band the SMALL side (the eval set) and the join
     * broadcasts it for free. */
   def lshCandidatesAcross(bandedL: DataFrame, bandedR: DataFrame,
-      idCol: String, nBands: Int): DataFrame = {
-    def explodeBands(df: DataFrame, outId: String): DataFrame = {
-      val bandStructs = array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)
-      df.select(col(idCol).as(outId), explode(bandStructs).as("bk"))
-        .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
-    }
-    explodeBands(bandedL, "id_l")
-      .join(explodeBands(bandedR, "id_r"), Seq("band", "key"))
+      idCol: String, nBands: Int): DataFrame =
+    bandExplode(bandedL, idCol, "id_l", nBands)
+      .join(bandExplode(bandedR, idCol, "id_r", nBands), Seq("band", "key"))
       .select(col("id_l"), col("id_r"))
       .distinct()
+
+  /** One (id, band, key) row per band of each doc — the shared explode
+    * behind both the self-join and cross-table candidate generators. */
+  private def bandExplode(banded: DataFrame, idCol: String, outId: String,
+      nBands: Int): DataFrame = {
+    val bandStructs = array((0 until nBands).map(b =>
+      struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)
+    banded.select(col(idCol).as(outId), explode(bandStructs).as("bk"))
+      .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Prefix-filtering set-similarity join (the ssjoin/PPJoin family):
@@ -159,24 +158,29 @@ object Dedup {
       // prefix length via exact integer ceil: sz - ceil(t*sz) + 1
       .withColumn("plen",
         col("sz") - expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1)
+      // consumed three times (prefix explode + both verification
+      // joins): materialize the tokenize/df-join/sort pipeline once
+      // (freed by the caller's clearCache)
+      .persist()
     val pref = sorted
       .select(col(idCol), explode(slice(col("ts"), lit(1), col("plen"))).as("ptok"))
-      // self-joined below: materialize or the df-join + sort pipeline
-      // runs once per side (freed by the caller's clearCache)
-      .persist()
     val cands = pref.as("l").join(pref.as("r"),
         col("l.ptok") === col("r.ptok") && col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
-    val sets = sorted.select(col(idCol), col("ts"), col("sz"))
+    val sets = sorted.select(col(idCol), col("ts"))
     cands
-      .join(sets.select(col(idCol).as("id_a"), col("ts").as("ts_a"), col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("ts").as("ts_b"), col("sz").as("sz_b")), "id_b")
+      .join(sets.select(col(idCol).as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("ts").as("ts_b")), "id_b")
+      // threshold test in EXACT integers (I*tDen >= tNum*U) — a float
+      // jaccard >= t comparison could drop a pair whose exact Jaccard
+      // EQUALS the rational threshold, breaking completeness
+      .filter(
+        size(array_intersect(col("ts_a"), col("ts_b"))) * tDen >=
+          (size(col("ts_a")) + size(col("ts_b")) -
+            size(array_intersect(col("ts_a"), col("ts_b")))) * tNum)
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("ts_a"), col("ts_b"))).cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - size(array_intersect(col("ts_a"), col("ts_b")))))
-          .as("jaccard"))
-      .filter(col("jaccard") * tDen >= tNum)
+        jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
   }
 
   /** Token-hash array for SimHash (full-width pmd5 over distinct tokens). */

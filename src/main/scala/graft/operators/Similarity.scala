@@ -251,12 +251,15 @@ object Similarity {
   /** Int8 scalar quantization of an embedding column — the storage
     * path for billion-vector corpora (4x smaller than float32, ~1%
     * cosine error at these scales). Per vector: symmetric scale =
-    * max|x| / 127, codes floor(x / scale) in [-127, 127]. floor, not
-    * round: IEEE floor is bit-identical on every engine while
-    * round-half modes differ, so the operator stays oracle-checkable
-    * (and the half-code bias is irrelevant next to quantization
-    * noise). Returns (id, scale, code-checksum, reconstruction MSE) —
-    * a pure per-row projection, no shuffle. */
+    * max|x| / 127, codes floor(x / scale) in [-128, 127] — when the
+    * scale rounds below the exact quotient, the most-negative element
+    * floors to -128, so codes fill the full int8 range like classic
+    * symmetric quantizers. floor, not round: IEEE floor is
+    * bit-identical on every engine while round-half modes differ, so
+    * the operator stays oracle-checkable (and the half-code bias is
+    * irrelevant next to quantization noise). Returns (id, scale,
+    * code-checksum, reconstruction MSE) — a pure per-row projection,
+    * no shuffle. */
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
     val prepped = df.select(col(idCol), toDouble(col(vecCol)).as("v"))
       .withColumn("__m", aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))

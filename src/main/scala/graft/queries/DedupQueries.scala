@@ -321,13 +321,13 @@ object DedupQueries {
         cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM pre l JOIN pre r ON l.ptok = r.ptok AND l.doc_id < r.doc_id)
-        SELECT id_a, id_b, jaccard FROM (
-          SELECT id_a, id_b,
-                 CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                   / (a.sz + b.sz - len(list_intersect(a.ts, b.ts))) AS jaccard
-          FROM cand JOIN sorted a ON cand.id_a = a.doc_id
-                    JOIN sorted b ON cand.id_b = b.doc_id)
-        WHERE jaccard * 5 >= 4""")),
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+        FROM cand JOIN sorted a ON cand.id_a = a.doc_id
+                  JOIN sorted b ON cand.id_b = b.doc_id
+        WHERE len(list_intersect(a.ts, b.ts)) * 5 >=
+              4 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))""")),
     // ----------------------------------------------------------------
     Q(
       "q49_simhash_hamming",

@@ -22,12 +22,19 @@ import graft.operators.Curate
   * compaction job over the landed corpus ([[graft.operators.Dedup]] +
   * [[graft.operators.Maintenance]]), not a per-batch scan.
   *
-  * Scale note: the sink anti-join reads only the content-hash column
-  * of the landed parquet (column pruning — 8 bytes/doc); at real
-  * corpus scale the hashes would live in a compacted index table
-  * maintained by the same job, same join shape.
+  * The sink carries the two independently-salted content hashes as
+  * columns (`content_hash`, `content_hash2`): the anti-join keys on
+  * BOTH (the same ~2^-120 pair-collision bound as [[Dedup.exact]] —
+  * one 60-bit hash starts merging distinct documents around 10^9 of
+  * them) and reads ONLY those two columns from the landed parquet
+  * (column pruning — 16 bytes/doc, no text rescan, no re-hashing).
+  * At real corpus scale the hashes would live in a compacted index
+  * table maintained by the same job; same join shape.
   */
 object CurateStream {
+
+  val HashCol = "content_hash"
+  val HashCol2 = "content_hash2"
 
   def start(docs: DataFrame, textCol: String, idCol: String,
       outDir: String, checkpointDir: String,
@@ -36,7 +43,8 @@ object CurateStream {
     val step: (Dataset[Row], Long) => Unit = { (batch, _) =>
       val spark = batch.sparkSession
       val curated = Curate(batch.toDF(), textCol, idCol, cfg)
-        .withColumn("__h", Portable.pmd5(col(textCol)))
+        .withColumn(HashCol, Portable.pmd5(col(textCol)))
+        .withColumn(HashCol2, Portable.pmd5Salted(1, col(textCol)))
       val sinkHasData = {
         val p = new org.apache.hadoop.fs.Path(outDir)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -46,10 +54,15 @@ object CurateStream {
         if (!sinkHasData) curated
         else {
           val existing = spark.read.parquet(outDir)
-            .select(Portable.pmd5(col(textCol)).as("__h")).distinct()
-          curated.join(existing, Seq("__h"), "left_anti")
+            .select(col(HashCol), col(HashCol2)).distinct()
+          curated.join(existing, Seq(HashCol, HashCol2), "left_anti")
         }
-      fresh.drop("__h").write.mode("append").parquet(outDir)
+      fresh.write.mode("append").parquet(outDir)
+      // Curate's dedup stages persist internal self-joined projections
+      // under the documented clearCache-after-terminal-action contract;
+      // a long-lived stream must free them per batch or cached blocks
+      // accumulate for the lifetime of the query
+      spark.catalog.clearCache()
     }
     docs.writeStream
       .foreachBatch(step)
