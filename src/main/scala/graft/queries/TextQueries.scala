@@ -225,6 +225,46 @@ object TextQueries {
         FROM documents""")),
     // ----------------------------------------------------------------
     Q(
+      "q63_oov_rate",
+      "Out-of-vocabulary rate per document against the corpus's own " +
+        "top-50 token vocabulary (count-desc, token-asc tiebreak): " +
+        "the vocabulary-coverage quality signal tokenizer pipelines " +
+        "filter on. The tiny vocab broadcasts; per-doc stats are one " +
+        "aggregation over the exploded tokens.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val vocab = broadcast(
+          t(s, dir, "documents")
+            .select(explode(split(col("text"), " ")).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("tok").asc)
+            .limit(50)
+            .select(col("tok"), lit(1).as("iv")))
+        toks.join(vocab, Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            coalesce(sum(col("iv")), lit(0)).cast("long").as("n_known"))
+          .select(col("doc_id"), col("n_tokens"), col("n_known"),
+            (lit(1.0) - col("n_known").cast("double") / col("n_tokens"))
+              .as("oov_rate"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        vocab AS (
+          SELECT tok, 1 AS iv
+          FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+                ORDER BY c DESC, tok ASC LIMIT 50))
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(coalesce(sum(iv), 0) AS BIGINT) AS n_known,
+               1.0 - CAST(coalesce(sum(iv), 0) AS DOUBLE) / count(*) AS oov_rate
+        FROM toks LEFT JOIN vocab USING (tok)
+        GROUP BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "q61_repetition_stats",
       "Gopher/C4-style repetition signals per document: duplicate-word " +
         "fraction (1 - distinct/total), top-unigram fraction and " +
