@@ -44,8 +44,13 @@ final class HttpTransport(
       .GET()
       .build()
     val resp = client.send(req, handler)
-    if (resp.statusCode() / 100 != 2)
-      throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+    if (resp.statusCode() / 100 != 2) {
+      // the query string carries Subscription-Key — report only
+      // scheme/host/path so a logged Failure can never leak the key
+      val u = URI.create(url)
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} for ${u.getScheme}://${u.getAuthority}${u.getPath}")
+    }
     resp.body()
   }
 

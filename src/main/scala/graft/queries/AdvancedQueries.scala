@@ -279,7 +279,9 @@ object AdvancedQueries {
       "q62_json_extract",
       "Typed JSON extraction from the events props column (from_json " +
         "with an explicit schema — malformed rows become nulls, not " +
-        "failures) and grouped stats over the extracted field. The " +
+        "failures; the oracle mirrors that with a json_valid guard, " +
+        "DuckDB's json_extract otherwise raises on invalid JSON) and " +
+        "grouped stats over the extracted field. The " +
         "semi-structured column pattern every event pipeline needs; " +
         "parsing is a scan-stage projection, the aggregate shuffles " +
         "5 group keys.",
@@ -302,7 +304,8 @@ object AdvancedQueries {
                min(k) AS min_k, max(k) AS max_k,
                CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
         FROM (SELECT event_type,
-                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                     CASE WHEN json_valid(props)
+                          THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
               FROM events)
         GROUP BY event_type"""))
   )

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.queries.Tables.t
+import graft.queries.Tables.{spread, t}
 
 /** Corpus-analytics queries a training-data pipeline needs beyond
   * dedup/similarity: reproducible sampling, inverted-index
@@ -107,20 +107,27 @@ object CorpusQueries {
       "Inverted-index construction: explode distinct tokens, group by " +
         s"token, keep document frequency and the first $POSTINGS " +
         s"postings (ascending doc_id) for tokens with df >= $MIN_DF. " +
-        "One shuffle on the token key; the posting truncation bounds " +
-        "the per-token payload, so stopword-grade skew cannot blow up " +
-        "a reducer (full posting lists would be chunked by (token, " +
-        "doc_id range) at corpus scale — same key join).",
+        "One shuffle on the token key; postings are bounded BEFORE the " +
+        "aggregation buffer (row_number over the token partition, kept " +
+        s"only while <= $POSTINGS), so a stopword-grade token gathers " +
+        s"at most $POSTINGS ids per reducer — never the full corpus " +
+        "(full posting lists would be chunked by (token, doc_id range) " +
+        "at corpus scale — same key join).",
       (s, dir) => {
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        // the window and the groupBy share hash(token) partitioning, so
+        // this is still ONE Exchange; collect_list skips the nulls the
+        // `when` produces past the cap, bounding the per-token buffer
+        val byToken = Window.partitionBy(col("token")).orderBy(col("doc_id"))
         docs
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("token"))
+          .withColumn("rn", row_number().over(byToken))
           .groupBy("token")
           .agg(
             count(lit(1)).as("df"), // tokens pre-distinct per doc
             array_join(
-              slice(sort_array(collect_list(col("doc_id"))), 1, POSTINGS), ",")
+              sort_array(collect_list(when(col("rn") <= POSTINGS, col("doc_id")))), ",")
               .as("postings"))
           .filter(col("df") >= MIN_DF)
       },
@@ -143,7 +150,7 @@ object CorpusQueries {
         "the ranked slice; df is one full-corpus token aggregation; " +
         "the join is a plain token equi-join.",
       (s, dir) => {
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
         val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         // corpus count straight off the scan — the defensive repartition
         // would add a full-corpus shuffle to a metadata-cheap count
@@ -191,7 +198,7 @@ object CorpusQueries {
         "lack. Pure per-row projection: no shuffle, no pair work.",
       (s, dir) =>
         graft.operators.Chunking.cdcChunks(
-          t(s, dir, "documents").repartition(col("doc_id")),
+          spread(t(s, dir, "documents"), col("doc_id")),
           "text", "doc_id", CDC_W, CDC_DIV),
       Some(s"""
         WITH $chunksCte
@@ -208,7 +215,7 @@ object CorpusQueries {
       (s, dir) =>
         graft.operators.Chunking.duplicateChunks(
           graft.operators.Chunking.cdcChunks(
-            t(s, dir, "documents").repartition(col("doc_id")),
+            spread(t(s, dir, "documents"), col("doc_id")),
             "text", "doc_id", CDC_W, CDC_DIV),
           "doc_id"),
       Some(s"""

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.operators.Dedup
-import graft.queries.Tables.t
+import graft.queries.Tables.{spread, t}
 
 /** Deduplication queries over `documents`: exact, MinHash+LSH, SimHash,
   * n-gram Jaccard. North-star operators (BASELINE.json); the reference's
@@ -43,7 +43,7 @@ object DedupQueries {
     // the testdata table is one small parquet file = one input split;
     // spread rows before the (expensive) signature projection so all
     // cores shingle+hash — on a real corpus the file count does this
-    val docs = t(s, dir, "documents").repartition(col("doc_id"))
+    val docs = spread(t(s, dir, "documents"), col("doc_id"))
     val banded = Dedup.bandKeys(
       Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
     val cands = Dedup.lshCandidates(banded, "doc_id", NB)
@@ -141,7 +141,7 @@ object DedupQueries {
       "60-bit SimHash signature per document over distinct-token " +
         "hashes (bit-majority vote).",
       (s, dir) =>
-        t(s, dir, "documents").repartition(col("doc_id")).select(
+        spread(t(s, dir, "documents"), col("doc_id")).select(
           col("doc_id"),
           Dedup.simhash(s, col("text")).as("simhash")),
       Some(s"""
@@ -167,7 +167,7 @@ object DedupQueries {
         // single-file table: spread before the n-gram projection;
         // hashed n-grams SORTED once per row so the verification is a
         // native two-pointer merge (no per-pair hash set)
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
         // materialize the projection: it feeds the signature pipeline
         // and both verify-phase joins — unmaterialized, Spark
         // recomputes the hashing 3-4x. persist keeps lineage and the
@@ -249,7 +249,7 @@ object DedupQueries {
         s"Jaccard verified at $JT. The standard pre-training leakage " +
         "check, built from the same signature family as q28.",
       (s, dir) => {
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
         // the doc_id filters sit BELOW the signature projection, so the
         // corpus is signed exactly once across the two branches
         val banded = Dedup.bandKeys(
@@ -302,8 +302,8 @@ object DedupQueries {
         "IS every such pair; a real corpus has ppm-level density.",
       (s, dir) =>
         Dedup.prefixFilterPairs(
-          t(s, dir, "documents").filter(col("doc_id") < 500)
-            .repartition(col("doc_id")),
+          spread(t(s, dir, "documents").filter(col("doc_id") < 500),
+            col("doc_id")),
           "text", "doc_id", tNum = 4, tDen = 5),
       Some(s"""
         WITH toks AS (
@@ -338,7 +338,7 @@ object DedupQueries {
         "candidate generator), then one xor+popcount per candidate " +
         "verifies the distance.",
       (s, dir) => {
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
         val sigs = docs.select(col("doc_id"),
           Dedup.simhash(s, col("text")).as("sig"))
         Dedup.simhashHammingPairs(sigs, "doc_id", "sig",

@@ -17,8 +17,27 @@ final case class Q(
     oracle: Option[String])
 
 object Tables {
+  import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.LongType
+
+  /** Spread a scan across cores ONLY when it yielded fewer input splits
+    * than the session's parallelism. The sf* testdata tables are
+    * single-row-group parquet files — one input split regardless of
+    * `spark.sql.files.maxPartitionBytes` — so on local[32] every
+    * expensive per-row projection (MinHash signatures, shingle hashing,
+    * vector norms) would otherwise run on one core. On a real multi-file
+    * corpus the scan already produces >= parallelism splits and this
+    * returns the input UNCHANGED: no Exchange enters the plan, per-row
+    * projections stay scan-stage, and full document text is never
+    * shuffled (the 100 TB requirement). `rdd.getNumPartitions` is a
+    * plan-time check (counts scan splits, including byte-range splits of
+    * large files) — it launches no job.
+    */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+  }
 
   /** Read one testdata table from an sf directory.
     *

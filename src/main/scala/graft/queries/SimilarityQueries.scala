@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
-import graft.queries.Tables.t
+import graft.queries.Tables.{spread, t}
 
 /** Similarity-search queries over `embeddings` (array<float>, 64-dim):
   * brute-force cosine top-k (exact baseline), SRP-LSH bucketed ANN
@@ -108,7 +108,7 @@ object SimilarityQueries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         Similarity.ivfTopK(
-          e.repartition(col("vec_id")), e.filter(col("vec_id") < NQ),
+          spread(e, col("vec_id")), e.filter(col("vec_id") < NQ),
           "vec_id", "embedding", TOPK, NCELLS, NPROBE,
           trainIters = TRAIN_ITERS, dim = 64)
       },
@@ -146,7 +146,7 @@ object SimilarityQueries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         Similarity.bruteForceTopK(
-          e.repartition(col("vec_id")), e.filter(col("vec_id") < NQ),
+          spread(e, col("vec_id")), e.filter(col("vec_id") < NQ),
           "vec_id", "embedding", TOPK)
       },
       Some(s"""
@@ -171,7 +171,7 @@ object SimilarityQueries {
       (s, dir) =>
         Similarity.srpCosinePairs(
           // single-file table: spread before the norm projection
-          t(s, dir, "embeddings").repartition(col("vec_id")),
+          spread(t(s, dir, "embeddings"), col("vec_id")),
           "vec_id", "embedding", COS_T,
           bits = ND_BITS, dim = 64, tables = ND_TABLES),
       Some(s"""
@@ -199,7 +199,7 @@ object SimilarityQueries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         Similarity.lshTopK(
-          e.repartition(col("vec_id")), e.filter(col("vec_id") < NQ),
+          spread(e, col("vec_id")), e.filter(col("vec_id") < NQ),
           "vec_id", "embedding", TOPK, BITS, dim = 64, tables = TABLES)
       },
       Some(s"""
@@ -229,7 +229,7 @@ object SimilarityQueries {
         "bit-identical across engines (round-half modes differ).",
       (s, dir) =>
         Similarity.int8Quantize(
-          t(s, dir, "embeddings").repartition(col("vec_id")),
+          spread(t(s, dir, "embeddings"), col("vec_id")),
           "vec_id", "embedding", dim = 64),
       Some(s"""
         WITH pv AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Portable, TextAnalysis => TA}
-import graft.queries.Tables.t
+import graft.queries.Tables.{spread, t}
 
 /** Text-analysis queries over the `documents` table: token counting,
   * corpus profiling, language-ID heuristic, quality scoring, document
@@ -232,7 +232,7 @@ object TextQueries {
         "filter on. The tiny vocab broadcasts; per-doc stats are one " +
         "aggregation over the exploded tokens.",
       (s, dir) => {
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
         val toks = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
         val vocab = broadcast(
@@ -273,7 +273,7 @@ object TextQueries {
         "for pretraining corpora — two token-keyed aggregations, " +
         "exact integer counts, mirrored division shapes.",
       (s, dir) => {
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
         val toks = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
         val ua = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
