@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -14,50 +15,96 @@ import graft.operators.Curate
   *
   * Cross-batch semantics: each batch curates INTERNALLY with the full
   * pipeline, then drops documents whose content hash already exists in
-  * the sink — so exact duplicates never land twice, across batches AND
-  * across failure/replay (foreachBatch may re-deliver a batch; the
-  * sink anti-join makes the append content-idempotent, which is the
-  * exactly-once recipe foreachBatch requires of its sink). Near-dup
+  * a compact HASH-INDEX table (`outDir`_hashidx) — so exact duplicates
+  * never land twice, across batches AND across failure/replay. Near-dup
   * removal is within-batch only: cross-batch NEAR dups are a periodic
   * compaction job over the landed corpus ([[graft.operators.Dedup]] +
   * [[graft.operators.Maintenance]]), not a per-batch scan.
   *
-  * The sink carries the two independently-salted content hashes as
-  * columns (`content_hash`, `content_hash2`): the anti-join keys on
-  * BOTH (the same ~2^-120 pair-collision bound as [[Dedup.exact]] —
-  * one 60-bit hash starts merging distinct documents around 10^9 of
-  * them) and reads ONLY those two columns from the landed parquet
-  * (column pruning — 16 bytes/doc, no text rescan, no re-hashing).
-  * At real corpus scale the hashes would live in a compacted index
-  * table maintained by the same job; same join shape.
+  * The index holds the two independently-salted 60-bit content hashes
+  * plus the landing batch (`content_hash`, `content_hash2`, `batch_id`):
+  * the anti-join keys on BOTH hashes (the same ~2^-120 pair-collision
+  * bound as [[Dedup.exact]] — one 60-bit hash starts merging distinct
+  * documents around 10^9 of them). Per-batch dedup cost is one scan of
+  * the 16-byte-per-doc index — the corpus parquet itself is NEVER read
+  * on the dedup path (CurateStreamSpec proves it by hiding the landed
+  * data files), which is what keeps a long-lived stream viable: the old
+  * shape (anti-join against the sink's own hash columns) touched every
+  * corpus file's footer every batch. At real corpus scale the index
+  * would additionally be bucketed on `content_hash` so the anti-join
+  * co-locates without a shuffle; same join shape.
+  *
+  * Exactly-once across replays (foreachBatch may re-deliver the last
+  * uncommitted batch): the sink is partitioned by `batch_id`, and the
+  * anti-join unions the index with the hashes already landed under
+  * `batch_id >= currentBatch` — a partition-PRUNED read that is empty
+  * except during a replay, when it contains exactly the rows a failed
+  * prior attempt appended. The index is then caught up with every
+  * curated hash it is missing (not just this attempt's `fresh` rows),
+  * so a crash between the sink append and the index append repairs
+  * itself on the next attempt, and a crash after both appends makes the
+  * replay a pure no-op (both writes append nothing).
   */
 object CurateStream {
 
   val HashCol = "content_hash"
   val HashCol2 = "content_hash2"
+  val BatchCol = "batch_id"
+
+  /** The compact hash-index table that travels with a curated sink. */
+  def indexDir(outDir: String): String = outDir + "_hashidx"
+
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      s.getPath.getName.endsWith(".parquet") ||
+        s.getPath.getName.startsWith(s"$BatchCol=")
+    }
+  }
 
   def start(docs: DataFrame, textCol: String, idCol: String,
       outDir: String, checkpointDir: String,
       cfg: Curate.Config = Curate.Config(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val step: (Dataset[Row], Long) => Unit = { (batch, _) =>
+    val step: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
+      val idxDir = indexDir(outDir)
       val curated = Curate(batch.toDF(), textCol, idCol, cfg)
         .withColumn(HashCol, Portable.pmd5(col(textCol)))
         .withColumn(HashCol2, Portable.pmd5Salted(1, col(textCol)))
-      val sinkHasData = {
-        val p = new org.apache.hadoop.fs.Path(outDir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-      }
-      val fresh =
-        if (!sinkHasData) curated
-        else {
-          val existing = spark.read.parquet(outDir)
-            .select(col(HashCol), col(HashCol2)).distinct()
-          curated.join(existing, Seq(HashCol, HashCol2), "left_anti")
-        }
-      fresh.write.mode("append").parquet(outDir)
+
+      val hashSchema = s"$HashCol BIGINT, $HashCol2 BIGINT, $BatchCol BIGINT"
+      val idxHashes =
+        if (!hasData(spark, idxDir)) None
+        else Some(spark.read.schema(hashSchema).parquet(idxDir)
+          .select(HashCol, HashCol2))
+      // replay guard: hashes a failed prior attempt of THIS batch already
+      // landed. The explicit pruned schema + partition filter mean no
+      // corpus data file (and no prior-batch footer) is ever opened —
+      // outside a replay the pruned file set is empty.
+      val replayed =
+        if (!hasData(spark, outDir)) None
+        else Some(spark.read.schema(hashSchema).parquet(outDir)
+          .filter(col(BatchCol) >= batchId)
+          .select(HashCol, HashCol2))
+
+      val anti = (idxHashes ++ replayed).reduceOption(_ union _)
+      val fresh = anti
+        .map(a => curated.join(a, Seq(HashCol, HashCol2), "left_anti"))
+        .getOrElse(curated)
+      fresh.withColumn(BatchCol, lit(batchId))
+        .write.mode("append").partitionBy(BatchCol).parquet(outDir)
+
+      // catch the index up with every curated hash it is missing — NOT
+      // just `fresh`: after a crash between the two appends, the sink
+      // holds rows the index has never seen, and this is where they're
+      // repaired. Appends nothing on a clean replay.
+      val newIdx = curated.select(HashCol, HashCol2).distinct()
+      idxHashes.map(idx => newIdx.join(idx, Seq(HashCol, HashCol2), "left_anti"))
+        .getOrElse(newIdx)
+        .withColumn(BatchCol, lit(batchId))
+        .write.mode("append").parquet(idxDir)
       // Curate's dedup stages persist internal self-joined projections
       // under the documented clearCache-after-terminal-action contract;
       // a long-lived stream must free them per batch or cached blocks

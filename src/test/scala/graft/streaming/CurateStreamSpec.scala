@@ -1,15 +1,17 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, Paths}
+
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.Curate
+import graft.operators.{Curate, Maintenance}
 
 /** Streaming curation over arriving document files: per-batch gating +
-  * dedup, cross-batch/cross-restart content idempotence via the sink
-  * anti-join. */
+  * dedup, cross-batch/cross-restart content idempotence via the hash
+  * index, and the periodic near-dup compaction job over the sink. */
 class CurateStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,45 +22,52 @@ class CurateStreamSpec extends SparkSpec {
   private val third =
     "yet another unique piece of text that talks at length about how a streaming query lands curated batches into the corpus sink over time"
 
-  test("per-batch curation + cross-batch exact dedup across a restart") {
-    val root = java.nio.file.Files.createTempDirectory("curate-stream")
-    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
-    val out = root.resolve("out").toString
-    val cp = root.resolve("cp").toString
-    val cfg = Curate.Config(minQuality = 0.4, nearDupThreshold = 0.7)
+  private val cfg = Curate.Config(minQuality = 0.4, nearDupThreshold = 0.7)
 
-    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
-      val scratch = root.resolve(s"scratch_$name")
-      rows.toDF("doc_id", "text").coalesce(1).write.parquet(scratch.toString)
-      val part = java.nio.file.Files.list(scratch).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, in.resolve(s"$name.parquet"))
-    }
-    def runOnce(): Unit = {
-      val stream = spark.readStream
-        .schema("doc_id LONG, text STRING")
-        .parquet(in.toString)
-      val q = CurateStream.start(stream, "text", "doc_id", out, cp, cfg)
-      assert(q.awaitTermination(120000), "curation stream did not finish")
-    }
+  /** Drop one parquet of `rows` into the stream's input dir. */
+  private def stage(root: Path, name: String, rows: Seq[(Long, String)]): Unit = {
+    val scratch = root.resolve(s"scratch_$name")
+    rows.toDF("doc_id", "text").coalesce(1).write.parquet(scratch.toString)
+    val part = Files.list(scratch).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, root.resolve("in").resolve(s"$name.parquet"))
+  }
+
+  /** One AvailableNow run of the curation stream (a restart each call). */
+  private def runOnce(root: Path, out: String, cp: String): Unit = {
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(root.resolve("in").toString)
+    val q = CurateStream.start(stream, "text", "doc_id", out, cp, cfg)
+    assert(q.awaitTermination(120000), "curation stream did not finish")
+  }
+
+  private def mkRoot(tag: String): (Path, String, String) = {
+    val root = Files.createTempDirectory(tag)
+    Files.createDirectories(root.resolve("in"))
+    (root, root.resolve("out").toString, root.resolve("cp").toString)
+  }
+
+  test("per-batch curation + cross-batch exact dedup across a restart") {
+    val (root, out, cp) = mkRoot("curate-stream")
 
     // batch 1: exact dup pair, a near-dup, a junk doc, one clean doc
-    stage("a", Seq(
+    stage(root, "a", Seq(
       (0L, good), (1L, good),                    // exact dup inside the batch
       (2L, good.replace("warm", "cold")),        // near dup inside the batch
       (3L, "the a the a the a"),                 // quality-gated
       (4L, other)))
-    runOnce()
+    runOnce(root, out, cp)
     val afterA = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
     assert(afterA == Set(0L, 4L), s"batch A curation wrong: $afterA")
 
     // batch 2 (separate stream run = restart): a cross-batch exact dup
     // of doc 0, an in-batch dup pair, and a fresh doc
-    stage("b", Seq(
+    stage(root, "b", Seq(
       (7L, good),                                // exact dup of landed doc 0
       (8L, third), (9L, third),                  // in-batch exact dup pair
       (10L, other)))                             // exact dup of landed doc 4
-    runOnce()
+    runOnce(root, out, cp)
 
     val landed = spark.read.parquet(out)
     val ids = landed.select("doc_id").as[Long].collect().toSet
@@ -76,5 +85,62 @@ class CurateStreamSpec extends SparkSpec {
       "text", "doc_id", cfg)
       .select("text").as[String].collect().toSet
     assert(landed.select("text").as[String].collect().toSet == batchAll)
+  }
+
+  test("batch N>1 dedup reads the hash index, never the corpus files") {
+    val (root, out, cp) = mkRoot("curate-idx")
+
+    stage(root, "a", Seq((0L, good), (4L, other)))
+    runOnce(root, out, cp)
+
+    // hide every landed DATA file — only the compact hash index stays
+    // readable. If anything on the batch-2 dedup path touched the
+    // corpus parquet, the cross-batch dup below would land again (the
+    // pruned sink read would see an empty corpus).
+    val hidden = root.resolve("hidden")
+    Files.move(Paths.get(out, "batch_id=0"), hidden)
+
+    stage(root, "b", Seq(
+      (7L, good),                                // cross-batch exact dup
+      (8L, third)))                              // fresh
+    runOnce(root, out, cp)
+    Files.move(hidden, Paths.get(out, "batch_id=0"))
+
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 4L, 8L),
+      s"dedup did not come from the hash index: $ids")
+    // the index carries exactly the landed hashes, one row each
+    val idx = spark.read.parquet(CurateStream.indexDir(out))
+    assert(idx.select(CurateStream.HashCol).distinct().count() == 3)
+    assert(idx.count() == 3, "index accumulated duplicate hash rows")
+  }
+
+  test("periodic compaction collapses cross-batch NEAR dups in the sink") {
+    val (root, out, cp) = mkRoot("curate-compact")
+
+    // batch 1 lands two clean docs; batch 2 lands a NEAR dup of doc 0
+    // (one word differs — below the exact-hash gate, above the
+    // near-dup threshold) plus a fresh doc. Per-batch curation keeps
+    // it: near-dup removal is within-batch only.
+    stage(root, "a", Seq((0L, good), (4L, other)))
+    runOnce(root, out, cp)
+    stage(root, "b", Seq((7L, good.replace("warm", "cold")), (8L, third)))
+    runOnce(root, out, cp)
+    val landedIds = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(landedIds == Set(0L, 4L, 7L, 8L),
+      s"cross-batch near dup should land before compaction: $landedIds")
+
+    // the maintenance job re-curates the landed corpus as one frame
+    val compacted = root.resolve("compacted").toString
+    val nFiles = Maintenance.nearDupCompact(
+      spark, out, compacted, "text", "doc_id", cfg)
+    assert(nFiles == 1, s"tiny corpus should compact to one file: $nFiles")
+    val ids = spark.read.parquet(compacted).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 4L, 8L), s"near dup survived compaction: $ids")
+
+    // the hash index is untouched: the dropped near dup's exact hash
+    // still gates a re-arrival of the same content at ingest
+    val idx = spark.read.parquet(CurateStream.indexDir(out))
+    assert(idx.count() == 4, "compaction must not rewrite the hash index")
   }
 }
