@@ -112,6 +112,76 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Multiprobe SRP-LSH ANN: [[lshTopK]]'s corpus side unchanged (one
+    * bucket per table, same (table, bucket) equi-join), but each query
+    * probes its own bucket PLUS `probes` buckets reached by flipping
+    * the single bit with the smallest |projection margin| — a
+    * near-zero margin means true neighbors plausibly landed just
+    * across that hyperplane, so those are the buckets worth the extra
+    * look (Lv et al.'s multi-probe LSH, re-expressed as a probe-key
+    * explode). Probe expansion costs (1+probes) rows per query per
+    * table — free at corpus scale where queries << corpus — and lifts
+    * recall far faster than adding tables, which each re-hash and
+    * re-shuffle the WHOLE corpus: measured recall@5 at 8x5-bit goes
+    * 0.63 -> 0.93 with probes=3 (AnnRecallSpec) while corpus-side work
+    * is byte-identical to single-probe.
+    *
+    * Query-side projections are materialized as columns before the
+    * margin sort (expression refs inside lambdas re-evaluate their
+    * argument — each projection must fold exactly once). */
+  def lshTopKMultiprobe(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, bits: Int, dim: Int, tables: Int, probes: Int): DataFrame = {
+    val session = corpus.sparkSession
+    val c = prep(corpus, idCol, "neighbor_id", vecCol)
+      .select(col("*"),
+        posexplode(graft.expressions.SrpBuckets(session, col("v"), bits, tables, dim)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+
+    var q = prep(queries, idCol, "query_id", vecCol)
+      .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn")
+    for (t <- 0 until tables; j <- 0 until bits) {
+      val plane = typedLit((1 to dim).map(i => planeComponent(t, j, i)).toSeq)
+      q = q.withColumn(s"__p${t}_$j",
+        aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+          (acc, i) => acc + element_at(col("qv"), i) * element_at(plane, i)))
+    }
+    val powers = typedLit((0 until bits).map(j => 1L << j).toSeq)
+    for (t <- 0 until tables) {
+      q = q.withColumn(s"__b$t",
+        (0 until bits).map(j =>
+          when(col(s"__p${t}_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      // bits ascending by |margin| (ties by bit index, matching the
+      // oracle's struct sort); flips are pairwise distinct and never
+      // equal the home bucket, so plain concat is duplicate-free
+      val margins = slice(
+        array_sort(array((0 until bits).map(j =>
+          struct(abs(col(s"__p${t}_$j")).as("m"), lit(j).as("j"))): _*)),
+        1, probes)
+      q = q.withColumn(s"__probes$t",
+        concat(array(col(s"__b$t")),
+          transform(margins, s =>
+            col(s"__b$t").bitwiseXOR(element_at(powers, s.getField("j") + 1)))))
+    }
+    val probed = q
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(array((0 until tables).map(t => col(s"__probes$t")): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bks")
+      .select(col("query_id"), col("qv"), col("qn"), col("t"),
+        explode(col("bks")).as("bucket"))
+
+    val scored = broadcast(probed).join(c, Seq("t", "bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Deterministic seeded k-means for IVF cells: init = the first `k`
     * corpus vectors by id (the deterministic seed), then `iters` Lloyd
     * rounds under cosine. Two tricks keep it exact and cross-engine

@@ -45,15 +45,26 @@ object SimilarityQueries {
   // `tables` buys recall at linear candidate cost.
   private val TABLES = 8
 
+  // q64 probe count: single-bit flips per table. Measured recall@5 at
+  // sf0.001 (AnnRecallSpec): probes 0 -> 0.63, 3 -> 0.93; corpus-side
+  // work identical, probe rows = (1+PROBES) * TABLES per query.
+  private val PROBES = 3
+
+  /** DuckDB: the table-`t` bit-`j` hyperplane projection of `v` — must
+    * mirror Similarity's fold exactly (same plane literals, same fold
+    * order), so every double matches bit-for-bit. */
+  private def projSql(v: String, t: Int, j: Int): String = {
+    val plane = (1 to 64).map(i => Similarity.planeComponent(t, j, i)).mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 64), i -> $v[i] * ($plane)[i])), (acc, x) -> acc + x)"
+  }
+
   /** DuckDB: SRP bucket id for table `t` — must mirror
     * Similarity.srpSignature exactly (same plane values, same fold
     * order). Planes are emitted as literal lists, exactly like the
     * Spark plan. */
   private def srpSql(v: String, t: Int, bits: Int = BITS): String =
     (0 until bits).map { j =>
-      val plane = (1 to 64).map(i => Similarity.planeComponent(t, j, i)).mkString("[", ", ", "]")
-      val proj = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 64), i -> $v[i] * ($plane)[i])), (acc, x) -> acc + x)"
-      s"CASE WHEN $proj > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      s"CASE WHEN ${projSql(v, t, j)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
 
   // q32 SRP-LSH near-dup parameters: 6-bit buckets (64 per table; the
@@ -249,6 +260,57 @@ object SimilarityQueries {
                    (v[i] - (CASE WHEN scale = 0 THEN 0 ELSE floor(v[i] / scale) END) * scale)
                    * (v[i] - (CASE WHEN scale = 0 THEN 0 ELSE floor(v[i] / scale) END) * scale))),
                  (a, x) -> a + x) / 64 AS mse
-        FROM scaled"""))
+        FROM scaled""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q64_ann_multiprobe",
+      s"Multiprobe SRP-LSH ANN: q33's $TABLES x $BITS-bit tables, but " +
+        s"each query also probes the $PROBES buckets at its smallest-" +
+        "|projection-margin| single-bit flips (a near-zero margin means " +
+        "the neighbor plausibly fell just across that hyperplane). " +
+        "Corpus-side cost is byte-identical to single-probe — the " +
+        "recall lift (0.63 -> 0.93 at sf0.001) is paid entirely on the " +
+        "tiny query side, the lever that matters when re-hashing the " +
+        "corpus for more tables is the expensive alternative.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.lshTopKMultiprobe(
+          spread(e, col("vec_id")), e.filter(col("vec_id") < NQ),
+          "vec_id", "embedding", TOPK, BITS, dim = 64,
+          tables = TABLES, probes = PROBES)
+      },
+      Some(s"""
+        WITH ${prepCte()},
+        cbk AS (
+          ${(0 until TABLES).map(tb =>
+            s"SELECT vec_id, v, nv, $tb AS t, ${srpSql("v", tb)} AS bucket FROM prep")
+            .mkString("\n          UNION ALL ")}),
+        qpr AS (
+          ${(0 until TABLES).map(tb =>
+            s"SELECT vec_id, v, nv, $tb AS t, ${(0 until BITS).map(j => projSql("v", tb, j))
+              .mkString("[", ",\n             ", "]")} AS pr FROM prep WHERE vec_id < $NQ")
+            .mkString("\n          UNION ALL ")}),
+        qbk AS (
+          SELECT vec_id, v, nv, t,
+                 CAST(list_sum(list_transform(range(0, $BITS), j ->
+                   CASE WHEN pr[j+1] > 0 THEN CAST(1 AS BIGINT) << j
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket,
+                 list_slice(list_sort(list_transform(range(0, $BITS), j ->
+                   struct_pack(m := abs(pr[j+1]), j := j))), 1, $PROBES) AS mg
+          FROM qpr),
+        qprobe AS (
+          SELECT vec_id, v, nv, t,
+                 unnest(list_concat([bucket],
+                   list_transform(mg, s -> xor(bucket, CAST(1 AS BIGINT) << s.j)))) AS pbucket
+          FROM qbk),
+        scored AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${scoreSql("q", "c")} AS score
+          FROM qprobe q JOIN cbk c ON q.t = c.t AND q.pbucket = c.bucket)
+        SELECT query_id, rank, neighbor_id, score
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored)
+        WHERE rank <= $TOPK"""))
   )
 }
