@@ -49,7 +49,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val pt = passes.map(_.values.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${pt.mkString(",")}],"method":"per-query min of 3 in-JVM passes"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${pt.mkString(",")}],"method":"per-query min of 3 in-JVM passes"}"""
+    // the JSON goes to a file FIRST: a tail-capture of mixed sbt output
+    // once truncated the stdout line (BENCH_r04 lost its headline), and
+    // the file copy keeps the record whole regardless of console noise
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")),
+      java.util.Arrays.asList(json))
+    println(json)
     spark.stop()
   }
 }
