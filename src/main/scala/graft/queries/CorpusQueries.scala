@@ -226,6 +226,180 @@ object CorpusQueries {
                min(doc_id) AS first_doc
         FROM chunks
         GROUP BY chash
-        HAVING count(DISTINCT doc_id) > 1"""))
+        HAVING count(DISTINCT doc_id) > 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q65_bow_dedup",
+      "Bag-of-words (word-order-insensitive) dedup: documents whose " +
+        "distinct-token SETS are identical — template renderings and " +
+        "shuffled boilerplate that exact hashing misses entirely (this " +
+        "corpus: 21 groups / 75 docs at sf0.01, all invisible to q26). " +
+        "The canonical key = sorted distinct tokens re-joined, hashed; " +
+        "the groupBy shuffles an 8-byte hash + doc_id, never text. " +
+        "Sits between exact dedup (q26) and similarity dedup (q28/q59) " +
+        "in the dedup-strictness ladder.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        docs
+          .select(col("doc_id"),
+            Portable.pmd5(col("text")).as("raw_hash"),
+            Portable.pmd5(
+              array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+              .as("bow_hash"))
+          .groupBy("bow_hash")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("raw_hash")).as("n_raw_variants"),
+            min(col("doc_id")).as("keep_id"))
+          .filter(col("n_docs") > 1)
+      },
+      Some(s"""
+        WITH norm AS (
+          SELECT doc_id, ${Portable.pmd5Sql("text")} AS raw_hash,
+                 ${Portable.pmd5Sql(
+                   "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")}
+                   AS bow_hash
+          FROM documents)
+        SELECT bow_hash, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants,
+               min(doc_id) AS keep_id
+        FROM norm GROUP BY bow_hash HAVING count(*) > 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q66_boilerplate_frac",
+      "Per-document boilerplate fraction: of a document's CDC chunks " +
+        "(q55), the share whose chunk hash also appears in ANOTHER " +
+        "document — the per-doc quality signal built from the corpus-" +
+        "level q56 view, used to drop template-dominated docs. The " +
+        "multiplicity aggregation and the join back both move only " +
+        "(doc_id, 8-byte chunk hash) pairs; chunk text never shuffles.",
+      (s, dir) => {
+        val chunks = graft.operators.Chunking.cdcChunks(
+          spread(t(s, dir, "documents"), col("doc_id")),
+          "text", "doc_id", CDC_W, CDC_DIV)
+          .select(col("doc_id"), col("chunk_hash"))
+        val mult = chunks.groupBy("chunk_hash")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        chunks.join(mult, "chunk_hash")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_chunks")).as("boiler_frac"))
+      },
+      Some(s"""
+        WITH $chunksCte,
+        mult AS (
+          SELECT chash, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chash)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                 AS boiler_frac
+        FROM chunks JOIN mult USING (chash)
+        GROUP BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q67_collocations",
+      "Top-20 corpus collocations by log-free PMI: score = c(w1,w2) * " +
+        "N / (c(w1) * c(w2)) over adjacent-token bigrams, min count 5 " +
+        "— integer products, ONE double division, so both engines " +
+        "divide identical operands (ln() is libm-dependent). Bigram " +
+        "and unigram counts are token-keyed aggregations; the final " +
+        "rank runs on the tiny min-count-filtered survivor set.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val bg = docs.select(split(col("text"), " ").as("ts"))
+          .select(explode(when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        val cu = bg.select(col("w1").as("w"))
+          .unionAll(bg.select(col("w2").as("w")))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val n = bg.agg(count(lit(1)).as("nb"))
+        val w = Window.orderBy(col("pmi_score").desc, col("w1").asc, col("w2").asc)
+        cb.filter(col("c_ab") >= 5)
+          .join(cu.select(col("w").as("w1"), col("c").as("ca")), "w1")
+          .join(cu.select(col("w").as("w2"), col("c").as("cb2")), "w2")
+          .crossJoin(broadcast(n)) // one-row frame
+          .select(col("w1"), col("w2"), col("c_ab"),
+            ((col("c_ab") * col("nb")).cast("double") / (col("ca") * col("cb2")))
+              .as("pmi_score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bg AS (
+          SELECT ts[i] AS w1, ts[i+1] AS w2
+          FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg) GROUP BY w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg)
+        SELECT w1, w2, c_ab, pmi_score, rank FROM (
+          SELECT w1, w2, c_ab,
+                 CAST(c_ab * nb AS DOUBLE) / (a.c * b.c) AS pmi_score,
+                 CAST(row_number() OVER (
+                   ORDER BY CAST(c_ab * nb AS DOUBLE) / (a.c * b.c) DESC, w1, w2)
+                   AS INTEGER) AS rank
+          FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w CROSS JOIN n
+          WHERE c_ab >= 5)
+        WHERE rank <= 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q68_corpus_datasheet",
+      "The corpus datasheet: per (source, lang) stratum WITH rollup " +
+        "subtotals — doc/token counts, mean length, distinct-content " +
+        "and distinct-bag-of-words counts, and the reorder-duplication " +
+        "rate (10.8% corpus-wide at sf0.01; exact dup rate is 0). One " +
+        "pass, one rollup aggregation; the distinct counts shuffle " +
+        "8-byte hashes. The first table every dataset card needs.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        docs
+          .select(col("source"), col("lang"),
+            size(split(col("text"), " ")).as("ntok"),
+            Portable.pmd5(col("text")).as("h"),
+            Portable.pmd5(
+              array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+              .as("bh"))
+          .rollup("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            (sum(col("ntok")).cast("double") / count(lit(1))).as("avg_tokens"),
+            countDistinct(col("h")).as("n_distinct"),
+            countDistinct(col("bh")).as("n_bow_distinct"))
+          .select(
+            coalesce(col("source"), lit("<all>")).as("source"),
+            coalesce(col("lang"), lit("<all>")).as("lang"),
+            col("n_docs"), col("n_tokens"), col("avg_tokens"),
+            col("n_distinct"), col("n_bow_distinct"),
+            (lit(1.0) - col("n_bow_distinct").cast("double") / col("n_docs"))
+              .as("reorder_dup_rate"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, lang, len(string_split(text, ' ')) AS ntok,
+                 ${Portable.pmd5Sql("text")} AS h,
+                 ${Portable.pmd5Sql(
+                   "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")}
+                   AS bh
+          FROM documents)
+        SELECT coalesce(source, '<all>') AS source,
+               coalesce(lang, '<all>') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(ntok) AS DOUBLE) / count(*) AS avg_tokens,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+               CAST(count(DISTINCT bh) AS BIGINT) AS n_bow_distinct,
+               1.0 - CAST(count(DISTINCT bh) AS DOUBLE) / count(*) AS reorder_dup_rate
+        FROM d GROUP BY ROLLUP(source, lang)"""))
   )
 }
