@@ -31,4 +31,36 @@ object Aggregators {
     override def bufferEncoder: Encoder[WSum] = Encoders.product[WSum]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  final case class MinKBuf(hs: Seq[Long])
+
+  /** The KMV (k-minimum-values) sketch accumulator: the k smallest
+    * DISTINCT hash values seen. distinct(group) is then estimated as
+    * (k-1) * 2^60 / h_k — the classic bottom-k estimator over the
+    * pmd5 hash space [0, 2^60).
+    *
+    * The buffer is BOUNDED at k longs with duplicates dropped on
+    * insert, so partial (map-side) aggregation ships at most k values
+    * per partition per group — the scale-correct shape for distinct
+    * estimation. The exact alternative (row_number over the full
+    * distinct set) sorts every distinct value per group: fine as a
+    * small-scale oracle, a full-corpus sort at 100 TB. Min-k of a set
+    * is order-insensitive, so the result (and the DuckDB oracle match)
+    * is deterministic under any partitioning or merge-tree shape.
+    *
+    * finish returns h_k, or 0 when the group had fewer than k distinct
+    * values (callers null it out — mirrors the oracle's CASE rn = k).
+    */
+  final class MinKHash(k: Int) extends Aggregator[Long, MinKBuf, Long] {
+    override def zero: MinKBuf = MinKBuf(Vector.empty)
+    override def reduce(b: MinKBuf, h: Long): MinKBuf =
+      if (b.hs.contains(h) || (b.hs.size == k && h > b.hs.last)) b
+      else MinKBuf((b.hs :+ h).sorted.take(k))
+    override def merge(a: MinKBuf, b: MinKBuf): MinKBuf =
+      MinKBuf((a.hs ++ b.hs).distinct.sorted.take(k))
+    override def finish(b: MinKBuf): Long =
+      if (b.hs.size == k) b.hs.last else 0L
+    override def bufferEncoder: Encoder[MinKBuf] = Encoders.product[MinKBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
 }

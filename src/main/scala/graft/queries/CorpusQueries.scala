@@ -21,6 +21,7 @@ object CorpusQueries {
   private val TOP_TERMS = 5    // q52 terms per doc
   private val CDC_W = 8        // q55 rolling-hash window (chars)
   private val CDC_DIV = 64     // q55 boundary divisor (~avg chunk len)
+  private val KMV_K = 32       // q69 sketch size (rel error ~ 1/sqrt(k))
 
   /** DuckDB twin of [[Chunking.cdcChunks]] as a `chunks` CTE (one row
     * per chunk: doc_id, idx, clen, chash). Boundary positions must be
@@ -400,6 +401,65 @@ object CorpusQueries {
                CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
                CAST(count(DISTINCT bh) AS BIGINT) AS n_bow_distinct,
                1.0 - CAST(count(DISTINCT bh) AS DOUBLE) / count(*) AS reorder_dup_rate
-        FROM d GROUP BY ROLLUP(source, lang)"""))
+        FROM d GROUP BY ROLLUP(source, lang)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q69_kmv_distinct",
+      s"KMV (bottom-$KMV_K) distinct-count sketch vs exact: per-source " +
+        "distinct 3-word-shingle cardinality estimated from the " +
+        s"$KMV_K smallest shingle hashes — (k-1) * 2^60 / h_k over the " +
+        "pmd5 space. The sketch aggregator's buffer is BOUNDED at k " +
+        "longs with map-side combine (a custom typed Aggregator), so " +
+        "the shuffle ships k values per partition per group where the " +
+        "exact count ships every distinct value — the sketch family's " +
+        "whole point at corpus scale. Min-k of a set is order-" +
+        "insensitive, so the estimate is bit-deterministic and oracle-" +
+        "checkable (measured ~16% mean |error| at k=32, the expected " +
+        "1/sqrt(k)). n_exact rides along as the ground-truth column.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val sh = docs.select(col("source"), split(col("text"), " ").as("ts"))
+          .select(col("source"), explode(when(size(col("ts")) >= 3,
+            transform(sequence(lit(1), size(col("ts")) - 2),
+              i => concat_ws(" ", element_at(col("ts"), i),
+                element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+            .otherwise(array().cast("array<string>"))).as("sgl"))
+        val minK = udaf(new graft.functions.Aggregators.MinKHash(KMV_K),
+          org.apache.spark.sql.Encoders.scalaLong)
+        sh
+          .select(col("source"), col("sgl"),
+            Portable.pmd5(concat(lit("kmv:"), col("sgl"))).as("h"))
+          .groupBy("source")
+          .agg(
+            countDistinct(col("sgl")).as("n_exact"),
+            minK(col("h")).as("hk0"))
+          .select(col("source"), col("n_exact"),
+            when(col("hk0") > 0, col("hk0")).as("h_k"),
+            when(col("hk0") > 0,
+              lit((KMV_K - 1).toDouble) * lit(1152921504606846976.0) / col("hk0"))
+              .as("kmv_estimate"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT source,
+                 ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sgl
+          FROM (SELECT source, string_split(text, ' ') AS ts FROM documents),
+               unnest(generate_series(1, len(ts) - 2)) AS t(i)),
+        ex AS (
+          SELECT source, CAST(count(DISTINCT sgl) AS BIGINT) AS n_exact
+          FROM sh GROUP BY source),
+        hs AS (
+          SELECT DISTINCT source, ${Portable.pmd5Sql("concat('kmv:', sgl)")} AS h
+          FROM sh),
+        r AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hs),
+        kk AS (
+          SELECT source, max(CASE WHEN rn = $KMV_K THEN h END) AS h_k
+          FROM r GROUP BY source)
+        SELECT source, n_exact, h_k,
+               ${KMV_K - 1} * 1152921504606846976.0 / h_k AS kmv_estimate
+        FROM ex JOIN kk USING (source)"""))
   )
 }

@@ -19,6 +19,7 @@ object DedupQueries {
   private val NB = K / RPB
   private val SHINGLE = 3     // words per shingle
   private val JT = 0.8        // near-dup verification threshold
+  private val PR_ITERS = 5    // q70 power-iteration rounds
 
   /** DuckDB: m0..m15 minhash columns from a hash list column. */
   private def minhashColsSql(hs: String = "hs"): String =
@@ -362,6 +363,58 @@ object DedupQueries {
                CAST(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming
         FROM bk l JOIN bk r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-        WHERE bit_count(xor(l.sig, r.sig)) <= 3"""))
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q70_pagerank",
+      "PageRank over the near-dup graph (q28's verified pairs, " +
+        s"symmetrized): $PR_ITERS damped power-iteration rounds, " +
+        "r = 0.15 + 0.85 * sum of in-neighbor shares — surfaces the " +
+        "CENTER of each duplicate cluster (the doc most connected to " +
+        "other near dups), a finer signal than q48's flat components " +
+        "for choosing cluster representatives. Each round is one edge " +
+        "equi-join + one aggregation keyed on the 8-byte node id; " +
+        "contributions fold in ascending neighbor order so every " +
+        "double is bit-reproducible (the k-means trick). No driver-" +
+        "side iteration over data — only the round count is driver-" +
+        "controlled, like trainIvfCentroids.",
+      (s, dir) => {
+        val pairs = lshVerifiedPairs(s, dir).select("id_a", "id_b")
+        val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        // joined 5x (once per round): materialize once, freed by the
+        // harness clearCache-after-terminal-action contract
+        val edges = sym.join(deg, "src").persist()
+        var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
+        for (_ <- 0 until PR_ITERS) {
+          val contrib = edges
+            .join(ranks, edges("src") === ranks("id"))
+            .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
+            .groupBy("dst")
+            .agg(aggregate(
+              sort_array(collect_list(struct(col("src").as("i"), col("c").as("v")))),
+              lit(0.0), (acc, x) => acc + x.getField("v")).as("csum"))
+          // every node of the symmetric graph has an in-edge, so the
+          // contribution aggregate covers the full node set each round
+          ranks = contrib.select(col("dst").as("id"),
+            (lit(0.15) + lit(0.85) * col("csum")).as("r"))
+        }
+        ranks.select(col("id").as("doc_id"), col("r").as("pagerank"))
+      },
+      Some(s"""$pairsCte,
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+        pr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM deg),
+        ${(1 to PR_ITERS).map(t => s"""
+        pr$t AS (
+          SELECT dst AS id,
+                 0.15 + 0.85 * list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(r / deg ORDER BY src)),
+                   (acc, x) -> acc + x) AS r
+          FROM sym JOIN deg USING (src) JOIN pr${t - 1} p ON p.id = sym.src
+          GROUP BY dst)""").mkString(",")}
+        SELECT id AS doc_id, r AS pagerank FROM pr$PR_ITERS"""))
   )
 }
