@@ -53,10 +53,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${pt.mkString(",")}],"method":"per-query min of 3 in-JVM passes"}"""
     // the JSON goes to a file FIRST: a tail-capture of mixed sbt output
     // once truncated the stdout line (BENCH_r04 lost its headline), and
-    // the file copy keeps the record whole regardless of console noise
-    java.nio.file.Files.write(
+    // the file copy keeps the record whole regardless of console noise.
+    // Best-effort — an unwritable path must not also cost the stdout copy
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")),
       java.util.Arrays.asList(json))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] file record failed: ${e.getMessage}") }
     println(json)
     spark.stop()
   }

@@ -13,52 +13,57 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Maintenance {
 
-  /** Rewrite `inputDir`'s parquet as ~`targetFileBytes` files at
-    * `outputDir` (atomicity by write-then-swap is the caller's choice —
-    * writing in place would lose data on failure). Returns the output
-    * file count. Partition count = ceil(total bytes / target), at least
-    * one; sizes come from the filesystem, not Spark statistics, so the
-    * estimate holds for any table. */
-  def compactParquet(spark: SparkSession, inputDir: String, outputDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+  /** Shared compaction skeleton: size `inputDir` recursively, rewrite
+    * `frame` as ceil(bytes / target) files at `outputDir`, return the
+    * output parquet file count. Recursive sizing covers partitioned
+    * layouts (e.g. a CurateStream sink's batch_id=N dirs); marker-file
+    * (_SUCCESS) bytes are noise. Filesystem sizes, not Spark
+    * statistics, so the estimate holds for any table. */
+  private def rewriteSized(spark: SparkSession, inputDir: String,
+      outputDir: String, targetFileBytes: Long)(frame: DataFrame): Long = {
     val path = new org.apache.hadoop.fs.Path(inputDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recursive: partitioned layouts (e.g. a CurateStream sink's
-    // batch_id=N dirs) keep their data files below the root. The
-    // summary includes marker files (_SUCCESS), whose bytes are noise.
     val totalBytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    spark.read.parquet(inputDir)
-      .repartition(nFiles)
+    frame.repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outputDir)
     val out = new org.apache.hadoop.fs.Path(outputDir)
     fs.listStatus(out).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
   }
+
+  /** Rewrite `inputDir`'s parquet as ~`targetFileBytes` files at
+    * `outputDir` (atomicity by write-then-swap is the caller's choice —
+    * writing in place would lose data on failure). Returns the output
+    * file count. */
+  def compactParquet(spark: SparkSession, inputDir: String, outputDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long =
+    rewriteSized(spark, inputDir, outputDir, targetFileBytes)(
+      spark.read.parquet(inputDir))
 
   /** Periodic cross-batch NEAR-dup compaction over a
     * [[graft.streaming.CurateStream]] sink: per-batch curation removes
     * near dups only WITHIN a batch (and its hash index blocks exact dups
     * forever), so near dups that straddle batches accumulate until this
     * job re-curates the landed corpus as one frame and rewrites it as
-    * ~target-sized files at `outputDir` (write-then-swap, like
-    * [[compactParquet]]). The stream's hash index is deliberately left
-    * alone: a dropped near dup's exact hash stays indexed, so the same
-    * content arriving again is still gated at ingest.
+    * ~target-sized files at `outputDir`.
+    *
+    * The output is a FLAT compacted corpus snapshot — any `batch_id`
+    * partition column of the sink becomes a plain data column — for
+    * downstream consumers (training jobs, analytics). It is NOT a
+    * drop-in replacement for the live sink directory: the stream's
+    * replay guard reads the sink with a partitioned batch_id schema,
+    * so swapping flat files underneath it would break partition
+    * discovery. Retiring a sink generation means pointing the stream
+    * at a fresh sink + checkpoint and serving readers the snapshot.
+    * The stream's hash index is deliberately left alone either way: a
+    * dropped near dup's exact hash stays indexed, so the same content
+    * arriving again is still gated at ingest.
     *
     * @return output parquet file count.
     */
   def nearDupCompact(spark: SparkSession, sinkDir: String, outputDir: String,
       textCol: String, idCol: String, cfg: Curate.Config = Curate.Config(),
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
-    val path = new org.apache.hadoop.fs.Path(sinkDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // pre-compaction size bounds the output size (compaction only drops)
-    val totalBytes = fs.getContentSummary(path).getLength
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    Curate(spark.read.parquet(sinkDir), textCol, idCol, cfg)
-      .repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(outputDir)
-    val out = new org.apache.hadoop.fs.Path(outputDir)
-    fs.listStatus(out).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
-  }
+      targetFileBytes: Long = 128L * 1024 * 1024): Long =
+    rewriteSized(spark, sinkDir, outputDir, targetFileBytes)(
+      Curate(spark.read.parquet(sinkDir), textCol, idCol, cfg))
 }

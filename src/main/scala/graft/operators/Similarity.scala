@@ -42,6 +42,30 @@ object Similarity {
   def cosineFromPrepped(av: Column, an: Column, bv: Column, bn: Column): Column =
     dotD(av, bv) / (an * bn)
 
+  /** Shared ANN tail: rank each query's scored candidates by the
+    * unique total order every oracle mirrors — (score desc,
+    * neighbor_id asc) — and keep the first k. Callers whose candidate
+    * generation can emit a (query, neighbor) pair more than once
+    * (bucket/cell overlap) must `.distinct()` BEFORE this. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** One (t, bucket) row per vector per SRP table, buckets from the
+    * one-pass native [[graft.expressions.SrpBuckets]]; posexplode's
+    * position IS the table index. Shared by the single-probe and
+    * multiprobe corpus sides — they must stay byte-identical. */
+  private def srpBucketed(df: DataFrame, idCol: String, outId: String,
+      vecCol: String, bits: Int, dim: Int, tables: Int): DataFrame =
+    prep(df, idCol, outId, vecCol).select(col("*"),
+      posexplode(graft.expressions.SrpBuckets(
+        df.sparkSession, col("v"), bits, tables, dim)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); corpus is scanned once. */
   def bruteForceTopK(
@@ -50,14 +74,9 @@ object Similarity {
     val q = broadcast(prep(queries, idCol, "query_id", vecCol)
       .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
     val c = prep(corpus, idCol, "neighbor_id", vecCol)
-    val scored = q.crossJoin(c)
+    rankTopK(q.crossJoin(c)
       .select(col("query_id"), col("neighbor_id"),
-        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score")), k)
   }
 
   /** Deterministic pseudo-random hyperplane component: table `t`, plane
@@ -91,25 +110,14 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, bits: Int, dim: Int, tables: Int = 4): DataFrame = {
-    val session = corpus.sparkSession
-    // all tables' buckets in one native pass (SrpBuckets); posexplode's
-    // position IS the table index
-    def withBuckets(df: DataFrame): DataFrame =
-      df.select(col("*"),
-        posexplode(graft.expressions.SrpBuckets(session, col("v"), bits, tables, dim)))
-        .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    val c = withBuckets(prep(corpus, idCol, "neighbor_id", vecCol))
-    val q = broadcast(withBuckets(prep(queries, idCol, "query_id", vecCol))
-      .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
-    val scored = q.join(c, Seq("t", "bucket"))
+    val c = srpBucketed(corpus, idCol, "neighbor_id", vecCol, bits, dim, tables)
+    val q = broadcast(
+      srpBucketed(queries, idCol, "query_id", vecCol, bits, dim, tables)
+        .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
+    rankTopK(q.join(c, Seq("t", "bucket"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .distinct(), k)
   }
 
   /** Multiprobe SRP-LSH ANN: [[lshTopK]]'s corpus side unchanged (one
@@ -132,11 +140,7 @@ object Similarity {
   def lshTopKMultiprobe(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, bits: Int, dim: Int, tables: Int, probes: Int): DataFrame = {
-    val session = corpus.sparkSession
-    val c = prep(corpus, idCol, "neighbor_id", vecCol)
-      .select(col("*"),
-        posexplode(graft.expressions.SrpBuckets(session, col("v"), bits, tables, dim)))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val c = srpBucketed(corpus, idCol, "neighbor_id", vecCol, bits, dim, tables)
 
     var q = prep(queries, idCol, "query_id", vecCol)
       .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn")
@@ -171,15 +175,10 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("t"),
         explode(col("bks")).as("bucket"))
 
-    val scored = broadcast(probed).join(c, Seq("t", "bucket"))
+    rankTopK(broadcast(probed).join(c, Seq("t", "bucket"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .distinct(), k)
   }
 
   /** Deterministic seeded k-means for IVF cells: init = the first `k`
@@ -261,16 +260,11 @@ object Similarity {
     val probes = broadcast(nearestCells(queries, "query_id", nProbe)
       .select(col("query_id"), col("v").as("qv"), col("nv").as("qn"), col("cell")))
 
-    val scored = probes.join(assigned, Seq("cell"))
+    rankTopK(probes.join(assigned, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
       // a neighbor can sit in several probed cells -> dedup before rank
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .distinct(), k)
   }
 
   /** Embedding near-duplicate pairs via SRP-LSH candidate generation:

@@ -310,6 +310,10 @@ object CorpusQueries {
         "rank runs on the tiny min-count-filtered survivor set.",
       (s, dir) => {
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        // bg feeds four consumers shuffling on different keys (bigram
+        // counts, both unigram branches, the global N) — unmaterialized,
+        // Spark re-splits and re-explodes the corpus per consumer.
+        // persist keeps lineage; the harness frees it via clearCache.
         val bg = docs.select(split(col("text"), " ").as("ts"))
           .select(explode(when(size(col("ts")) >= 2,
             transform(sequence(lit(1), size(col("ts")) - 1),
@@ -317,6 +321,7 @@ object CorpusQueries {
                 element_at(col("ts"), i + 1).as("w2"))))
             .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .persist()
         val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
         val cu = bg.select(col("w1").as("w"))
           .unionAll(bg.select(col("w2").as("w")))

@@ -31,12 +31,23 @@ object Tables {
     * returns the input UNCHANGED: no Exchange enters the plan, per-row
     * projections stay scan-stage, and full document text is never
     * shuffled (the 100 TB requirement). `rdd.getNumPartitions` is a
-    * plan-time check (counts scan splits, including byte-range splits of
-    * large files) — it launches no job.
+    * plan-time check — it launches no job.
+    *
+    * Known blind spot: a single MULTI-GB one-row-group file plans many
+    * byte-range splits (count >= parallelism, so this is a no-op) yet
+    * delivers every row to the one split holding the row-group
+    * midpoint. Detecting that needs a footer read, which a plan-time
+    * helper must not do; the fix belongs at the writer (row groups <=
+    * maxPartitionBytes — every sane writer default). The inputFiles
+    * guard keeps the converse safe: one large WELL-FORMED file with
+    * many row groups parallelizes at scan time and must not be
+    * re-shuffled here.
     */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+    if (df.inputFiles.length < target && df.rdd.getNumPartitions < target)
+      df.repartition(key)
+    else df
   }
 
   /** Read one testdata table from an sf directory.
