@@ -45,22 +45,31 @@ object Bench {
     // (~1-2 min total) widen the window past most contention bursts.
     val passes = Seq.fill(3)(runSuite())
     val results = passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val pt = passes.map(_.values.sum)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${pt.mkString(",")}],"method":"per-query min of 3 in-JVM passes"}"""
-    // the JSON goes to a file FIRST: a tail-capture of mixed sbt output
-    // once truncated the stdout line (BENCH_r04 lost its headline), and
-    // the file copy keeps the record whole regardless of console noise.
-    // Best-effort — an unwritable path must not also cost the stdout copy
+    def jsonLine(keyOf: String => String, num: Double => Double): String = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + keyOf(k) + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${pt.map(num).mkString(",")}],"method":"per-query min of 3 in-JVM passes"}"""
+    }
+    // full-fidelity record (full query names, full precision) to a file:
+    // the driver's tail-capture of mixed sbt output holds only the LAST
+    // 2000 chars, and 70+ full names at double precision is ~3000 —
+    // BENCH_r04 and r05 both lost their headline that way. Best-effort —
+    // an unwritable path must not also cost the stdout copy (NonFatal,
+    // not just IOException: Paths.get can throw InvalidPathException).
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")),
-      java.util.Arrays.asList(json))
-    catch { case e: java.io.IOException =>
+      java.util.Arrays.asList(jsonLine(identity, identity)))
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] file record failed: ${e.getMessage}") }
-    println(json)
+    // the ONE stdout JSON line is compact by construction — qNN keys
+    // (every registered name is unique in its qNN prefix) and ms
+    // precision keep it ~1.2 KB, inside the capture window even with
+    // sbt's [success] footer appended after it
+    println(jsonLine(_.takeWhile(_ != '_'), r3))
     spark.stop()
   }
 }

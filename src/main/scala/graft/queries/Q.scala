@@ -33,20 +33,23 @@ object Tables {
     * shuffled (the 100 TB requirement). `rdd.getNumPartitions` is a
     * plan-time check — it launches no job.
     *
+    * The gate is the planned partition count ALONE — it already
+    * reflects both file count and Spark's bin-packing, so a corpus of
+    * many tiny files that packs down to fewer splits than cores still
+    * gets spread (an inputFiles-count guard would wrongly skip it),
+    * and one large well-formed multi-row-group file that plans >=
+    * parallelism byte-range splits is correctly left alone.
+    *
     * Known blind spot: a single MULTI-GB one-row-group file plans many
     * byte-range splits (count >= parallelism, so this is a no-op) yet
     * delivers every row to the one split holding the row-group
     * midpoint. Detecting that needs a footer read, which a plan-time
     * helper must not do; the fix belongs at the writer (row groups <=
-    * maxPartitionBytes — every sane writer default). The inputFiles
-    * guard keeps the converse safe: one large WELL-FORMED file with
-    * many row groups parallelizes at scan time and must not be
-    * re-shuffled here.
+    * maxPartitionBytes — every sane writer default).
     */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target && df.rdd.getNumPartitions < target)
-      df.repartition(key)
+    if (df.rdd.getNumPartitions < target) df.repartition(key)
     else df
   }
 
