@@ -44,6 +44,10 @@ import graft.operators.Curate
   * so a crash between the sink append and the index append repairs
   * itself on the next attempt, and a crash after both appends makes the
   * replay a pure no-op (both writes append nothing).
+  *
+  * Sinks written by the pre-index flat format (no `batch_id=`
+  * partitions, no index table) are migrated in place on first contact —
+  * or failed fast when unmigratable — see [[ensureMigrated]].
   */
 object CurateStream {
 
@@ -63,6 +67,59 @@ object CurateStream {
     }
   }
 
+  /** Root-level parquet files = a sink written by the pre-index flat
+    * format (no `batch_id=` partitions, no hash-index table). */
+  private def legacyFlatFiles(spark: SparkSession, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(f => fs.getFileStatus(f).isFile && f.getName.endsWith(".parquet"))
+  }
+
+  /** One-time, idempotent migration of a pre-index sink. Without it the
+    * new format SILENTLY forgets everything already landed: legacy files
+    * carry no `batch_id` column (the replay-guard read would yield NULL
+    * and drop every row) and no index exists (the anti-join set would be
+    * empty), so previously-landed content re-lands as duplicates.
+    *
+    * Flat root files are rewritten under `batch_id=-1` (mode overwrite,
+    * so a crashed prior attempt just redoes the partition) and then
+    * deleted; the index, if missing, is rebuilt from the sink's own hash
+    * columns — a column-pruned 16-byte-per-doc scan. A flat sink WITHOUT
+    * the hash columns cannot be migrated in place (the text would need
+    * re-hashing under this pipeline's salts) and fails fast instead of
+    * proceeding with an empty anti-join set. The per-batch cost when no
+    * migration is pending is one directory listing; at real corpus scale
+    * the same steps run as a standalone maintenance job before the
+    * stream starts — this in-stream path is the safety net, not the
+    * plan.
+    */
+  private def ensureMigrated(spark: SparkSession, outDir: String,
+      idxDir: String): Unit = {
+    val flats = legacyFlatFiles(spark, outDir)
+    if (flats.nonEmpty) {
+      val legacy = spark.read.parquet(flats.map(_.toString): _*)
+      val cols = legacy.columns.toSet
+      if (!cols.contains(HashCol) || !cols.contains(HashCol2))
+        throw new IllegalStateException(
+          s"curated sink at $outDir is in the legacy flat format and lacks " +
+            s"the ($HashCol, $HashCol2) columns; re-curate the corpus into " +
+            "a fresh sink (or add the hashes with graft.functions.Portable." +
+            "pmd5/pmd5Salted) before streaming into it — continuing would " +
+            "silently re-land previously curated content")
+      legacy.write.mode("overwrite").parquet(s"$outDir/$BatchCol=-1")
+      val fs = new Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      flats.foreach(fs.delete(_, false))
+    }
+    if (hasData(spark, outDir) && !hasData(spark, idxDir))
+      spark.read.parquet(outDir)
+        .groupBy(HashCol, HashCol2)
+        .agg(min(BatchCol).as(BatchCol))
+        .write.mode("overwrite").parquet(idxDir)
+  }
+
   def start(docs: DataFrame, textCol: String, idCol: String,
       outDir: String, checkpointDir: String,
       cfg: Curate.Config = Curate.Config(),
@@ -70,6 +127,7 @@ object CurateStream {
     val step: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       val idxDir = indexDir(outDir)
+      ensureMigrated(spark, outDir, idxDir)
       val curated = Curate(batch.toDF(), textCol, idCol, cfg)
         .withColumn(HashCol, Portable.pmd5(col(textCol)))
         .withColumn(HashCol2, Portable.pmd5Salted(1, col(textCol)))

@@ -115,6 +115,63 @@ class CurateStreamSpec extends SparkSpec {
     assert(idx.count() == 3, "index accumulated duplicate hash rows")
   }
 
+  test("legacy flat sink: migrated in place, landed content never re-lands") {
+    val (root, out, cp) = mkRoot("curate-legacy")
+
+    // a sink written by the pre-index flat format: root-level parquet,
+    // hash columns present, no batch_id partitions, no index table
+    Seq((0L, good), (4L, other)).toDF("doc_id", "text")
+      .withColumn(CurateStream.HashCol,
+        graft.functions.Portable.pmd5(col("text")))
+      .withColumn(CurateStream.HashCol2,
+        graft.functions.Portable.pmd5Salted(1, col("text")))
+      .coalesce(1).write.parquet(out)
+
+    // first stream batch re-delivers legacy content plus one fresh doc
+    stage(root, "a", Seq((7L, good), (8L, third)))
+    runOnce(root, out, cp)
+
+    val landed = spark.read.parquet(out)
+    val ids = landed.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 4L, 8L), s"legacy content re-landed: $ids")
+    val dupHashes = landed
+      .groupBy(graft.functions.Portable.pmd5(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupHashes == 0, "duplicate content after migration")
+    // flat files are gone — the sink is uniformly batch_id-partitioned
+    // (a mixed layout would poison every later partition-discovery read)
+    val flats = Files.list(Paths.get(out)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(flats == 0, "legacy flat files must be rewritten, not mixed in")
+    assert(Files.exists(Paths.get(out, s"${CurateStream.BatchCol}=-1")))
+    // the bootstrapped index covers legacy AND new content, one row each
+    val idx = spark.read.parquet(CurateStream.indexDir(out))
+    assert(idx.count() == 3, "index must cover migrated + fresh hashes")
+  }
+
+  test("legacy flat sink without hash columns fails fast") {
+    val (root, out, cp) = mkRoot("curate-legacy-bad")
+    Seq((0L, good)).toDF("doc_id", "text").coalesce(1).write.parquet(out)
+    stage(root, "a", Seq((8L, third)))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(root.resolve("in").toString)
+    val q = CurateStream.start(stream, "text", "doc_id", out, cp, cfg)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("legacy flat format")),
+      s"expected a migration message, got: ${messages(err)}")
+    // and nothing landed — the batch must not proceed on an empty
+    // anti-join set
+    val landedIds = spark.read.parquet(out).columns.toSet
+    assert(!landedIds.contains(CurateStream.BatchCol),
+      "no batch may land into an unmigratable legacy sink")
+  }
+
   test("periodic compaction collapses cross-batch NEAR dups in the sink") {
     val (root, out, cp) = mkRoot("curate-compact")
 
