@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Portable
+import graft.operators.Dedup
+import graft.queries.Tables.{spread, t}
+
+/** Training-pipeline assembly queries: the operations that turn a raw
+  * corpus into a training mix — exact n-gram decontamination, sequence
+  * packing, mixture balancing, winnowing fingerprints, dup-graph
+  * triangle census, ingest anomaly flags, and containment-based eval
+  * leakage. Each is shaped for a 1000-executor corpus: candidate
+  * generation is always an equi-join or a broadcast of the provably
+  * small side, never an all-pairs scan of the big one.
+  */
+object PipelineQueries {
+
+  private val NGRAM = 13       // q71 decontamination n-gram width (GPT-3 uses 13)
+  private val BUDGET = 2048L   // q72 tokens per packed sequence
+  private val MIX_SALT = 7     // q73 sampling-hash salt
+  private val WIN_K = 5        // q74 winnowing gram width (words)
+  private val WIN_W = 4        // q74 winnowing window (grams)
+  private val EVAL_MAX = 100   // eval slice: doc_id < 100 (same split as q58)
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q71_ngram_decontam",
+      s"Exact $NGRAM-gram decontamination (the GPT-3/PaLM recipe): for " +
+        "every (train, eval) document pair, the number of distinct " +
+        s"$NGRAM-word grams they share. Grams ship as 8-byte pmd5 " +
+        "hashes, never as text; the join is a gram-hash equi-join and " +
+        "the eval side of it is the held-out suite — small by " +
+        "construction, so it broadcasts at any corpus scale. " +
+        "Complements q58 (near-dup LSH) with the exact-substring " +
+        "signal LSH cannot give.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        // one gram projection feeds both sides of the join; persisted so
+        // the shingle hashing runs once, freed by the harness's
+        // clearCache-after-terminal-action contract
+        val grams = docs.select(col("doc_id"),
+          explode(array_distinct(transform(
+            Portable.wordShingles(col("text"), NGRAM),
+            g => Portable.pmd5(g)))).as("gram"))
+          .persist()
+        grams.filter(col("doc_id") >= EVAL_MAX)
+          .withColumnRenamed("doc_id", "train_id")
+          .join(grams.filter(col("doc_id") < EVAL_MAX)
+            .withColumnRenamed("doc_id", "eval_id"), "gram")
+          .groupBy(col("train_id"), col("eval_id"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   ${Portable.wordShinglesSql("text", NGRAM)},
+                   g -> ${Portable.pmd5Sql("g")}))) AS gram
+          FROM documents)
+        SELECT l.doc_id AS train_id, r.doc_id AS eval_id,
+               count(*) AS n_shared
+        FROM g l JOIN g r ON l.gram = r.gram
+        WHERE l.doc_id >= $EVAL_MAX AND r.doc_id < $EVAL_MAX
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q72_sequence_packing",
+      s"Sequence packing (concatenate-and-chop): documents stream in " +
+        s"doc_id order per source into $BUDGET-token training " +
+        "sequences; a doc belongs to the bin where it starts. One " +
+        "running-sum window per source — packing is inherently " +
+        "sequential, so the unit of parallelism is the stream, and at " +
+        "corpus scale each source is further split into hash-shards " +
+        "packed independently (bin boundaries don't cross shards).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("bin_id", expr(s"(cum - n_tokens) div $BUDGET"))
+          .groupBy(col("source"), col("bin_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT source, CAST((cum - n_tokens) // $BUDGET AS BIGINT) AS bin_id,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q73_mixture_downsample",
+      "Mixture balancing: deterministically downsample every language " +
+        "to the rarest one's size (uniform target mixture). The keep " +
+        "rule is integer-exact — pmd5(doc_id) % n_lang < n_min keeps " +
+        "an expected n_min docs per language with zero RNG state, so " +
+        "the sample is reproducible row-by-row on any cluster. The " +
+        "per-language counts are a tiny dim that broadcasts; the keep " +
+        "filter is scan-stage.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_orig"))
+        val minN = counts.agg(min(col("n_orig")).as("min_n"))
+        val kept = docs
+          .join(broadcast(counts), "lang")
+          .crossJoin(broadcast(minN))
+          .filter(
+            Portable.pmd5Salted(MIX_SALT, col("doc_id").cast(StringType))
+              % col("n_orig") < col("min_n"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        counts.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_orig"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some(s"""
+        WITH c AS (SELECT lang, count(*) AS n_orig FROM documents GROUP BY 1),
+        m AS (SELECT min(n_orig) AS min_n FROM c),
+        k AS (
+          SELECT d.lang, count(*) AS n_kept
+          FROM documents d JOIN c USING (lang) CROSS JOIN m
+          WHERE ${Portable.pmd5SaltedSql(MIX_SALT, "CAST(doc_id AS VARCHAR)")}
+                  % n_orig < min_n
+          GROUP BY 1)
+        SELECT c.lang, c.n_orig, coalesce(k.n_kept, 0) AS n_kept
+        FROM c LEFT JOIN k USING (lang)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q74_winnow_fingerprints",
+      s"Robust winnowing (the MOSS fingerprint scheme): per document, " +
+        s"the rightmost-minimum $WIN_K-gram hash in every window of " +
+        s"$WIN_W consecutive grams is selected; fingerprints chosen in " +
+        "more than one document localize SHARED SUBSTRINGS (guarantee: " +
+        s"any match of ${WIN_K + WIN_W - 1}+ words is caught). " +
+        "Selection is a pure per-row projection; only the selected " +
+        "~1/${(WIN_W + 1) / 2} of gram hashes reach the fingerprint " +
+        "shuffle.",
+      (s, dir) => {
+        // a selected POSITION determines its fingerprint (fp = g[pos]),
+        // so the per-window argmin dedups on the bare position list —
+        // cheaper than struct dedup and expressible in both engines
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val gh = transform(Portable.wordShingles(col("text"), WIN_K),
+          g => Portable.pmd5(g))
+        val sel = docs.select(col("doc_id"), gh.as("g"))
+          .select(col("doc_id"), col("g"),
+            explode(
+              when(size(col("g")) < WIN_W, array().cast(ArrayType(LongType)))
+                .otherwise(array_distinct(transform(
+                  sequence(lit(1), size(col("g")) - (WIN_W - 1)), p => {
+                    val sl = slice(col("g"), p, lit(WIN_W))
+                    (p + lit(WIN_W) - array_position(reverse(sl), array_min(sl)))
+                      .cast(LongType)
+                  })))).as("pos"))
+          .select(col("doc_id"),
+            element_at(col("g"), col("pos").cast(IntegerType)).as("fp"))
+        sel.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_sites"))
+          .filter(col("n_docs") > 1)
+      },
+      Some(s"""
+        WITH gh AS (
+          SELECT doc_id,
+                 list_transform(${Portable.wordShinglesSql("text", WIN_K)},
+                   g -> ${Portable.pmd5Sql("g")}) AS g
+          FROM documents),
+        sel AS (
+          SELECT doc_id,
+                 g[CAST(unnest(list_distinct(list_transform(
+                   generate_series(1, len(g) - ${WIN_W - 1}), p ->
+                     CAST(p + $WIN_W - list_position(
+                       list_reverse(list_slice(g, p, p + ${WIN_W - 1})),
+                       list_min(list_slice(g, p, p + ${WIN_W - 1}))) AS BIGINT))))
+                   AS INTEGER)] AS fp
+          FROM gh)
+        SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_sites
+        FROM sel GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q75_triangle_count",
+      "Triangle census of the near-dup graph (q49's SimHash " +
+        "Hamming<=3 edges): a dense triangle neighborhood is a " +
+        "template cluster, not a pairwise accident — the standard " +
+        "graph-shape signal on top of pairwise dedup. Counted by the " +
+        "two-path wedge join over id-oriented edges (a<b<c appears " +
+        "exactly once); work is bounded by sum(deg^2) of the dup " +
+        "graph, whose degrees are near-dup cluster sizes — at corpus " +
+        "scale the orientation flips to lowest-degree-first, same " +
+        "join shape.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val sigs = docs.select(col("doc_id"),
+          Dedup.simhash(s, col("text")).as("sig"))
+        // one edge list feeds three join sides; persist or the whole
+        // signature + band pipeline runs once per side
+        val e = Dedup.simhashHammingPairs(sigs, "doc_id", "sig",
+          maxHamming = 3, bands = 4, bandBits = 15)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+          .persist()
+        e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 60), j ->
+                   CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+          FROM (SELECT doc_id,
+                       list_transform(list_distinct(string_split(text, ' ')),
+                                      tk -> ${Portable.pmd5Sql("tk")}) AS hs
+                FROM documents)),
+        bk AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 15}) & 32767 AS key FROM sh")
+            .mkString("\n          UNION ALL ")}),
+        e AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bk l JOIN bk r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          WHERE bit_count(xor(l.sig, r.sig)) <= 3)
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q76_event_anomaly",
+      "Ingest anomaly flags: hourly event counts per type, flagged " +
+        "where the count sits more than 3 sample standard deviations " +
+        "from the type's mean. The z^2 test is cross-multiplied into " +
+        "pure BIGINT arithmetic — (m*c - tot)^2 * (m-1) > 9 * m * " +
+        "(m*ss - tot^2) — so the flag is bit-deterministic on any " +
+        "engine (no float variance accumulation order to disagree " +
+        "on). Per-type stats are a tiny broadcast dim.",
+      (s, dir) => {
+        val h = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val st = h.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("m"), sum(col("cnt")).as("tot"),
+            sum(col("cnt") * col("cnt")).as("ss"))
+        val dev = col("m") * col("cnt") - col("tot")
+        h.join(broadcast(st), "event_type")
+          .select(col("event_type"), col("hr"), col("cnt"),
+            (dev * dev * (col("m") - 1) >
+              lit(9L) * col("m") * (col("m") * col("ss") - col("tot") * col("tot")))
+              .as("is_anomaly"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(cnt) AS BIGINT) AS tot,
+                 CAST(sum(cnt * cnt) AS BIGINT) AS ss
+          FROM h GROUP BY 1)
+        SELECT h.event_type, hr, cnt,
+               (m*cnt - tot) * (m*cnt - tot) * (m - 1)
+                 > 9 * m * (m*ss - tot*tot) AS is_anomaly
+        FROM h JOIN st USING (event_type)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q77_containment_join",
+      "Containment leakage check: training docs whose token set covers " +
+        ">= 90% of an eval doc's tokens (|T ∩ E| / |E|) — the " +
+        "asymmetric signal Jaccard-LSH structurally misses (a short " +
+        "eval doc inside a long train doc has LOW Jaccard). The eval " +
+        "suite is small by construction, so its hashed token sets " +
+        "broadcast and the check is ONE scan of the corpus; the " +
+        "verify is a sorted-merge intersect (codegen), and the " +
+        "threshold is applied in integer cross-multiplied form so " +
+        "both engines cut the same pairs.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val sets = docs.select(col("doc_id"),
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            tk => Portable.pmd5(tk))).as("ths"))
+        val ev = broadcast(sets.filter(col("doc_id") < EVAL_MAX)
+          .select(col("doc_id").as("eval_id"), col("ths").as("e_ths")))
+        val isz = graft.expressions.SortedIntersectSize(
+          s, col("ths"), col("e_ths"))
+        sets.filter(col("doc_id") >= EVAL_MAX)
+          .withColumnRenamed("doc_id", "train_id")
+          .crossJoin(ev)
+          .withColumn("isz", isz)
+          .filter(col("isz") * 10 >= size(col("e_ths")) * 9)
+          .select(col("train_id"), col("eval_id"),
+            (col("isz").cast(DoubleType) / size(col("e_ths")))
+              .as("containment"))
+      },
+      Some(s"""
+        WITH sets AS (
+          SELECT doc_id,
+                 list_sort(list_transform(list_distinct(string_split(text, ' ')),
+                   tk -> ${Portable.pmd5Sql("tk")})) AS ths
+          FROM documents)
+        SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+               CAST(len(list_intersect(t.ths, e.ths)) AS DOUBLE)
+                 / len(e.ths) AS containment
+        FROM sets t, sets e
+        WHERE t.doc_id >= $EVAL_MAX AND e.doc_id < $EVAL_MAX
+          AND len(list_intersect(t.ths, e.ths)) * 10 >= 9 * len(e.ths)"""))
+  )
+}
