@@ -19,6 +19,8 @@ import graft.queries.Tables.{spread, t}
 object PipelineQueries {
 
   private val NGRAM = 13       // q71 decontamination n-gram width (GPT-3 uses 13)
+  private val RUN_L = 20       // q78 repeated-substring gram width (words)
+  private val RES_K = 7        // q79 fixed sample size per stratum
   private val BUDGET = 2048L   // q72 tokens per packed sequence
   private val MIX_SALT = 7     // q73 sampling-hash salt
   private val WIN_K = 5        // q74 winnowing gram width (words)
@@ -196,27 +198,33 @@ object PipelineQueries {
       "Triangle census of the near-dup graph (q49's SimHash " +
         "Hamming<=3 edges): a dense triangle neighborhood is a " +
         "template cluster, not a pairwise accident — the standard " +
-        "graph-shape signal on top of pairwise dedup. Counted by the " +
-        "two-path wedge join over id-oriented edges (a<b<c appears " +
-        "exactly once); work is bounded by sum(deg^2) of the dup " +
-        "graph, whose degrees are near-dup cluster sizes — at corpus " +
-        "scale the orientation flips to lowest-degree-first, same " +
-        "join shape.",
+        "graph-shape signal on top of pairwise dedup. Edge-iterator " +
+        "algorithm: id-oriented out-neighbor lists, one sorted-merge " +
+        "intersect per edge (each triangle counted once, at its " +
+        "lowest-id edge) — the 30M wedge rows a naive two-path join " +
+        "would shuffle never materialize; work is edges x " +
+        "intersect, memory is bounded by max out-degree (= near-dup " +
+        "cluster size; production caps hub degrees before counting).",
       (s, dir) => {
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
         val sigs = docs.select(col("doc_id"),
           Dedup.simhash(s, col("text")).as("sig"))
-        // one edge list feeds three join sides; persist or the whole
-        // signature + band pipeline runs once per side
+        // the edge list feeds the adjacency build and the per-edge
+        // probe; persist or the signature + band pipeline runs twice
         val e = Dedup.simhashHammingPairs(sigs, "doc_id", "sig",
           maxHamming = 3, bands = 4, bandBits = 15)
           .select(col("id_a").as("a"), col("id_b").as("b"))
           .persist()
-        e.as("e1")
-          .join(e.as("e2"), col("e1.b") === col("e2.a"))
-          .join(e.as("e3"),
-            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-          .agg(count(lit(1)).as("n_triangles"))
+        val adj = e.groupBy(col("a"))
+          .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+        // |N+(a) ∩ N+(b)| = triangles whose two smallest ids are (a,b)
+        e.join(adj.select(col("a").as("u"), col("nbrs").as("na")),
+            col("a") === col("u"))
+          .join(adj.select(col("a").as("v"), col("nbrs").as("nb")),
+            col("b") === col("v"))
+          .select(graft.expressions.SortedIntersectSize(
+            s, col("na"), col("nb")).as("tc"))
+          .agg(coalesce(sum(col("tc")), lit(0L)).as("n_triangles"))
       },
       Some(s"""
         WITH sh AS (
@@ -319,6 +327,86 @@ object PipelineQueries {
                  / len(e.ths) AS containment
         FROM sets t, sets e
         WHERE t.doc_id >= $EVAL_MAX AND e.doc_id < $EVAL_MAX
-          AND len(list_intersect(t.ths, e.ths)) * 10 >= 9 * len(e.ths)"""))
+          AND len(list_intersect(t.ths, e.ths)) * 10 >= 9 * len(e.ths)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q78_repeated_substrings",
+      s"Exact-substring dedup signal (the suffix-array recipe of " +
+        "'Deduplicating Training Data Makes Language Models Better', " +
+        s"grams instead of suffixes): positional $RUN_L-word gram " +
+        "hashes that occur more than once in the corpus, merged into " +
+        "maximal per-doc runs by the gaps-and-islands window (pos - " +
+        "row_number is constant within a run). Output per affected " +
+        "doc: run count and repeated-token total — the mask an " +
+        "ExactSubstr cut step would remove. Grams travel as 8-byte " +
+        "hashes; duplicate detection is a count over those keys, and " +
+        "the run merge is a per-doc window — no text ever shuffles.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val g = docs
+          .select(col("doc_id"),
+            posexplode(Portable.wordShingles(col("text"), RUN_L)))
+          .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+            Portable.pmd5(col("col")).as("gh"))
+          .persist()
+        val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("gh"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        g.join(dup, "gh")
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_runs"),
+            sum(col("mx") - col("mn") + RUN_L).as("repeated_tokens"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id, i AS pos,
+                 ${Portable.pmd5Sql(
+                   s"array_to_string(list_slice(string_split(text, ' '), i, i + ${RUN_L - 1}), ' ')")} AS gh
+          FROM documents,
+               unnest(generate_series(1,
+                 greatest(len(string_split(text, ' ')) - ${RUN_L - 1}, 0))) t(i)),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+        d AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM g JOIN dup USING (gh)),
+        runs AS (
+          SELECT doc_id, grp, min(pos) AS mn, max(pos) AS mx
+          FROM d GROUP BY doc_id, grp)
+        SELECT doc_id, count(*) AS n_runs,
+               CAST(sum(mx - mn + $RUN_L) AS BIGINT) AS repeated_tokens
+        FROM runs GROUP BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q79_reservoir_sample",
+      s"Deterministic fixed-size sample: exactly min($RES_K, n) docs " +
+        "per source, chosen by rank over a salted portable hash — the " +
+        "reproducible stand-in for reservoir sampling (same sample on " +
+        "any cluster, any partitioning, any day). Complements q60 " +
+        "(rate-based, variable-size) with the fixed-quota shape. " +
+        "Rank-k per stratum is a per-stratum window; for a huge " +
+        "stratum the production form pre-filters with a hash " +
+        "threshold a hair above k/n, then exact-ranks the survivors — " +
+        "same output, no full sort.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val hk = Portable.pmd5Salted(11, col("doc_id").cast(StringType))
+        val w = Window.partitionBy(col("source")).orderBy(hk, col("doc_id"))
+        docs.select(col("doc_id"), col("source"), hk.as("hk"))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= RES_K)
+          .select(col("source"), col("rk"), col("doc_id"))
+      },
+      Some(s"""
+        SELECT source, rk, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ${Portable.pmd5SaltedSql(11, "CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rk
+          FROM documents)
+        WHERE rk <= $RES_K"""))
   )
 }
