@@ -407,6 +407,54 @@ object PipelineQueries {
                    ORDER BY ${Portable.pmd5SaltedSql(11, "CAST(doc_id AS VARCHAR)")},
                             doc_id) AS rk
           FROM documents)
-        WHERE rk <= $RES_K"""))
+        WHERE rk <= $RES_K""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q80_online_anomaly",
+      "Online anomaly flags — the batch twin of the stateful " +
+        "streaming detector (EventsStream.anomalyStream): each hourly " +
+        "bucket is tested against the running stats of its type's " +
+        "PRIOR hours only (prefix window), the semantics a single-pass " +
+        "stream can actually deliver. Same cross-multiplied BIGINT " +
+        "z^2 test as q76, so stream and batch flags agree " +
+        "bit-for-bit; first two hours of a type are never flagged " +
+        "(variance undefined). One shuffle serves the bucket agg and " +
+        "the prefix window.",
+      (s, dir) => {
+        val h = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dev = col("m_prior") * col("cnt") - col("tot")
+        h.select(col("event_type"), col("hr"), col("cnt"),
+            count(lit(1)).over(w).as("m_prior"),
+            coalesce(sum(col("cnt")).over(w), lit(0L)).as("tot"),
+            coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)).as("ss"))
+          .select(col("event_type"), col("hr"), col("cnt"), col("m_prior"),
+            (col("m_prior") >= 2 &&
+              dev * dev * (col("m_prior") - 1) >
+                lit(9L) * col("m_prior") *
+                  (col("m_prior") * col("ss") - col("tot") * col("tot")))
+              .as("is_anomaly"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        p AS (
+          SELECT event_type, hr, cnt,
+                 CAST(count(*) OVER w AS BIGINT) AS m_prior,
+                 CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS tot,
+                 CAST(coalesce(sum(cnt * cnt) OVER w, 0) AS BIGINT) AS ss
+          FROM h
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hr, cnt, m_prior,
+               m_prior >= 2 AND
+                 (m_prior*cnt - tot) * (m_prior*cnt - tot) * (m_prior - 1)
+                   > 9 * m_prior * (m_prior*ss - tot*tot) AS is_anomaly
+        FROM p"""))
   )
 }

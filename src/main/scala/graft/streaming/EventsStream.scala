@@ -85,6 +85,79 @@ object EventsStream {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+
+  case class HourBucket(hr: Timestamp, n: Long)
+  case class AnomalyState(open: List[HourBucket], m: Long, tot: Long, ss: Long)
+  case class AnomalyOut(event_type: String, hr: Timestamp, cnt: Long,
+      m_prior: Long, is_anomaly: Boolean)
+
+  private val HourUs = 3600000000L
+
+  /** Online ingest anomaly detection — the stateful twin of the batch
+    * q80 query: per event type, each CLOSED hourly bucket is flagged
+    * against the running stats of all PRIOR closed hours (the 3-sigma
+    * z^2 test in cross-multiplied BIGINT arithmetic, so stream and
+    * batch agree bit-for-bit), then folded into those stats.
+    *
+    * State per type is O(1) running stats plus the open buckets still
+    * inside the watermark horizon — bounded at any event rate. A bucket
+    * closes when the watermark passes its end (no admissible row can
+    * land in it anymore: rows older than the watermark are dropped
+    * upstream), and closes are processed in hour order, so a backfill
+    * replay of the same files in any order emits identical flags.
+    * Batch mode (no watermark) closes everything in hour order: the
+    * output IS the q80 result.
+    */
+  def anomalyStream(events: Dataset[Event], watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[AnomalyOut],
+      stEnc: org.apache.spark.sql.Encoder[AnomalyState]): Dataset[AnomalyOut] = {
+    val streaming = events.isStreaming
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(AnomalyState(Nil, 0L, 0L, 0L))
+          // merge incoming events into hour buckets (hour starts are
+          // whole epoch hours, so micros are exact in Timestamp millis)
+          val incoming = batch.toSeq
+            .groupBy(e => Math.floorDiv(micros(e.ts), HourUs) * HourUs)
+            .view.mapValues(_.size.toLong).toMap
+          val merged = (st.open.map(b => micros(b.hr) -> b.n).toMap.toSeq ++ incoming.toSeq)
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          // closed = no admissible future row can land in the bucket:
+          // rows with ts < watermark are dropped upstream, so hour h is
+          // final once watermark >= hour end
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          val (closed, open) = merged.partition { case (hrUs, _) => hrUs + HourUs <= wmUs }
+          var (m, tot, ss) = (st.m, st.tot, st.ss)
+          val outs = closed.toSeq.sortBy(_._1).map { case (hrUs, c) =>
+            val dev = m * c - tot
+            val flag = m >= 2 && dev * dev * (m - 1) > 9 * m * (m * ss - tot * tot)
+            val o = AnomalyOut(etype, new Timestamp(hrUs / 1000L), c, m, flag)
+            m += 1; tot += c; ss += c * c
+            o
+          }
+          // running stats persist even with no open bucket — they are
+          // the prior for every future hour of this type
+          if (open.isEmpty && m == 0) { if (state.exists) state.remove() }
+          else {
+            state.update(AnomalyState(
+              open.toSeq.sortBy(_._1)
+                .map { case (u, n) => HourBucket(new Timestamp(u / 1000L), n) }.toList,
+              m, tot, ss))
+            if (open.nonEmpty) {
+              // fire when the earliest open bucket becomes closable
+              val nextCloseMs = (open.keys.min + HourUs) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(nextCloseMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          outs.iterator
+      }
+  }
   // Timestamps kept as-is (micros precision); a millis round-trip would
   // shift session boundaries vs the batch query
   case class PartialSession(start: Timestamp, end: Timestamp, n: Int, value: Double)

@@ -139,6 +139,47 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("s.n") =!= col("b.n")).isEmpty)
   }
 
+  test("online anomaly stream: emitted buckets match the batch q80 flags") {
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val q = EventsStream.anomalyStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("anom_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "anomaly stream did not finish in 120 s")
+    val got = spark.table("anom_out")
+    val batch = graft.queries.PipelineQueries.all
+      .find(_.name == "q80_online_anomaly").get
+      .run(spark, "/root/testdata/sf0.001")
+    // append mode emits only watermark-closed buckets; each must match
+    // the batch prefix-stats row exactly (count, prior-m AND flag)
+    assert(got.count() > 0)
+    val joined = got.alias("s").join(batch.alias("b"), Seq("event_type", "hr"))
+    assert(joined.count() == got.count(), "emitted bucket missing from batch")
+    assert(joined.filter(
+      col("s.cnt") =!= col("b.cnt") ||
+        col("s.m_prior") =!= col("b.m_prior") ||
+        col("s.is_anomaly") =!= col("b.is_anomaly")).isEmpty)
+  }
+
+  test("online anomaly: batch mode reproduces the q80 result exactly") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val got = EventsStream.anomalyStream(events).collect()
+      .map(a => (a.event_type, a.hr, a.cnt, a.m_prior, a.is_anomaly)).toSet
+    val want = graft.queries.PipelineQueries.all
+      .find(_.name == "q80_online_anomaly").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hr"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("m_prior"),
+        r.getAs[Boolean]("is_anomaly"))).toSet
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
   test("sessionization is input-order independent (randomized property)") {
     import spark.implicits._
     val gapMs = 30 * 60 * 1000L
