@@ -138,6 +138,50 @@ object DedupQueries {
         SELECT id AS doc_id, MIN(r) AS comp FROM walk GROUP BY id""")),
     // ----------------------------------------------------------------
     Q(
+      "q82_cluster_representatives",
+      "Canonical-document selection — the KEEP side of transitive " +
+        "dedup: per q48 near-dup component, the representative the " +
+        "cluster collapses to (most characters wins; lowest doc_id " +
+        "breaks ties — an integer argmax, so every engine picks the " +
+        "same doc). Output per component: representative and member " +
+        "count. Same component machinery as q48; the argmax is one " +
+        "grouped max plus an equi-join back, shuffling 16 bytes/doc.",
+      (s, dir) => {
+        val comps = Dedup.connectedComponents(lshVerifiedPairs(s, dir))
+          .select(col("id").as("doc_id"), col("comp"))
+        val j = comps
+          .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id")
+          .persist()
+        val stats = j.groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"), max(col("n_chars")).as("max_chars"))
+        j.join(stats, "comp")
+          .filter(col("n_chars") === col("max_chars"))
+          .groupBy(col("comp"), col("n_members"))
+          .agg(min(col("doc_id")).as("rep_id"))
+          .select(col("comp"), col("rep_id"), col("n_members"))
+      },
+      Some(s"""${pairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs),
+        walk(id, r) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON w.r = s.src),
+        comps AS (SELECT id AS doc_id, MIN(r) AS comp FROM walk GROUP BY id),
+        j AS (
+          SELECT c.doc_id, c.comp, d.n_chars
+          FROM comps c JOIN documents d USING (doc_id)),
+        st AS (
+          SELECT comp, count(*) AS n_members, max(n_chars) AS max_chars
+          FROM j GROUP BY 1)
+        SELECT j.comp, min(j.doc_id) AS rep_id, n_members
+        FROM j JOIN st USING (comp)
+        WHERE n_chars = max_chars
+        GROUP BY j.comp, n_members""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_simhash",
       "60-bit SimHash signature per document over distinct-token " +
         "hashes (bit-majority vote).",

@@ -455,6 +455,72 @@ object PipelineQueries {
                m_prior >= 2 AND
                  (m_prior*cnt - tot) * (m_prior*cnt - tot) * (m_prior - 1)
                    > 9 * m_prior * (m_prior*ss - tot*tot) AS is_anomaly
-        FROM p"""))
+        FROM p""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q81_label_centroids",
+      "Pairwise label-centroid cosine over the embedding corpus — the " +
+        "class-confusion structure a curation pipeline reads before " +
+        "balancing. Floats are first int8-quantized per vector (q57's " +
+        "max-abs scale, floor codes), then aggregated as INTEGER " +
+        "dimension sums — integer addition commutes, so the centroid " +
+        "is bit-deterministic under any partitioning (a raw float sum " +
+        "would depend on reduction order). Per-label sums are one " +
+        "map-side-combined agg; the pairwise cosine runs on labels^2 " +
+        "x dims scalars — nothing at corpus scale.",
+      (s, dir) => {
+        val pv = t(s, dir, "embeddings").select(col("label"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        val withScale = pv.withColumn("scale",
+          aggregate(col("v"), lit(0.0d), (a, x) => greatest(a, abs(x))) / 127)
+        val sums = withScale
+          .select(col("label"), posexplode(transform(col("v"), x =>
+            when(col("scale") === 0d, lit(0L))
+              .otherwise(floor(x / col("scale")).cast(LongType)))))
+          .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("c"))
+          .groupBy(col("label"), col("dim")).agg(sum(col("c")).as("sc"))
+          .persist()
+        sums.select(col("label").as("label_a"), col("dim"), col("sc").as("sa"))
+          .join(sums.select(col("label").as("label_b"), col("dim"),
+            col("sc").as("sb")), Seq("dim"))
+          .filter(col("label_a") < col("label_b"))
+          .groupBy(col("label_a"), col("label_b"))
+          .agg(sum(col("sa") * col("sb")).as("dot"),
+            sum(col("sa") * col("sa")).as("na2"),
+            sum(col("sb") * col("sb")).as("nb2"))
+          .select(col("label_a"), col("label_b"),
+            (col("dot").cast(DoubleType) /
+              sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)))
+              .as("centroid_cos"))
+      },
+      Some("""
+        WITH pv AS (
+          SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sc AS (
+          SELECT label, v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) / 127 AS scale
+          FROM pv),
+        codes AS (
+          SELECT label, i AS dim,
+                 CAST(CASE WHEN scale = 0 THEN 0
+                      ELSE floor(v[i] / scale) END AS BIGINT) AS c
+          FROM sc, unnest(generate_series(1, 64)) t(i)),
+        sums AS (
+          SELECT label, dim, CAST(sum(c) AS BIGINT) AS sc2
+          FROM codes GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(sum(a.sc2 * b.sc2) AS BIGINT) AS dot,
+                 CAST(sum(a.sc2 * a.sc2) AS BIGINT) AS na2,
+                 CAST(sum(b.sc2 * b.sc2) AS BIGINT) AS nb2
+          FROM sums a JOIN sums b USING (dim)
+          WHERE a.label < b.label
+          GROUP BY 1, 2)
+        SELECT label_a, label_b,
+               CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) AS centroid_cos
+        FROM pairs"""))
   )
 }
