@@ -66,4 +66,45 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024): Long =
     rewriteSized(spark, sinkDir, outputDir, targetFileBytes)(
       Curate(spark.read.parquet(sinkDir), textCol, idCol, cfg))
+
+  /** Retention over a [[graft.streaming.CurateStream]] sink: drop every
+    * `batch_id=k` partition with k < `keepFrom` — a pure directory
+    * delete (no rewrite), which is what partitioning the sink by batch
+    * buys. The hash index is deliberately NOT trimmed: expired
+    * content's hashes keep gating re-arrival of the same bytes (the
+    * usual retention contract — data leaves, dedup memory stays). If
+    * re-admission after expiry is wanted instead, delete the index and
+    * let the stream's bootstrap rebuild it from the remaining sink.
+    * Note `keepFrom = 0` also expires a migrated legacy generation
+    * (`batch_id=-1`). Returns the number of partitions removed. */
+  def expireBatches(spark: SparkSession, sinkDir: String, keepFrom: Long): Long = {
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else fs.listStatus(path).toSeq
+      .filter { s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+          s.getPath.getName.stripPrefix("batch_id=").toLongOption.exists(_ < keepFrom)
+      }
+      .count(s => fs.delete(s.getPath, true)).toLong
+  }
+
+  /** In-place compaction of a CurateStream hash index, which grows one
+    * small file per micro-batch: rewrite to a scratch dir, then swap.
+    * Run between stream runs (the stream reads the index per batch).
+    * Crash-safe by way of the stream's own bootstrap: if the swap dies
+    * between delete and rename, the next batch finds a sink without an
+    * index and rebuilds it from the sink's pruned hash columns
+    * ([[graft.streaming.CurateStream]] `ensureMigrated`) — slower once,
+    * never wrong. Returns the output file count. */
+  def compactIndexInPlace(spark: SparkSession, idxDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val tmp = idxDir + "_compact.tmp"
+    val n = compactParquet(spark, idxDir, tmp, targetFileBytes)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(idxDir))
+    n
+  }
 }

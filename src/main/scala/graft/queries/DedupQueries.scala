@@ -182,6 +182,62 @@ object DedupQueries {
         GROUP BY j.comp, n_members""")),
     // ----------------------------------------------------------------
     Q(
+      "q84_minhash_accuracy",
+      s"Sketch-accuracy audit: for every LSH candidate pair, the " +
+        s"MinHash ESTIMATE of Jaccard (fraction of the $K signature " +
+        "slots agreeing) next to the exact token-set value — the " +
+        "measurement that justifies (or indicts) the sketch family's " +
+        "K before a full-corpus run commits to it. Signature compare " +
+        "is K integer equalities per candidate; the exact verify " +
+        "reuses the token sets the pipeline already builds.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val sig = Dedup.bandKeys(
+          Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
+          .persist()
+        val cands = Dedup.lshCandidates(sig, "doc_id", NB)
+        val sigA = sig.select(
+          col("doc_id").as("id_a") +: (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
+        val sigB = sig.select(
+          col("doc_id").as("id_b") +: (0 until K).map(i => col(s"m$i").as(s"b$i")): _*)
+        val sets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ts"))
+        val agree = (0 until K)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cands
+          .join(sigA, "id_a").join(sigB, "id_b")
+          .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (agree.cast("double") / K).as("est_jaccard"),
+            Dedup.jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
+      },
+      Some(s"""$sigCte,
+        banded AS (
+          SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")},
+                 ${(0 until K).map(i => s"m$i").mkString(", ")}
+          FROM sig),
+        bk AS (
+          ${(0 until NB).map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bk l JOIN bk r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents)
+        SELECT id_a, id_b,
+               CAST(${(0 until K)
+                 .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+                 .mkString(" + ")} AS DOUBLE) / $K AS est_jaccard,
+               CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
+                 / (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts))) AS jaccard
+        FROM cand JOIN sig a ON cand.id_a = a.doc_id
+                  JOIN sig b ON cand.id_b = b.doc_id
+                  JOIN sets sa ON cand.id_a = sa.doc_id
+                  JOIN sets sb ON cand.id_b = sb.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_simhash",
       "60-bit SimHash signature per document over distinct-token " +
         "hashes (bit-majority vote).",

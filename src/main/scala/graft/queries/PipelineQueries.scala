@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.Portable
+import graft.functions.{Portable, TextAnalysis => TA}
 import graft.operators.Dedup
 import graft.queries.Tables.{spread, t}
 
@@ -521,6 +521,79 @@ object PipelineQueries {
         SELECT label_a, label_b,
                CAST(dot AS DOUBLE)
                  / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) AS centroid_cos
-        FROM pairs"""))
+        FROM pairs""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q83_quality_resample",
+      "Quality-weighted resampling: each doc is kept with probability " +
+        "equal to its q24 quality score — soft filtering (hard " +
+        "thresholds cliff-edge the distribution; proportional " +
+        "sampling preserves a gradient). The coin is pmd5(doc_id) % " +
+        "2^20 < floor(score * 2^20): one deterministic integer " +
+        "compare, reproducible row-by-row on any cluster, applied at " +
+        "scan stage (no shuffle).",
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TA.qualityScore(col("text"), TA.EnMarkers).as("score"))
+        scored.filter(
+          Portable.pmd5Salted(13, col("doc_id").cast(StringType)) % lit(1048576L)
+            < floor(col("score") * 1048576).cast(LongType))
+      },
+      Some {
+        val stopList = s"[${TA.EnMarkers.map(m => s"'$m'").mkString(", ")}]"
+        s"""
+        SELECT doc_id, lang, score FROM (
+          SELECT doc_id, lang,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                   + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) * 0.4
+                   + CAST(len(list_filter(string_split(text, ' '),
+                            tk -> list_contains($stopList, tk))) AS DOUBLE)
+                       / len(string_split(text, ' ')) * 0.2 AS score
+          FROM documents)
+        WHERE ${Portable.pmd5SaltedSql(13, "CAST(doc_id AS VARCHAR)")} % 1048576
+                < floor(score * 1048576)"""
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q85_length_quantiles",
+      "Per-source token-length quantiles (p50/p90/p99) by exact rank " +
+        "selection — the datasheet numbers that drive packing and " +
+        "truncation budgets. Type-1 quantile (value at rank " +
+        "ceil(q*n)) in pure integer arithmetic; one window per " +
+        "stratum, conditional-max extraction, no approximation — at " +
+        "corpus scale the same ranks come from a two-pass histogram " +
+        "refine, same definition.",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_tokens"), col("doc_id"))
+        d.withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+          .groupBy(col("source"), col("n"))
+          .agg(
+            max(when(col("rn") === expr("(n*50 + 99) div 100"), col("n_tokens"))).as("p50"),
+            max(when(col("rn") === expr("(n*90 + 99) div 100"), col("n_tokens"))).as("p90"),
+            max(when(col("rn") === expr("(n*99 + 99) div 100"), col("n_tokens"))).as("p99"))
+          .select(col("source"), col("n").as("n_docs"),
+            col("p50"), col("p90"), col("p99"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (
+          SELECT source, n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM d)
+        SELECT source, n AS n_docs,
+               max(CASE WHEN rn = (n*50 + 99) // 100 THEN n_tokens END) AS p50,
+               max(CASE WHEN rn = (n*90 + 99) // 100 THEN n_tokens END) AS p90,
+               max(CASE WHEN rn = (n*99 + 99) // 100 THEN n_tokens END) AS p99
+        FROM r GROUP BY source, n"""))
   )
 }

@@ -172,6 +172,35 @@ class CurateStreamSpec extends SparkSpec {
       "no batch may land into an unmigratable legacy sink")
   }
 
+  test("retention expires old batches; dedup memory survives; index compacts in place") {
+    val (root, out, cp) = mkRoot("curate-retain")
+
+    stage(root, "a", Seq((0L, good)))
+    runOnce(root, out, cp)
+    stage(root, "b", Seq((4L, other)))
+    runOnce(root, out, cp)
+
+    // index has accumulated one file per batch; compact it to one
+    val idxDir = CurateStream.indexDir(out)
+    val idxFilesBefore = Files.list(Paths.get(idxDir)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(idxFilesBefore >= 2, s"expected per-batch index files: $idxFilesBefore")
+    val nOut = Maintenance.compactIndexInPlace(spark, idxDir)
+    assert(nOut == 1, s"tiny index should compact to one file: $nOut")
+
+    // expire batch 0: its content leaves the sink...
+    assert(Maintenance.expireBatches(spark, out, keepFrom = 1L) == 1L)
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(4L), s"batch 0 should be expired: $ids")
+
+    // ...but its hash still gates re-arrival (dedup memory stays), and
+    // the stream keeps working against the compacted index
+    stage(root, "c", Seq((7L, good), (8L, third)))
+    runOnce(root, out, cp)
+    val after = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(after == Set(4L, 8L), s"expired content must not re-land: $after")
+  }
+
   test("periodic compaction collapses cross-batch NEAR dups in the sink") {
     val (root, out, cp) = mkRoot("curate-compact")
 
