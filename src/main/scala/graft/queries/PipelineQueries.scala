@@ -594,6 +594,52 @@ object PipelineQueries {
                max(CASE WHEN rn = (n*50 + 99) // 100 THEN n_tokens END) AS p50,
                max(CASE WHEN rn = (n*90 + 99) // 100 THEN n_tokens END) AS p90,
                max(CASE WHEN rn = (n*99 + 99) // 100 THEN n_tokens END) AS p99
-        FROM r GROUP BY source, n"""))
+        FROM r GROUP BY source, n""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q86_vocab_coverage",
+      "Vocabulary coverage curve: the fraction of corpus token MASS " +
+        "the top-k most frequent tokens cover, at k in {10, 20, 50} — " +
+        "the number that sizes a vocabulary (and predicts the OOV " +
+        "rate a cut would leave, q63's complement). Token counting is " +
+        "one map-side-combined agg; the ranking window runs over the " +
+        "LIMIT-50 slice only, never the full vocabulary, so the " +
+        "single-partition window holds 50 rows at any corpus size.",
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        val total = tf.agg(sum(col("f")).as("total"))
+        val topW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("tok"))
+        import s.implicits._
+        val ks = Seq(10, 20, 50).toDF("k")
+        val top = tf.orderBy(col("f").desc, col("tok")).limit(50)
+          .withColumn("rnk", row_number().over(topW))
+        top.crossJoin(broadcast(total))
+          .crossJoin(broadcast(ks))
+          .groupBy(col("k"), col("total"))
+          .agg(sum(when(col("rnk") <= col("k"), col("f")).otherwise(0L))
+            .as("covered_tokens"))
+          .select(col("k"), col("covered_tokens"),
+            col("total").as("total_tokens"),
+            (col("covered_tokens").cast(DoubleType) / col("total"))
+              .as("coverage"))
+      },
+      Some("""
+        WITH tf AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS f
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM tf),
+        top AS (
+          SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rnk
+          FROM tf ORDER BY f DESC, tok LIMIT 50)
+        SELECT k, CAST(sum(CASE WHEN rnk <= k THEN f ELSE 0 END) AS BIGINT) AS covered_tokens,
+               total AS total_tokens,
+               CAST(sum(CASE WHEN rnk <= k THEN f ELSE 0 END) AS DOUBLE) / total AS coverage
+        FROM top CROSS JOIN tot
+             CROSS JOIN (SELECT unnest([10, 20, 50]) AS k) ks
+        GROUP BY k, total"""))
   )
 }
