@@ -238,6 +238,34 @@ object DedupQueries {
                   JOIN sets sb ON cand.id_b = sb.doc_id""")),
     // ----------------------------------------------------------------
     Q(
+      "q87_source_contamination",
+      "Cross-source duplication matrix: q28's verified near-dup pairs " +
+        "bucketed by unordered source pair — which sources copy which " +
+        "(mirror sites, syndication, scraper overlap). The input is " +
+        "the already-bounded pair set; the source lookup is a " +
+        "broadcast-size dim join, and the matrix is at most " +
+        "sources^2/2 rows regardless of corpus size.",
+      (s, dir) => {
+        val pairs = lshVerifiedPairs(s, dir).select(col("id_a"), col("id_b"))
+        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""$pairsCte,
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b,
+               count(*) AS n_pairs
+        FROM pairs JOIN src a ON pairs.id_a = a.doc_id
+                   JOIN src b ON pairs.id_b = b.doc_id
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_simhash",
       "60-bit SimHash signature per document over distinct-token " +
         "hashes (bit-majority vote).",
