@@ -120,15 +120,19 @@ object CurateStream {
         .write.mode("overwrite").parquet(idxDir)
   }
 
+  /** @param evalDocs held-out eval suite for per-batch decontamination
+    *                  (see [[Curate]]); a STATIC frame — it joins each
+    *                  micro-batch inside foreachBatch. */
   def start(docs: DataFrame, textCol: String, idCol: String,
       outDir: String, checkpointDir: String,
       cfg: Curate.Config = Curate.Config(),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      evalDocs: Option[DataFrame] = None): StreamingQuery = {
     val step: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       val idxDir = indexDir(outDir)
       ensureMigrated(spark, outDir, idxDir)
-      val curated = Curate(batch.toDF(), textCol, idCol, cfg)
+      val curated = Curate(batch.toDF(), textCol, idCol, cfg, evalDocs)
         .withColumn(HashCol, Portable.pmd5(col(textCol)))
         .withColumn(HashCol2, Portable.pmd5Salted(1, col(textCol)))
 
