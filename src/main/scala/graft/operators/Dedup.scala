@@ -115,8 +115,12 @@ object Dedup {
       .select(col("id_l"), col("id_r"))
       .distinct()
 
-  /** One (id, band, key) row per band of each doc — the shared explode
-    * behind both the self-join and cross-table candidate generators. */
+  /** One (id, band, key) row per band of each doc — the exploded form a
+    * persistent LSH band index stores (and the shared explode behind
+    * the self-join and cross-table candidate generators). */
+  def bandRows(banded: DataFrame, idCol: String, outId: String,
+      nBands: Int): DataFrame = bandExplode(banded, idCol, outId, nBands)
+
   private def bandExplode(banded: DataFrame, idCol: String, outId: String,
       nBands: Int): DataFrame = {
     val bandStructs = array((0 until nBands).map(b =>

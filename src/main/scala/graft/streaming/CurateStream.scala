@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.Portable
-import graft.operators.Curate
+import graft.operators.{Curate, Dedup}
 
 /** Streaming curation: the batch [[Curate]] pipeline applied per
   * micro-batch via foreachBatch — the production shape of continuous
@@ -17,9 +17,11 @@ import graft.operators.Curate
   * pipeline, then drops documents whose content hash already exists in
   * a compact HASH-INDEX table (`outDir`_hashidx) — so exact duplicates
   * never land twice, across batches AND across failure/replay. Near-dup
-  * removal is within-batch only: cross-batch NEAR dups are a periodic
-  * compaction job over the landed corpus ([[graft.operators.Dedup]] +
-  * [[graft.operators.Maintenance]]), not a per-batch scan.
+  * removal is within-batch by default, with cross-batch NEAR dups left
+  * to a periodic compaction job over the landed corpus
+  * ([[graft.operators.Dedup]] + [[graft.operators.Maintenance]]);
+  * `nearDupAcrossBatches = true` additionally gates them at ingest
+  * against persistent MinHash sketch indexes (see [[nearDupTainted]]).
   *
   * The index holds the two independently-salted 60-bit content hashes
   * plus the landing batch (`content_hash`, `content_hash2`, `batch_id`):
@@ -57,6 +59,14 @@ object CurateStream {
 
   /** The compact hash-index table that travels with a curated sink. */
   def indexDir(outDir: String): String = outDir + "_hashidx"
+
+  /** LSH band index (exploded (band, key, content_hash) rows) for the
+    * opt-in cross-batch NEAR-dup gate. */
+  def bandIndexDir(outDir: String): String = outDir + "_bandidx"
+
+  /** MinHash signature index (content_hash, m0..m{K-1}) — the sketch
+    * the near-dup gate verifies candidates against. */
+  def sigIndexDir(outDir: String): String = outDir + "_sigidx"
 
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -120,14 +130,53 @@ object CurateStream {
         .write.mode("overwrite").parquet(idxDir)
   }
 
+  /** Ingest-time cross-batch NEAR-dup gate: candidates come from an
+    * equi-join of the batch's LSH band keys against the persistent band
+    * index, and are adjudicated by MINHASH AGREEMENT against the
+    * signature index — the sketch estimate of Jaccard (q84's
+    * measurement), because storing what an exact verify would need (the
+    * landed corpus's token sets) is O(corpus text), which is exactly
+    * what the index design exists to avoid. Sketch state per landed doc
+    * is bands (4 x 24 B) + signature (K x 8 B + hash): ~230 B against
+    * ~1 KB of document — and the gate's decision is deterministic, so a
+    * crash replay re-derives the same drops. Exact near-dup remains the
+    * compaction job's business ([[graft.operators.Maintenance]]); at
+    * real corpus scale the band index is a table BUCKETED on `key`, so
+    * the per-batch join co-locates and prunes instead of shuffling the
+    * index. */
+  private def nearDupTainted(spark: SparkSession, cands: DataFrame,
+      newSig: DataFrame, sigIdxDir: String, cfg: Curate.Config): DataFrame = {
+    val k = cfg.minhashK
+    val sigSchema = (HashCol +: (0 until k).map(i => s"m$i") :+ BatchCol)
+      .map(c => s"$c BIGINT").mkString(", ")
+    val oldSig = spark.read.schema(sigSchema).parquet(sigIdxDir)
+      .select(col(HashCol).as("__oh") +: (0 until k).map(i => col(s"m$i").as(s"o$i")): _*)
+    val newSigN = newSig
+      .select(col(HashCol).as("__nh") +: (0 until k).map(i => col(s"m$i").as(s"n$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"n$i") === col(s"o$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val minAgree = math.ceil(cfg.nearDupThreshold * k).toInt
+    cands
+      .join(newSigN, "__nh").join(oldSig, "__oh")
+      .groupBy(col("__nh")).agg(max(agree).as("__agree"))
+      .filter(col("__agree") >= minAgree)
+      .select(col("__nh").as(HashCol))
+  }
+
   /** @param evalDocs held-out eval suite for per-batch decontamination
     *                  (see [[Curate]]); a STATIC frame — it joins each
-    *                  micro-batch inside foreachBatch. */
+    *                  micro-batch inside foreachBatch.
+    * @param nearDupAcrossBatches opt-in ingest-time near-dup gate
+    *                  against the landed corpus's MinHash sketches (see
+    *                  [[nearDupTainted]]); off = near-dup removal stays
+    *                  within-batch + periodic compaction. */
   def start(docs: DataFrame, textCol: String, idCol: String,
       outDir: String, checkpointDir: String,
       cfg: Curate.Config = Curate.Config(),
       trigger: Trigger = Trigger.AvailableNow(),
-      evalDocs: Option[DataFrame] = None): StreamingQuery = {
+      evalDocs: Option[DataFrame] = None,
+      nearDupAcrossBatches: Boolean = false): StreamingQuery = {
     val step: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       val idxDir = indexDir(outDir)
@@ -155,8 +204,69 @@ object CurateStream {
       val fresh = anti
         .map(a => curated.join(a, Seq(HashCol, HashCol2), "left_anti"))
         .getOrElse(curated)
-      fresh.withColumn(BatchCol, lit(batchId))
+
+      // opt-in ingest-time near-dup gate against the landed corpus's
+      // MinHash sketches; the batch is signed ONCE (sigBanded) for the
+      // gate decision and the index catch-up below
+      val k = cfg.minhashK
+      val nb = k / cfg.bandsRows
+      val bidDir = bandIndexDir(outDir)
+      val sidDir = sigIndexDir(outDir)
+      val sketch =
+        if (!nearDupAcrossBatches) None
+        else {
+          val sigBanded = Dedup.bandKeys(
+            Dedup.minhashSignature(
+              curated.select(col(HashCol), col(textCol)),
+              textCol, k, cfg.shingleLen),
+            k, cfg.bandsRows).drop(textCol).persist()
+          val tainted =
+            if (!hasData(spark, bidDir)) sigBanded.select(col(HashCol)).limit(0)
+            else {
+              val bandSchema = s"band INT, key BIGINT, $HashCol BIGINT, $BatchCol BIGINT"
+              val oldBands = spark.read.schema(bandSchema).parquet(bidDir)
+                .select(col("band"), col("key"), col(HashCol).as("__oh"))
+              val cands = Dedup.bandRows(sigBanded, HashCol, "__nh", nb)
+                .join(oldBands, Seq("band", "key"))
+                .filter(col("__nh") =!= col("__oh"))
+                .select(col("__nh"), col("__oh")).distinct()
+              nearDupTainted(spark, cands, sigBanded, sidDir, cfg)
+            }
+          Some((sigBanded, tainted))
+        }
+      val landing = sketch
+        .map { case (_, tainted) => fresh.join(tainted, Seq(HashCol), "left_anti") }
+        .getOrElse(fresh)
+      landing.withColumn(BatchCol, lit(batchId))
         .write.mode("append").partitionBy(BatchCol).parquet(outDir)
+
+      // sketch-index catch-up, one anti-join PER index so each repairs
+      // its own crash window independently (appending sigs then dying
+      // before the band append must not strand unbanded signatures)
+      sketch.foreach { case (sigBanded, tainted) =>
+        val survivors = sigBanded.join(tainted, Seq(HashCol), "left_anti")
+        val sigSchema = (HashCol +: (0 until k).map(i => s"m$i") :+ BatchCol)
+          .map(c => s"$c BIGINT").mkString(", ")
+        val toSig =
+          if (!hasData(spark, sidDir)) survivors
+          else survivors.join(
+            spark.read.schema(sigSchema).parquet(sidDir).select(HashCol),
+            Seq(HashCol), "left_anti")
+        toSig.select(
+          (col(HashCol) +: (0 until k).map(i => col(s"m$i"))) :+
+            lit(batchId).as(BatchCol): _*)
+          .write.mode("append").parquet(sidDir)
+        val bandSchema = s"band INT, key BIGINT, $HashCol BIGINT, $BatchCol BIGINT"
+        val toBand =
+          if (!hasData(spark, bidDir)) survivors
+          else survivors.join(
+            spark.read.schema(bandSchema).parquet(bidDir)
+              .select(HashCol).distinct(),
+            Seq(HashCol), "left_anti")
+        Dedup.bandRows(toBand, HashCol, HashCol, nb)
+          .withColumn(BatchCol, lit(batchId))
+          .write.mode("append").parquet(bidDir)
+      }
 
       // catch the index up with every curated hash it is missing — NOT
       // just `fresh`: after a crash between the two appends, the sink

@@ -172,6 +172,42 @@ class CurateStreamSpec extends SparkSpec {
       "no batch may land into an unmigratable legacy sink")
   }
 
+  test("ingest near-dup gate: cross-batch near dups drop via the sketch indexes") {
+    val (root, out, cp) = mkRoot("curate-ndgate")
+    def runGated(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(root.resolve("in").toString)
+      val q = CurateStream.start(stream, "text", "doc_id", out, cp, cfg,
+        nearDupAcrossBatches = true)
+      assert(q.awaitTermination(120000), "gated stream did not finish")
+    }
+
+    stage(root, "a", Seq((0L, good), (4L, other)))
+    runGated()
+    // batch 2: a near dup of landed doc 0 (word appended -> shingle-set
+    // Jaccard ~0.95, signature agreement far above the 0.7 gate) plus a
+    // genuinely fresh doc. The compaction test proves the SAME near dup
+    // lands when the flag is off.
+    stage(root, "b", Seq((7L, good + " tonight"), (8L, third)))
+    runGated()
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 4L, 8L), s"cross-batch near dup must drop at ingest: $ids")
+
+    // sketch indexes carry exactly the landed docs: one signature row
+    // and 4 band rows per doc, nothing for the gated arrival
+    val sigN = spark.read.parquet(CurateStream.sigIndexDir(out)).count()
+    val bandN = spark.read.parquet(CurateStream.bandIndexDir(out)).count()
+    assert(sigN == 3, s"signature index rows: $sigN")
+    assert(bandN == 12, s"band index rows: $bandN")
+
+    // a later near dup of the OTHER landed doc is gated too (restart)
+    stage(root, "c", Seq((9L, other + " indeed")))
+    runGated()
+    val after = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(after == Set(0L, 4L, 8L), s"later near dup must also drop: $after")
+  }
+
   test("retention expires old batches; dedup memory survives; index compacts in place") {
     val (root, out, cp) = mkRoot("curate-retain")
 
