@@ -41,6 +41,41 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed band index: the corpus-side scan joins without reshuffling") {
+    // the scale claim behind CurateStream's ingest near-dup gate: the
+    // PERSISTENT band index is bucketed on `key`, so a batch's candidate
+    // lookup reshuffles only the (small) batch side — the index scan
+    // feeds the join in place. Build a band index shape, bucket it, and
+    // prove the plan has no Exchange above the bucketed scan.
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val banded = Dedup.bandKeys(
+      Dedup.minhashSignature(docs, "text", 16, 3), 16, 4)
+    spark.sql("DROP TABLE IF EXISTS bandidx_b")
+    Dedup.bandRows(banded, "doc_id", "content_hash", 4)
+      .write.bucketBy(8, "key").sortBy("key")
+      .mode("overwrite").saveAsTable("bandidx_b")
+    val batchBands = Dedup.bandRows(
+      Dedup.bandKeys(Dedup.minhashSignature(
+        docs.filter(col("doc_id") < 50), "text", 16, 3), 16, 4),
+      "doc_id", "new_hash", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cands = spark.table("bandidx_b")
+        .join(batchBands.hint("shuffle_merge"), Seq("key"))
+        .filter(col("content_hash") =!= col("new_hash"))
+      val plan = cands.queryExecution.executedPlan.toString
+      // the index side must go FileScan -> (Sort) -> Join with no
+      // Exchange in between; the batch side is allowed its shuffle
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val exchanges = "Exchange hashpartitioning\\(key".r
+        .findAllIn(plan).size
+      assert(exchanges == 1,
+        s"only the batch side may shuffle (found $exchanges key exchanges):\n$plan")
+      assert(cands.count() > 0, "candidate lookup must produce rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted aggregation == direct groupBy") {
     val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
     val salted = Skew.saltedCountSum(ev, Seq("event_type"), col("event_id"), 16,
