@@ -266,6 +266,72 @@ object DedupQueries {
         GROUP BY 1, 2""")),
     // ----------------------------------------------------------------
     Q(
+      "q89_crosslang_neardup",
+      "Cross-language near-dup detection: q30's character-3-gram LSH " +
+        "pipeline, restricted to pairs whose language LABELS disagree " +
+        "— mislabeled duplicates and boilerplate that survives " +
+        "translation-ish rewrites. Char grams are the lang-agnostic " +
+        "signal word-level shingles can't give; threshold 0.8 with " +
+        "the same size-band gate and sorted-merge verify.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val withSet = docs.select(col("doc_id"), col("lang"),
+          array_sort(Dedup.charNgramHashes(col("text"), 3)).as("gs"))
+          .withColumn("sz", size(col("gs")))
+          .persist()
+        val banded = Dedup.bandKeys(
+          Dedup.minhashFromHashes(
+            withSet.filter(col("sz") > 0).select("doc_id", "gs"), "gs", K),
+          K, RPB)
+        val cands = Dedup.lshCandidates(banded, "doc_id", NB)
+        val sets = withSet.select(col("doc_id"), col("lang"), col("gs"), col("sz"))
+        val inter = graft.expressions.SortedIntersectSize(s, col("gs_a"), col("gs_b"))
+        cands
+          .join(sets.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+            col("gs").as("gs_a"), col("sz").as("sz_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+            col("gs").as("gs_b"), col("sz").as("sz_b")), "id_b")
+          .filter(col("lang_a") =!= col("lang_b"))
+          .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
+            when(
+              col("sz_a").cast("double") >= col("sz_b") * 0.8 &&
+                col("sz_b").cast("double") >= col("sz_a") * 0.8,
+              inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id, lang, gs, len(gs) AS sz
+          FROM (SELECT doc_id, lang,
+                 ${graft.operators.Dedup.charNgramHashesSql("text", 3)} AS gs
+                FROM documents)),
+        sig AS (
+          SELECT doc_id, ${minhashColsSql("gs")}
+          FROM g WHERE sz > 0),
+        banded AS (
+          SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
+          FROM sig),
+        bk AS (
+          ${(0 until NB).map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bk l JOIN bk r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b, lang_a, lang_b, jaccard FROM (
+          SELECT id_a, id_b, a.lang AS lang_a, b.lang AS lang_b,
+                 CASE WHEN CAST(a.sz AS DOUBLE) >= b.sz * 0.8
+                       AND CAST(b.sz AS DOUBLE) >= a.sz * 0.8
+                      THEN CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                             / (a.sz + b.sz - len(list_intersect(a.gs, b.gs)))
+                      END AS jaccard
+          FROM cand JOIN g a ON cand.id_a = a.doc_id
+                    JOIN g b ON cand.id_b = b.doc_id
+          WHERE a.lang != b.lang)
+        WHERE jaccard >= 0.8""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_simhash",
       "60-bit SimHash signature per document over distinct-token " +
         "hashes (bit-majority vote).",

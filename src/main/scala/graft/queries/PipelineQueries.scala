@@ -640,6 +640,59 @@ object PipelineQueries {
                CAST(sum(CASE WHEN rnk <= k THEN f ELSE 0 END) AS DOUBLE) / total AS coverage
         FROM top CROSS JOIN tot
              CROSS JOIN (SELECT unnest([10, 20, 50]) AS k) ks
-        GROUP BY k, total"""))
+        GROUP BY k, total""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q88_anomaly_bursts",
+      "Incident bursts: q76's flagged hours merged into maximal " +
+        "consecutive runs per event type (gaps-and-islands on the " +
+        "epoch-hour sequence) — a sustained multi-hour burst is an " +
+        "incident, an isolated spike is noise, and the distinction is " +
+        "what an on-call actually pages on. One window per type over " +
+        "the already-tiny flagged set.",
+      (s, dir) => {
+        val h = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val st = h.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("m"), sum(col("cnt")).as("tot"),
+            sum(col("cnt") * col("cnt")).as("ss"))
+        val dev = col("m") * col("cnt") - col("tot")
+        val flagged = h.join(broadcast(st), "event_type")
+          .filter(dev * dev * (col("m") - 1) >
+            lit(9L) * col("m") * (col("m") * col("ss") - col("tot") * col("tot")))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        flagged
+          .withColumn("grp",
+            expr("unix_micros(hr) div 3600000000") - row_number().over(w))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+            count(lit(1)).as("n_hours"), max(col("cnt")).as("peak_cnt"))
+          .select(col("event_type"), col("start_hr"), col("end_hr"),
+            col("n_hours"), col("peak_cnt"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(cnt) AS BIGINT) AS tot,
+                 CAST(sum(cnt * cnt) AS BIGINT) AS ss
+          FROM h GROUP BY 1),
+        f AS (
+          SELECT h.event_type, hr, cnt
+          FROM h JOIN st USING (event_type)
+          WHERE (m*cnt - tot) * (m*cnt - tot) * (m - 1)
+                  > 9 * m * (m*ss - tot*tot)),
+        d AS (
+          SELECT event_type, hr, cnt,
+                 epoch_us(hr) // 3600000000
+                   - row_number() OVER (PARTITION BY event_type ORDER BY hr) AS grp
+          FROM f)
+        SELECT event_type, min(hr) AS start_hr, max(hr) AS end_hr,
+               count(*) AS n_hours, CAST(max(cnt) AS BIGINT) AS peak_cnt
+        FROM d GROUP BY event_type, grp"""))
   )
 }
