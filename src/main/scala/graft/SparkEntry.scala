@@ -30,4 +30,9 @@ object SparkEntry {
     * the same parquet tables. Omitted entries get a rows-only check. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin.trim)).toMap
+
+  /** (name, doc, has-oracle) for every registered query — the catalog
+    * QUERIES.md is generated from (graft.Catalog). */
+  def catalog: Seq[(String, String, Boolean)] =
+    registry.map(q => (q.name, q.doc, q.oracle.nonEmpty)).sortBy(_._1)
 }

@@ -148,8 +148,8 @@ object PipelineQueries {
         s"$WIN_W consecutive grams is selected; fingerprints chosen in " +
         "more than one document localize SHARED SUBSTRINGS (guarantee: " +
         s"any match of ${WIN_K + WIN_W - 1}+ words is caught). " +
-        "Selection is a pure per-row projection; only the selected " +
-        "~1/${(WIN_W + 1) / 2} of gram hashes reach the fingerprint " +
+        s"Selection is a pure per-row projection; only ~2/${WIN_W + 1} " +
+        "of gram hashes are selected and reach the fingerprint " +
         "shuffle.",
       (s, dir) => {
         // a selected POSITION determines its fingerprint (fp = g[pos]),
