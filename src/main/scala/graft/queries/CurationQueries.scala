@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Sketches
+import graft.queries.Tables.{spread, t}
+
+/** Corpus-curation toolbox: tokenizer-training statistics, term
+  * blocklist filtering and redaction (the relational shape of a PII
+  * scrub — the testdata corpus has no PII-like spans, so the mask set
+  * is a term list; the plumbing is identical), the quantized-embedding
+  * datasheet, and bounded-memory heavy hitters. Every query keeps the
+  * heavy stage scan-local: per-row projections at the scan, tiny
+  * dimension sides broadcast, sketches where the exact answer would
+  * shuffle the full domain.
+  */
+object CurationQueries {
+
+  /** Blocklist for q91/q92: one common term and one rare term, so the
+    * filter exercises both the hot and the cold path of the match. */
+  private val BLOCK = Seq("slow", "dup")
+  private val MASK = "<MASK>"
+  private val TOPP = 20 // q90: merge-candidate pairs reported
+  private val MG_K = 64 // q94: Misra-Gries counters; threshold = N/64
+  private val DIM = 64  // q93: embedding dimensionality
+
+  private def blockSql = BLOCK.map(b => s"'$b'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q90_bpe_first_merge",
+      "BPE tokenizer training, step 1: adjacent character-pair counts " +
+        s"weighted by word frequency — the top-$TOPP merge candidates " +
+        "the first BPE iteration would rank. The corpus collapses to " +
+        "its word-frequency table FIRST (one map-side-combined agg), " +
+        "so pair explosion runs over the VOCABULARY, not the corpus — " +
+        "at 100 TB the vocab table is millions of rows where the " +
+        "corpus is trillions, and later merge iterations rescan only " +
+        "it. The final ranking window sees the LIMIT-" + TOPP +
+        " slice only.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        val pairs = wf.select(col("f"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        val w = Window.orderBy(col("n").desc, col("pair"))
+        pairs.orderBy(col("n").desc, col("pair")).limit(TOPP)
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+      },
+      Some(s"""
+        WITH wf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS f
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w),
+        pairs AS (
+          SELECT substring(w, i, 2) AS pair, f
+          FROM wf, unnest(generate_series(1, length(w) - 1)) AS u(i)),
+        agg AS (
+          SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pairs GROUP BY pair)
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+        FROM agg ORDER BY n DESC, pair LIMIT $TOPP""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q91_blocklist_filter",
+      "Term-blocklist filter statistics (the C4 badwords recipe; same " +
+        "shape as a PII-bearing-document drop): a document is dropped " +
+        "when it contains ANY blocklisted term; per source, kept/" +
+        "dropped counts and the drop fraction. The blocklist is a " +
+        "literal array at the scan (a real list would broadcast); the " +
+        "match is one arrays_overlap per row, scan-stage, and only " +
+        "(source, flag) ever reaches the shuffle.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        docs.select(col("source"),
+          arrays_overlap(split(col("text"), " "),
+            array(BLOCK.map(lit): _*)).as("blocked"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("blocked"), 1L).otherwise(0L)).as("n_dropped"))
+          .select(col("source"), col("n_docs"),
+            col("n_dropped"),
+            (col("n_dropped").cast(DoubleType) / col("n_docs")).as("drop_frac"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source,
+                 len(list_intersect(string_split(text, ' '),
+                     [$blockSql])) > 0 AS blocked
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS drop_frac
+        FROM d GROUP BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q92_redaction",
+      "Term redaction (the PII-scrub plumbing, with a term list as the " +
+        "detector): every blocklisted token is replaced by a mask " +
+        "token; output per affected document is the masked-token count " +
+        "and the digest of the redacted text — the content-addressable " +
+        "identity the scrubbed corpus is re-deduplicated under. Pure " +
+        "per-row projection at the scan; the full redacted text never " +
+        "shuffles (only its 16-byte digest does), and unaffected " +
+        "documents are filtered out before any exchange.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val toks = split(col("text"), " ")
+        docs.select(col("doc_id"),
+          size(filter(toks, tk => tk.isin(BLOCK: _*))).cast(LongType)
+            .as("n_masked"),
+          md5(array_join(transform(toks,
+            tk => when(tk.isin(BLOCK: _*), lit(MASK)).otherwise(tk)), " "))
+            .as("redacted_md5"))
+          .filter(col("n_masked") > 0)
+      },
+      Some(s"""
+        SELECT * FROM (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      tk -> tk IN ($blockSql))) AS BIGINT) AS n_masked,
+                 md5(array_to_string(list_transform(string_split(text, ' '),
+                      tk -> CASE WHEN tk IN ($blockSql) THEN '$MASK' ELSE tk END),
+                      ' ')) AS redacted_md5
+          FROM documents)
+        WHERE n_masked > 0""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q93_embedding_dimstats",
+      "Quantized-embedding datasheet: per-dimension count, code sum, " +
+        "mean and variance of the int8 codes (q57's max-abs scale, " +
+        "floor codes) — dead or saturated dimensions here indict the " +
+        "encoder before a billion-vector index is built on it. Codes " +
+        "are INTEGER, so the sums commute under any partitioning and " +
+        "the variance is cross-multiplied BIGINT arithmetic down to " +
+        "one final double division — bit-deterministic on any engine, " +
+        s"unlike a float running variance. One posexplode x $DIM per " +
+        "vector at the scan, one map-side-combined agg on a " +
+        s"$DIM-row key space.",
+      (s, dir) => {
+        val e = spread(t(s, dir, "embeddings"), col("vec_id"))
+        val prepped = e.select(
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+          .withColumn("scale",
+            aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127)
+        prepped.select(posexplode(transform(col("v"),
+          x => when(col("scale") === 0, lit(0L))
+            .otherwise(floor(x / col("scale")).cast(LongType)))))
+          .select((col("pos") + 1).cast(LongType).as("dim"),
+            col("col").as("code"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("code")).as("s"),
+            sum(col("code") * col("code")).as("ss"))
+          .select(col("dim"), col("n"), col("s"),
+            (col("s").cast(DoubleType) / col("n")).as("mean_code"),
+            ((col("n") * col("ss") - col("s") * col("s")).cast(DoubleType)
+              / (col("n") * col("n"))).as("var_code"))
+      },
+      Some(s"""
+        WITH pv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sc AS (
+          SELECT v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> abs(x))),
+                   (a, x) -> greatest(a, x)) / 127 AS scale
+          FROM pv),
+        codes AS (
+          SELECT CAST(i AS BIGINT) AS dim,
+                 CAST(CASE WHEN scale = 0 THEN 0
+                      ELSE floor(v[i] / scale) END AS BIGINT) AS code
+          FROM sc, unnest(generate_series(1, $DIM)) AS u(i)),
+        agg AS (
+          SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(code) AS BIGINT) AS s,
+                 CAST(sum(code * code) AS BIGINT) AS ss
+          FROM codes GROUP BY dim)
+        SELECT dim, n, s,
+               CAST(s AS DOUBLE) / n AS mean_code,
+               CAST(n * ss - s * s AS DOUBLE) / (n * n) AS var_code
+        FROM agg""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q94_heavy_hitters",
+      s"Exact heavy hitters in two bounded passes: a Misra-Gries sketch " +
+        s"($MG_K counters per partition, mapPartitions) yields a " +
+        "candidate set PROVABLY containing every token above the N/" +
+        MG_K + " frequency bar; pass 2 exact-counts candidates only " +
+        "and applies the bar in cross-multiplied integer form. The " +
+        "exact one-pass groupBy would shuffle the full token domain; " +
+        "here the shuffle carries at most (k-1) x partitions " +
+        "candidates plus their partial counts — the only heavy-hitter " +
+        "shape that survives a trillion-token corpus with a " +
+        "billion-term vocabulary.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+        toks.persist()
+        val cands = Sketches.misraGriesCandidates(toks.as[String], MG_K)
+          .toDF("tok")
+        val total = toks.agg(count(lit(1)).as("total"))
+        toks.join(broadcast(cands), "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * MG_K > col("total"))
+          .select(col("tok"), col("cnt"), col("total").as("total_tokens"),
+            (col("cnt").cast(DoubleType) / col("total")).as("freq"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt, total AS total_tokens,
+               CAST(count(*) AS DOUBLE) / total AS freq
+        FROM toks CROSS JOIN tot
+        GROUP BY tok, total
+        HAVING CAST(count(*) AS BIGINT) * $MG_K > total"""))
+  )
+}
