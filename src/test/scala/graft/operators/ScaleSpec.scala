@@ -76,6 +76,41 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // the 100 TB shape: a huge fact scan joined to a small filtered
+    // dimension. Spark's InjectRuntimeFilter can push a bloom filter of
+    // the dim keys into the fact scan stage, so non-matching fact rows
+    // die BEFORE the join shuffle. The optimization is size-gated
+    // (creation side <= creationSideThreshold, application side >=
+    // sizeThreshold), so testdata never triggers it naturally — lower
+    // the application-side floor to prove the engine's sessions have
+    // the rewrite available and correctly wired.
+    val dir = "/root/testdata/sf0.001"
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+      val dim = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and the rewrite preserves the exact result
+      val expected = fact.join(dim.hint("broadcast"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(joined.exceptAll(expected).isEmpty &&
+        expected.exceptAll(joined).isEmpty)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salted aggregation == direct groupBy") {
     val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
     val salted = Skew.saltedCountSum(ev, Seq("event_type"), col("event_id"), 16,

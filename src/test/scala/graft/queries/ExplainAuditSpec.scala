@@ -100,7 +100,8 @@ class ExplainAuditSpec extends SparkSpec {
     withStaticPlans {
       for (n <- Seq("q50_hash_sample", "q60_stratified_sample",
           "q55_cdc_chunks", "q57_int8_quantize", "q25_fingerprint",
-          "q21_token_stats", "q23_lang_id", "q24_quality_score")) {
+          "q21_token_stats", "q23_lang_id", "q24_quality_score",
+          "q83_quality_resample", "q92_redaction")) {
         val s = shuffles(planOf(n))
         assert(s.isEmpty, s"$n should be scan-stage only, found: " +
           s.map(_.simpleStringWithNodeId()).mkString("; "))
