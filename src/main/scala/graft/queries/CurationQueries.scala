@@ -23,8 +23,9 @@ object CurationQueries {
   private val BLOCK = Seq("slow", "dup")
   private val MASK = "<MASK>"
   private val TOPP = 20 // q90: merge-candidate pairs reported
-  private val MG_K = 64 // q94: Misra-Gries counters; threshold = N/64
-  private val DIM = 64  // q93: embedding dimensionality
+  private val MG_K = 64  // q94: Misra-Gries counters; threshold = N/64
+  private val DIM = 64   // q93: embedding dimensionality
+  private val HBINS = 64 // q95: histogram bins per source
 
   private def blockSql = BLOCK.map(b => s"'$b'").mkString(", ")
 
@@ -223,6 +224,72 @@ object CurationQueries {
                CAST(count(*) AS DOUBLE) / total AS freq
         FROM toks CROSS JOIN tot
         GROUP BY tok, total
-        HAVING CAST(count(*) AS BIGINT) * $MG_K > total"""))
+        HAVING CAST(count(*) AS BIGINT) * $MG_K > total""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q95_quantile_refine",
+      "Two-pass histogram-refine EXACT quantiles — the implementation " +
+        "of the scale path q85's full-sort window only gestures at. " +
+        s"Pass 1 folds each source into a $HBINS-bin equi-width " +
+        "histogram (bounded state, map-side combined) and walks the " +
+        "cumulative counts to the single bin holding each target rank; " +
+        "pass 2 exact-ranks ONLY inside chosen bins — the window sees " +
+        "n/bins rows instead of n. Same type-1 definition as q85 " +
+        "(value at rank ceil(q*n), integer arithmetic throughout), so " +
+        "the oracle is q85's: exact answers from bounded memory.",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        val stats = d.groupBy(col("source")).agg(
+          count(lit(1)).as("n"), min(col("n_tokens")).as("lo"),
+          max(col("n_tokens")).as("hi"))
+        // integer bin width (Column./ is DOUBLE division — use SQL div);
+        // every value lands in exactly one of HBINS bins
+        val binned = d.join(broadcast(stats), "source")
+          .withColumn("width", expr(
+            s"greatest((hi - lo + ${HBINS - 1}) div $HBINS, cast(1 as bigint))"))
+          .withColumn("bin", expr(
+            s"least((n_tokens - lo) div width, cast(${HBINS - 1} as bigint))"))
+        val hist = binned.groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        import s.implicits._
+        val qs = Seq(50L, 90L, 99L).toDF("q")
+        val cumW = Window.partitionBy(col("source"), col("q"))
+          .orderBy(col("bin"))
+        // the bin containing rank r: first bin whose cumulative count
+        // reaches r (cum >= r and cum - cnt < r)
+        val chosen = hist.join(broadcast(stats.select(col("source"), col("n"))), "source")
+          .crossJoin(broadcast(qs))
+          .withColumn("r", expr("(n * q + 99) div 100"))
+          .withColumn("cum", sum(col("cnt")).over(cumW))
+          .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+          .select(col("source"), col("q"), col("bin"),
+            (col("r") - (col("cum") - col("cnt"))).as("r_in_bin"))
+        val rankW = Window.partitionBy(col("source"), col("q"))
+          .orderBy(col("n_tokens"), col("doc_id"))
+        binned.join(broadcast(chosen), Seq("source", "bin"))
+          .withColumn("rk", row_number().over(rankW).cast(LongType))
+          .filter(col("rk") === col("r_in_bin"))
+          .groupBy(col("source"))
+          .agg(max(col("n")).as("n_docs"),
+            max(when(col("q") === 50, col("n_tokens"))).as("p50"),
+            max(when(col("q") === 90, col("n_tokens"))).as("p90"),
+            max(when(col("q") === 99, col("n_tokens"))).as("p99"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (
+          SELECT source, n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM d)
+        SELECT source, n AS n_docs,
+               max(CASE WHEN rn = (n*50 + 99) // 100 THEN n_tokens END) AS p50,
+               max(CASE WHEN rn = (n*90 + 99) // 100 THEN n_tokens END) AS p90,
+               max(CASE WHEN rn = (n*99 + 99) // 100 THEN n_tokens END) AS p99
+        FROM r GROUP BY source, n"""))
   )
 }
