@@ -63,4 +63,34 @@ object Aggregators {
     override def bufferEncoder: Encoder[MinKBuf] = Encoders.product[MinKBuf]
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  final case class KeyedPrice(key: Long, price: Double)
+  final case class TopKBuf(rows: Seq[KeyedPrice])
+
+  /** Bounded top-k-per-group accumulator: the k largest rows by
+    * (price DESC, key ASC) — a total order, so ranks are deterministic
+    * under ties. The buffer never exceeds k rows, so partial (map-side)
+    * aggregation ships at most k rows per group per partition where the
+    * window-function formulation (row_number over the full group)
+    * shuffles EVERY row of every group to one task — the difference
+    * between a bounded combine and a full-group sort at corpus scale.
+    * Top-k of a set is order-insensitive, so the result is identical
+    * under any partitioning or merge-tree shape. k is query-small here
+    * (sorted-insert is fine); a large-k variant would swap the Vector
+    * for a bounded heap, same semantics.
+    */
+  final class TopKByPrice(k: Int) extends Aggregator[KeyedPrice, TopKBuf, Seq[KeyedPrice]] {
+    private def ord: Ordering[KeyedPrice] =
+      Ordering.by[KeyedPrice, (Double, Long)](r => (-r.price, r.key))
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(b: TopKBuf, r: KeyedPrice): TopKBuf =
+      if (b.rows.size == k && ord.gteq(r, b.rows.last)) b
+      else TopKBuf((b.rows :+ r).sorted(ord).take(k))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf((a.rows ++ b.rows).sorted(ord).take(k))
+    override def finish(b: TopKBuf): Seq[KeyedPrice] = b.rows.sorted(ord)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[KeyedPrice]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -26,6 +26,7 @@ object CurationQueries {
   private val MG_K = 64  // q94: Misra-Gries counters; threshold = N/64
   private val DIM = 64   // q93: embedding dimensionality
   private val HBINS = 64 // q95: histogram bins per source
+  private val TOPK_G = 3 // q96: rows kept per group
 
   private def blockSql = BLOCK.map(b => s"'$b'").mkString(", ")
 
@@ -290,6 +291,43 @@ object CurationQueries {
                max(CASE WHEN rn = (n*50 + 99) // 100 THEN n_tokens END) AS p50,
                max(CASE WHEN rn = (n*90 + 99) // 100 THEN n_tokens END) AS p90,
                max(CASE WHEN rn = (n*99 + 99) // 100 THEN n_tokens END) AS p99
-        FROM r GROUP BY source, n"""))
+        FROM r GROUP BY source, n""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q96_topk_per_group",
+      "Top-k per group through a BOUNDED typed Aggregator (k=3 priciest " +
+        "orders per priority): the buffer never exceeds k rows, so " +
+        "map-side combine ships at most k rows per group per partition " +
+        "— where the row_number() window formulation shuffles EVERY " +
+        "row of every group to one task and sorts it. Top-k of a set " +
+        "is order-insensitive and (price DESC, key ASC) is a total " +
+        "order, so ranks are bit-deterministic under any partitioning; " +
+        "the oracle IS the window formulation — same answer, " +
+        "unbounded shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.Aggregators
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(r => Aggregators.KeyedPrice(r._2, r._3))
+          .agg(new Aggregators.TopKByPrice(TOPK_G).toColumn)
+          .flatMap { case (prio, rows) =>
+            rows.zipWithIndex.map { case (r, i) =>
+              (prio, (i + 1).toLong, r.key, r.price)
+            }
+          }
+          .toDF("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+      },
+      Some(s"""
+        SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk,
+               o_orderkey, o_totalprice
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= $TOPK_G"""))
   )
 }
