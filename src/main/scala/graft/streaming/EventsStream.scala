@@ -75,6 +75,17 @@ object EventsStream {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Stream-static dimension enrichment: each micro-batch joins the
+    * (small, broadcast) static dimension — the streaming form of q08's
+    * enrichment chain. The static side is planned per micro-batch, so
+    * at 100 TB/day the stream side never shuffles for this join and a
+    * dim refresh is picked up on the next trigger when the static
+    * frame is a view over reloadable storage. Stateless: no watermark
+    * needed, state store untouched. */
+  def enrichedStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact-dedup on event id with watermark-bounded state:
     * the incremental form of q26's hash-dedup. State holds only ids
     * newer than (max event time - delay) — bounded at any corpus rate. */

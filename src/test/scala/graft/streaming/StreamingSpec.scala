@@ -317,4 +317,26 @@ class StreamingSpec extends SparkSpec {
     mustClose.foreach(s => assert(gotSet.contains(s),
       s"batch session not emitted though watermark passed it: $s"))
   }
+
+  test("stream-static enrichment matches the batch join, dim side broadcast") {
+    // static dim: one row per user id bucket (small by construction)
+    val dim = spark.range(0, 1000)
+      .select(col("id").as("user_id"),
+        concat(lit("tier-"), pmod(col("id"), lit(3))).as("tier"))
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.enrichedStream(stream, dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("enrich_out")
+    val batch = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // every stream row found its dim row (left join produced no nulls here)
+    assert(got.filter(col("tier").isNull).isEmpty)
+  }
 }
