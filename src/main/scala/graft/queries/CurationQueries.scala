@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Portable
 import graft.operators.Sketches
 import graft.queries.Tables.{spread, t}
 
@@ -27,6 +28,7 @@ object CurationQueries {
   private val DIM = 64   // q93: embedding dimensionality
   private val HBINS = 64 // q95: histogram bins per source
   private val TOPK_G = 3 // q96: rows kept per group
+  private val CUT_L = 20 // q97: repeated-run gram width (matches q78)
 
   private def blockSql = BLOCK.map(b => s"'$b'").mkString(", ")
 
@@ -328,6 +330,85 @@ object CurationQueries {
                  row_number() OVER (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders)
-        WHERE rn <= $TOPK_G"""))
+        WHERE rn <= $TOPK_G""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q97_exactsubstr_cut",
+      s"ExactSubstr CUT — applying q78's repeated-run mask: every token " +
+        s"covered by a corpus-duplicated $CUT_L-gram is removed and the " +
+        "cut document's identity (token counts + digest of the " +
+        "rewritten text) comes back, the step that actually produces " +
+        "the deduplicated corpus. Grams and positions travel as " +
+        "integers; the one token-level exchange (reassembly by doc_id) " +
+        "is the inverted-index cost q51 already budgets (~tokens x " +
+        "16 B) — at corpus scale it becomes a co-located join against " +
+        "doc_id-bucketed storage. A fully-duplicated doc cuts to " +
+        "nothing and exits the corpus (both engines drop it).",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val withTs = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val g = docs.select(col("doc_id"),
+          posexplode(Portable.wordShingles(col("text"), CUT_L)))
+          .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+            Portable.pmd5(col("col")).as("gh"))
+          .persist()
+        val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("gh"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val runs = g.join(dup, "gh")
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+        // overlapping runs (start gap < CUT_L) cover shared tokens — distinct
+        val covered = runs.select(col("doc_id"),
+          explode(sequence(col("mn"), col("mx") + (CUT_L - 1))).as("pos"))
+          .distinct()
+        val affected = runs.select(col("doc_id")).distinct()
+        val tokPos = withTs.join(affected, "doc_id")
+          .select(col("doc_id"), size(col("ts")).cast(LongType).as("n"),
+            posexplode(col("ts")))
+          .select(col("doc_id"), col("n"),
+            (col("pos") + 1).cast(LongType).as("pos"), col("col").as("tk"))
+        tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_tokens"),
+            (max(col("n")) - count(lit(1))).as("n_removed"),
+            md5(array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("tk")))),
+              r => r.getField("tk")), " ")).as("cut_md5"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (
+          SELECT doc_id, i AS pos,
+                 ${Portable.pmd5Sql(
+                   s"array_to_string(list_slice(ts, i, i + ${CUT_L - 1}), ' ')")} AS gh
+          FROM d, unnest(generate_series(1,
+                 greatest(len(ts) - ${CUT_L - 1}, 0))) t(i)),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+        m AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM g JOIN dup USING (gh)),
+        runs AS (
+          SELECT doc_id, min(pos) AS mn, max(pos) AS mx
+          FROM m GROUP BY doc_id, grp),
+        cov AS (
+          SELECT DISTINCT doc_id, p AS pos
+          FROM runs, unnest(generate_series(mn, mx + ${CUT_L - 1})) u(p)),
+        tok AS (
+          SELECT d.doc_id, i AS pos, ts[i] AS tk, len(ts) AS n
+          FROM d JOIN (SELECT DISTINCT doc_id FROM runs) a USING (doc_id),
+               unnest(generate_series(1, len(ts))) v(i)),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tk, t.n
+          FROM tok t LEFT JOIN cov c
+            ON t.doc_id = c.doc_id AND t.pos = c.pos
+          WHERE c.pos IS NULL)
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(max(n) - count(*) AS BIGINT) AS n_removed,
+               md5(string_agg(tk, ' ' ORDER BY pos)) AS cut_md5
+        FROM kept GROUP BY doc_id"""))
   )
 }
