@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -238,32 +238,77 @@ object Similarity {
     * Centroids are trained with [[trainIvfCentroids]] (`trainIters`
     * deterministic Lloyd rounds from the first-`nCells` seed);
     * `trainIters = 0` reproduces the untrained seed cells. */
+  /** Each prepped row's `n` nearest centroid cells (cells must carry
+    * (cell, cv, cn) and be broadcast-sized). */
+  private def nearestCells(prepped: DataFrame, cents: DataFrame,
+      outId: String, n: Int): DataFrame = {
+    val scored = prepped.crossJoin(broadcast(cents))
+      .select(col(outId), col("v"), col("nv"), col("cell"),
+        cosineFromPrepped(col("v"), col("nv"), col("cv"), col("cn")).as("cscore"))
+    val w = Window.partitionBy(col(outId))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= n)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, nProbe: Int, trainIters: Int = 2, dim: Int = 64): DataFrame = {
-    val cents = broadcast(
-      trainIvfCentroids(corpus, idCol, vecCol, nCells, trainIters, dim))
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCells, trainIters, dim)
 
-    def nearestCells(side: DataFrame, outId: String, n: Int): DataFrame = {
-      val p = prep(side, idCol, outId, vecCol)
-      val scored = p.crossJoin(cents)
-        .select(col(outId), col("v"), col("nv"), col("cell"),
-          cosineFromPrepped(col("v"), col("nv"), col("cv"), col("cn")).as("cscore"))
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("cscore").desc, col("cell").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-    }
-
-    val assigned = nearestCells(corpus, "neighbor_id", 1)
+    val assigned = nearestCells(prep(corpus, idCol, "neighbor_id", vecCol),
+        cents, "neighbor_id", 1)
       .select(col("neighbor_id"), col("v"), col("nv"), col("cell"))
-    val probes = broadcast(nearestCells(queries, "query_id", nProbe)
+    val probes = broadcast(
+      nearestCells(prep(queries, idCol, "query_id", vecCol), cents,
+        "query_id", nProbe)
       .select(col("query_id"), col("v").as("qv"), col("nv").as("qn"), col("cell")))
 
     rankTopK(probes.join(assigned, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
       // a neighbor can sit in several probed cells -> dedup before rank
+      .distinct(), k)
+  }
+
+  /** Persist an IVF index: a tiny centroid table plus the corpus
+    * assignment table BUCKETED on `cell` — the build-once side of the
+    * billion-vector serving story. Building is one train pass plus one
+    * assignment scan; after that every probe batch joins the
+    * assignments IN PLACE (bucketed scan, no corpus-side exchange) for
+    * the life of the index. The centroid table is the frozen model:
+    * assignments are derived from the WRITTEN table, so rebuild and
+    * probe can never disagree about cells. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, trainIters: Int, dim: Int,
+      centTable: String, assignTable: String, nBuckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    trainIvfCentroids(corpus, idCol, vecCol, nCells, trainIters, dim)
+      .write.mode("overwrite").saveAsTable(centTable)
+    nearestCells(prep(corpus, idCol, "neighbor_id", vecCol),
+        spark.table(centTable), "neighbor_id", 1)
+      .select(col("neighbor_id"), col("v"), col("nv"), col("cell"))
+      .write.bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(assignTable)
+  }
+
+  /** Probe a [[buildIvfIndex]] index. `broadcastProbes = true` is the
+    * interactive path (a handful of queries ships to every assignment
+    * bucket); `false` is the offline-batch path — a shuffle-merge join
+    * where ONLY the probe side exchanges, because the assignment table
+    * is bucketed on the join key (ScaleSpec proves the plan shape). */
+  def probeIvfIndex(spark: SparkSession, centTable: String,
+      assignTable: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val probes0 = nearestCells(prep(queries, idCol, "query_id", vecCol),
+        spark.table(centTable), "query_id", nProbe)
+      .select(col("query_id"), col("v").as("qv"), col("nv").as("qn"), col("cell"))
+    val probes =
+      if (broadcastProbes) broadcast(probes0) else probes0.hint("shuffle_merge")
+    rankTopK(probes.join(spark.table(assignTable), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
       .distinct(), k)
   }
 
