@@ -307,6 +307,45 @@ object AdvancedQueries {
                      CASE WHEN json_valid(props)
                           THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
               FROM events)
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q98_full_outer",
+      "Full-outer reconciliation (the one join shape q01-q97 never " +
+        "exercised): each customer's 1995 vs 1996 order counts with " +
+        "explicit only-left / only-right / both classification — the " +
+        "year-over-year churn table. Null-key handling is the point: " +
+        "keys and counts coalesce on BOTH engines identically. One " +
+        "shuffle per side on the join key, like any key join; skewed " +
+        "keys salt the same way.",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def side(y: Int, k: String, n: String) =
+          o.filter(year(col("o_orderdate")) === y)
+            .groupBy(col("o_custkey").as(k)).agg(count(lit(1)).as(n))
+        side(1995, "ka", "n_1995")
+          .join(side(1996, "kb", "n_1996"), col("ka") === col("kb"), "full_outer")
+          .select(
+            coalesce(col("ka"), col("kb")).as("o_custkey"),
+            coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+            coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+            when(col("ka").isNull, "only_1996")
+              .when(col("kb").isNull, "only_1995")
+              .otherwise("both").as("presence"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_custkey AS ka, CAST(count(*) AS BIGINT) AS n_1995
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        b AS (
+          SELECT o_custkey AS kb, CAST(count(*) AS BIGINT) AS n_1996
+          FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        SELECT coalesce(ka, kb) AS o_custkey,
+               coalesce(n_1995, 0) AS n_1995,
+               coalesce(n_1996, 0) AS n_1996,
+               CASE WHEN ka IS NULL THEN 'only_1996'
+                    WHEN kb IS NULL THEN 'only_1995'
+                    ELSE 'both' END AS presence
+        FROM a FULL JOIN b ON ka = kb"""))
   )
 }
