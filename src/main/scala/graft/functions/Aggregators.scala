@@ -80,8 +80,23 @@ object Aggregators {
     * for a bounded heap, same semantics.
     */
   final class TopKByPrice(k: Int) extends Aggregator[KeyedPrice, TopKBuf, Seq[KeyedPrice]] {
-    private def ord: Ordering[KeyedPrice] =
-      Ordering.by[KeyedPrice, (Double, Long)](r => (-r.price, r.key))
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    /** Best-first order matching Spark SQL's `price DESC, key ASC`
+      * EXACTLY: NaN ranks as the LARGEST price (Spark semantics; a
+      * negated java-compare tuple would rank it smallest) and
+      * -0.0 == 0.0 (normalized by adding +0.0). */
+    private def ord: Ordering[KeyedPrice] = new Ordering[KeyedPrice] {
+      override def compare(x: KeyedPrice, y: KeyedPrice): Int = {
+        val px = x.price + 0.0
+        val py = y.price + 0.0
+        val c =
+          if (px.isNaN && py.isNaN) 0
+          else if (px.isNaN) -1 // NaN = largest price -> best -> first
+          else if (py.isNaN) 1
+          else java.lang.Double.compare(py, px) // descending
+        if (c != 0) c else java.lang.Long.compare(x.key, y.key)
+      }
+    }
     override def zero: TopKBuf = TopKBuf(Vector.empty)
     override def reduce(b: TopKBuf, r: KeyedPrice): TopKBuf =
       if (b.rows.size == k && ord.gteq(r, b.rows.last)) b

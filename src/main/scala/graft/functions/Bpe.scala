@@ -24,8 +24,11 @@ object Bpe {
 
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
-  /** Split a word into single-character symbols. */
-  def charSymbols(word: Column): Column = split(word, "(?!^)")
+  /** Split a word into single-character symbols. The split point must
+    * have a character on BOTH sides — `(?!^)` alone also matches at
+    * end-of-string, and Spark's split (unlike Scala's) KEEPS the
+    * resulting trailing empty string. */
+  def charSymbols(word: Column): Column = split(word, "(?!^)(?=.)")
 
   /** Adjacent symbol pairs of one word as structs {l, r}. Guarded:
     * for a 1-symbol word `sequence(1, 0)` DESCENDS and element_at(0)
@@ -41,19 +44,25 @@ object Bpe {
     * with (out, prev) state — after a fuse, prev resets, so "aaa" under
     * (a,a) becomes [aa, a], the standard BPE behavior. */
   def mergePair(symbols: Column, a: String, b: String): Column = {
+    // NULL is the "no pending symbol" sentinel — an empty-STRING symbol
+    // (charSymbols("") yields [""]) is a legal symbol and must flush;
+    // prev === a is null-safe (NULL === a is falsy), symbols themselves
+    // are never null (split output).
     val zero = struct(
-      array().cast("array<string>").as("out"), lit("").as("prev"))
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("prev"))
     val step = (st: Column, s: Column) => {
       val out = st.getField("out")
       val prev = st.getField("prev")
       when(prev === a && s === b,
-        struct(concat(out, array(lit(a + b))).as("out"), lit("").as("prev")))
+        struct(concat(out, array(lit(a + b))).as("out"),
+          lit(null).cast("string").as("prev")))
         .otherwise(struct(
-          when(prev === "", out).otherwise(concat(out, array(prev))).as("out"),
+          when(prev.isNull, out).otherwise(concat(out, array(prev))).as("out"),
           s.as("prev")))
     }
     val fin = (st: Column) =>
-      when(st.getField("prev") === "", st.getField("out"))
+      when(st.getField("prev").isNull, st.getField("out"))
         .otherwise(concat(st.getField("out"), array(st.getField("prev"))))
     aggregate(symbols, zero, step, fin)
   }
@@ -63,11 +72,21 @@ object Bpe {
     * `wordCol` string, `countCol` integral. */
   def train(wordCounts: DataFrame, nMerges: Int,
       wordCol: String = "w", countCol: String = "f"): Seq[Merge] = {
-    var cur = wordCounts
+    // per-round cache discipline (the connectedComponents pattern):
+    // persist the round, truncate its lineage, and free the PREDECESSOR
+    // only after the successor has materialized — exactly one copy of
+    // the vocab stays cached however many merge rounds run, and the
+    // fold plan never nests.
+    def materialize(df: DataFrame): (DataFrame, () => Unit) = {
+      val handle = df.persist()
+      handle.count() // one tiny vocab-table job materializes the cache
+      val truncated =
+        df.sparkSession.createDataFrame(handle.rdd, handle.schema)
+      (truncated, () => { handle.unpersist(); () })
+    }
+    var (cur, free) = materialize(wordCounts
       .select(col(countCol).cast("long").as("f"),
-        charSymbols(col(wordCol)).as("sym"))
-      // the fold plan nests per round — keep the lineage flat
-      .localCheckpoint()
+        charSymbols(col(wordCol)).as("sym")))
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
@@ -85,11 +104,15 @@ object Bpe {
         case Some(row) =>
           val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += Merge(rank, a, b, n)
-          cur = cur.select(col("f"),
-            mergePair(col("sym"), a, b).as("sym")).localCheckpoint()
+          val (next, freeNext) = materialize(
+            cur.select(col("f"), mergePair(col("sym"), a, b).as("sym")))
+          free() // predecessor's cache, after the successor landed
+          cur = next
+          free = freeNext
           rank += 1
       }
     }
+    free()
     merges.result()
   }
 

@@ -149,4 +149,27 @@ object Portable {
 
   def rollingFingerprintSql(textSql: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($textSql, ' '), t -> ${pmd5Sql("t")} % 1000000)), (h, x) -> (h * 31 + x) % $FpMod)"
+
+  /** DuckDB CTE block mirroring [[graft.operators.Dedup.repeatedGramRuns]]
+    * over the `documents` table: defines `d(doc_id, ts)`, `g`, `dup`, `m`
+    * and `runs(doc_id, mn, mx)`. Shared by the q78 and q97 oracles so the
+    * mask definition cannot drift between them. Interpolate after WITH and
+    * follow with further CTEs or the final SELECT. */
+  def repeatedRunCtesSql(gramLen: Int): String = s"""
+        d AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (
+          SELECT doc_id, i AS pos,
+                 ${pmd5Sql(
+                   s"array_to_string(list_slice(ts, i, i + ${gramLen - 1}), ' ')")} AS gh
+          FROM d, unnest(generate_series(1,
+                 greatest(len(ts) - ${gramLen - 1}, 0))) t(i)),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+        m AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM g JOIN dup USING (gh)),
+        runs AS (
+          SELECT doc_id, min(pos) AS mn, max(pos) AS mx
+          FROM m GROUP BY doc_id, grp)"""
 }

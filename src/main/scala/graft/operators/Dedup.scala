@@ -473,6 +473,35 @@ object Dedup {
     * though A and C share no edge. Rows outside any cluster pass
     * through. Generalizes the reference's one-best-per-key dedup
     * (src/transform.py:109-145) to content clusters. */
+  /** Maximal repeated-gram runs per document — the ExactSubstr mask
+    * (Lee et al. 2021, grams instead of suffixes): positional
+    * `gramLen`-word gram hashes that occur more than once ANYWHERE in
+    * the corpus, merged into maximal runs of consecutive start
+    * positions by the gaps-and-islands window. Returns one row per
+    * (doc, run): (idCol, mn, mx) — start positions, 1-based; the run
+    * covers tokens [mn, mx + gramLen - 1]. Shared by q78 (the report)
+    * and q97 (the cut), so the mask definition cannot drift between
+    * them. Grams travel as 8-byte pmd5 hashes; no text shuffles.
+    *
+    * @note persists the gram projection; freed by the harness's
+    *   clearCache-after-terminal-action contract. */
+  def repeatedGramRuns(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int): DataFrame = {
+    val g = docs.select(col(idCol),
+        posexplode(Portable.wordShingles(col(textCol), gramLen)))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        Portable.pmd5(col("col")).as("gh"))
+      .persist()
+    val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("gh"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    g.join(dup, "gh")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+      .select(col(idCol), col("mn"), col("mx"))
+  }
+
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val nonRoots = connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Portable
-import graft.operators.Sketches
+import graft.operators.{Dedup, Sketches}
 import graft.queries.Tables.{spread, t}
 
 /** Corpus-curation toolbox: tokenizer-training statistics, term
@@ -143,9 +143,12 @@ object CurationQueries {
         "floor codes) — dead or saturated dimensions here indict the " +
         "encoder before a billion-vector index is built on it. Codes " +
         "are INTEGER, so the sums commute under any partitioning and " +
-        "the variance is cross-multiplied BIGINT arithmetic down to " +
+        "the variance is cross-multiplied integer arithmetic down to " +
         "one final double division — bit-deterministic on any engine, " +
-        s"unlike a float running variance. One posexplode x $DIM per " +
+        "unlike a float running variance. The cross products run in " +
+        "DECIMAL(38,0) (HUGEINT on the oracle side): n*ss hits 2^63 " +
+        "at only ~7.5e8 vectors, below the design point, while 38 " +
+        "digits hold past 1e30. One posexplode x " + DIM + " per " +
         "vector at the scan, one map-side-combined agg on a " +
         s"$DIM-row key space.",
       (s, dir) => {
@@ -161,11 +164,16 @@ object CurationQueries {
             col("col").as("code"))
           .groupBy(col("dim"))
           .agg(count(lit(1)).as("n"), sum(col("code")).as("s"),
-            sum(col("code") * col("code")).as("ss"))
+            // DECIMAL sum: a BIGINT ss would overflow n*ss below the
+            // design point (see the query doc)
+            sum((col("code") * col("code")).cast(DecimalType(38, 0))).as("ss"))
           .select(col("dim"), col("n"), col("s"),
             (col("s").cast(DoubleType) / col("n")).as("mean_code"),
-            ((col("n") * col("ss") - col("s") * col("s")).cast(DoubleType)
-              / (col("n") * col("n"))).as("var_code"))
+            ((col("n").cast(DecimalType(38, 0)) * col("ss")
+              - col("s").cast(DecimalType(38, 0)) * col("s").cast(DecimalType(38, 0)))
+              .cast(DoubleType)
+              / (col("n").cast(DecimalType(38, 0)) * col("n").cast(DecimalType(38, 0)))
+              .cast(DoubleType)).as("var_code"))
       },
       Some(s"""
         WITH pv AS (
@@ -185,11 +193,12 @@ object CurationQueries {
         agg AS (
           SELECT dim, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(code) AS BIGINT) AS s,
-                 CAST(sum(code * code) AS BIGINT) AS ss
+                 sum(code * code) AS ss -- HUGEINT, the decimal mirror
           FROM codes GROUP BY dim)
         SELECT dim, n, s,
                CAST(s AS DOUBLE) / n AS mean_code,
-               CAST(n * ss - s * s AS DOUBLE) / (n * n) AS var_code
+               CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS var_code
         FROM agg""")),
     // ----------------------------------------------------------------
     Q(
@@ -347,18 +356,7 @@ object CurationQueries {
       (s, dir) => {
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
         val withTs = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-        val g = docs.select(col("doc_id"),
-          posexplode(Portable.wordShingles(col("text"), CUT_L)))
-          .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
-            Portable.pmd5(col("col")).as("gh"))
-          .persist()
-        val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1).select(col("gh"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val runs = g.join(dup, "gh")
-          .withColumn("grp", col("pos") - row_number().over(w))
-          .groupBy(col("doc_id"), col("grp"))
-          .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+        val runs = Dedup.repeatedGramRuns(docs, "doc_id", "text", CUT_L)
         // overlapping runs (start gap < CUT_L) cover shared tokens — distinct
         val covered = runs.select(col("doc_id"),
           explode(sequence(col("mn"), col("mx") + (CUT_L - 1))).as("pos"))
@@ -378,22 +376,7 @@ object CurationQueries {
               r => r.getField("tk")), " ")).as("cut_md5"))
       },
       Some(s"""
-        WITH d AS (
-          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        g AS (
-          SELECT doc_id, i AS pos,
-                 ${Portable.pmd5Sql(
-                   s"array_to_string(list_slice(ts, i, i + ${CUT_L - 1}), ' ')")} AS gh
-          FROM d, unnest(generate_series(1,
-                 greatest(len(ts) - ${CUT_L - 1}, 0))) t(i)),
-        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
-        m AS (
-          SELECT doc_id, pos,
-                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-          FROM g JOIN dup USING (gh)),
-        runs AS (
-          SELECT doc_id, min(pos) AS mn, max(pos) AS mx
-          FROM m GROUP BY doc_id, grp),
+        WITH ${Portable.repeatedRunCtesSql(CUT_L)},
         cov AS (
           SELECT DISTINCT doc_id, p AS pos
           FROM runs, unnest(generate_series(mn, mx + ${CUT_L - 1})) u(p)),

@@ -343,39 +343,13 @@ object PipelineQueries {
         "the run merge is a per-doc window — no text ever shuffles.",
       (s, dir) => {
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
-        val g = docs
-          .select(col("doc_id"),
-            posexplode(Portable.wordShingles(col("text"), RUN_L)))
-          .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
-            Portable.pmd5(col("col")).as("gh"))
-          .persist()
-        val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1).select(col("gh"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        g.join(dup, "gh")
-          .withColumn("grp", col("pos") - row_number().over(w))
-          .groupBy(col("doc_id"), col("grp"))
-          .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+        Dedup.repeatedGramRuns(docs, "doc_id", "text", RUN_L)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_runs"),
             sum(col("mx") - col("mn") + RUN_L).as("repeated_tokens"))
       },
       Some(s"""
-        WITH g AS (
-          SELECT doc_id, i AS pos,
-                 ${Portable.pmd5Sql(
-                   s"array_to_string(list_slice(string_split(text, ' '), i, i + ${RUN_L - 1}), ' ')")} AS gh
-          FROM documents,
-               unnest(generate_series(1,
-                 greatest(len(string_split(text, ' ')) - ${RUN_L - 1}, 0))) t(i)),
-        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
-        d AS (
-          SELECT doc_id, pos,
-                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-          FROM g JOIN dup USING (gh)),
-        runs AS (
-          SELECT doc_id, grp, min(pos) AS mn, max(pos) AS mx
-          FROM d GROUP BY doc_id, grp)
+        WITH ${Portable.repeatedRunCtesSql(RUN_L)}
         SELECT doc_id, count(*) AS n_runs,
                CAST(sum(mx - mn + $RUN_L) AS BIGINT) AS repeated_tokens
         FROM runs GROUP BY doc_id""")),

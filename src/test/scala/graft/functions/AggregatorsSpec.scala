@@ -31,6 +31,31 @@ class AggregatorsSpec extends SparkSpec {
     }
   }
 
+  test("TopKByPrice matches Spark SQL ordering on NaN and signed zero") {
+    // Spark's ORDER BY price DESC ranks NaN FIRST (largest) and treats
+    // -0.0 == 0.0 (key tiebreak decides)
+    val rows = Seq(
+      ("g", 1L, Double.NaN), ("g", 2L, -0.0), ("g", 3L, 0.0), ("g", 4L, -1.0))
+    val expected = rows.toDF("g", "key", "price")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("price").desc, col("key"))))
+      .filter(col("rn") <= 3)
+      .select(col("rn").cast("long"), col("key"))
+      .as[(Long, Long)].collect().toSet
+    val got = spark.createDataset(rows).repartition(2)
+      .groupByKey(_._1)
+      .mapValues(r => Aggregators.KeyedPrice(r._2, r._3))
+      .agg(new Aggregators.TopKByPrice(3).toColumn)
+      .flatMap { case (_, rs) =>
+        rs.zipWithIndex.map { case (r, i) => ((i + 1).toLong, r.key) }
+      }.collect().toSet
+    assert(got == expected)
+  }
+
+  test("TopKByPrice rejects k < 1") {
+    intercept[IllegalArgumentException] { new Aggregators.TopKByPrice(0) }
+  }
+
   test("TopKByPrice buffer stays bounded at k through reduce and merge") {
     val agg = new Aggregators.TopKByPrice(3)
     var buf = agg.zero

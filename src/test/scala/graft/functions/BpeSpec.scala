@@ -93,6 +93,15 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(wc, 10).isEmpty)
   }
 
+  test("empty-string symbols are real symbols, not the fold sentinel") {
+    // charSymbols("") == [""] and mergePair must flush it, matching
+    // Scala's "".split which also yields Array("")
+    val df = Seq(Tuple1("")).toDF("w")
+    val got = df.select(Bpe.mergePair(Bpe.charSymbols(col("w")), "x", "y"))
+      .as[Seq[String]].head()
+    assert(got == Seq(""))
+  }
+
   test("first trained merge on the corpus == q90's rank-1 pair") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val wc = docs.select(explode(split(col("text"), " ")).as("w"))
