@@ -346,6 +346,101 @@ object AdvancedQueries {
                CASE WHEN ka IS NULL THEN 'only_1996'
                     WHEN kb IS NULL THEN 'only_1995'
                     ELSE 'both' END AS presence
-        FROM a FULL JOIN b ON ka = kb"""))
+        FROM a FULL JOIN b ON ka = kb""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q99_grouped_corr",
+      "Grouped Pearson correlation (quantity vs price per return flag) " +
+        "in EXACT arithmetic: cents and counts accumulate as " +
+        "DECIMAL(38,0) sums (HUGEINT on the oracle side), the " +
+        "cross-multiplied moments reduce to exact integers, and only " +
+        "the final sqrt/divide runs in doubles — so the statistic is " +
+        "bit-deterministic under any partitioning, unlike a float " +
+        "corr() whose accumulation order drifts. One map-side-combined " +
+        "agg; six numbers per group cross the shuffle.",
+      (s, dir) => {
+        val d18 = DecimalType(38, 0)
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("x"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("y"))
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast(d18).as("n"),
+            sum(col("x")).cast(d18).as("sx"),
+            sum(col("y")).cast(d18).as("sy"),
+            sum((col("x") * col("x")).cast(d18)).as("sxx"),
+            sum((col("y").cast(d18) * col("y").cast(d18))).as("syy"),
+            sum((col("x") * col("y")).cast(d18)).as("sxy"))
+          .select(col("l_returnflag"),
+            col("n").cast(LongType).as("n_rows"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
+              .as("corr_qty_price"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+                 sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                 sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                     * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+                 sum(CAST(l_quantity AS HUGEINT)
+                     * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+        FROM m""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q100_event_funnel",
+      "Event funnel (view -> click -> purchase): per user, the first " +
+        "view, the first click AFTER that view, and the first purchase " +
+        "AFTER that click — the product-analytics operator every event " +
+        "warehouse runs. Step times are conditional minima, so each " +
+        "stage is a grouped agg keyed on user_id; every join and agg " +
+        "shares the one user_id partitioning (the exchange is planned " +
+        "once and reused), and dropping out is a LEFT join null, " +
+        "classified into reached_step. Timestamps compare exactly " +
+        "(micros on both engines).",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"),
+          col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = e.join(v, "user_id")
+          .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = e.join(c, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"),
+            col("t_purchase"),
+            (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+              + when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+              .as("reached_step"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+        SELECT v.user_id, t_view, t_click, t_purchase,
+               CAST(1 + (t_click IS NOT NULL)::INT
+                      + (t_purchase IS NOT NULL)::INT AS BIGINT) AS reached_step
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
   )
 }
