@@ -85,7 +85,7 @@ object Aggregators {
       * EXACTLY: NaN ranks as the LARGEST price (Spark semantics; a
       * negated java-compare tuple would rank it smallest) and
       * -0.0 == 0.0 (normalized by adding +0.0). */
-    private def ord: Ordering[KeyedPrice] = new Ordering[KeyedPrice] {
+    private val ord: Ordering[KeyedPrice] = new Ordering[KeyedPrice] {
       override def compare(x: KeyedPrice, y: KeyedPrice): Int = {
         val px = x.price + 0.0
         val py = y.price + 0.0

@@ -27,8 +27,10 @@ object Bpe {
   /** Split a word into single-character symbols. The split point must
     * have a character on BOTH sides — `(?!^)` alone also matches at
     * end-of-string, and Spark's split (unlike Scala's) KEEPS the
-    * resulting trailing empty string. */
-  def charSymbols(word: Column): Column = split(word, "(?!^)(?=.)")
+    * resulting trailing empty string. DOTALL so the lookahead also
+    * sees line terminators (tokens are only space-split upstream, so
+    * a symbol can be "\n"). */
+  def charSymbols(word: Column): Column = split(word, "(?s)(?!^)(?=.)")
 
   /** Adjacent symbol pairs of one word as structs {l, r}. Guarded:
     * for a 1-symbol word `sequence(1, 0)` DESCENDS and element_at(0)

@@ -467,12 +467,6 @@ object Dedup {
       .groupBy("id").agg(min(col("comp")).as("comp"))
   }
 
-  /** Representative selection after near-dup clustering: given
-    * (id_a, id_b) duplicate edges, keep ONE row (the minimum id) per
-    * TRANSITIVE duplicate cluster — a chain A~B~C collapses to A even
-    * though A and C share no edge. Rows outside any cluster pass
-    * through. Generalizes the reference's one-best-per-key dedup
-    * (src/transform.py:109-145) to content clusters. */
   /** Maximal repeated-gram runs per document — the ExactSubstr mask
     * (Lee et al. 2021, grams instead of suffixes): positional
     * `gramLen`-word gram hashes that occur more than once ANYWHERE in
@@ -502,6 +496,12 @@ object Dedup {
       .select(col(idCol), col("mn"), col("mx"))
   }
 
+  /** Representative selection after near-dup clustering: given
+    * (id_a, id_b) duplicate edges, keep ONE row (the minimum id) per
+    * TRANSITIVE duplicate cluster — a chain A~B~C collapses to A even
+    * though A and C share no edge. Rows outside any cluster pass
+    * through. Generalizes the reference's one-best-per-key dedup
+    * (src/transform.py:109-145) to content clusters. */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val nonRoots = connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))

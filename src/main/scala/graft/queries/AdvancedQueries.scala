@@ -365,16 +365,23 @@ object AdvancedQueries {
           round(col("l_extendedprice") * 100).cast(LongType).as("y"))
         li.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).cast(d18).as("n"),
-            sum(col("x")).cast(d18).as("sx"),
-            sum(col("y")).cast(d18).as("sy"),
+            // cast INSIDE the sum: a LongType accumulator would wrap
+            // silently at the trillions-of-rows design point
+            sum(col("x").cast(d18)).as("sx"),
+            sum(col("y").cast(d18)).as("sy"),
             sum((col("x") * col("x")).cast(d18)).as("sxx"),
             sum((col("y").cast(d18) * col("y").cast(d18))).as("syy"),
             sum((col("x") * col("y")).cast(d18)).as("sxy"))
           .select(col("l_returnflag"),
             col("n").cast(LongType).as("n_rows"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
-                * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
+            // exact-zero moment (n=1 or constant column) -> NULL on
+            // both engines (Spark 0/0 is NULL, DuckDB's is NaN)
+            when(col("n") * col("sxx") === col("sx") * col("sx"), lit(null))
+              .when(col("n") * col("syy") === col("sy") * col("sy"), lit(null))
+              .otherwise(
+                (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+                  / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+                    * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
               .as("corr_qty_price"))
       },
       Some("""
@@ -390,9 +397,11 @@ object AdvancedQueries {
                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-               CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+               CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS corr_qty_price
         FROM m""")),
     // ----------------------------------------------------------------
     Q(
