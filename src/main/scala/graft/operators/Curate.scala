@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis => TA}
 
 /** The composed training-data curation pipeline: quality gate ->
-  * language filter -> eval decontamination -> exact dedup -> near-dup
-  * removal, as one chained transform over a documents frame. Each stage
+  * language filter -> eval decontamination -> exact dedup ->
+  * (optional) ExactSubstr cut -> near-dup removal, as one chained
+  * transform over a documents frame. Each stage
   * is the corresponding standalone operator; this is the glue a corpus
   * job actually runs.
   *
@@ -29,7 +30,13 @@ object Curate {
       minhashK: Int = 16,
       bandsRows: Int = 4,
       shingleLen: Int = 3,
-      nearDupThreshold: Double = 0.8)
+      nearDupThreshold: Double = 0.8,
+      // ExactSubstr cut (Lee et al. 2021): rewrite docs with corpus-
+      // duplicated cutGramLen-word runs removed, AFTER exact dedup
+      // (so a doc's own copies don't mask-cut it) and BEFORE near-dup
+      // (signatures must see the cut text)
+      cutRepeatedRuns: Boolean = false,
+      cutGramLen: Int = 20)
 
   /** @param evalDocs held-out eval suite (same textCol/idCol schema);
     *                 when present, train docs whose token sets near-dup
@@ -75,18 +82,24 @@ object Curate {
       .select(col("keep_id").as(idCol))
     val exactDeduped = decontaminated.join(keep, Seq(idCol), "left_semi")
 
-    // 5: near-dup removal via MinHash-LSH candidates + exact verify
+    // 5 (optional): ExactSubstr cut — rewrite away corpus-duplicated
+    // runs; near-dup signatures below must see the CUT text
+    val afterCut =
+      if (!cfg.cutRepeatedRuns) exactDeduped
+      else Dedup.cutRepeatedRuns(exactDeduped, idCol, textCol, cfg.cutGramLen)
+
+    // 6: near-dup removal via MinHash-LSH candidates + exact verify
     val banded = Dedup.bandKeys(
-      Dedup.minhashSignature(exactDeduped, textCol, cfg.minhashK, cfg.shingleLen),
+      Dedup.minhashSignature(afterCut, textCol, cfg.minhashK, cfg.shingleLen),
       cfg.minhashK, cfg.bandsRows)
     val cands = Dedup.lshCandidates(banded, idCol, cfg.minhashK / cfg.bandsRows)
-    val sets = exactDeduped.select(col(idCol),
+    val sets = afterCut.select(col(idCol),
       array_distinct(split(col(textCol), " ")).as("__ts"))
     val verified = cands
       .join(sets.select(col(idCol).as("id_a"), col("__ts").as("__ts_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__ts").as("__ts_b")), "id_b")
       .filter(Dedup.jaccard(col("__ts_a"), col("__ts_b")) >= cfg.nearDupThreshold)
       .select("id_a", "id_b")
-    Dedup.dropNearDuplicates(exactDeduped, idCol, verified)
+    Dedup.dropNearDuplicates(afterCut, idCol, verified)
   }
 }

@@ -496,6 +496,36 @@ object Dedup {
       .select(col(idCol), col("mn"), col("mx"))
   }
 
+  /** Apply the ExactSubstr mask IN PLACE: every token covered by a
+    * corpus-duplicated `gramLen`-gram run ([[repeatedGramRuns]]) is
+    * removed and `textCol` is rewritten; all other columns pass
+    * through. Documents that cut to nothing (fully duplicated) leave
+    * the corpus. Untouched documents bypass reassembly entirely — only
+    * affected docs pay the token-level exchange (q51's cost class; at
+    * corpus scale a co-located join against id-bucketed storage). */
+  def cutRepeatedRuns(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int): DataFrame = {
+    val runs = repeatedGramRuns(docs, idCol, textCol, gramLen)
+    val covered = runs.select(col(idCol),
+      explode(sequence(col("mn"), col("mx") + (gramLen - 1))).as("__pos"))
+      .distinct()
+    val affected = runs.select(col(idCol)).distinct()
+    val untouched = docs.join(affected, Seq(idCol), "left_anti")
+    val cut = docs.join(affected, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("__pos"),
+        col("col").as("__tk"))
+      .join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__tk")))),
+        r => r.getField("__tk")), " ").as("__cut"))
+    val rewritten = docs.join(cut, Seq(idCol)) // inner: fully-cut docs drop
+      .withColumn(textCol, col("__cut"))
+      .select(docs.columns.map(col): _*)
+    untouched.unionByName(rewritten)
+  }
+
   /** Representative selection after near-dup clustering: given
     * (id_a, id_b) duplicate edges, keep ONE row (the minimum id) per
     * TRANSITIVE duplicate cluster — a chain A~B~C collapses to A even

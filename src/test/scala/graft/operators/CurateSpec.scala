@@ -59,4 +59,47 @@ class CurateSpec extends SparkSpec {
     val n = out.count()
     assert(n > 0 && n <= 500)
   }
+
+  test("cutRepeatedRuns removes a planted shared run, leaves the rest intact") {
+    val run = (1 to 25).map(i => s"run$i").mkString(" ")
+    val aTail = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val bTail = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$aTail $run"),            // shares the run with doc 2
+      (2L, s"$run $bTail"),
+      (3L, (1 to 40).map(i => s"solo$i").mkString(" "))) // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedRuns(docs, "doc_id", "text", gramLen = 20)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == aTail, "doc 1 keeps only its unique prefix")
+    assert(out(2L) == bTail, "doc 2 keeps only its unique suffix")
+    assert(out(3L) == (1 to 40).map(i => s"solo$i").mkString(" "),
+      "untouched doc is byte-identical")
+  }
+
+  test("cutRepeatedRuns drops fully-duplicated docs; matches q97's digests") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val out = Dedup.cutRepeatedRuns(docs, "doc_id", "text", gramLen = 20)
+    // the operator's rewritten texts must hash to exactly q97's cut_md5
+    val q97 = graft.SparkEntry
+      .queries("q97_exactsubstr_cut")(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("cut_md5"))
+      .as[(Long, String)].collect().toMap
+    val affected = out.join(
+        docs.select(col("doc_id"), col("text").as("__orig")), "doc_id")
+      .filter(col("text") =!= col("__orig"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(affected.nonEmpty, "real corpus must have repeated runs")
+    affected.foreach { case (id, h) =>
+      assert(q97(id) == h, s"doc $id digest diverged from q97")
+    }
+    // q97 rows not in `affected` are docs whose cut is empty (dropped
+    // here) or... none: every q97 row either rewrites or drops
+    val outIds = out.select("doc_id").as[Long].collect().toSet
+    q97.keys.foreach { id =>
+      assert(affected.contains(id) || !outIds.contains(id),
+        s"doc $id in q97 but neither rewritten nor dropped")
+    }
+  }
 }
