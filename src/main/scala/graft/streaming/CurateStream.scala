@@ -170,7 +170,12 @@ object CurateStream {
     * @param nearDupAcrossBatches opt-in ingest-time near-dup gate
     *                  against the landed corpus's MinHash sketches (see
     *                  [[nearDupTainted]]); off = near-dup removal stays
-    *                  within-batch + periodic compaction. */
+    *                  within-batch + periodic compaction.
+    * @note `cfg.cutRepeatedRuns` applies WITHIN each micro-batch only —
+    *       a run duplicated across batches is not cut here (that would
+    *       need a persistent gram index); run the batch
+    *       [[graft.operators.Dedup.cutRepeatedRuns]] over the landed
+    *       corpus during maintenance for the global mask. */
   def start(docs: DataFrame, textCol: String, idCol: String,
       outDir: String, checkpointDir: String,
       cfg: Curate.Config = Curate.Config(),
