@@ -268,4 +268,98 @@ object EventsStream {
           closed.map(s => SessionOut(userId, s.start, s.end, s.n, s.value)).iterator
       }
   }
+
+  case class FEvent(ts: Timestamp, tpe: String)
+  case class FunnelBuf(events: List[FEvent])
+  case class FunnelOut(user_id: Long, t_view: Timestamp,
+      t_click: Option[Timestamp], t_purchase: Option[Timestamp],
+      reached_step: Long)
+
+  /** Stateful event funnel with a conversion horizon — the incremental
+    * form of q100, made watermark-finalizable: t_view = the user's
+    * first view; t_click = first click in (t_view, t_view+H];
+    * t_purchase = first purchase in (t_click, t_click+H]. The horizon
+    * is what makes a funnel FINAL: once the watermark passes
+    * t_view + 2H, no admissible event can change any step (an earlier
+    * view can no longer arrive, and both conversion windows have
+    * closed), so the user emits exactly once and leaves the state.
+    *
+    * State per user is the funnel-relevant events still able to affect
+    * the outcome: everything past min-view + 2H is dropped on arrival,
+    * and for users with no view yet, a click/purchase is held only
+    * while a view before it can still arrive (watermark < its ts) —
+    * both prunes keep state bounded at any stream rate. The funnel is
+    * recomputed from the buffer, so arrival order never matters.
+    *
+    * Run in BATCH mode every funnel is final — the output equals the
+    * same horizon-variant computed declaratively (spec-proven). */
+  def funnelStream(events: Dataset[Event], horizonMs: Long,
+      watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[FunnelOut],
+      stEnc: org.apache.spark.sql.Encoder[FunnelBuf]): Dataset[FunnelOut] = {
+    val hUs = horizonMs * 1000L
+    val funnelTypes = Set("view", "click", "purchase")
+    val streaming = events.isStreaming
+
+    def funnelOf(userId: Long, evs: List[FEvent]): Option[FunnelOut] = {
+      val views = evs.filter(_.tpe == "view").map(e => micros(e.ts))
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val tc = evs.filter(e => e.tpe == "click" &&
+          micros(e.ts) > tv && micros(e.ts) <= tv + hUs)
+          .map(e => micros(e.ts)).minOption
+        val tp = tc.flatMap(c => evs.filter(e => e.tpe == "purchase" &&
+          micros(e.ts) > c && micros(e.ts) <= c + hUs)
+          .map(e => micros(e.ts)).minOption)
+        def ts(us: Long): Timestamp = {
+          val x = new Timestamp(Math.floorDiv(us, 1000L))
+          x.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          x
+        }
+        Some(FunnelOut(userId, ts(tv), tc.map(ts), tp.map(ts),
+          1L + tc.size + tp.size))
+      }
+    }
+
+    events
+      .filter(e => funnelTypes.contains(e.event_type))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          val incoming = batch.map(e => FEvent(e.ts, e.event_type)).toList
+          val all = state.getOption.map(_.events).getOrElse(Nil) ++ incoming
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L
+            else Long.MaxValue
+          val viewsUs = all.filter(_.tpe == "view").map(e => micros(e.ts))
+          val minView = viewsUs.minOption
+          // prune: events beyond min-view + 2H can't affect this funnel;
+          // with no view, hold click/purchase only while an earlier view
+          // can still arrive
+          val kept = minView match {
+            case Some(tv) => all.filter(e => micros(e.ts) <= tv + 2 * hUs)
+            case None => all.filter(e => micros(e.ts) >= wmUs)
+          }
+          val finalized = minView.exists(tv => tv + 2 * hUs < wmUs) ||
+            (!streaming)
+          if (finalized || kept.isEmpty) {
+            if (state.exists) state.remove()
+            if (minView.isDefined) funnelOf(userId, kept).iterator else Iterator.empty
+          } else {
+            state.update(FunnelBuf(kept))
+            // fire when the funnel becomes finalizable (or, with no
+            // view yet, when the oldest held event stops being
+            // validatable)
+            val fireUs = minView.map(_ + 2 * hUs)
+              .getOrElse(kept.map(e => micros(e.ts)).min)
+            val fireMs = Math.floorDiv(fireUs + 999L, 1000L)
+            state.setTimeoutTimestamp(
+              math.max(fireMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

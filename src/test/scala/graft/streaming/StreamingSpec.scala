@@ -318,6 +318,74 @@ class StreamingSpec extends SparkSpec {
       s"batch session not emitted though watermark passed it: $s"))
   }
 
+  private val funnelH = 60 * 60 * 1000L // 1h conversion horizon
+
+  /** Declarative horizon-funnel twin of EventsStream.funnelStream. */
+  private def funnelBatchTwin() = {
+    val e = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("tv"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" &&
+        col("us") > col("tv") && col("us") <= col("tv") + funnelH * 1000L)
+      .groupBy("user_id").agg(min(col("us")).as("tc"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("us") > col("tc") && col("us") <= col("tc") + funnelH * 1000L)
+      .groupBy("user_id").agg(min(col("us")).as("tp"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("tv"), col("tc"), col("tp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+  }
+
+  private def funnelRowsOf(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("user_id"), expr("unix_micros(t_view)"),
+      expr("unix_micros(t_click)"), expr("unix_micros(t_purchase)"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    .toSet
+
+  test("stateful funnel: batch mode reproduces the declarative twin exactly") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event]
+    val got = funnelRowsOf(EventsStream.funnelStream(events, funnelH).toDF())
+    assert(got == funnelBatchTwin())
+  }
+
+  test("stateful funnel: stream emits exactly the watermark-closed funnels") {
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event]
+    val q = EventsStream.funnelStream(stream, funnelH, "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = funnelRowsOf(spark.table("funnel_out"))
+    val want = funnelBatchTwin()
+    // every emitted funnel is a batch funnel
+    assert(got.subsetOf(want), s"stream emitted non-batch rows: ${got -- want}")
+    // and every funnel the watermark PROVABLY closed must have emitted:
+    // final watermark = max event time - delay
+    val maxUs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val wmUs = maxUs - 30L * 60 * 1000 * 1000
+    val mustEmit = want.filter(_._2 + 2 * funnelH * 1000L < wmUs)
+    mustEmit.foreach(f => assert(got.contains(f),
+      s"watermark-closed funnel not emitted: $f"))
+    assert(mustEmit.nonEmpty, "test data yields no provably-closed funnels")
+  }
+
   test("stream-static enrichment matches the batch join, dim side broadcast") {
     // static dim: one row per user id bucket (small by construction)
     val dim = spark.range(0, 1000)
