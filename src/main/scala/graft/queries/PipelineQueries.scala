@@ -667,6 +667,43 @@ object PipelineQueries {
           FROM f)
         SELECT event_type, min(hr) AS start_hr, max(hr) AS end_hr,
                count(*) AS n_hours, CAST(max(cnt) AS BIGINT) AS peak_cnt
-        FROM d GROUP BY event_type, grp"""))
+        FROM d GROUP BY event_type, grp""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q101_sketch_quantiles",
+      "Per-source n_chars quantiles (p25/p50/p75/p99) from the ONE-PASS " +
+        "mergeable KLL sketch (functions/Kll): map-side combine ships a " +
+        "bounded O(k log(n/k)) buffer per group per partition instead " +
+        "of q85's full-stratum window sort or q95's second scan. " +
+        "Capacity here (2^17) exceeds every stratum at test SF, so the " +
+        "sketch is provably EXACT and the oracle is the same integer " +
+        "rank-selection q85 uses (the q94 Misra-Gries exactness " +
+        "pattern); at 100 TB capacity drops to ~4096 for one-pass " +
+        "quantiles with ~1% rank error — KllSketchSpec proves the " +
+        "bounded-state and error-bound claims in the compaction regime.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.Kll
+        t(s, dir, "documents").select(col("source"), col("n_chars"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new Kll.QuantileSketchLong(1 << 17, Seq(25, 50, 75, 99)).toColumn)
+          .map { case (src, qs) => (src, qs(0), qs(1), qs(2), qs(3)) }
+          .toDF("source", "p25", "p50", "p75", "p99")
+      },
+      Some("""
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        SELECT source,
+               max(CASE WHEN rn = greatest(1, (n*25 + 99) // 100) THEN n_chars END) AS p25,
+               max(CASE WHEN rn = greatest(1, (n*50 + 99) // 100) THEN n_chars END) AS p50,
+               max(CASE WHEN rn = greatest(1, (n*75 + 99) // 100) THEN n_chars END) AS p75,
+               max(CASE WHEN rn = greatest(1, (n*99 + 99) // 100) THEN n_chars END) AS p99
+        FROM r GROUP BY source"""))
   )
 }
