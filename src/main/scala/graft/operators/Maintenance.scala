@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance utilities for long-lived corpus datasets.
   *
@@ -107,4 +108,86 @@ object Maintenance {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(idxDir))
     n
   }
+
+  /** Z-order (Morton-curve) layout rewrite over two numeric
+    * dimensions: each dimension is min/max-scaled to 16 bits, the bits
+    * interleaved into one z-value, and the frame written as `nFiles`
+    * contiguous z-ranges (range partition + partition-local sort).
+    *
+    * Why this matters at 100 TB: a linear sort order serves predicates
+    * on ITS leading column only — parquet min/max stats on any other
+    * column span the full domain in every file, so nothing prunes. The
+    * z-curve keeps both dimensions locally bounded per file, so a 2-D
+    * box predicate (customer range x date range) skips the row groups
+    * of every file whose z-range misses the box — turning a full-corpus
+    * scan into ~sqrt-coverage I/O without any engine support beyond
+    * ordinary stats pruning (ZorderSpec measures the scan-row drop vs
+    * a linear layout on the same data and predicate).
+    *
+    * The scaling stats come from one 1-row aggregate that broadcasts;
+    * scaled products stay < 2^47, inside double-exact integer range,
+    * so floor(x/y) is exact. Constant dimensions scale to 0 (the
+    * degenerate range guard), leaving the other dimension a plain
+    * sort. The layout job's one range exchange is the cost any
+    * re-layout pays; readers pay nothing.
+    *
+    * Stats caveat: pruning happens on the STORED column's parquet
+    * min/max, and Spark 4.1 never builds row-group predicates for
+    * TIMESTAMP_NTZ columns — store timestamp pruning dimensions as TZ
+    * timestamps written TIMESTAMP_MICROS, or as epoch longs
+    * (ZorderSpec measures both the win and this caveat).
+    */
+  def zorderWrite(df: DataFrame, dimA: org.apache.spark.sql.Column,
+      dimB: org.apache.spark.sql.Column, outDir: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val stats = df.agg(
+      min(dimA.cast("long")).as("__z_amin"), max(dimA.cast("long")).as("__z_amax"),
+      min(dimB.cast("long")).as("__z_bmin"), max(dimB.cast("long")).as("__z_bmax"))
+    def scale16(v: org.apache.spark.sql.Column, lo: String, hi: String) =
+      floor((v.cast("long") - col(lo)).cast("double") * 65535.0 /
+        greatest(lit(1L), col(hi) - col(lo)).cast("double")).cast("long")
+    val scaled = df.crossJoin(broadcast(stats))
+      .withColumn("__z_a", scale16(dimA, "__z_amin", "__z_amax"))
+      .withColumn("__z_b", scale16(dimB, "__z_bmin", "__z_bmax"))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(col("__z_a"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(col("__z_b"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+    scaled.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__z_a", "__z_b", "__z_amin", "__z_amax", "__z_bmin", "__z_bmax")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
+  /** Algebraic per-key summary of a long-valued column: (cnt, sum,
+    * min, max, sumsq). Every field merges by sum/min/max, so a summary
+    * maintained incrementally batch-by-batch is EXACTLY the one
+    * recomputed from the full corpus — integer state, no float drift,
+    * no merge-order sensitivity. This is how a live corpus keeps its
+    * datasheet current at 100 TB: each ingest batch contributes
+    * keyedStats(batch) (O(batch) work, map-side combined), and
+    * [[mergeKeyedStats]] folds it into the running summary (O(summary)
+    * — key-cardinality rows, not corpus rows). Mean/variance/stddev
+    * derive from (cnt, sum, sumsq) at read time. */
+  def keyedStats(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(value)).as("vsum"),
+      min(col(value)).as("vmin"),
+      max(col(value)).as("vmax"),
+      sum(col(value) * col(value)).as("vsumsq"))
+
+  /** Fold one batch summary into a running summary (both shaped by
+    * [[keyedStats]] or prior merges): union + per-key re-aggregation.
+    * Associative and commutative, so any fold tree gives the same
+    * rows. */
+  def mergeKeyedStats(running: DataFrame, batch: DataFrame, key: String): DataFrame =
+    running.unionByName(batch).groupBy(col(key)).agg(
+      sum(col("cnt")).as("cnt"),
+      sum(col("vsum")).as("vsum"),
+      min(col("vmin")).as("vmin"),
+      max(col("vmax")).as("vmax"),
+      sum(col("vsumsq")).as("vsumsq"))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Portable
-import graft.operators.{Dedup, Sketches}
+import graft.operators.{Dedup, Maintenance, Sketches}
 import graft.queries.Tables.{spread, t}
 
 /** Corpus-curation toolbox: tokenizer-training statistics, term
@@ -392,6 +392,36 @@ object CurationQueries {
         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
                CAST(max(n) - count(*) AS BIGINT) AS n_removed,
                md5(string_agg(tk, ' ' ORDER BY pos)) AS cut_md5
-        FROM kept GROUP BY doc_id"""))
+        FROM kept GROUP BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q102_incremental_stats",
+      "Incremental datasheet maintenance: the corpus arrives as 3 " +
+        "hash-split ingest batches; each contributes an O(batch) " +
+        "algebraic summary (cnt/sum/min/max/sumsq of n_chars per " +
+        "source, map-side combined) and Maintenance.mergeKeyedStats " +
+        "folds it into the running summary — O(summary) rows per fold, " +
+        "never a corpus rescan. The oracle recomputes from the whole " +
+        "table in one GROUP BY, so the hash match PROVES incremental " +
+        "== recompute exactly (integer state, no float drift, fold-" +
+        "tree insensitive). At 100 TB each batch is its own file set; " +
+        "re-filtering one table here stands in for that arrival order.",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+        def batch(i: Int) = d.filter(
+          Portable.pmd5(concat(lit("b:"), col("doc_id").cast(StringType))) % 3 === i)
+        (0 until 3).map(i => Maintenance.keyedStats(batch(i), "source", "n_chars"))
+          .reduce((run, b) => Maintenance.mergeKeyedStats(run, b, "source"))
+          .select(col("source"), col("cnt").as("n_docs"),
+            col("vsum").as("sum_chars"), col("vmin").as("min_chars"),
+            col("vmax").as("max_chars"), col("vsumsq").as("sumsq_chars"))
+      },
+      Some("""
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_chars
+        FROM documents GROUP BY source"""))
   )
 }
