@@ -408,7 +408,8 @@ object Similarity {
     val r = s.as("r")
     l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+      .select(col(s"l.$blockCol").as("block"),
+        col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         cosineFromPrepped(col("l.v"), col("l.nv"), col("r.v"), col("r.nv")).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -73,6 +73,10 @@ object SimilarityQueries {
   private val ND_BITS = 6
   private val ND_TABLES = 8
 
+  // q103 semantic-dedup threshold: within-cluster cosine at which two
+  // vectors count as semantic duplicates (~300 in-label pairs at sf0.01)
+  private val SEM_T = 0.25
+
   private val NCELLS = 16
   private val NPROBE = 3      // recall@5 = 0.95 at sf0.01 with trained cells
   private val TRAIN_ITERS = 2 // deterministic Lloyd rounds for IVF cells
@@ -311,6 +315,38 @@ object SimilarityQueries {
         FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
-        WHERE rank <= $TOPK"""))
+        WHERE rank <= $TOPK""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q103_semantic_dedup",
+      s"Semantic dedup (the SemDeDup shape): within each embedding " +
+        "CLUSTER — the label column, standing in for the upstream " +
+        "k-means cell id the method trains (Similarity.buildIvfIndex " +
+        "produces exactly such cells) — exact cosine over all " +
+        s"in-cluster pairs, and a vector is DROPPED when a smaller-id " +
+        s"cluster-mate sits at cos >= $SEM_T. Output is the drop list " +
+        "with its keeper (smallest qualifying neighbor) and dup count. " +
+        "Within-cluster pair work is the method's defining cost: the " +
+        "clusterer sizes cells (n/k) to keep it tractable at corpus " +
+        "scale, and an oversized cell sub-blocks by SRP bucket (q32's " +
+        "machinery) without changing the keep rule.",
+      (s, dir) => {
+        val pairs = Similarity.blockedCosinePairs(
+          spread(t(s, dir, "embeddings"), col("vec_id")),
+          "vec_id", "embedding", "label", SEM_T)
+        pairs.groupBy(col("block").as("label"), col("id_b").as("dropped_id"))
+          .agg(min(col("id_a")).as("keeper_id"), count(lit(1)).as("n_dups"))
+      },
+      Some(s"""
+        WITH ${prepCte(extra = ", label")},
+        p AS (
+          SELECT l.label, l.vec_id AS id_a, r.vec_id AS id_b,
+                 ${scoreSql("l", "r")} AS cos
+          FROM prep l JOIN prep r
+            ON l.label = r.label AND l.vec_id < r.vec_id)
+        SELECT label, id_b AS dropped_id, min(id_a) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM p WHERE cos >= $SEM_T
+        GROUP BY label, id_b"""))
   )
 }
