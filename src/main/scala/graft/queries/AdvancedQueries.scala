@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Portable
 import graft.queries.Tables.t
 
 /** Advanced / pipeline-shaped queries: multimodal byte-column metadata
@@ -450,6 +451,91 @@ object AdvancedQueries {
         SELECT v.user_id, t_view, t_click, t_purchase,
                CAST(1 + (t_click IS NOT NULL)::INT
                       + (t_purchase IS NOT NULL)::INT AS BIGINT) AS reached_step
-        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q104_key_skew",
+      "Join-key skew profile — the diagnostic that SIZES a salted " +
+        "repartition (q39/operators.Skew) before anyone pays for a " +
+        "skewed shuffle: per-key counts for events.user_id, the 10 " +
+        "heaviest keys with their corpus share (basis points) and " +
+        "skew multiple (cnt * n_keys / total — exactly the salt " +
+        "factor a salted agg needs). All integer arithmetic; the " +
+        "1-row totals summary broadcasts by construction; the top-10 " +
+        "order is total (cnt desc, key asc). One shuffle on the key, " +
+        "key-cardinality rows after it — scale-free.",
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        val tot = c.agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("n_keys"))
+        c.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("cnt"),
+            expr("cnt * 10000 div total").as("share_bp"),
+            expr("cnt * n_keys div total").as("skew_x"))
+          .orderBy(col("cnt").desc, col("user_id").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY user_id),
+        s AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_keys
+          FROM c)
+        SELECT user_id, cnt,
+               cnt * 10000 // total AS share_bp,
+               cnt * n_keys // total AS skew_x
+        FROM c, s
+        ORDER BY cnt DESC, user_id ASC
+        LIMIT 10""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q105_distribution_drift",
+      "Corpus drift monitor: length-histogram comparison between two " +
+        "deterministic hash-halves of the corpus (stand-ins for " +
+        "yesterday's and today's ingest snapshots) — per length bin " +
+        "(n_chars div 100), both counts, both shares, and the " +
+        "absolute share gap, all in integer basis points so the " +
+        "total-variation distance (sum(abs_diff_bp)/2) carries no " +
+        "float drift. The shape of every batch-over-batch data-quality " +
+        "gate: one scan, one bin-keyed agg, bin-cardinality rows out.",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          expr("n_chars div 100").as("bin"),
+          (Portable.pmd5(concat(lit("d:"), col("doc_id").cast(StringType))) % 2)
+            .as("half"))
+        val c = d.groupBy(col("bin")).agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cnt_b"))
+        val tot = c.agg(sum(col("cnt_a")).as("tot_a"),
+          sum(col("cnt_b")).as("tot_b"))
+        c.crossJoin(broadcast(tot))
+          .select(col("bin"), col("cnt_a"), col("cnt_b"),
+            expr("cnt_a * 10000 div tot_a").as("share_a_bp"),
+            expr("cnt_b * 10000 div tot_b").as("share_b_bp"),
+            abs(expr("cnt_a * 10000 div tot_a") -
+              expr("cnt_b * 10000 div tot_b")).as("abs_diff_bp"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT n_chars // 100 AS bin,
+                 ${Portable.pmd5Sql("concat('d:', CAST(doc_id AS VARCHAR))")} % 2 AS half
+          FROM documents),
+        c AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+                 CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+          FROM d GROUP BY bin),
+        s AS (
+          SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+                 CAST(sum(cnt_b) AS BIGINT) AS tot_b
+          FROM c)
+        SELECT bin, cnt_a, cnt_b,
+               cnt_a * 10000 // tot_a AS share_a_bp,
+               cnt_b * 10000 // tot_b AS share_b_bp,
+               abs(cnt_a * 10000 // tot_a - cnt_b * 10000 // tot_b) AS abs_diff_bp
+        FROM c, s"""))
   )
 }
