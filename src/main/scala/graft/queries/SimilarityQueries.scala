@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -76,6 +77,10 @@ object SimilarityQueries {
   // q103 semantic-dedup threshold: within-cluster cosine at which two
   // vectors count as semantic duplicates (~300 in-label pairs at sf0.01)
   private val SEM_T = 0.25
+
+  // q106 diversity re-rank: candidate pool depth and per-cluster cap
+  private val DIV_POOL = 20
+  private val DIV_CAP = 2
 
   private val NCELLS = 16
   private val NPROBE = 3      // recall@5 = 0.95 at sf0.01 with trained cells
@@ -347,6 +352,63 @@ object SimilarityQueries {
         SELECT label, id_b AS dropped_id, min(id_a) AS keeper_id,
                CAST(count(*) AS BIGINT) AS n_dups
         FROM p WHERE cos >= $SEM_T
-        GROUP BY label, id_b"""))
+        GROUP BY label, id_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q106_diverse_ann",
+      s"Diversity-constrained retrieval: from each query's top-$DIV_POOL " +
+        s"cosine pool, keep at most $DIV_CAP neighbors per cluster " +
+        s"(label) and re-rank the survivors to a final top-$TOPK — the " +
+        "RAG/retrieval dedup step that stops one dominant cluster from " +
+        "filling every slot (the constraint-based stand-in for MMR, with " +
+        "a deterministic total order instead of MMR's sequential greedy). " +
+        "Pool generation is q31's broadcast-queries x one-corpus-scan; " +
+        "both caps are windows over the already-tiny pool, so the " +
+        "diversity pass adds zero corpus-side work at any scale.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val pool = Similarity.bruteForceTopK(
+          spread(e, col("vec_id")), e.filter(col("vec_id") < NQ),
+          "vec_id", "embedding", DIV_POOL)
+        val labeled = pool.join(
+          broadcast(e.select(col("vec_id").as("neighbor_id"), col("label"))),
+          "neighbor_id")
+        val perLabel = Window.partitionBy(col("query_id"), col("label"))
+          .orderBy(col("rank"))
+        val overall = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+        labeled
+          .withColumn("lrank", row_number().over(perLabel))
+          .filter(col("lrank") <= DIV_CAP)
+          .withColumn("drank", row_number().over(overall))
+          .filter(col("drank") <= TOPK)
+          .select(col("query_id"), col("drank"), col("neighbor_id"),
+            col("label"), col("score"))
+      },
+      Some(s"""
+        WITH ${prepCte(extra = ", label")},
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                 ${scoreSql("q", "c")} AS score
+          FROM prep q JOIN prep c ON q.vec_id < $NQ),
+        pool AS (
+          SELECT * FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM scored)
+          WHERE rank <= $DIV_POOL),
+        capped AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id, label
+                     ORDER BY rank) AS lrank
+            FROM pool)
+          WHERE lrank <= $DIV_CAP)
+        SELECT query_id, drank, neighbor_id, label, score
+        FROM (
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
+                   AS INTEGER) AS drank,
+                 neighbor_id, label, score
+          FROM capped)
+        WHERE drank <= $TOPK"""))
   )
 }
