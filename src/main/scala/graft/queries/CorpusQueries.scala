@@ -20,6 +20,8 @@ object CorpusQueries {
   private val RANK_DOCS = 50   // q52 docs ranked (doc_id bound)
   private val TOP_TERMS = 5    // q52 terms per doc
   private val CDC_W = 8        // q55 rolling-hash window (chars)
+  private val SEARCH_TERMS = Seq("data", "join") // q107 AND-search terms
+  private val SEARCH_K = 10    // q107 results returned
   private val CDC_DIV = 64     // q55 boundary divisor (~avg chunk len)
   private val KMV_K = 32       // q69 sketch size (rel error ~ 1/sqrt(k))
 
@@ -465,6 +467,43 @@ object CorpusQueries {
           FROM r GROUP BY source)
         SELECT source, n_exact, h_k,
                ${KMV_K - 1} * 1152921504606846976.0 / h_k AS kmv_estimate
-        FROM ex JOIN kk USING (source)"""))
+        FROM ex JOIN kk USING (source)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q107_term_search",
+      s"Multi-term AND search over the corpus — the retrieval consumer " +
+        s"of q51's inverted index: documents containing EVERY query " +
+        s"term (${SEARCH_TERMS.mkString("'", "', '", "'")}), ranked by " +
+        s"summed term frequency (ties by doc_id), top $SEARCH_K. The " +
+        "term filter runs in the scan stage BEFORE the shuffle, so " +
+        "only matching (doc_id, token) rows — |terms| per doc at most " +
+        "— ever move; at corpus scale the scan side is replaced by " +
+        "q51's postings join (same key, same shape), never a text " +
+        "rescan.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token").isin(SEARCH_TERMS: _*))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("token")).as("nt"),
+            count(lit(1)).as("tf_total"))
+          .filter(col("nt") === SEARCH_TERMS.size)
+          .orderBy(col("tf_total").desc, col("doc_id").asc)
+          .limit(SEARCH_K)
+          .select(col("doc_id"), col("tf_total"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, t AS token
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t IN (${SEARCH_TERMS.mkString("'", "', '", "'")}))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_total
+        FROM tok
+        GROUP BY doc_id
+        HAVING count(DISTINCT token) = ${SEARCH_TERMS.size}
+        ORDER BY tf_total DESC, doc_id ASC
+        LIMIT $SEARCH_K"""))
   )
 }
