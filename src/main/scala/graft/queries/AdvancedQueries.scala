@@ -536,6 +536,63 @@ object AdvancedQueries {
                cnt_a * 10000 // tot_a AS share_a_bp,
                cnt_b * 10000 // tot_b AS share_b_bp,
                abs(cnt_a * 10000 // tot_a - cnt_b * 10000 // tot_b) AS abs_diff_bp
-        FROM c, s"""))
+        FROM c, s""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q108_attribution",
+      "First-click attribution: for every view, the FIRST click by the " +
+        "same user within 30 minutes after it — or nulls when none " +
+        "came (the left-outer completion of q43's inner interval " +
+        "join; graft.streaming.EventsStream.attributionJoin is the " +
+        "incremental pair surface). Candidate pairs come from the same " +
+        "time-cell equi-join as q43, so per-user pair work is bounded " +
+        "by in-horizon density, never history length; 'first' is one " +
+        "min(struct) agg (a total order — ties by click_id), and the " +
+        "final left join keys on view_id alone.",
+      (s, dir) => {
+        val W = 1800L * 1000000L // 30 min in micros
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("ts_view"),
+            expr(s"unix_micros(ts) div $W").as("cell"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("user_c"), col("ts").as("ts_click"),
+            expr(s"unix_micros(ts) div $W").as("cell"))
+        val probe = views.withColumn("cell",
+          explode(array(col("cell"), col("cell") + 1)))
+        val firsts = probe
+          .join(clicks, probe("user_id") === clicks("user_c") &&
+            probe("cell") === clicks("cell"))
+          .filter(col("ts_click") > col("ts_view") &&
+            col("ts_click") <= col("ts_view") + expr("INTERVAL 30 MINUTES"))
+          .groupBy(col("view_id"))
+          .agg(min(struct(col("ts_click"), col("click_id"))).as("f"))
+          .select(col("view_id"), col("f.click_id").as("click_id"),
+            col("f.ts_click").as("ts_click"))
+        views.select(col("view_id"), col("user_id"), col("ts_view"))
+          .join(firsts, Seq("view_id"), "left")
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_id AS view_id, user_id, ts AS ts_view
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT event_id AS click_id, user_id, ts AS ts_click
+          FROM events WHERE event_type = 'click'),
+        pairs AS (
+          SELECT v.view_id, c.click_id, c.ts_click
+          FROM v JOIN c ON v.user_id = c.user_id
+           AND c.ts_click > v.ts_view
+           AND c.ts_click <= v.ts_view + INTERVAL 30 MINUTE),
+        firsts AS (
+          SELECT view_id, click_id, ts_click
+          FROM (SELECT *, row_number() OVER (PARTITION BY view_id
+                  ORDER BY ts_click, click_id) AS rn
+                FROM pairs)
+          WHERE rn = 1)
+        SELECT v.view_id, v.user_id, v.ts_view, f.click_id, f.ts_click
+        FROM v LEFT JOIN firsts f USING (view_id)"""))
   )
 }

@@ -75,6 +75,37 @@ object EventsStream {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — view-to-click attribution:
+    * every (view, click-by-same-user-within-30min) pair as it matches,
+    * plus a null-click row for each view once the watermark PROVES no
+    * click can still arrive (that proof is what the outer side buys
+    * over [[intervalSelfJoin]]; without watermarks Spark rejects the
+    * outer join outright, because "no match" is undecidable under
+    * unbounded lateness). State on both sides is watermark-bounded.
+    *
+    * This is the pair SURFACE: the first-click reduction over it is a
+    * plain batch agg (q108_attribution's min-struct) or, fully
+    * incremental, the [[funnelStream]] flatMapGroupsWithState shape.
+    * Batch twin: the q108 pair stage with a left join. */
+  def attributionJoin(events: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("ts_view"))
+      .withWatermark("ts_view", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("user_c"),
+        col("ts").as("ts_click"))
+      .withWatermark("ts_click", watermarkDelay)
+    views.join(clicks,
+      col("user_id") === col("user_c") &&
+        col("ts_click") > col("ts_view") &&
+        col("ts_click") <= col("ts_view") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("view_id"), col("user_id"), col("ts_view"),
+        col("click_id"), col("ts_click"))
+  }
+
   /** Stream-static dimension enrichment: each micro-batch joins the
     * (small, broadcast) static dimension — the streaming form of q08's
     * enrichment chain. The static side is planned per micro-batch, so

@@ -407,4 +407,94 @@ class StreamingSpec extends SparkSpec {
     // every stream row found its dim row (left join produced no nulls here)
     assert(got.filter(col("tier").isNull).isEmpty)
   }
+
+  test("left-outer attribution join: matched pairs equal batch; null rows are watermark-proven") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("events-attr")
+    val stage = root.resolve("in"); java.nio.file.Files.createDirectories(stage)
+    val all = graft.queries.Tables.t(spark, sfDir, "events")
+    val delayMs = 3600 * 1000L // 1h watermark delay
+    val horizonMs = 30 * 60 * 1000L
+
+    // stage time-decile files so the watermark steps batch by batch —
+    // a single batch would leave null emission to a trailing no-data
+    // batch the AvailableNow trigger need not run
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    val filed = all.withColumn("f", ntile(10).over(w) - 1)
+    def stageFile(name: String, df: org.apache.spark.sql.DataFrame, order: Int): Unit = {
+      val scratch = root.resolve(s"scratch_$name")
+      df.select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + order * 60000L))
+    }
+    for (i <- 0 until 10)
+      stageFile(f"f$i%02d", filed.filter(col("f") === i).drop("f"), i)
+    // sentinel view+click far past the real data advance BOTH sides'
+    // watermarks (the join watermark is their min); 10 days apart so
+    // they cannot pair with anything, including each other
+    val realMaxMs = all.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val sentinelUser = 999999L
+    stageFile("f10", Seq(
+      (9999998L, new java.sql.Timestamp(realMaxMs + 30L * 24 * 3600 * 1000),
+        sentinelUser, "view", 0.0, "{}"),
+      (9999999L, new java.sql.Timestamp(realMaxMs + 40L * 24 * 3600 * 1000),
+        sentinelUser, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), 10)
+
+    val stream = EventsStream.readStream(spark, stage.toString,
+      maxFilesPerTrigger = Some(1))
+    val q = EventsStream.attributionJoin(stream, watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "attribution replay did not finish in 180 s")
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id") =!= sentinelUser)
+      .collect().map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts_view"),
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong),
+        Option(r.getAs[java.sql.Timestamp]("ts_click"))))
+
+    val twin = all.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("ts_view"))
+      .join(all.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("user_c"),
+            col("ts").as("ts_click")),
+        col("user_id") === col("user_c") &&
+          col("ts_click") > col("ts_view") &&
+          col("ts_click") <= col("ts_view") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("view_id"), col("user_id"), col("ts_view"),
+        col("click_id"), col("ts_click"))
+
+    val got = rowsOf(spark.table("attr_out"))
+    val want = rowsOf(twin)
+    // matched pairs: exact set equality — inner matches emit regardless
+    // of watermark progress
+    val gotMatched = got.filter(_._4.nonEmpty).toSet
+    val wantMatched = want.filter(_._4.nonEmpty).toSet
+    assert(gotMatched == wantMatched,
+      s"matched pairs diverge: ${(gotMatched diff wantMatched).take(3)} / ${(wantMatched diff gotMatched).take(3)}")
+    // null rows: sound (a subset of the batch's unmatched views), unique,
+    // and complete for every view whose no-click status the final
+    // watermark provably decided
+    val gotNull = got.filter(_._4.isEmpty)
+    val wantNull = want.filter(_._4.isEmpty).toSet
+    assert(gotNull.toSet.subsetOf(wantNull),
+      s"phantom null rows: ${gotNull.toSet -- wantNull}")
+    assert(gotNull.length == gotNull.toSet.size, "duplicate null row emitted")
+    val wmGuaranteedMs = realMaxMs - delayMs
+    val mustNull = wantNull.filter(_._3.getTime + horizonMs < wmGuaranteedMs - 1000)
+    assert(mustNull.nonEmpty, "test data yields no provably-unmatched views")
+    val gotNullSet = gotNull.toSet
+    mustNull.foreach(v => assert(gotNullSet.contains(v),
+      s"unmatched view not emitted though watermark passed it: $v"))
+  }
 }
