@@ -704,6 +704,46 @@ object PipelineQueries {
                max(CASE WHEN rn = greatest(1, (n*50 + 99) // 100) THEN n_chars END) AS p50,
                max(CASE WHEN rn = greatest(1, (n*75 + 99) // 100) THEN n_chars END) AS p75,
                max(CASE WHEN rn = greatest(1, (n*99 + 99) // 100) THEN n_chars END) AS p99
-        FROM r GROUP BY source"""))
+        FROM r GROUP BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q109_value_quantiles",
+      "Per-(type, hour) value quantiles through the KLL sketch on a " +
+        "TWO-part key — the batch twin of the streaming quantile " +
+        "monitor (EventsStream.quantileStream, whose per-bucket state " +
+        "is this same mergeable buffer). Values floor to integer " +
+        "micro-units first, so ranks carry no float drift; capacity " +
+        "exceeds every bucket at test SF, making the sketch exact " +
+        "against the oracle's rank selection (the q101 gate). At " +
+        "corpus scale the same one-pass plan holds with bounded " +
+        "buffers and ~1% rank error.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.Kll
+        t(s, dir, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+            floor(col("value") * 1000000).cast(LongType).as("v"))
+          .as[(String, java.sql.Timestamp, Long)]
+          .groupByKey(r => (r._1, r._2))
+          .mapValues(_._3)
+          .agg(new Kll.QuantileSketchLong(1 << 15, Seq(50, 99)).toColumn,
+            count(lit(1)).as[Long])
+          .map { case ((et, hr), qs, n) => (et, hr, n, qs(0), qs(1)) }
+          .toDF("event_type", "hr", "n", "p50_micro", "p99_micro")
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(floor(value * 1000000) AS BIGINT) AS v
+          FROM events),
+        r AS (
+          SELECT event_type, hr, v,
+                 row_number() OVER (PARTITION BY event_type, hr ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY event_type, hr) AS n
+          FROM d)
+        SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+               max(CASE WHEN rn = greatest(1, (n*50 + 99) // 100) THEN v END) AS p50_micro,
+               max(CASE WHEN rn = greatest(1, (n*99 + 99) // 100) THEN v END) AS p99_micro
+        FROM r GROUP BY event_type, hr, n"""))
   )
 }

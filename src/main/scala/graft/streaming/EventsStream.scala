@@ -200,6 +200,72 @@ object EventsStream {
           outs.iterator
       }
   }
+  case class QBucket(hr: Timestamp, buf: graft.functions.Kll.KllBuf)
+  case class QuantState(open: List[QBucket])
+  case class QuantOut(event_type: String, hr: Timestamp, n: Long,
+      p50_micro: Long, p99_micro: Long)
+
+  /** Streaming per-window value quantiles — the mergeable-sketch payoff:
+    * the KLL buffer ([[graft.functions.Kll]]) IS the per-(type, hour)
+    * state, so state stays O(k log(n/k)) per open bucket at ANY event
+    * rate where exact per-window quantiles would have to buffer every
+    * row until the watermark closes the window. Values are floored to
+    * integer micro-units first (floor of the same double product both
+    * engines compute — no float drift in ranks).
+    *
+    * A bucket emits when the watermark passes its hour end (no
+    * admissible row can still land in it), in hour order, so any
+    * replay order emits identical rows. With `capacity` >= the bucket
+    * population the sketch is exact and the emitted quantiles equal
+    * the batch q109 rank selection bit-for-bit (the q101 exactness
+    * gate); production capacity trades ~1% rank error for the bounded
+    * state. Batch mode (no watermark) closes every bucket: the output
+    * IS the q109 result.
+    */
+  def quantileStream(events: Dataset[Event], capacity: Int = 1 << 15,
+      watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[QuantOut],
+      stEnc: org.apache.spark.sql.Encoder[QuantState]): Dataset[QuantOut] = {
+    import graft.functions.Kll
+    val streaming = events.isStreaming
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[QuantState, QuantOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[QuantState]) =>
+          val st = state.getOption.getOrElse(QuantState(Nil))
+          // per-hour batch sketches; event_id insertion order makes the
+          // buffer bytes (not just the result) replay-reproducible
+          val incoming = batch.toSeq
+            .groupBy(e => Math.floorDiv(micros(e.ts), HourUs) * HourUs)
+            .view.mapValues(_.sortBy(_.event_id).foldLeft(Kll.empty)((b, e) =>
+              Kll.insert(b, math.floor(e.value * 1000000.0).toLong, capacity)))
+            .toMap
+          val merged = (st.open.map(b => micros(b.hr) -> b.buf) ++ incoming.toSeq)
+            .groupBy(_._1).view
+            .mapValues(_.map(_._2).reduce((a, b) => Kll.merge(a, b, capacity)))
+            .toMap
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          val (closed, open) = merged.partition { case (hrUs, _) => hrUs + HourUs <= wmUs }
+          val outs = closed.toSeq.sortBy(_._1).map { case (hrUs, buf) =>
+            val qs = Kll.quantiles(buf, Seq(50, 99))
+            QuantOut(etype, new Timestamp(hrUs / 1000L), Kll.weight(buf), qs(0), qs(1))
+          }
+          if (open.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(QuantState(
+              open.toSeq.sortBy(_._1)
+                .map { case (u, b) => QBucket(new Timestamp(u / 1000L), b) }.toList))
+            val nextCloseMs = (open.keys.min + HourUs) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(nextCloseMs, state.getCurrentWatermarkMs() + 1))
+          }
+          outs.iterator
+      }
+  }
+
   // Timestamps kept as-is (micros precision); a millis round-trip would
   // shift session boundaries vs the batch query
   case class PartialSession(start: Timestamp, end: Timestamp, n: Int, value: Double)

@@ -163,6 +163,46 @@ class StreamingSpec extends SparkSpec {
         col("s.is_anomaly") =!= col("b.is_anomaly")).isEmpty)
   }
 
+  test("streaming value quantiles: emitted buckets match the batch q109 rows") {
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val q = EventsStream.quantileStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("quant_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "quantile stream did not finish in 120 s")
+    val got = spark.table("quant_out")
+    val batch = graft.queries.PipelineQueries.all
+      .find(_.name == "q109_value_quantiles").get
+      .run(spark, "/root/testdata/sf0.001")
+    // append mode emits only watermark-closed buckets; each must match
+    // the batch rank-selection row exactly (count and both quantiles)
+    assert(got.count() > 0)
+    val joined = got.alias("s").join(batch.alias("b"), Seq("event_type", "hr"))
+    assert(joined.count() == got.count(), "emitted bucket missing from batch")
+    assert(joined.filter(
+      col("s.n") =!= col("b.n") ||
+        col("s.p50_micro") =!= col("b.p50_micro") ||
+        col("s.p99_micro") =!= col("b.p99_micro")).isEmpty)
+  }
+
+  test("streaming value quantiles: batch mode reproduces q109 exactly") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val got = EventsStream.quantileStream(events).collect()
+      .map(o => (o.event_type, o.hr, o.n, o.p50_micro, o.p99_micro)).toSet
+    val want = graft.queries.PipelineQueries.all
+      .find(_.name == "q109_value_quantiles").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hr"),
+        r.getAs[Long]("n"), r.getAs[Long]("p50_micro"),
+        r.getAs[Long]("p99_micro"))).toSet
+    assert(got == want)
+  }
+
   test("online anomaly: batch mode reproduces the q80 result exactly") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
