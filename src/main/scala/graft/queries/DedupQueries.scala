@@ -578,8 +578,10 @@ object DedupQueries {
           .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
         // joined 5x (once per round): materialize once, freed by the
-        // harness clearCache-after-terminal-action contract
-        val edges = sym.join(deg, "src").persist()
+        // harness clearCache-after-terminal-action contract; cached
+        // ALREADY hash-partitioned on src so each round's join reuses
+        // the partitioning instead of re-exchanging the edge list
+        val edges = sym.join(deg, "src").repartition(col("src")).persist()
         var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
         for (_ <- 0 until PR_ITERS) {
           val contrib = edges

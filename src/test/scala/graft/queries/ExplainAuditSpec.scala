@@ -114,7 +114,10 @@ class ExplainAuditSpec extends SparkSpec {
       for (n <- Seq("q08_enrich_join", "q28_lsh_dup_pairs",
           "q30_ngram_jaccard", "q31_ann_bruteforce", "q33_ann_lsh",
           "q44_ann_ivf", "q45_edit_distance", "q59_prefix_ssjoin",
-          "q63_oov_rate")) {
+          "q63_oov_rate",
+          // round-6 additions: label equi-join (q103), pool windows
+          // (q106), time-cell equi-join + left join back (q108)
+          "q103_semantic_dedup", "q106_diverse_ann", "q108_attribution")) {
         val cart = planOf(n).collect { case c: CartesianProductExec => c }
         assert(cart.isEmpty, s"$n plans a cartesian product")
       }
