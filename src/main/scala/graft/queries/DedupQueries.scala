@@ -611,6 +611,56 @@ object DedupQueries {
                    (acc, x) -> acc + x) AS r
           FROM sym JOIN deg USING (src) JOIN pr${t - 1} p ON p.id = sym.src
           GROUP BY dst)""").mkString(",")}
-        SELECT id AS doc_id, r AS pagerank FROM pr$PR_ITERS"""))
+        SELECT id AS doc_id, r AS pagerank FROM pr$PR_ITERS""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q110_novelty_rate",
+      "Cross-snapshot n-gram novelty — the ingest-side complement of " +
+        "q58's decontamination: treating two hash-halves of the corpus " +
+        "as yesterday's corpus (A) and today's batch (B), the fraction " +
+        "of B's distinct 3-word shingles unseen ANYWHERE in A, per " +
+        "source, in integer basis points. Low novelty = the batch is " +
+        "mostly re-crawl; high = genuinely new text. Grams travel as " +
+        "8-byte hashes from the scan stage on (text never shuffles); " +
+        "the anti-join is q58's cost class, and at corpus scale the " +
+        "A side is the persisted gram index the ingest gate already " +
+        "maintains, not a rescan.",
+      (s, dir) => {
+        val d = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"),
+            (Portable.pmd5(concat(lit("d:"), col("doc_id").cast("string"))) % 2)
+              .as("half"),
+            explode(Portable.shingleHashesFromTokens(
+              Portable.tokenHashes(col("text")))).as("g"))
+        val a = d.filter(col("half") === 0).select(col("g")).distinct()
+        val b = d.filter(col("half") === 1).select(col("source"), col("g")).distinct()
+        val novel = b.join(a, Seq("g"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+        b.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+          .join(novel, Seq("source"), "left")
+          .select(col("source"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            expr("coalesce(n_novel, 0) * 10000 div n_grams").as("novelty_bp"))
+      },
+      Some(s"""
+        WITH th AS (
+          SELECT doc_id, source,
+                 ${Portable.pmd5Sql("concat('d:', CAST(doc_id AS VARCHAR))")} % 2 AS half,
+                 ${Portable.tokenHashesSql("text")} AS th
+          FROM documents),
+        g AS (
+          SELECT source, half, unnest(${Portable.shingleHashesFromTokensSql("th")}) AS g
+          FROM th),
+        a AS (SELECT DISTINCT g FROM g WHERE half = 0),
+        b AS (SELECT DISTINCT source, g FROM g WHERE half = 1),
+        n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM b GROUP BY source),
+        nov AS (
+          SELECT b.source, CAST(count(*) AS BIGINT) AS n_novel
+          FROM b LEFT JOIN a ON b.g = a.g
+          WHERE a.g IS NULL GROUP BY b.source)
+        SELECT source, n_grams,
+               coalesce(n_novel, 0) AS n_novel,
+               coalesce(n_novel, 0) * 10000 // n_grams AS novelty_bp
+        FROM n LEFT JOIN nov USING (source)"""))
   )
 }

@@ -38,6 +38,46 @@ object PortableProps extends Properties("Portable") {
     }
 }
 
+object KllProps extends Properties("Kll") {
+  import graft.functions.Kll
+
+  private val dataGen = for {
+    n <- Gen.choose(1, 800)
+    xs <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+  } yield xs
+
+  /** Arbitrary partitioning + fold tree over the data. */
+  private def sketchOf(xs: List[Long], k: Int, chunk: Int): Kll.KllBuf =
+    xs.grouped(math.max(1, chunk)).toSeq
+      .map(_.foldLeft(Kll.empty)((b, v) => Kll.insert(b, v, k)))
+      .reduce((a, b) => Kll.merge(a, b, k))
+
+  private def exactQ(xs: List[Long], p: Int): Long = {
+    val s = xs.sorted
+    s((math.max(1L, (s.length.toLong * p + 99) / 100) - 1).toInt)
+  }
+
+  property("capacity >= n: exact under any partitioning, percent, data") =
+    forAll(dataGen, Gen.choose(1, 200), Gen.oneOf(1, 10, 50, 90, 100)) {
+      (xs, chunk, p) =>
+        val b = sketchOf(xs, k = 1024, chunk)
+        Kll.weight(b) == xs.length.toLong &&
+          Kll.quantiles(b, Seq(p)).head == exactQ(xs, p)
+    }
+
+  property("compaction regime: state bounded, weight near n, result in data range") =
+    forAll(dataGen, Gen.choose(2, 32), Gen.choose(1, 200)) { (xs, k, chunk) =>
+      val b = sketchOf(xs, k, chunk)
+      val levels = b.levels.size
+      val sizeOk = b.levels.forall(_.size <= k)
+      val w = Kll.weight(b)
+      // every compaction drops at most one item's weight at its level
+      val weightOk = w >= 1 && math.abs(w - xs.length) <= xs.length / 2
+      val q = Kll.quantiles(b, Seq(50)).head
+      sizeOk && weightOk && q >= xs.min && q <= xs.max && levels <= 32
+    }
+}
+
 object EdinetProps extends Properties("Edinet") {
   import graft.edinet.Model
 
