@@ -626,6 +626,14 @@ object DedupQueries {
         "A side is the persisted gram index the ingest gate already " +
         "maintains, not a rescan.",
       (s, dir) => {
+        // the gram expression stays INLINE in the generator, and the
+        // A/B branches re-run the scan, on measurement: the runtime
+        // subexpression cache already evaluates the token-hash array
+        // once per row, so hoisting __th/__hs behind withColumn
+        // projections only adds interpreted array copies (0.9 s ->
+        // 3.4 s warm at sf0.1), and persisting the exploded gram frame
+        // is worse still (4.7 s) — ~tokens cached rows plus losing the
+        // scan-fused filter+distinct
         val d = spread(t(s, dir, "documents"), col("doc_id"))
           .select(col("source"),
             (Portable.pmd5(concat(lit("d:"), col("doc_id").cast("string"))) % 2)

@@ -200,7 +200,7 @@ object EventsStream {
           outs.iterator
       }
   }
-  case class QBucket(hr: Timestamp, buf: graft.functions.Kll.KllBuf)
+  case class QBucket(hr: Timestamp, n: Long, buf: graft.functions.Kll.KllBuf)
   case class QuantState(open: List[QBucket])
   case class QuantOut(event_type: String, hr: Timestamp, n: Long,
       p50_micro: Long, p99_micro: Long)
@@ -236,28 +236,34 @@ object EventsStream {
         (etype: String, batch: Iterator[Event], state: GroupState[QuantState]) =>
           val st = state.getOption.getOrElse(QuantState(Nil))
           // per-hour batch sketches; event_id insertion order makes the
-          // buffer bytes (not just the result) replay-reproducible
+          // buffer bytes (not just the result) replay-reproducible. The
+          // row count rides along EXACTLY — compaction drifts the
+          // sketch's internal weight, so weight(buf) is not a count in
+          // the bounded-capacity regime
           val incoming = batch.toSeq
             .groupBy(e => Math.floorDiv(micros(e.ts), HourUs) * HourUs)
-            .view.mapValues(_.sortBy(_.event_id).foldLeft(Kll.empty)((b, e) =>
-              Kll.insert(b, math.floor(e.value * 1000000.0).toLong, capacity)))
+            .view.mapValues { es =>
+              (es.size.toLong, es.sortBy(_.event_id).foldLeft(Kll.empty)((b, e) =>
+                Kll.insert(b, math.floor(e.value * 1000000.0).toLong, capacity)))
+            }
             .toMap
-          val merged = (st.open.map(b => micros(b.hr) -> b.buf) ++ incoming.toSeq)
+          val merged = (st.open.map(b => micros(b.hr) -> (b.n, b.buf)) ++ incoming.toSeq)
             .groupBy(_._1).view
-            .mapValues(_.map(_._2).reduce((a, b) => Kll.merge(a, b, capacity)))
+            .mapValues(_.map(_._2).reduce((a, b) =>
+              (a._1 + b._1, Kll.merge(a._2, b._2, capacity))))
             .toMap
           val wmUs =
             if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
           val (closed, open) = merged.partition { case (hrUs, _) => hrUs + HourUs <= wmUs }
-          val outs = closed.toSeq.sortBy(_._1).map { case (hrUs, buf) =>
+          val outs = closed.toSeq.sortBy(_._1).map { case (hrUs, (n, buf)) =>
             val qs = Kll.quantiles(buf, Seq(50, 99))
-            QuantOut(etype, new Timestamp(hrUs / 1000L), Kll.weight(buf), qs(0), qs(1))
+            QuantOut(etype, new Timestamp(hrUs / 1000L), n, qs(0), qs(1))
           }
           if (open.isEmpty) { if (state.exists) state.remove() }
           else {
             state.update(QuantState(
               open.toSeq.sortBy(_._1)
-                .map { case (u, b) => QBucket(new Timestamp(u / 1000L), b) }.toList))
+                .map { case (u, (n, b)) => QBucket(new Timestamp(u / 1000L), n, b) }.toList))
             val nextCloseMs = (open.keys.min + HourUs) / 1000L
             state.setTimeoutTimestamp(
               math.max(nextCloseMs, state.getCurrentWatermarkMs() + 1))
