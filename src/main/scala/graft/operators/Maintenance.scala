@@ -161,6 +161,52 @@ object Maintenance {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Per-file min/max manifest over long-valued columns — file-level
+    * data skipping, the layer Spark itself does not provide: parquet
+    * row-group stats prune WITHIN a file only after the reader has
+    * listed it, opened it and read its footer, so at 100 TB the
+    * per-file planning cost dominates selective queries. The manifest
+    * is one small parquet table (file, min_c, max_c per column) built
+    * from a single data scan; [[readWithManifest]] turns a conjunction
+    * of column intervals into the file subset whose ranges intersect,
+    * and reads only those. Composes with [[zorderWrite]]: the z-curve
+    * is what makes BOTH columns' per-file ranges tight.
+    *
+    * Returns the number of data files manifested. */
+  def writeManifest(spark: SparkSession, dataDir: String, manifestDir: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val df = spark.read.parquet(dataDir)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    val m = df.withColumn("__file", input_file_name())
+      .groupBy(col("__file").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestDir)
+    spark.read.parquet(manifestDir).count()
+  }
+
+  /** Manifest-pruned read: keep every file whose [min, max] range
+    * intersects the query interval in EVERY listed column, then read
+    * only those files. The driver-side collect is a FILE LIST — the
+    * same planning metadata any catalog ships — never data rows; its
+    * size is the file count after pruning. An empty survivor set
+    * returns an empty frame with the data schema. */
+  def readWithManifest(spark: SparkSession, dataDir: String,
+      manifestDir: String, intervals: Map[String, (Long, Long)]): DataFrame = {
+    require(intervals.nonEmpty, "pruned read needs at least one interval")
+    val m = spark.read.parquet(manifestDir)
+    val pred = intervals.map { case (c, (lo, hi)) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    val files = m.filter(pred).select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(dataDir).schema)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Algebraic per-key summary of a long-valued column: (cnt, sum,
     * min, max, sumsq). Every field merges by sum/min/max, so a summary
     * maintained incrementally batch-by-batch is EXACTLY the one

@@ -89,6 +89,43 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("manifest pruning: box query opens only intersecting files, same answer") {
+    val root = java.nio.file.Files.createTempDirectory("manifest").toString
+    // realistic layout table: epoch column carried for range pruning
+    val orders = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "orders")
+      .withColumn("o_epoch", unix_timestamp(col("o_orderdate").cast("timestamp")))
+    Maintenance.zorderWrite(orders, col("o_custkey"), col("o_epoch"),
+      s"$root/data", 64)
+    val nFiles = Maintenance.writeManifest(spark, s"$root/data",
+      s"$root/manifest", Seq("o_custkey", "o_epoch"))
+    assert(nFiles == 64L, s"manifested $nFiles files")
+
+    val (ckLo, ckHi) = (700L, 850L)
+    val epLo = java.time.LocalDate.parse("1997-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val epHi = java.time.LocalDate.parse("1997-08-31")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val pruned = Maintenance.readWithManifest(spark, s"$root/data",
+      s"$root/manifest", Map("o_custkey" -> (ckLo, ckHi), "o_epoch" -> (epLo, epHi)))
+    // planning-level skip: far fewer files opened than the table holds
+    assert(pruned.inputFiles.length * 4 <= 64,
+      s"manifest kept ${pruned.inputFiles.length} of 64 files")
+    // same answer as the full scan, after the residual filter both run
+    def residual(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("o_custkey").between(ckLo, ckHi) &&
+        col("o_epoch").between(epLo, epHi))
+      .select("o_orderkey")
+    val got = residual(pruned).collect().map(_.getLong(0)).sorted.toSeq
+    val want = residual(spark.read.parquet(s"$root/data"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty, s"pruned read diverged: ${got.size} vs ${want.size}")
+
+    // disjoint interval -> empty frame, schema preserved
+    val none = Maintenance.readWithManifest(spark, s"$root/data",
+      s"$root/manifest", Map("o_custkey" -> (100000L, 200000L)))
+    assert(none.isEmpty && none.schema == spark.read.parquet(s"$root/data").schema)
+  }
+
   test("degenerate constant dimension degrades to a plain sort, content intact") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("zorder-const").toString
