@@ -425,6 +425,32 @@ object CoreQueries {
         GROUP BY ROLLUP (y, o_orderpriority)""")),
     // ----------------------------------------------------------------
     Q(
+      "q111_cube",
+      "Full grouping-set CUBE (the lattice q36's rollup only walks one " +
+        "path of): event counts and exact decimal value sums for every " +
+        "combination of (event_type, hour-of-day) including both " +
+        "marginals and the grand total — one shuffle with a " +
+        "grouping-id expand, not four scans; nulls sentineled for the " +
+        "cross-engine compare like q36.",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("hod", hour(col("ts")))
+          .cube(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+          .select(
+            coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            coalesce(col("hod").cast(StringType), lit("ALL")).as("hod"),
+            col("n"), col("sum_value")),
+      Some("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(hod AS VARCHAR), 'ALL') AS hod,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT event_type, hour(ts) AS hod, value FROM events)
+        GROUP BY CUBE (event_type, hod)""")),
+    // ----------------------------------------------------------------
+    Q(
       "q37_except",
       "Set difference: nations present among customers but absent among " +
         "suppliers (EXCEPT distinct semantics).",
