@@ -329,5 +329,56 @@ object TextQueries {
                CAST((1.0 - CAST(nd AS DOUBLE) / total) > 0.3
                     OR (CAST(topc AS DOUBLE) / total) > 0.2 AS INTEGER) AS flagged
         FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id"""))
+    ,
+    // ----------------------------------------------------------------
+    Q(
+      "q112_rank_fluency",
+      "Reference-corpus fluency score — the cheap perplexity proxy " +
+        "with a real train/apply split: token frequencies learned on " +
+        "one hash-half of the corpus (the reference), each document of " +
+        "the other half scored by the mean frequency TIER of its " +
+        "tokens (tier = floor(log2 f), computed as binary-string " +
+        "length so both engines get exact integers — no transcendental " +
+        "drift; out-of-reference tokens score tier -1). Common-word " +
+        "text scores high, rare-word or junk text low — the graded " +
+        "extension of q63's binary OOV cut. The frequency table joins " +
+        "token-keyed (q51's cost class, never broadcast-bounded); " +
+        "per-source means are integer milli-units on a +1-shifted " +
+        "tier scale (OOV = 0), keeping every quotient non-negative — " +
+        "Spark's `div` truncates toward zero where DuckDB's `//` " +
+        "floors, so a negative mean would diverge between engines.",
+      (s, dir) => {
+        val d = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"),
+            (Portable.pmd5(concat(lit("d:"), col("doc_id").cast("string"))) % 2)
+              .as("half"),
+            explode(split(col("text"), " ")).as("tk"))
+        val freqs = d.filter(col("half") === 0)
+          .groupBy(col("tk")).agg(count(lit(1)).as("f"))
+          .select(col("tk"), (length(bin(col("f"))) - 1).as("tier"))
+        d.filter(col("half") === 1)
+          .join(freqs, Seq("tk"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("tier"), lit(-1L)) + 1).as("sum_tier1"))
+          .select(col("source"), col("n_tokens"), col("sum_tier1"),
+            expr("sum_tier1 * 1000 div n_tokens").as("fluency_milli"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source,
+                 ${Portable.pmd5Sql("concat('d:', CAST(doc_id AS VARCHAR))")} % 2 AS half,
+                 unnest(string_split(text, ' ')) AS tk
+          FROM documents),
+        fr AS (
+          SELECT tk, CAST(length(bin(count(*))) - 1 AS BIGINT) AS tier
+          FROM tok WHERE half = 0 GROUP BY tk)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(tier, -1) + 1) AS BIGINT) AS sum_tier1,
+               CAST(sum(coalesce(tier, -1) + 1) AS BIGINT) * 1000
+                 // count(*) AS fluency_milli
+        FROM tok LEFT JOIN fr USING (tk)
+        WHERE half = 1
+        GROUP BY source"""))
   )
 }
