@@ -14,6 +14,10 @@ import graft.queries.Tables.t
   */
 object AdvancedQueries {
 
+  // q113 drift histogram: fixed-width value bins (20-wide, last open);
+  // shared with the streaming twin (EventsStream.driftStream)
+  private[graft] val DRIFT_BINS = 8
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -593,6 +597,60 @@ object AdvancedQueries {
                 FROM pairs)
           WHERE rn = 1)
         SELECT v.view_id, v.user_id, v.ts_view, f.click_id, f.ts_click
-        FROM v LEFT JOIN firsts f USING (view_id)"""))
+        FROM v LEFT JOIN firsts f USING (view_id)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q113_hourly_drift",
+      "Hour-over-hour distribution drift per event type — q105's " +
+        "monitor turned longitudinal: an 8-bin value histogram per " +
+        "(type, hour), compared with the PREVIOUS hour's via the L1 " +
+        "share gap in integer basis points (consecutive hours only — " +
+        "a gap in the series restarts the comparison). Binning is a " +
+        "fixed-width pivot to 8 columns, so missing bins are honest " +
+        "zeros and one lag(struct) window per type serves all nine " +
+        "fields; the per-type window partitions by hour count, never " +
+        "event count. The streaming twin (EventsStream.driftStream) " +
+        "keeps only the last closed histogram per type as state.",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"),
+          least(lit(DRIFT_BINS - 1), floor(col("value") / 20.0)).cast("int").as("bin"))
+        val hist = ev.groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("n"),
+            (0 until DRIFT_BINS).map(i =>
+              sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i")): _*)
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        val prevFields = struct(col("hr") +: col("n") +:
+          (0 until DRIFT_BINS).map(i => col(s"b$i")): _*)
+        val l1 = (0 until DRIFT_BINS).map(i =>
+          abs(expr(s"b$i * 10000 div n") - expr(s"p.b$i * 10000 div p.n")))
+          .reduce(_ + _)
+        hist.withColumn("p", lag(prevFields, 1).over(w))
+          .filter(col("p").isNotNull &&
+            col("p.hr") === col("hr") - expr("INTERVAL 1 HOUR"))
+          .select(col("event_type"), col("hr"), col("n"),
+            col("p.n").as("prev_n"), l1.as("drift_bp"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(least(${DRIFT_BINS - 1}, floor(value / 20.0)) AS INT) AS bin
+          FROM events),
+        h AS (
+          SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+                 ${(0 until DRIFT_BINS).map(i =>
+                   s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT) AS b$i")
+                   .mkString(",\n                 ")}
+          FROM e GROUP BY event_type, hr),
+        p AS (
+          SELECT *, lag(hr) OVER w AS phr, lag(n) OVER w AS pn,
+                 ${(0 until DRIFT_BINS).map(i => s"lag(b$i) OVER w AS pb$i")
+                   .mkString(", ")}
+          FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+        SELECT event_type, hr, n, pn AS prev_n,
+               ${(0 until DRIFT_BINS).map(i =>
+                 s"abs(b$i * 10000 // n - pb$i * 10000 // pn)").mkString(" + ")}
+                 AS drift_bp
+        FROM p WHERE phr = hr - INTERVAL 1 HOUR"""))
   )
 }

@@ -272,6 +272,78 @@ object EventsStream {
       }
   }
 
+  case class DriftBucket(hr: Timestamp, hist: Seq[Long])
+  case class DriftState(open: List[DriftBucket], lastHr: Option[Timestamp],
+      lastHist: Seq[Long])
+  case class DriftOut(event_type: String, hr: Timestamp, n: Long,
+      prev_n: Long, drift_bp: Long)
+
+  /** Streaming hour-over-hour distribution drift — the incremental twin
+    * of batch q113: per event type, each CLOSED hour's 8-bin value
+    * histogram is compared with the previous closed hour's (consecutive
+    * hours only; a series gap restarts the comparison) by the same
+    * integer L1 share gap, then becomes the new reference. State per
+    * type is the open buckets inside the watermark horizon plus ONE
+    * closed histogram — 8 longs — however long the stream runs; closes
+    * process in hour order, so any replay order emits identical rows.
+    * Batch mode closes everything: the output IS the q113 result. */
+  def driftStream(events: Dataset[Event], watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[DriftOut],
+      stEnc: org.apache.spark.sql.Encoder[DriftState]): Dataset[DriftOut] = {
+    val streaming = events.isStreaming
+    // local copy: an object-field read inside the closure would capture
+    // the (non-serializable) enclosing object
+    val nBins = graft.queries.AdvancedQueries.DRIFT_BINS
+    def binOf(v: Double): Int = math.min(nBins - 1, math.floor(v / 20.0).toInt)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[DriftState]) =>
+          val st = state.getOption.getOrElse(DriftState(Nil, None, Nil))
+          val incoming = batch.toSeq
+            .groupBy(e => Math.floorDiv(micros(e.ts), HourUs) * HourUs)
+            .view.mapValues { es =>
+              val h = Array.fill(nBins)(0L)
+              es.foreach(e => h(binOf(e.value)) += 1L)
+              h.toSeq
+            }.toMap
+          val merged = (st.open.map(b => micros(b.hr) -> b.hist) ++ incoming.toSeq)
+            .groupBy(_._1).view
+            .mapValues(_.map(_._2).reduce((a, b) => a.lazyZip(b).map(_ + _)))
+            .toMap
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          val (closed, open) = merged.partition { case (hrUs, _) => hrUs + HourUs <= wmUs }
+          var lastHr = st.lastHr.map(micros)
+          var lastHist = st.lastHist
+          val outs = closed.toSeq.sortBy(_._1).flatMap { case (hrUs, hist) =>
+            val n = hist.sum
+            val out = lastHr match {
+              case Some(p) if p + HourUs == hrUs =>
+                val pn = lastHist.sum
+                val drift = hist.lazyZip(lastHist).map((c, pc) =>
+                  math.abs(c * 10000 / n - pc * 10000 / pn)).sum
+                Some(DriftOut(etype, new Timestamp(hrUs / 1000L), n, pn, drift))
+              case _ => None
+            }
+            lastHr = Some(hrUs); lastHist = hist
+            out
+          }
+          state.update(DriftState(
+            open.toSeq.sortBy(_._1)
+              .map { case (u, h) => DriftBucket(new Timestamp(u / 1000L), h) }.toList,
+            lastHr.map(u => new Timestamp(u / 1000L)), lastHist))
+          if (open.nonEmpty) {
+            val nextCloseMs = (open.keys.min + HourUs) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(nextCloseMs, state.getCurrentWatermarkMs() + 1))
+          }
+          outs.iterator
+      }
+  }
+
   // Timestamps kept as-is (micros precision); a millis round-trip would
   // shift session boundaries vs the batch query
   case class PartialSession(start: Timestamp, end: Timestamp, n: Int, value: Double)

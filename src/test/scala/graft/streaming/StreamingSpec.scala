@@ -203,6 +203,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming hourly drift: emitted rows match the batch q113 result") {
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val q = EventsStream.driftStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("drift_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "drift stream did not finish in 120 s")
+    val got = spark.table("drift_out")
+    val batch = graft.queries.AdvancedQueries.all
+      .find(_.name == "q113_hourly_drift").get
+      .run(spark, "/root/testdata/sf0.001")
+    assert(got.count() > 0)
+    val joined = got.alias("s").join(batch.alias("b"), Seq("event_type", "hr"))
+    assert(joined.count() == got.count(), "emitted drift row missing from batch")
+    assert(joined.filter(
+      col("s.n") =!= col("b.n") || col("s.prev_n") =!= col("b.prev_n") ||
+        col("s.drift_bp") =!= col("b.drift_bp")).isEmpty)
+  }
+
+  test("streaming hourly drift: batch mode reproduces q113 exactly") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val got = EventsStream.driftStream(events).collect()
+      .map(o => (o.event_type, o.hr, o.n, o.prev_n, o.drift_bp)).toSet
+    val want = graft.queries.AdvancedQueries.all
+      .find(_.name == "q113_hourly_drift").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hr"),
+        r.getAs[Long]("n"), r.getAs[Long]("prev_n"),
+        r.getAs[Long]("drift_bp"))).toSet
+    assert(got == want)
+  }
+
   test("online anomaly: batch mode reproduces the q80 result exactly") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
