@@ -204,7 +204,15 @@ object Maintenance {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(dataDir).schema)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    else {
+      // input_file_name() yields URI-ENCODED strings ("my%20dir");
+      // Hadoop's Path(String) parser does not decode, so feed it the
+      // decoded form via the Path(URI) constructor or a path with a
+      // space never resolves again
+      val decoded = files.map(f =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString)
+      spark.read.parquet(decoded.toIndexedSeq: _*)
+    }
   }
 
   /** Algebraic per-key summary of a long-valued column: (cnt, sum,

@@ -14,9 +14,11 @@ import graft.queries.Tables.t
   */
 object AdvancedQueries {
 
-  // q113 drift histogram: fixed-width value bins (20-wide, last open);
-  // shared with the streaming twin (EventsStream.driftStream)
+  // q113 drift histogram: fixed-width value bins, last bin open-ended;
+  // BOTH constants shared with the streaming twin (driftStream) and
+  // the DuckDB oracle so the three sites cannot drift apart
   private[graft] val DRIFT_BINS = 8
+  private[graft] val DRIFT_BIN_WIDTH = 20.0
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -612,9 +614,16 @@ object AdvancedQueries {
         "event count. The streaming twin (EventsStream.driftStream) " +
         "keeps only the last closed histogram per type as state.",
       (s, dir) => {
+        // clamp BOTH ends: a negative value would otherwise match no
+        // when-branch (silently deflating every share while still
+        // counting in n), and the streaming twin would index out of
+        // bounds; NaN lands in the top bin in both engines (NaN sorts
+        // largest through least/greatest in Spark and DuckDB alike)
         val ev = t(s, dir, "events").select(col("event_type"),
           date_trunc("hour", col("ts")).as("hr"),
-          least(lit(DRIFT_BINS - 1), floor(col("value") / 20.0)).cast("int").as("bin"))
+          least(lit(DRIFT_BINS - 1),
+            greatest(lit(0), floor(col("value") / DRIFT_BIN_WIDTH)))
+            .cast("int").as("bin"))
         val hist = ev.groupBy(col("event_type"), col("hr"))
           .agg(count(lit(1)).as("n"),
             (0 until DRIFT_BINS).map(i =>
@@ -634,7 +643,8 @@ object AdvancedQueries {
       Some(s"""
         WITH e AS (
           SELECT event_type, date_trunc('hour', ts) AS hr,
-                 CAST(least(${DRIFT_BINS - 1}, floor(value / 20.0)) AS INT) AS bin
+                 CAST(least(${DRIFT_BINS - 1},
+                      greatest(0, floor(value / $DRIFT_BIN_WIDTH))) AS INT) AS bin
           FROM events),
         h AS (
           SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,

@@ -437,7 +437,7 @@ object CoreQueries {
           .withColumn("hod", hour(col("ts")))
           .cube(col("event_type"), col("hod"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+            sum(col("value").cast(dec12)).cast(DoubleType).as("sum_value"))
           .select(
             coalesce(col("event_type"), lit("ALL")).as("event_type"),
             coalesce(col("hod").cast(StringType), lit("ALL")).as("hod"),

@@ -291,10 +291,15 @@ object EventsStream {
       implicit outEnc: org.apache.spark.sql.Encoder[DriftOut],
       stEnc: org.apache.spark.sql.Encoder[DriftState]): Dataset[DriftOut] = {
     val streaming = events.isStreaming
-    // local copy: an object-field read inside the closure would capture
-    // the (non-serializable) enclosing object
+    // local copies: an object-field read inside the closure would
+    // capture the (non-serializable) enclosing object
     val nBins = graft.queries.AdvancedQueries.DRIFT_BINS
-    def binOf(v: Double): Int = math.min(nBins - 1, math.floor(v / 20.0).toInt)
+    val binW = graft.queries.AdvancedQueries.DRIFT_BIN_WIDTH
+    // clamped at both ends, NaN to the top bin — the exact batch/oracle
+    // semantics (least/greatest with NaN-sorts-largest)
+    def binOf(v: Double): Int =
+      if (v.isNaN) nBins - 1
+      else math.min(nBins - 1, math.max(0, math.floor(v / binW).toInt))
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.event_type)(org.apache.spark.sql.Encoders.STRING)

@@ -126,6 +126,19 @@ class ZorderSpec extends SparkSpec {
     assert(none.isEmpty && none.schema == spark.read.parquet(s"$root/data").schema)
   }
 
+  test("manifest round-trips data paths containing spaces") {
+    import spark.implicits._
+    // input_file_name() URI-encodes; the pruned read must decode before
+    // handing paths to Hadoop's non-decoding Path(String) parser
+    val root = java.nio.file.Files.createTempDirectory("mani fest").toString
+    val df = (1L to 100L).map(i => (i, i % 10)).toDF("a", "b")
+    df.repartition(4).write.parquet(s"$root/da ta")
+    Maintenance.writeManifest(spark, s"$root/da ta", s"$root/man", Seq("a"))
+    val r = Maintenance.readWithManifest(spark, s"$root/da ta", s"$root/man",
+      Map("a" -> (10L, 20L)))
+    assert(r.filter(col("a").between(10, 20)).count() == 11)
+  }
+
   test("degenerate constant dimension degrades to a plain sort, content intact") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("zorder-const").toString
