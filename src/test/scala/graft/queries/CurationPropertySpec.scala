@@ -60,4 +60,61 @@ class CurationPropertySpec extends SparkSpec {
     assert(got == exact)
     assert(got.contains("hot") && got.contains("mid") && got.size == 2)
   }
+
+  import graft.functions.Portable
+
+  /** Doc ids landing in hash-half 0 (reference) / 1 (batch) of the
+    * q110/q112 split — computed with the same portable hash the
+    * queries use, so the test PLACES docs rather than guessing. */
+  private def idsInHalf(h: Int, n: Int, from: Long = 1L): Seq[Long] =
+    Iterator.iterate(from)(_ + 1)
+      .filter(i => Portable.pmd5Local(s"d:$i") % 2 == h).take(n).toSeq
+
+  test("q110 novelty: identical batch scores 0 bp, disjoint batch 10000 bp") {
+    val Seq(a1, a2) = idsInHalf(0, 2)
+    val Seq(b1, b2, b3) = idsInHalf(1, 3)
+    val ref = "alpha beta gamma delta epsilon"
+    val dir = stage(Seq(
+      (a1, ref, "refsrc"), (a2, "zeta eta theta iota", "refsrc"),
+      (b1, ref, "copy"),                      // every gram seen in A
+      (b2, "nu xi omicron pi rho", "fresh"),  // no gram seen in A
+      (b3, "x y", "tiny")))                   // < 3 tokens: no grams
+    val got = run("q110_novelty_rate", dir)
+      .select("source", "novelty_bp").as[(String, Long)].collect().toMap
+    assert(got == Map("copy" -> 0L, "fresh" -> 10000L),
+      s"unexpected novelty rows: $got") // 'tiny' emits no row
+  }
+
+  test("q112 fluency: all-OOV scores 0; all-top-token scores (tier+1)*1000") {
+    val Seq(a1) = idsInHalf(0, 1)
+    val Seq(b1, b2) = idsInHalf(1, 2)
+    // reference: 'w' appears 8 times -> tier floor(log2 8) = 3
+    val dir = stage(Seq(
+      (a1, Seq.fill(8)("w").mkString(" "), "ref"),
+      (b1, "w w w w w", "common"),
+      (b2, "q1 q2 q3", "oov")))
+    val got = run("q112_rank_fluency", dir)
+      .select("source", "fluency_milli").as[(String, Long)].collect().toMap
+    assert(got == Map("common" -> 4000L, "oov" -> 0L), s"got $got")
+  }
+
+  test("q113 drift: opposite-bin hours score 20000 bp; gaps emit nothing") {
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(hourOff: Int, m: Int) =
+      new java.sql.Timestamp(h0.getTime + hourOff * 3600000L + m * 60000L)
+    val rows =
+      (1 to 10).map(i => (i.toLong, at(0, i), 1L, "x", 5.0, "{}")) ++      // bin 0
+        (1 to 10).map(i => (100L + i, at(1, i), 1L, "x", 150.0, "{}")) ++  // bin 7
+        (1 to 10).map(i => (200L + i, at(4, i), 1L, "x", 5.0, "{}"))       // gap
+    val dir = java.nio.file.Files.createTempDirectory("drift-prop").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = run("q113_hourly_drift", dir)
+      .select("event_type", "hr", "n", "prev_n", "drift_bp")
+      .as[(String, java.sql.Timestamp, Long, Long, Long)].collect().toSet
+    // only the consecutive pair (hour 0 -> 1) emits; total bin swap =
+    // |0-10000| + |10000-0| = 20000; the hour-4 resumption has no
+    // hour-3 predecessor
+    assert(got == Set(("x", at(1, 0), 10L, 10L, 20000L)), s"got $got")
+  }
 }
