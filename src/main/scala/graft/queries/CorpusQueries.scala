@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.queries.Tables.{spread, t}
+import graft.queries.Tables.{boundedRank, spread, t}
 
 /** Corpus-analytics queries a training-data pipeline needs beyond
   * dedup/similarity: reproducible sampling, inverted-index
@@ -329,7 +329,11 @@ object CorpusQueries {
           .unionAll(bg.select(col("w2").as("w")))
           .groupBy("w").agg(count(lit(1)).as("c"))
         val n = bg.agg(count(lit(1)).as("nb"))
-        val w = Window.orderBy(col("pmi_score").desc, col("w1").asc, col("w2").asc)
+        // Top-k via orderBy+limit → TakeOrderedAndProject: each partition
+        // keeps a 20-row heap, the driver merges 20-row heaps. The rank
+        // window runs AFTER limit(20), over a 20-row frame — a global
+        // row_number over the unbounded survivor set would funnel every
+        // qualifying bigram through one partition (billions at 100 TB).
         cb.filter(col("c_ab") >= 5)
           .join(cu.select(col("w").as("w1"), col("c").as("ca")), "w1")
           .join(cu.select(col("w").as("w2"), col("c").as("cb2")), "w2")
@@ -337,8 +341,11 @@ object CorpusQueries {
           .select(col("w1"), col("w2"), col("c_ab"),
             ((col("c_ab") * col("nb")).cast("double") / (col("ca") * col("cb2")))
               .as("pmi_score"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 20)
+          .orderBy(col("pmi_score").desc, col("w1").asc, col("w2").asc)
+          .limit(20)
+          .withColumn("rank",
+            boundedRank(col("c_ab"))(
+              col("pmi_score").desc, col("w1").asc, col("w2").asc))
       },
       Some("""
         WITH toks AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Portable
 import graft.operators.{Dedup, Maintenance, Sketches}
-import graft.queries.Tables.{spread, t}
+import graft.queries.Tables.{boundedRank, spread, t}
 
 /** Corpus-curation toolbox: tokenizer-training statistics, term
   * blocklist filtering and redaction (the relational shape of a PII
@@ -54,9 +54,9 @@ object CurationQueries {
           explode(transform(sequence(lit(1), length(col("w")) - 1),
             i => col("w").substr(i, lit(2)))).as("pair"))
           .groupBy(col("pair")).agg(sum(col("f")).as("n"))
-        val w = Window.orderBy(col("n").desc, col("pair"))
         pairs.orderBy(col("n").desc, col("pair")).limit(TOPP)
-          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .withColumn("rnk",
+            boundedRank(col("n"))(col("n").desc, col("pair")).cast(LongType))
       },
       Some(s"""
         WITH wf AS (

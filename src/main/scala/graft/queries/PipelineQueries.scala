@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Portable, TextAnalysis => TA}
 import graft.operators.Dedup
-import graft.queries.Tables.{spread, t}
+import graft.queries.Tables.{boundedRank, spread, t}
 
 /** Training-pipeline assembly queries: the operations that turn a raw
   * corpus into a training mix — exact n-gram decontamination, sequence
@@ -584,12 +584,10 @@ object PipelineQueries {
           .select(explode(split(col("text"), " ")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("f"))
         val total = tf.agg(sum(col("f")).as("total"))
-        val topW = org.apache.spark.sql.expressions.Window
-          .orderBy(col("f").desc, col("tok"))
         import s.implicits._
         val ks = Seq(10, 20, 50).toDF("k")
         val top = tf.orderBy(col("f").desc, col("tok")).limit(50)
-          .withColumn("rnk", row_number().over(topW))
+          .withColumn("rnk", boundedRank(col("f"))(col("f").desc, col("tok")))
         top.crossJoin(broadcast(total))
           .crossJoin(broadcast(ks))
           .groupBy(col("k"), col("total"))

@@ -18,8 +18,27 @@ final case class Q(
 
 object Tables {
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.expressions.Window
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.LongType
+
+  /** Rank rows of a LIMIT-BOUNDED frame. Partitioning the window by a
+    * single-valued expression gives it an explicit (single-bucket)
+    * partition spec, so the planner does not emit its "No Partition
+    * Defined … single partition" warning — which is correct here: the
+    * call sites feed this a frame that `orderBy(...).limit(k)` already
+    * reduced to k rows, so one bucket IS the right distribution. The
+    * zero is derived from `anchor` (MUST be integral non-null, e.g. a
+    * count) rather than written as `lit(0)` because Catalyst strips
+    * foldable window partition expressions, which would re-empty the
+    * spec; `anchor % 1` (always 0) survives where `anchor * 0` does not
+    * — Remainder stays nullable in the type system, so constant folding
+    * cannot prove it. Never apply this to unbounded input; the global
+    * top-k must run first (TakeOrderedAndProject keeps a k-row heap per
+    * partition, then the driver merges k-row heaps).
+    */
+  def boundedRank(anchor: Column)(sort: Column*): Column =
+    row_number().over(Window.partitionBy(anchor % 1).orderBy(sort: _*))
 
   /** Spread a scan across cores ONLY when it yielded fewer input splits
     * than the session's parallelism. The sf* testdata tables are
