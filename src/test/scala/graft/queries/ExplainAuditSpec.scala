@@ -3,9 +3,11 @@ package graft.queries
 import scala.annotation.tailrec
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 import graft.{SparkEntry, SparkSpec}
 
@@ -51,6 +53,18 @@ class ExplainAuditSpec extends SparkSpec {
   private def planOf(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
 
+  /** Every registered query's static physical plan, built ONCE and
+    * shared by the registry-wide sweeps (planning 113 queries is the
+    * expensive part; the tree walks are free). q48 is excluded: it
+    * drives jobs eagerly while assembling its result (the CC fixpoint
+    * loop) — its per-round plans are q28's, audited individually.
+    */
+  private lazy val allPlans: Seq[(String, SparkPlan)] = withStaticPlans {
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "q48_neardup_components")
+      .map(n => n -> planOf(n))
+  }
+
   /** Is this subtree a pure column selection over a file scan — no
     * derived columns, no aggregation, nothing reduced? A shuffle fed by
     * such a subtree ships scan output verbatim. */
@@ -82,67 +96,110 @@ class ExplainAuditSpec extends SparkSpec {
     p.collect { case e: ShuffleExchangeExec => e }
 
   test("no registered query shuffles a raw text/embedding payload") {
-    withStaticPlans {
-      // q48 drives jobs eagerly while assembling its result (the CC
-      // fixpoint loop) — its per-round plans are q28's, audited here.
-      val names = SparkEntry.queries.keys.toSeq.sorted
-        .filterNot(_ == "q48_neardup_components")
-      val offenders = names.flatMap { n =>
-        val raw = rawPayloadShuffles(planOf(n))
-        if (raw.isEmpty) Nil else Seq(s"$n -> ${raw.head.simpleStringWithNodeId()}")
-      }
-      assert(offenders.isEmpty,
-        s"raw corpus payload shuffled by: ${offenders.mkString("; ")}")
+    val offenders = allPlans.flatMap { case (n, p) =>
+      val raw = rawPayloadShuffles(p)
+      if (raw.isEmpty) Nil else Seq(s"$n -> ${raw.head.simpleStringWithNodeId()}")
     }
+    assert(offenders.isEmpty,
+      s"raw corpus payload shuffled by: ${offenders.mkString("; ")}")
   }
+
+  // ------------------------------------------------------------------
+  // Registry-wide sweeps: every current AND FUTURE query is audited, so
+  // the q67 class of bug (a global ranking window over unbounded input)
+  // fails in CI instead of surfacing as a 100 TB incident.
+  // ------------------------------------------------------------------
+
+  test("registry sweep: no query plans an unpartitioned window") {
+    // An empty window partition spec funnels the operator's entire
+    // input through one task. Bounded post-limit ranks go through
+    // Tables.boundedRank, which carries an explicit single-bucket
+    // partition spec — so ANY empty spec here is a scale bug.
+    val offenders = allPlans.flatMap { case (n, p) =>
+      p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          s"$n -> ${w.simpleStringWithNodeId()}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window in: ${offenders.mkString("; ")}")
+  }
+
+  test("registry sweep: no query plans a cartesian product") {
+    val offenders = allPlans.flatMap { case (n, p) =>
+      p.collect { case _: CartesianProductExec => n }
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString("; ")}")
+  }
+
+  /** Queries whose documented REFERENCE path scores every (query,
+    * corpus-vector) pair by design: the broadcast side is the held-out
+    * query/probe set, small by construction. Everything else must keep
+    * nested-loop joins to provably tiny broadcast frames. */
+  private val BruteForceAllowed = Set(
+    "q31_ann_bruteforce", // the exact-recall baseline the ANN family is measured against
+    "q44_ann_ivf",        // Lloyd rounds broadcast the k-centroid frame; k is a plan-time constant
+    "q77_containment_join", // eval-suite token sets broadcast: small by construction (the q31 shape)
+    "q103_semantic_dedup", // within-cluster pairs after a label equi-join; probe side broadcast
+    "q106_diverse_ann")   // re-rank joins the k-row ANN pool to itself
+
+  test("registry sweep: nested-loop joins only broadcast provably tiny frames") {
+    // A BroadcastNestedLoopJoin is safe iff its broadcast side cannot
+    // grow with the corpus: a global (no-grouping-key) aggregate is
+    // 1 row; a LocalTableScan is a driver literal; allowlisted ANN
+    // reference paths broadcast the held-out query set. Anything else
+    // is an accidental O(N*M) at scale.
+    def tinyBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      }
+      build.exists {
+        case h: HashAggregateExec => h.groupingExpressions.isEmpty
+        case s: SortAggregateExec => s.groupingExpressions.isEmpty
+        case _: LocalTableScanExec => true
+        case _ => false
+      }
+    }
+    val offenders = allPlans.flatMap { case (n, p) =>
+      if (BruteForceAllowed(n)) Nil
+      else p.collect {
+        case j: BroadcastNestedLoopJoinExec if !tinyBuild(j) =>
+          s"$n -> ${j.simpleStringWithNodeId()}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop join over a non-tiny broadcast in: ${offenders.mkString("; ")}")
+  }
+
+  private lazy val planMap: Map[String, SparkPlan] = allPlans.toMap
 
   test("pure-projection queries plan with zero shuffles") {
-    withStaticPlans {
-      for (n <- Seq("q50_hash_sample", "q60_stratified_sample",
-          "q55_cdc_chunks", "q57_int8_quantize", "q25_fingerprint",
-          "q21_token_stats", "q23_lang_id", "q24_quality_score",
-          "q83_quality_resample", "q92_redaction")) {
-        val s = shuffles(planOf(n))
-        assert(s.isEmpty, s"$n should be scan-stage only, found: " +
-          s.map(_.simpleStringWithNodeId()).mkString("; "))
-      }
-    }
-  }
-
-  test("no audited query plans a cartesian product") {
-    withStaticPlans {
-      for (n <- Seq("q08_enrich_join", "q28_lsh_dup_pairs",
-          "q30_ngram_jaccard", "q31_ann_bruteforce", "q33_ann_lsh",
-          "q44_ann_ivf", "q45_edit_distance", "q59_prefix_ssjoin",
-          "q63_oov_rate",
-          // round-6 additions: label equi-join (q103), pool windows
-          // (q106), time-cell equi-join + left join back (q108)
-          "q103_semantic_dedup", "q106_diverse_ann", "q108_attribution")) {
-        val cart = planOf(n).collect { case c: CartesianProductExec => c }
-        assert(cart.isEmpty, s"$n plans a cartesian product")
-      }
+    for (n <- Seq("q50_hash_sample", "q60_stratified_sample",
+        "q55_cdc_chunks", "q57_int8_quantize", "q25_fingerprint",
+        "q21_token_stats", "q23_lang_id", "q24_quality_score",
+        "q83_quality_resample", "q92_redaction")) {
+      val s = shuffles(planMap(n))
+      assert(s.isEmpty, s"$n should be scan-stage only, found: " +
+        s.map(_.simpleStringWithNodeId()).mkString("; "))
     }
   }
 
   test("q08 enriches through broadcast dimension joins") {
-    withStaticPlans {
-      val bhj = planOf("q08_enrich_join")
-        .collect { case j: BroadcastHashJoinExec => j }
-      assert(bhj.size >= 2,
-        s"nation/region dims must broadcast, found ${bhj.size} broadcast joins")
-    }
+    val bhj = planMap("q08_enrich_join")
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2,
+      s"nation/region dims must broadcast, found ${bhj.size} broadcast joins")
   }
 
   test("ANN queries broadcast the small side, never a cartesian") {
-    withStaticPlans {
-      for (n <- Seq("q31_ann_bruteforce", "q44_ann_ivf")) {
-        val p = planOf(n)
-        val bc = p.collect {
-          case j: BroadcastNestedLoopJoinExec => j: SparkPlan
-          case j: BroadcastHashJoinExec => j: SparkPlan
-        }
-        assert(bc.nonEmpty, s"$n: queries/centroids side must broadcast")
+    for (n <- Seq("q31_ann_bruteforce", "q44_ann_ivf")) {
+      val bc = planMap(n).collect {
+        case j: BroadcastNestedLoopJoinExec => j: SparkPlan
+        case j: BroadcastHashJoinExec => j: SparkPlan
       }
+      assert(bc.nonEmpty, s"$n: queries/centroids side must broadcast")
     }
   }
 }
