@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
 import graft.operators.Similarity
 import graft.queries.Tables.{spread, t}
 
@@ -88,13 +89,48 @@ object SimilarityQueries {
 
   private val zeroVecSql = "list_transform(generate_series(1, 64), i -> CAST(0 AS DOUBLE))"
 
-  /** DuckDB twin of [[Similarity.trainIvfCentroids]]: the seed cells
-    * plus `iters` unrolled Lloyd rounds. Centroids are ordered SUMS
-    * (cosine is scale-invariant; the fold runs in ascending vec_id
-    * order) so every double matches the Spark side bit-for-bit. */
+  /** DuckDB twin of [[Similarity.farthestSeeds]] (race variant, the
+    * production default): cell 0 is the vector with the largest
+    * hash-race key, and each later cell the not-yet-picked vector
+    * maximizing `(1 - nearestCosine) * hash` against the seeds so
+    * far. The selection is one unrolled (near, pick, union) block per
+    * cell; `max` over doubles and the race-key arithmetic are exact,
+    * so both engines pick identical ids, and the picked vectors'
+    * doubles match bit-for-bit. */
+  private def fpSeedCtes(k: Int): String = {
+    val tb = Portable.pmd5Sql("concat('fp:', CAST(vec_id AS VARCHAR))")
+    val base = s"fp AS MATERIALIZED (SELECT vec_id, v, nv, $tb AS tb FROM prep)"
+    val s0 = s"""seeds0 AS MATERIALIZED (
+       |          SELECT CAST(0 AS BIGINT) AS cell, vec_id, v AS cv, nv AS cn
+       |          FROM fp
+       |          ORDER BY (1.0 - (-1.0)) * CAST(tb AS DOUBLE) DESC, vec_id ASC
+       |          LIMIT 1)""".stripMargin
+    val steps = (1 until k).map { t =>
+      s"""near$t AS MATERIALIZED (
+         |          SELECT p.vec_id, p.v, p.nv, p.tb,
+         |                 max(${foldSql("p.v", "s.cv")} / (p.nv * s.cn)) AS near
+         |          FROM fp p, seeds${t - 1} s
+         |          WHERE p.vec_id NOT IN (SELECT vec_id FROM seeds${t - 1})
+         |          GROUP BY p.vec_id, p.v, p.nv, p.tb),
+         |        seeds$t AS MATERIALIZED (
+         |          SELECT * FROM seeds${t - 1} UNION ALL
+         |          SELECT * FROM (
+         |            SELECT CAST($t AS BIGINT) AS cell, vec_id, v AS cv, nv AS cn
+         |            FROM near$t
+         |            ORDER BY (1.0 - near) * CAST(tb AS DOUBLE) DESC, vec_id ASC
+         |            LIMIT 1))""".stripMargin
+    }
+    (base +: s0 +: steps).mkString(",\n        ")
+  }
+
+  /** DuckDB twin of [[Similarity.trainIvfCentroids]]: the hash-race
+    * farthest-point seed cells ([[fpSeedCtes]]) plus `iters` unrolled
+    * Lloyd rounds. Centroids are ordered SUMS (cosine is
+    * scale-invariant; the fold runs in ascending vec_id order) so
+    * every double matches the Spark side bit-for-bit. */
   private def kmeansCtes(iters: Int): String = {
-    val init = s"cents0 AS (\n          SELECT vec_id AS cell, v AS cv, nv AS cn " +
-      s"FROM prep WHERE vec_id < $NCELLS)"
+    val init = s"${fpSeedCtes(NCELLS)},\n        cents0 AS (\n          " +
+      s"SELECT cell, cv, cn FROM seeds${NCELLS - 1})"
     val rounds = (1 to iters).map { t =>
       s"""assign$t AS (
          |          SELECT vec_id, v, cell FROM (
@@ -119,12 +155,12 @@ object SimilarityQueries {
     // ----------------------------------------------------------------
     Q(
       "q44_ann_ivf",
-      s"IVF ANN with trained cells: $NCELLS centroids from " +
-        s"$TRAIN_ITERS deterministic seeded Lloyd rounds (ordered-sum " +
-        "centroids — cosine is scale-invariant), corpus assigned once, " +
-        s"queries probe their $NPROBE nearest cells; candidates come " +
-        "from the cell equi-join — the data-adaptive scale path next " +
-        "to SRP-LSH.",
+      s"IVF ANN with trained cells: $NCELLS hash-race farthest-point " +
+        s"seeds refined by $TRAIN_ITERS deterministic Lloyd rounds " +
+        "(ordered-sum centroids — cosine is scale-invariant), corpus " +
+        s"assigned once, queries probe their $NPROBE nearest cells; " +
+        "candidates come from the cell equi-join — the data-adaptive " +
+        "scale path next to SRP-LSH.",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         Similarity.ivfTopK(

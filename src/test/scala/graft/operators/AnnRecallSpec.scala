@@ -44,19 +44,23 @@ class AnnRecallSpec extends SparkSpec {
     val ivfSeed = recall(neighbors(
       Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 16, 3, trainIters = 0)))
     val ivfTrained = recall(neighbors(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 16, 3)))
+    val ivfSeedFp = recall(neighbors(Similarity.ivfTopK(
+      e, q, "vec_id", "embedding", 5, 16, 3, trainIters = 0, seed = Similarity.SeedFarthest)))
+    val ivfTrainedFp = recall(neighbors(Similarity.ivfTopK(
+      e, q, "vec_id", "embedding", 5, 16, 3, seed = Similarity.SeedFarthest)))
     info(f"recall@5: srp 4x8bit=$lshOld%.2f srp 8x5bit=$lshNew%.2f " +
-      f"srp 8x5bit+3probes=$lshMp%.2f ivf seed=$ivfSeed%.2f ivf trained(2 rounds)=$ivfTrained%.2f")
-    // measured (sf0.001): srp 0.30 -> 0.63 -> 0.93 (multiprobe); ivf
-    // trained 0.92 vs seed 0.98. On THIS corpus (near-uniform random
-    // vectors) Lloyd rounds have no cluster structure to learn — they
-    // balance cell boundaries, which at fixed nprobe slightly SHRINKS
-    // probe coverage, so the seed's lopsided cells score higher here
-    // (measured: the inversion persists at equal scanned fraction until
-    // nprobe>=5, where trained reaches 1.0; farthest-point seeding
-    // makes it WORSE, 0.68, by spreading centroids uniformly). The
-    // trained-beats-seed property belongs to corpora WITH structure —
-    // asserted in the clustered-corpus test below; this spec pins both
-    // figures so a regression in either mechanism surfaces.
+      f"srp 8x5bit+3probes=$lshMp%.2f ivf race seed=$ivfSeed%.2f " +
+      f"trained=$ivfTrained%.2f ivf fp seed=$ivfSeedFp%.2f trained=$ivfTrainedFp%.2f")
+    // measured (sf0.001, nprobe=3): srp 0.30 -> 0.63 -> 0.93
+    // (multiprobe); ivf hash-race farthest-point seed 0.65 -> trained
+    // 0.70 (nprobe 4/5: 0.675/0.725 seed, 0.75/0.775 trained); pure
+    // farthest-point seed 0.55 -> trained 0.70. Both farthest modes
+    // hold trained >= seed — the property the legacy first-k seed
+    // VIOLATED on this corpus (its 0.975 seed vs 0.925 trained was an
+    // equal-nprobe artifact: lopsided first-k cells scan a larger
+    // corpus fraction, which is exactly what bounded-cell IVF exists
+    // to avoid at scale). This spec pins the figures so a regression
+    // in either mechanism surfaces.
     assert(lshNew > lshOld + 0.2,
       f"wider SRP config must clearly beat 4x8bit: $lshNew%.2f vs $lshOld%.2f")
     assert(lshNew >= 0.5, f"8x5-bit SRP recall regressed: $lshNew%.2f")
@@ -64,8 +68,12 @@ class AnnRecallSpec extends SparkSpec {
       f"multiprobe production config must reach recall@5 0.85: $lshMp%.2f")
     assert(lshMp > lshNew + 0.1,
       f"3-probe expansion must clearly lift single-probe recall: $lshMp%.2f vs $lshNew%.2f")
-    assert(ivfTrained >= 0.85, f"trained IVF nprobe=3 recall regressed: $ivfTrained%.2f")
-    assert(ivfSeed >= 0.9, f"seed IVF sanity: $ivfSeed%.2f")
+    assert(ivfTrained >= ivfSeed,
+      f"trained IVF must not lose to its seed (uniform corpus): $ivfTrained%.2f vs $ivfSeed%.2f")
+    assert(ivfTrainedFp >= ivfSeedFp,
+      f"trained IVF must not lose to its seed (pure fp): $ivfTrainedFp%.2f vs $ivfSeedFp%.2f")
+    assert(ivfTrained >= 0.70 - 1e-9, f"trained IVF nprobe=3 recall regressed: $ivfTrained%.2f")
+    assert(ivfSeed >= 0.65 - 1e-9, f"race-seed IVF recall regressed: $ivfSeed%.2f")
     // relative order among SHARED neighbors must agree with the exact
     // ranking (LSH may skip exact neighbors absent from its candidates,
     // but never reorder the ones it found)
@@ -98,15 +106,31 @@ class AnnRecallSpec extends SparkSpec {
     val exact = neighbors(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
     def recall(a: Map[Long, Seq[Long]]): Double = recallAgainst(exact, 8)(a)
     val seed = recall(neighbors(
-      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, k, 3, trainIters = 0, dim = dim)))
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, k, 3,
+        trainIters = 0, dim = dim, seed = Similarity.SeedFirstK)))
     val trained = recall(neighbors(
-      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, k, 3, trainIters = 2, dim = dim)))
-    info(f"clustered corpus recall@5 nprobe=3: seed=$seed%.2f trained=$trained%.2f")
-    // measured: seed 0.68, trained 1.00 — training earns its keep
-    // exactly where the seed misses clusters
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, k, 3,
+        trainIters = 2, dim = dim, seed = Similarity.SeedFirstK)))
+    val raceSeed = recall(neighbors(
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, k, 3,
+        trainIters = 0, dim = dim)))
+    val raceTrained = recall(neighbors(
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, k, 3,
+        trainIters = 2, dim = dim)))
+    info(f"clustered corpus recall@5 nprobe=3: firstk seed=$seed%.2f trained=$trained%.2f " +
+      f"race seed=$raceSeed%.2f trained=$raceTrained%.2f")
+    // measured: first-k seed 0.68, trained 1.00 — training earns its
+    // keep exactly where a bad seed misses clusters. The hash-race
+    // farthest-point default seeds every cluster up front (seed 1.00,
+    // trained 1.00): trained >= seed holds on this corpus AND the
+    // uniform one above — the default seeding's defining property.
     assert(trained >= seed, f"trained cells must not lose to the seed: $trained%.2f vs $seed%.2f")
     assert(trained >= seed + 0.2,
       f"training must clearly recover from a one-cluster seed: $trained%.2f vs $seed%.2f")
     assert(trained >= 0.95, f"trained recall on clustered data regressed: $trained%.2f")
+    assert(raceTrained >= raceSeed,
+      f"trained must not lose to the race seed (clustered): $raceTrained%.2f vs $raceSeed%.2f")
+    assert(raceSeed >= 0.95, f"race seed must cover every cluster: $raceSeed%.2f")
+    assert(raceTrained >= 0.95, f"race trained recall regressed: $raceTrained%.2f")
   }
 }
