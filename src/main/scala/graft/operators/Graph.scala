@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over undirected pair lists (the near-dup
+  * graph's shape: (id_a, id_b) edges from LSH + verification).
+  *
+  * Reference behavior: the duplicate-graph analyses in
+  * `/root/reference` stop at flat components; pagerank here is the
+  * finer centrality signal for choosing cluster representatives
+  * (see queries q70/q82).
+  */
+object Graph {
+
+  /** Damped PageRank over the symmetrized edge list: `iters` rounds of
+    * r = teleport + damping * sum(in-neighbor r / deg). Every round is
+    * one edge equi-join + one aggregation keyed on the 8-byte node id;
+    * contributions fold in ascending neighbor order (sort_array over
+    * (src, contribution) structs) so every double is bit-reproducible
+    * across engines and runs. Only the round count is driver-
+    * controlled — no driver-side iteration over data.
+    *
+    * Scale design:
+    *  - the degree-joined edge list is persisted ALREADY hash-
+    *    partitioned on `src`, so all `iters` joins reuse one
+    *    partitioning instead of re-exchanging the edges each round;
+    *  - the graph is symmetrized, so every node has an in-edge and the
+    *    contribution aggregate covers the full node set each round (no
+    *    dangling-mass term);
+    *  - `truncateEvery` bounds PLAN depth for long runs: every that
+    *    many rounds the rank frame is rebuilt from its own RDD (the
+    *    connected-components trick, [[Dedup.connectedComponents]]) —
+    *    plan size per round stays O(1) instead of unrolling a
+    *    30-join lineage that chokes the optimizer. Lineage is KEPT
+    *    (a lost block recomputes through it); pass `checkpointDir`
+    *    to instead write reliable per-round checkpoints (replicated
+    *    storage) that bound recovery to one round — each round's
+    *    files are deleted once the successor is on disk. The final
+    *    round is never truncated, so short runs (iters <=
+    *    truncateEvery, e.g. q70's 5) plan exactly as the plain
+    *    unrolled form.
+    *
+    * Cache contract: the returned frame reads the persisted edge list
+    * (and, on truncated runs, the last truncation's cache); free them
+    * after the terminal action with `spark.catalog.clearCache()`; on
+    * the checkpointDir path also delete that directory.
+    *
+    * Output: (id, r) — one row per node of the symmetrized graph. */
+  def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      iters: Int = 5, teleport: Double = 0.15, damping: Double = 0.85,
+      truncateEvery: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val sym = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, "src").repartition(col("src")).persist()
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
+    var freePrev: () => Unit = () => ()
+    for (t <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
+        .groupBy("dst")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("src").as("i"), col("c").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("csum"))
+      ranks = contrib.select(col("dst").as("id"),
+        (lit(teleport) + lit(damping) * col("csum")).as("r"))
+      if (truncateEvery > 0 && t % truncateEvery == 0 && t < iters)
+        ranks = truncate(spark, ranks, checkpointDir.isDefined,
+          freeHook = f => { freePrev(); freePrev = f })
+    }
+    ranks
+  }
+
+  /** Rebuild `df` from its own RDD, hiding the upstream plan behind a
+    * LogicalRDD. Persist path: lazy cache (materialized by the next
+    * action). Checkpoint path: eager (the reliable write needs the
+    * rows now); `freeHook` receives the cleanup for THIS round and is
+    * expected to free the previous round's, so at most two rounds of
+    * cache/files exist at once. */
+  private def truncate(spark: SparkSession, df: DataFrame,
+      reliable: Boolean, freeHook: (() => Unit) => Unit): DataFrame =
+    if (reliable) {
+      val rdd = df.rdd
+      rdd.persist()
+      rdd.checkpoint()
+      rdd.count() // job 1 computes+caches; the checkpoint writes from cache
+      val out = spark.createDataFrame(rdd, df.schema)
+      rdd.unpersist()
+      freeHook(() => rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      })
+      out
+    } else {
+      val handle = df.persist()
+      freeHook(() => { handle.unpersist(); () })
+      spark.createDataFrame(handle.rdd, handle.schema)
+    }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.Dedup
+import graft.operators.{Dedup, Graph}
 import graft.queries.Tables.{spread, t}
 
 /** Deduplication queries over `documents`: exact, MinHash+LSH, SimHash,
@@ -572,32 +572,16 @@ object DedupQueries {
         "double is bit-reproducible (the k-means trick). No driver-" +
         "side iteration over data — only the round count is driver-" +
         "controlled, like trainIvfCentroids.",
-      (s, dir) => {
-        val pairs = lshVerifiedPairs(s, dir).select("id_a", "id_b")
-        val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-        // joined 5x (once per round): materialize once, freed by the
-        // harness clearCache-after-terminal-action contract; cached
-        // ALREADY hash-partitioned on src so each round's join reuses
-        // the partitioning instead of re-exchanging the edge list
-        val edges = sym.join(deg, "src").repartition(col("src")).persist()
-        var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
-        for (_ <- 0 until PR_ITERS) {
-          val contrib = edges
-            .join(ranks, edges("src") === ranks("id"))
-            .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
-            .groupBy("dst")
-            .agg(aggregate(
-              sort_array(collect_list(struct(col("src").as("i"), col("c").as("v")))),
-              lit(0.0), (acc, x) => acc + x.getField("v")).as("csum"))
-          // every node of the symmetric graph has an in-edge, so the
-          // contribution aggregate covers the full node set each round
-          ranks = contrib.select(col("dst").as("id"),
-            (lit(0.15) + lit(0.85) * col("csum")).as("r"))
-        }
-        ranks.select(col("id").as("doc_id"), col("r").as("pagerank"))
-      },
+      (s, dir) =>
+        // operators.Graph.pageRank: edge list persisted pre-partitioned
+        // on src (all rounds reuse one partitioning, freed by the
+        // harness clearCache contract); at PR_ITERS <= the default
+        // truncation stride the plan is the plain unrolled form the
+        // oracle mirrors, while a 30-iteration production run truncates
+        // its plan every 5 rounds (GraphSpec proves bit-equality)
+        Graph.pageRank(lshVerifiedPairs(s, dir).select("id_a", "id_b"),
+            iters = PR_ITERS)
+          .select(col("id").as("doc_id"), col("r").as("pagerank")),
       Some(s"""$pairsCte,
         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
