@@ -124,12 +124,18 @@ object Maintenance {
     * ordinary stats pruning (ZorderSpec measures the scan-row drop vs
     * a linear layout on the same data and predicate).
     *
-    * The scaling stats come from one 1-row aggregate that broadcasts;
-    * scaled products stay < 2^47, inside double-exact integer range,
-    * so floor(x/y) is exact. Constant dimensions scale to 0 (the
-    * degenerate range guard), leaving the other dimension a plain
-    * sort. The layout job's one range exchange is the cost any
-    * re-layout pays; readers pay nothing.
+    * The scaling stats come from one 1-row aggregate that broadcasts.
+    * Scaling runs in exact integer arithmetic: the (value - min) *
+    * 65535 product is computed as DECIMAL(38,0) (exact for any pair
+    * of longs — a double product is only exact while the dimension
+    * range stays under ~2^37, which an epoch-micros dimension blows
+    * past) and bucketed with integral `div`. The only precondition
+    * left is (max - min) itself fitting in a long — i.e. a dimension
+    * spanning more than 2^63 of its own unit, which no physical
+    * column does. Constant dimensions scale to 0 (the degenerate
+    * range guard), leaving the other dimension a plain sort. The
+    * layout job's one range exchange is the cost any re-layout pays;
+    * readers pay nothing.
     *
     * Stats caveat: pruning happens on the STORED column's parquet
     * min/max, and Spark 4.1 never builds row-group predicates for
@@ -143,12 +149,17 @@ object Maintenance {
     val stats = df.agg(
       min(dimA.cast("long")).as("__z_amin"), max(dimA.cast("long")).as("__z_amax"),
       min(dimB.cast("long")).as("__z_bmin"), max(dimB.cast("long")).as("__z_bmax"))
-    def scale16(v: org.apache.spark.sql.Column, lo: String, hi: String) =
-      floor((v.cast("long") - col(lo)).cast("double") * 65535.0 /
-        greatest(lit(1L), col(hi) - col(lo)).cast("double")).cast("long")
+    // exact-integer bucket: ((v - lo) * 65535) div max(1, hi - lo),
+    // the product in DECIMAL(38,0) (never wraps; `div` on decimals is
+    // exact integral division, no rounded-double floor)
+    def scale16(vCol: String, lo: String, hi: String) =
+      expr(s"CAST(($vCol - $lo) AS DECIMAL(38,0)) * 65535" +
+        s" div greatest(CAST(1 AS BIGINT), $hi - $lo)")
     val scaled = df.crossJoin(broadcast(stats))
-      .withColumn("__z_a", scale16(dimA, "__z_amin", "__z_amax"))
-      .withColumn("__z_b", scale16(dimB, "__z_bmin", "__z_bmax"))
+      .withColumn("__z_va", dimA.cast("long"))
+      .withColumn("__z_vb", dimB.cast("long"))
+      .withColumn("__z_a", scale16("__z_va", "__z_amin", "__z_amax"))
+      .withColumn("__z_b", scale16("__z_vb", "__z_bmin", "__z_bmax"))
     val z = (0 until 16).map { i =>
       shiftleft(shiftrightunsigned(col("__z_a"), i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(
@@ -157,7 +168,8 @@ object Maintenance {
     scaled.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "__z_a", "__z_b", "__z_amin", "__z_amax", "__z_bmin", "__z_bmax")
+      .drop("__z", "__z_a", "__z_b", "__z_va", "__z_vb",
+        "__z_amin", "__z_amax", "__z_bmin", "__z_bmax")
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
@@ -218,20 +230,29 @@ object Maintenance {
   /** Algebraic per-key summary of a long-valued column: (cnt, sum,
     * min, max, sumsq). Every field merges by sum/min/max, so a summary
     * maintained incrementally batch-by-batch is EXACTLY the one
-    * recomputed from the full corpus — integer state, no float drift,
+    * recomputed from the full corpus — exact state, no float drift,
     * no merge-order sensitivity. This is how a live corpus keeps its
     * datasheet current at 100 TB: each ingest batch contributes
     * keyedStats(batch) (O(batch) work, map-side combined), and
     * [[mergeKeyedStats]] folds it into the running summary (O(summary)
     * — key-cardinality rows, not corpus rows). Mean/variance/stddev
-    * derive from (cnt, sum, sumsq) at read time. */
+    * derive from (cnt, sum, sumsq) at read time.
+    *
+    * `vsumsq` accumulates as DECIMAL(38,0): the square is exact for
+    * ANY long value (v*v in LongType wraps silently past |v| ~ 3e9)
+    * and 38 digits absorb every physical corpus total. `vsum` stays
+    * LongType — it only wraps past a 9.2e18 TOTAL, and keeping it a
+    * long is what lets consumers (q102) read the summary without a
+    * cast. Cast vsumsq back to long at read time when the total is
+    * known to fit. */
   def keyedStats(df: DataFrame, key: String, value: String): DataFrame =
     df.groupBy(col(key)).agg(
       count(lit(1)).as("cnt"),
       sum(col(value)).as("vsum"),
       min(col(value)).as("vmin"),
       max(col(value)).as("vmax"),
-      sum(col(value) * col(value)).as("vsumsq"))
+      sum(col(value).cast("decimal(19,0)") * col(value).cast("decimal(19,0)"))
+        .as("vsumsq"))
 
   /** Fold one batch summary into a running summary (both shaped by
     * [[keyedStats]] or prior merges): union + per-key re-aggregation.

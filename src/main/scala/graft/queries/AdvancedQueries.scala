@@ -465,8 +465,11 @@ object AdvancedQueries {
         "repartition (q39/operators.Skew) before anyone pays for a " +
         "skewed shuffle: per-key counts for events.user_id, the 10 " +
         "heaviest keys with their corpus share (basis points) and " +
-        "skew multiple (cnt * n_keys / total — exactly the salt " +
-        "factor a salted agg needs). All integer arithmetic; the " +
+        "skew multiple (cnt / mean-count, i.e. cnt div (total div " +
+        "n_keys) — exactly the salt factor a salted agg needs; this " +
+        "form never multiplies two corpus-scale counts, so it cannot " +
+        "overflow Long where cnt * n_keys would at ~1e10 rows x 1e9 " +
+        "keys). All integer arithmetic; the " +
         "1-row totals summary broadcasts by construction; the top-10 " +
         "order is total (cnt desc, key asc). One shuffle on the key, " +
         "key-cardinality rows after it — scale-free.",
@@ -478,7 +481,9 @@ object AdvancedQueries {
         c.crossJoin(broadcast(tot))
           .select(col("user_id"), col("cnt"),
             expr("cnt * 10000 div total").as("share_bp"),
-            expr("cnt * n_keys div total").as("skew_x"))
+            // every key has cnt >= 1, so total >= n_keys and the mean
+            // (total div n_keys) is >= 1 — never a divide-by-zero
+            expr("cnt div (total div n_keys)").as("skew_x"))
           .orderBy(col("cnt").desc, col("user_id").asc)
           .limit(10)
       },
@@ -492,7 +497,7 @@ object AdvancedQueries {
           FROM c)
         SELECT user_id, cnt,
                cnt * 10000 // total AS share_bp,
-               cnt * n_keys // total AS skew_x
+               cnt // (total // n_keys) AS skew_x
         FROM c, s
         ORDER BY cnt DESC, user_id ASC
         LIMIT 10""")),

@@ -415,7 +415,10 @@ object CurationQueries {
           .reduce((run, b) => Maintenance.mergeKeyedStats(run, b, "source"))
           .select(col("source"), col("cnt").as("n_docs"),
             col("vsum").as("sum_chars"), col("vmin").as("min_chars"),
-            col("vmax").as("max_chars"), col("vsumsq").as("sumsq_chars"))
+            col("vmax").as("max_chars"),
+            // vsumsq rides as DECIMAL(38,0) (exact for any long input);
+            // n_chars totals fit comfortably in BIGINT at read time
+            col("vsumsq").cast("long").as("sumsq_chars"))
       },
       Some("""
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -60,7 +60,21 @@ class MaintenanceSpec extends SparkSpec {
     val byKey = merged.collect().map(r => r.getString(0) -> r).toMap
     assert(byKey("a").getLong(1) == 2 && byKey("a").getLong(2) == 4 &&
       byKey("a").getLong(3) == 1 && byKey("a").getLong(4) == 3 &&
-      byKey("a").getLong(5) == 10)
-    assert(byKey("b").getLong(1) == 1 && byKey("b").getLong(5) == 100)
+      byKey("a").getDecimal(5).longValueExact == 10)
+    assert(byKey("b").getLong(1) == 1 && byKey("b").getDecimal(5).longValueExact == 100)
+  }
+
+  test("vsumsq stays exact where a LongType square would wrap") {
+    import spark.implicits._
+    // 4e9^2 = 1.6e19 > Long.MaxValue (9.2e18): the old long
+    // accumulator wrapped silently here
+    val v = 4000000000L
+    val s = Maintenance.keyedStats(Seq(("k", v), ("k", v)).toDF("source", "v"),
+      "source", "v").collect()
+    assert(s.length == 1)
+    val expected = new java.math.BigDecimal(v).pow(2)
+      .multiply(new java.math.BigDecimal(2))
+    assert(s.head.getDecimal(5).compareTo(expected) == 0,
+      s"vsumsq=${s.head.getDecimal(5)} expected $expected")
   }
 }
