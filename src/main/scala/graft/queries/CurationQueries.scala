@@ -425,6 +425,51 @@ object CurationQueries {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_chars
-        FROM documents GROUP BY source"""))
+        FROM documents GROUP BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q114_manifest_box",
+      "File-level data skipping end-to-end: orders re-laid out " +
+        "z-ordered on (o_custkey, epoch(o_orderdate)) with a per-file " +
+        "min/max manifest (Maintenance.zorderWrite + writeManifest), " +
+        "then a selective 2-D box answered via readWithManifest — " +
+        "only files whose ranges intersect the box are OPENED, the " +
+        "planning-level skip parquet row-group stats cannot give " +
+        "(they prune after listing + footer reads; at 100 TB the " +
+        "per-file planning cost dominates selective queries). The " +
+        "oracle is the plain full-scan form, so the hash match proves " +
+        "the pruned read drops no rows; ZorderSpec measures the " +
+        "file-count drop. Layout + manifest build is the write-once " +
+        "cost any catalog pays, charged here to keep the query " +
+        "self-contained.",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .withColumn("o_epoch", unix_timestamp(col("o_orderdate")))
+        val root = java.nio.file.Files.createTempDirectory("graft-q114").toString
+        // scratch layout is per-call (no cross-run staleness); handed
+        // to the filesystem's exit hook so repeated runs don't pile up
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .deleteOnExit(rootPath)
+        Maintenance.zorderWrite(orders, col("o_custkey"), col("o_epoch"),
+          s"$root/data", 16)
+        Maintenance.writeManifest(s, s"$root/data", s"$root/manifest",
+          Seq("o_custkey", "o_epoch"))
+        val pruned = Maintenance.readWithManifest(s, s"$root/data",
+          s"$root/manifest",
+          Map("o_custkey" -> (10L, 40L), "o_epoch" -> (852076800L, 873071999L)))
+        // residual filter: the manifest prunes FILES; exact bounds
+        // still apply row-level (same rows as the full scan by
+        // construction — the oracle compare proves it)
+        pruned.filter(col("o_custkey").between(10, 40) &&
+            col("o_epoch").between(852076800L, 873071999L))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_epoch"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch
+        FROM orders
+        WHERE o_custkey BETWEEN 10 AND 40
+          AND epoch(o_orderdate) BETWEEN 852076800 AND 873071999"""))
   )
 }
