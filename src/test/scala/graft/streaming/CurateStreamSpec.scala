@@ -237,6 +237,55 @@ class CurateStreamSpec extends SparkSpec {
     assert(after == Set(4L, 8L), s"expired content must not re-land: $after")
   }
 
+  test("hash, band and signature indexes all compact in place; the near-dup gate survives") {
+    val (root, out, cp) = mkRoot("curate-3idx")
+    def runGated(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(root.resolve("in").toString)
+      val q = CurateStream.start(stream, "text", "doc_id", out, cp, cfg,
+        nearDupAcrossBatches = true)
+      assert(q.awaitTermination(120000), "gated stream did not finish")
+    }
+    def parquetFiles(dir: String): Int =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+
+    // two gated runs -> every index holds one file per batch
+    stage(root, "a", Seq((0L, good), (4L, other)))
+    runGated()
+    stage(root, "b", Seq((5L, third)))
+    runGated()
+    val idxDirs = Seq(CurateStream.indexDir(out),
+      CurateStream.bandIndexDir(out), CurateStream.sigIndexDir(out))
+    idxDirs.foreach { d =>
+      assert(parquetFiles(d) >= 2, s"expected per-batch files in $d")
+    }
+    val rowsBefore = idxDirs.map(d => spark.read.parquet(d).count())
+
+    // the maintenance pass between stream runs compacts ALL THREE
+    // one-file-per-batch indexes (they grow the same way the hash
+    // index does), preserving every row
+    idxDirs.foreach { d =>
+      assert(Maintenance.compactIndexInPlace(spark, d) == 1L,
+        s"tiny index should compact to one file: $d")
+    }
+    assert(idxDirs.map(d => spark.read.parquet(d).count()) == rowsBefore,
+      "compaction must preserve index rows")
+
+    // planted arrivals after compaction: a near dup of batch-a content
+    // (band/sig indexes), an exact dup of batch-b content (hash
+    // index), and one genuinely fresh doc — the gates must still hold
+    stage(root, "c", Seq(
+      (7L, good + " tonight"),   // near dup of landed doc 0
+      (8L, third),               // exact dup of landed doc 5
+      (9L, "a genuinely novel document about compacted sketch indexes surviving a rewrite of their file layout")))
+    runGated()
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 4L, 5L, 9L),
+      s"gates must survive three-index compaction: $ids")
+  }
+
   test("periodic compaction collapses cross-batch NEAR dups in the sink") {
     val (root, out, cp) = mkRoot("curate-compact")
 
