@@ -21,7 +21,10 @@ object CorpusQueries {
   private val TOP_TERMS = 5    // q52 terms per doc
   private val CDC_W = 8        // q55 rolling-hash window (chars)
   private val SEARCH_TERMS = Seq("data", "join") // q107 AND-search terms
-  private val SEARCH_K = 10    // q107 results returned
+  private val SEARCH_K = 10    // q107/q118 results returned
+  // q118 OR-search terms: one rare ('dup', df ~25 at every SF — the
+  // IDF weight that should dominate) plus two near-ubiquitous terms
+  private val OR_TERMS = Seq("dup", "join", "scan")
   private val CDC_DIV = 64     // q55 boundary divisor (~avg chunk len)
   private val KMV_K = 32       // q69 sketch size (rel error ~ 1/sqrt(k))
 
@@ -511,6 +514,54 @@ object CorpusQueries {
         GROUP BY doc_id
         HAVING count(DISTINCT token) = ${SEARCH_TERMS.size}
         ORDER BY tf_total DESC, doc_id ASC
+        LIMIT $SEARCH_K""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q118_ranked_or_search",
+      s"IDF-weighted OR retrieval — q107's AND search relaxed to " +
+        s"any-term matching with rarity weighting: score = sum over " +
+        s"matched terms of tf * bitlength(N div df), an integer IDF " +
+        "surrogate (floor(log2) + 1 via the exact length(bin(x)) " +
+        "identity — no transcendental log whose last-ulp rounding " +
+        "could diverge across engines). Rare terms dominate common " +
+        "ones; ranking is the total order (score desc, doc_id asc), " +
+        s"top $SEARCH_K. Term filter runs scan-stage; df and N are " +
+        "k-row/1-row broadcast frames; at corpus scale the scan side " +
+        "is q51's postings join.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val tok = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token").isin(OR_TERMS: _*))
+        val dfreq = tok.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val weights = dfreq.crossJoin(broadcast(total))
+          .select(col("token"), expr("length(bin(n_docs div df))").as("w"))
+        tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+          .join(broadcast(weights), "token")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf") * col("w")).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(SEARCH_K)
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, t AS token
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t IN (${OR_TERMS.mkString("'", "', '", "'")})),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        w AS (
+          SELECT token, CAST(length(bin(n_docs // df)) AS BIGINT) AS w
+          FROM (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY token), total)
+        SELECT doc_id, CAST(sum(tf * w.w) AS BIGINT) AS score
+        FROM (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, token) tf
+        JOIN w USING (token)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
         LIMIT $SEARCH_K"""))
   )
 }
