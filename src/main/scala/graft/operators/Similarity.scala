@@ -79,6 +79,29 @@ object Similarity {
         cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score")), k)
   }
 
+  /** Contrastive hard-negative mining: each query's top-`k` most-
+    * similar CROSS-label vectors — the gradient-rich negatives an
+    * embedding trainer mines (high-cosine, different class). Same
+    * shape as [[bruteForceTopK]] (broadcast queries x one corpus
+    * scan, label inequality filtered before ranking); at corpus scale
+    * swap the scan side for an ANN candidate set ([[lshTopKMultiprobe]]
+    * / [[ivfTopK]] with k' > k) and apply the same label filter to its
+    * candidates. */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    def prepL(df: DataFrame, outId: String, outLb: String) =
+      df.select(col(idCol).as(outId), col(labelCol).as(outLb),
+          toDouble(col(vecCol)).as("v"))
+        .withColumn("nv", sqrt(dotD(col("v"), col("v"))))
+    val q = broadcast(prepL(queries, "query_id", "query_label")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
+    val c = prepL(corpus, "neighbor_id", "neighbor_label")
+    rankTopK(q.crossJoin(c)
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score")), k)
+  }
+
   /** Deterministic pseudo-random hyperplane component: table `t`, plane
     * `j`, dimension `i` (1-based) -> uniform in [-1, 1) derived from the
     * portable hash (reproducible across engines and runs — no RNG

@@ -445,6 +445,34 @@ object SimilarityQueries {
                    AS INTEGER) AS drank,
                  neighbor_id, label, score
           FROM capped)
-        WHERE drank <= $TOPK"""))
+        WHERE drank <= $TOPK""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q119_hard_negatives",
+      s"Contrastive hard-negative mining: each of the $NQ query " +
+        s"vectors' top-$TOPK most-similar CROSS-label vectors — the " +
+        "gradient-rich negatives an embedding trainer needs (high " +
+        "cosine, different class). q31's broadcast-queries shape with " +
+        "the label inequality filtered before ranking; at corpus " +
+        "scale the scan side becomes an ANN candidate set (k' > k) " +
+        "under the same filter.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.hardNegativeTopK(
+          spread(e, col("vec_id")), e.filter(col("vec_id") < NQ),
+          "vec_id", "embedding", "label", TOPK)
+      },
+      Some(s"""
+        WITH ${prepCte(extra = ", label")},
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${scoreSql("q", "c")} AS score
+          FROM prep q JOIN prep c
+            ON q.vec_id < $NQ AND q.label <> c.label)
+        SELECT query_id, rank, neighbor_id, score
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored)
+        WHERE rank <= $TOPK"""))
   )
 }

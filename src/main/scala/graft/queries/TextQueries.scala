@@ -379,6 +379,40 @@ object TextQueries {
                  // count(*) AS fluency_milli
         FROM tok LEFT JOIN fr USING (tk)
         WHERE half = 1
-        GROUP BY source"""))
+        GROUP BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q120_gram_diversity",
+      "Within-source 3-gram diversity (type/token ratio in basis " +
+        "points): distinct shingles * 10000 div total shingles per " +
+        "source — the self-repetition / mode-collapse monitor for " +
+        "generated or boilerplate-heavy sources (low diversity = " +
+        "templated text; q110's novelty rate is the CROSS-snapshot " +
+        "complement). Grams travel as 8-byte hashes from the scan " +
+        "stage on — text never shuffles — and the per-source answer " +
+        "is source-cardinality rows after one keyed agg.",
+      (s, dir) => {
+        val g = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"),
+            explode(Portable.shingleHashesFromTokens(
+              Portable.tokenHashes(col("text")))).as("g"))
+        g.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct(col("g")).as("n_distinct"))
+          .select(col("source"), col("n_grams"), col("n_distinct"),
+            expr("n_distinct * 10000 div n_grams").as("diversity_bp"))
+      },
+      Some(s"""
+        WITH th AS (
+          SELECT source, ${Portable.tokenHashesSql("text")} AS th
+          FROM documents),
+        g AS (
+          SELECT source, unnest(${Portable.shingleHashesFromTokensSql("th")}) AS g
+          FROM th)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+               CAST(count(DISTINCT g) AS BIGINT) * 10000
+                 // count(*) AS diversity_bp
+        FROM g GROUP BY source"""))
   )
 }
