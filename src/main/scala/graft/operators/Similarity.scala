@@ -208,59 +208,85 @@ object Similarity {
     * the vector with the smallest portable hash of its id (a
     * hash-random but reproducible start), and each subsequent cell is
     * the not-yet-picked vector whose best cosine to the seeds chosen
-    * so far is SMALLEST — the farthest point from the current seed
-    * set — with ties broken by (portable hash, id). The selection is
-    * inherently sequential in `k`, so the driver runs `k` tiny jobs
-    * each ending in a 1-row collect (the BPE pattern: the collected
-    * row is planner metadata — a centroid — not data); the per-vector
-    * hash/norm projection is cached across the k passes. At real
-    * corpus scale seeding (like training) runs on a sample.
+    * so far is SMALLEST -- the farthest point from the current seed
+    * set -- with ties broken by (portable hash, id). The selection is
+    * inherently sequential in `k`, so it runs DRIVER-SIDE over a
+    * bounded deterministic sample (the standard sample-based
+    * k-means++ recipe): one job collects the [[SeedSampleCap]]
+    * vectors with the smallest sampling hash (~2 MB at 64-d; at the
+    * harness SFs the cap exceeds the corpus, so the sample IS the
+    * corpus), then the k argmax rounds are plain Scala whose
+    * arithmetic -- left-fold dot, division, max -- is the same IEEE
+    * sequence the engines execute, so the DuckDB oracle reproduces
+    * the picks bit-for-bit. The in-engine alternative (k tiny Spark
+    * jobs with 1-row collects) measured ~2.4 s of pure job-overhead
+    * per q44 run at sf0.1.
     *
     * `race = true` is the D^2-flavored variant: instead of the
     * absolute farthest point (which chases outliers), each point's
     * key is `(1 - nearestCosine) * uniformHash(id)` and the MAX key
-    * wins — a deterministic "exponential race" whose hash factor
+    * wins -- a deterministic "exponential race" whose hash factor
     * spreads picks across the far field rather than its extreme
-    * corners. Both modes are pure double arithmetic + max/argmax, so
-    * the DuckDB oracle reproduces the same picks bit-for-bit.
+    * corners.
     *
     * Returns the picked rows as (cell 0..k-1, id, vector, norm) in
     * selection order. */
+  val SeedSampleCap = 4096
+
   private[operators] def farthestSeeds(prepped: DataFrame, k: Int,
       race: Boolean): Seq[(Long, Long, Seq[Double], Double)] = {
-    val pts = prepped.withColumn("tb",
-      Portable.pmd5(concat(lit("fp:"), col("__tid").cast(StringType)))).persist()
+    // sample: the cap-smallest (samplingHash, id) keys -- deterministic
+    // under any partitioning; TakeOrderedAndProject, never a full sort
+    val sample = prepped
+      .withColumn("tb",
+        Portable.pmd5(concat(lit("fp:"), col("__tid").cast(StringType))))
+      .withColumn("ps",
+        Portable.pmd5(concat(lit("fps:"), col("__tid").cast(StringType))))
+      .orderBy(col("ps").asc, col("__tid").asc).limit(SeedSampleCap)
+      .select("__tid", "v", "nv", "tb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2), r.getLong(3)))
+    require(sample.length >= k,
+      s"farthest-point seeding needs >= $k vectors, found ${sample.length}")
+
+    // the same left-fold the engines run: acc = acc + a[i]*b[i]
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Double], Double)]
-    try {
-      while (picked.size < k) {
-        val cand =
-          if (picked.isEmpty) pts
-          else pts.filter(!col("__tid").isInCollection(picked.map(_._2)))
-        val withNear =
-          if (picked.isEmpty) cand.withColumn("near", lit(-1.0))
-          else {
-            val spark = pts.sparkSession
-            import spark.implicits._
-            val cents = broadcast(
-              picked.toSeq.map { case (c, _, v, n) => (c, v, n) }.toDF("cell", "cv", "cn"))
-            cand.crossJoin(cents)
-              .groupBy(col("__tid"))
-              .agg(first(col("v")).as("v"), first(col("nv")).as("nv"),
-                first(col("tb")).as("tb"),
-                max(cosineFromPrepped(col("v"), col("nv"), col("cv"), col("cn"))).as("near"))
+    val cents = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    val taken = scala.collection.mutable.BitSet.empty
+    while (picked.size < k) {
+      var best = -1
+      var bestNear = 0.0; var bestKey = 0.0
+      for (i <- sample.indices if !taken(i)) {
+        val (id, v, nv, tb) = sample(i)
+        val near =
+          if (cents.isEmpty) -1.0
+          else cents.iterator.map { case (cv, cn) => dot(v, cv) / (nv * cn) }.max
+        if (race) {
+          val key = (1.0 - near) * tb.toDouble
+          // max key, ties by id asc (same total order the SQL mirror sorts by)
+          if (best < 0 || key > bestKey ||
+              (key == bestKey && id < sample(best)._1)) {
+            best = i; bestKey = key
           }
-        val ordered =
-          if (race)
-            withNear.orderBy(
-              ((lit(1.0) - col("near")) * col("tb").cast(DoubleType)).desc,
-              col("__tid").asc)
-          else
-            withNear.orderBy(col("near").asc, col("tb").asc, col("__tid").asc)
-        val r = ordered.limit(1).select("__tid", "v", "nv").head()
-        picked += ((picked.size.toLong, r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        } else {
+          // min near, ties by (tb asc, id asc)
+          if (best < 0 || near < bestNear ||
+              (near == bestNear && (tb < sample(best)._4 ||
+                (tb == sample(best)._4 && id < sample(best)._1)))) {
+            best = i; bestNear = near
+          }
+        }
       }
-      picked.toList
-    } finally { pts.unpersist(); () }
+      val (id, v, nv, _) = sample(best)
+      picked += ((picked.size.toLong, id, v.toSeq, nv))
+      cents += ((v, nv))
+      taken += best
+    }
+    picked.toList
   }
 
   /** Seeding rules for [[trainIvfCentroids]].

@@ -99,7 +99,15 @@ object SimilarityQueries {
     * doubles match bit-for-bit. */
   private def fpSeedCtes(k: Int): String = {
     val tb = Portable.pmd5Sql("concat('fp:', CAST(vec_id AS VARCHAR))")
-    val base = s"fp AS MATERIALIZED (SELECT vec_id, v, nv, $tb AS tb FROM prep)"
+    val ps = Portable.pmd5Sql("concat('fps:', CAST(vec_id AS VARCHAR))")
+    // the Similarity.SeedSampleCap-smallest sampling-hash keys — the
+    // bounded seed-selection sample (covers the whole corpus at
+    // harness SFs, so the cap never binds here; mirrored for contract
+    // fidelity)
+    val base = s"""fp AS MATERIALIZED (
+       |          SELECT vec_id, v, nv, $tb AS tb FROM prep
+       |          ORDER BY $ps ASC, vec_id ASC
+       |          LIMIT ${Similarity.SeedSampleCap})""".stripMargin
     val s0 = s"""seeds0 AS MATERIALIZED (
        |          SELECT CAST(0 AS BIGINT) AS cell, vec_id, v AS cv, nv AS cn
        |          FROM fp
