@@ -574,6 +574,37 @@ object CurationQueries {
                      ntile(4) OVER (PARTITION BY source
                        ORDER BY n_chars ASC, doc_id ASC) AS tier
               FROM documents)
-        GROUP BY source, tier"""))
+        GROUP BY source, tier""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q121_mixture_epochs",
+      "Domain-mixture epoch table — the other half of q115's " +
+        "rebalancing story: instead of discarding docs, each language " +
+        "stratum gets an epoch MULTIPLIER in basis points toward a " +
+        "uniform target mixture, weight_bp = (total div n_langs) * " +
+        "10000 div cnt (under-represented strata repeat > 1x, " +
+        "over-represented < 1x — the DoReMi/data-mixing input table). " +
+        "The quotient order keeps every intermediate below total * " +
+        "10000 (no corpus-scale product of two counts); one keyed agg " +
+        "+ a 1-row broadcast, stratum-cardinality output.",
+      (s, dir) => {
+        val c = t(s, dir, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        val tot = c.agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("n_langs"))
+        c.crossJoin(broadcast(tot))
+          .select(col("lang"), col("cnt"),
+            expr("cnt * 10000 div total").as("share_bp"),
+            expr("(total div n_langs) * 10000 div cnt").as("weight_bp"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+                   FROM documents GROUP BY lang),
+        s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_langs FROM c)
+        SELECT lang, cnt,
+               cnt * 10000 // total AS share_bp,
+               (total // n_langs) * 10000 // cnt AS weight_bp
+        FROM c, s"""))
   )
 }

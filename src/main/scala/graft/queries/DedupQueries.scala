@@ -110,6 +110,48 @@ object DedupQueries {
         FROM documents GROUP BY 1, 2""")),
     // ----------------------------------------------------------------
     Q(
+      "q122_dedup_survival",
+      "Per-source exact-dedup survival — the 'dedup pressure' " +
+        "diagnostic a crawl-mix owner reads before retraining: docs " +
+        "whose doc_id is the keeper (min over its content-hash group, " +
+        "q26's rule) counted per source, as survivors, total, and " +
+        "survival basis points. Low survival = the source is mostly " +
+        "re-crawl of content seen elsewhere. Shuffles the 16-byte " +
+        "hash key + 8-byte ids only; source-cardinality output.",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val keep = Dedup.exact(d, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val keptAgg = d.select(col("source"), col("doc_id"))
+          .join(keep, Seq("doc_id"), "left_semi")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept0"))
+        // left join from totals: a source whose every doc lost to a
+        // smaller keeper elsewhere still reports (survival 0), it
+        // must not vanish from the diagnostic
+        d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(keptAgg, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+            expr("coalesce(n_kept0, 0) * 10000 div n_docs").as("survival_bp"))
+      },
+      Some(s"""
+        WITH keep AS (
+          SELECT min(doc_id) AS doc_id
+          FROM documents
+          GROUP BY ${Portable.pmd5Sql("text")}, ${Portable.pmd5SaltedSql(1, "text")}),
+        kept AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept0
+          FROM documents d JOIN keep USING (doc_id)
+          GROUP BY source),
+        tot AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source)
+        SELECT source, n_docs,
+               coalesce(n_kept0, 0) AS n_kept,
+               coalesce(n_kept0, 0) * 10000 // n_docs AS survival_bp
+        FROM tot LEFT JOIN kept USING (source)""")),
+    // ----------------------------------------------------------------
+    Q(
       "q27_minhash_bands",
       s"MinHash signatures ($K salted hashes over $SHINGLE-word " +
         s"shingles) folded into $NB LSH band keys per document.",
