@@ -473,82 +473,6 @@ object CurationQueries {
           AND epoch(o_orderdate) BETWEEN 852076800 AND 873071999""")),
     // ----------------------------------------------------------------
     Q(
-      "q115_stratified_sample",
-      "Deterministic stratified downsampling — the mixture-rebalancing " +
-        "step of any multilingual training run: each language stratum " +
-        "is thinned toward the rarest language's size by a per-stratum " +
-        "basis-point rate (min_cnt * 10000 div cnt) applied as a " +
-        "portable-hash threshold on doc_id, so membership is a pure " +
-        "per-row predicate — reproducible across runs, engines and " +
-        "partitionings, no RNG state, no shuffle of the corpus (the " +
-        "k-row rate table broadcasts). The kept-set size per stratum " +
-        "is binomial around the target, the standard trade for " +
-        "coordination-free sampling at 100 TB.",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-        val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
-        val rates = counts.crossJoin(broadcast(minCnt))
-          .select(col("lang"), expr("min_cnt * 10000 div cnt").as("rate_bp"))
-        d.join(broadcast(rates), "lang")
-          .filter(Portable.pmd5(concat(lit("samp:"), col("doc_id").cast(StringType)))
-            % 10000 < col("rate_bp"))
-          .select(col("doc_id"), col("lang"), col("rate_bp"))
-      },
-      Some(s"""
-        WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
-                   FROM documents GROUP BY lang),
-        m AS (SELECT min(cnt) AS min_cnt FROM c),
-        r AS (SELECT lang, min_cnt * 10000 // cnt AS rate_bp FROM c, m)
-        SELECT doc_id, lang, rate_bp
-        FROM documents JOIN r USING (lang)
-        WHERE ${Portable.pmd5Sql("concat('samp:', CAST(doc_id AS VARCHAR))")}
-              % 10000 < rate_bp""")),
-    // ----------------------------------------------------------------
-    Q(
-      "q116_sequence_packing",
-      "Document-preserving sequence packing — how a token budget turns " +
-        "a curated corpus into fixed-length training examples: docs are " +
-        "packed in (source, doc_id) order and each doc belongs to the " +
-        "sequence where its running token total STARTS ((cum - ntok) " +
-        "div budget — the split-free streaming formulation; a doc " +
-        "straddling a boundary counts where it begins, so fill can " +
-        "overflow the budget by at most one doc). One partitioned " +
-        "running-sum window per source + one keyed agg; at 100 TB the " +
-        "source partitions pack independently — no global order, no " +
-        "single-partition window.",
-      (s, dir) => {
-        val budget = 256L
-        val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast(LongType).as("ntok"))
-        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        d.withColumn("cum", sum(col("ntok")).over(w))
-          .select(col("source"), col("ntok"),
-            expr(s"(cum - ntok) div $budget").as("seq_id"))
-          .groupBy(col("source"), col("seq_id"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("seq_tokens"))
-          .select(col("source"), col("seq_id"), col("n_docs"), col("seq_tokens"),
-            expr(s"seq_tokens * 10000 div $budget").as("fill_bp"))
-      },
-      Some("""
-        WITH d AS (
-          SELECT source, doc_id,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
-          FROM documents),
-        cum AS (
-          SELECT source, ntok,
-                 sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          FROM d)
-        SELECT source, (cum - ntok) // 256 AS seq_id,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(ntok) AS BIGINT) AS seq_tokens,
-               CAST(sum(ntok) AS BIGINT) * 10000 // 256 AS fill_bp
-        FROM cum
-        GROUP BY source, seq_id""")),
-    // ----------------------------------------------------------------
-    Q(
       "q117_curriculum_tiers",
       "Length-curriculum ladder: ntile(4) difficulty tiers per source " +
         "under the deterministic total order (n_chars, doc_id), with " +
@@ -578,7 +502,7 @@ object CurationQueries {
     // ----------------------------------------------------------------
     Q(
       "q121_mixture_epochs",
-      "Domain-mixture epoch table — the other half of q115's " +
+      "Domain-mixture epoch table — the keep-everything half of q73's " +
         "rebalancing story: instead of discarding docs, each language " +
         "stratum gets an epoch MULTIPLIER in basis points toward a " +
         "uniform target mixture, weight_bp = (total div n_langs) * " +
