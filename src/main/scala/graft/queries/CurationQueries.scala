@@ -25,6 +25,9 @@ object CurationQueries {
   private val MASK = "<MASK>"
   private val TOPP = 20 // q90: merge-candidate pairs reported
   private val MG_K = 64  // q94: Misra-Gries counters; threshold = N/64
+  private val CMS_D = 4   // q124: count-min hash rows
+  private val CMS_W = 64  // q124: counters per row
+  private val CMS_PROBES = 10 // q124: audited tokens
   private val DIM = 64   // q93: embedding dimensionality
   private val HBINS = 64 // q95: histogram bins per source
   private val TOPK_G = 3 // q96: rows kept per group
@@ -237,6 +240,65 @@ object CurationQueries {
         FROM toks CROSS JOIN tot
         GROUP BY tok, total
         HAVING CAST(count(*) AS BIGINT) * $MG_K > total""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q124_countmin_sketch",
+      s"Count-min sketch audit — the mergeable POINT-FREQUENCY sketch " +
+        s"beside KLL (ranks, q101) and KMV (distinct, q69): a $CMS_D x " +
+        s"$CMS_W grid of counters where row i increments cell " +
+        s"hash_i(token) mod $CMS_W, and a token's estimate is the MIN " +
+        "over its d cells — never below the exact count, above it only " +
+        "by colliding traffic (<= eN/w in expectation per row). Cells " +
+        "are sums, so shard grids merge by cell-wise addition and the " +
+        "shuffle carries at most d*w=" + (CMS_D * CMS_W) + " keys per " +
+        "partition after map-side combine — bounded state regardless " +
+        s"of vocabulary size, where q94's exact pass shuffles a " +
+        "candidate set. The audited output joins the estimate to the " +
+        s"exact count for the top-$CMS_PROBES tokens (q84's " +
+        "sketch-vs-truth pattern): overcount >= 0 is the sketch's " +
+        "one-sided guarantee, checked per row.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+        toks.persist()
+        def cells = array((0 until CMS_D).map(i =>
+          Portable.pmd5Salted(i, col("tok")) % CMS_W): _*)
+        val cms = toks
+          .select(posexplode(cells).as(Seq("row_i", "cell")))
+          .groupBy(col("row_i"), col("cell")).agg(count(lit(1)).as("cellval"))
+        val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(CMS_PROBES)
+        probes
+          .select(col("tok"), col("cnt"),
+            posexplode(cells).as(Seq("row_i", "cell")))
+          .join(broadcast(cms), Seq("row_i", "cell"))
+          .groupBy(col("tok"), col("cnt"))
+          .agg(min(col("cellval")).as("est_cnt"))
+          .select(col("tok"), col("cnt").as("exact_cnt"), col("est_cnt"),
+            (col("est_cnt") - col("cnt")).as("overcount"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        cells AS (
+          ${(0 until CMS_D).map(i =>
+            s"SELECT $i AS row_i, ${Portable.pmd5SaltedSql(i, "tok")} % $CMS_W AS cell FROM toks")
+            .mkString("\n          UNION ALL ")}),
+        cms AS (
+          SELECT row_i, cell, CAST(count(*) AS BIGINT) AS cellval
+          FROM cells GROUP BY 1, 2),
+        cnts AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY tok),
+        probes AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT $CMS_PROBES),
+        pc AS (
+          ${(0 until CMS_D).map(i =>
+            s"SELECT tok, cnt, $i AS row_i, ${Portable.pmd5SaltedSql(i, "tok")} % $CMS_W AS cell FROM probes")
+            .mkString("\n          UNION ALL ")})
+        SELECT tok, cnt AS exact_cnt, min(cellval) AS est_cnt,
+               min(cellval) - cnt AS overcount
+        FROM pc JOIN cms USING (row_i, cell)
+        GROUP BY tok, cnt""")),
     // ----------------------------------------------------------------
     Q(
       "q95_quantile_refine",

@@ -238,6 +238,54 @@ object DedupQueries {
         GROUP BY j.comp, n_members""")),
     // ----------------------------------------------------------------
     Q(
+      "q123_leakage_safe_split",
+      "Leakage-safe train/val/test assignment — the reason dedup runs " +
+        "BEFORE splitting: each document's split is a portable-hash " +
+        "bucket (90/5/5) of its near-dup COMPONENT representative " +
+        "(q48's min-id; unclustered docs represent themselves), so two " +
+        "near-duplicates — even a chain A~B~C where A and C share no " +
+        "edge — can never land on opposite sides of the eval boundary. " +
+        "Membership is a pure function of the representative: " +
+        "reproducible across runs, engines and partitionings, and new " +
+        "data never reassigns an old doc unless its cluster merges. " +
+        "The CC pass is the paid cost (q48, one job per round); the " +
+        "assignment itself is a doc_id equi-join against the clustered " +
+        "subset plus a per-row hash — no new shuffle class at 100 TB.",
+      (s, dir) => {
+        val comps = Dedup.connectedComponents(lshVerifiedPairs(s, dir))
+          .select(col("id").as("doc_id"), col("comp"))
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("rep"))
+          .withColumn("bucket",
+            Portable.pmd5(concat(lit("split:"), col("rep").cast("string"))) % 100)
+          .select(col("doc_id"), col("rep"),
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test").as("split"))
+      },
+      Some(s"""${pairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs),
+        walk(id, r) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON w.r = s.src),
+        comps AS (SELECT id AS doc_id, MIN(r) AS comp FROM walk GROUP BY id),
+        rep AS (
+          SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep
+          FROM documents d LEFT JOIN comps c USING (doc_id))
+        SELECT doc_id, rep,
+               CASE
+                 WHEN ${Portable.pmd5Sql("concat('split:', CAST(rep AS VARCHAR))")} % 100 < 90 THEN 'train'
+                 WHEN ${Portable.pmd5Sql("concat('split:', CAST(rep AS VARCHAR))")} % 100 < 95 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM rep""")),
+    // ----------------------------------------------------------------
+    Q(
       "q84_minhash_accuracy",
       s"Sketch-accuracy audit: for every LSH candidate pair, the " +
         s"MinHash ESTIMATE of Jaccard (fraction of the $K signature " +
