@@ -527,6 +527,145 @@ object Similarity {
           (element_at(col("v"), i) - code(i) * col("scale"))) / dim).as("mse"))
   }
 
+  /** Deterministic left-fold squared-L2 distance of two DOUBLE arrays. */
+  def l2D(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization ANN with asymmetric distance (ADC) — the
+    * compressed-domain companion to [[ivfTopK]]: the vector splits into
+    * `m` contiguous subspaces, each quantized against its own
+    * `ksub`-codeword codebook, so a corpus vector becomes an m-byte
+    * code (4 bytes here vs 256 raw — the FAISS IVFADC storage recipe).
+    * A query never decodes: it builds an (m x ksub) lookup table of
+    * exact subvector-to-codeword distances once, and every corpus
+    * vector's approximate distance is m table lookups summed in fixed
+    * subspace order. At 100 TB the scan side reads ONLY the code
+    * table (the raw corpus is touched once, at encode time), the LUT
+    * is queries x m x ksub rows broadcast, and training runs on a
+    * bounded sample exactly like IVF's.
+    *
+    * Everything is cross-engine exact: hash-race seeds (smallest
+    * portable-hash `ksub` vectors), Lloyd rounds with ascending-id
+    * ordered sums and a single sum/count division per component, L2
+    * folds in ascending dimension order, and the final sum written as
+    * the literal d0+d1+...+d(m-1) chain. Ties in codeword distance
+    * break toward the lower cell id on both engines. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int, dim: Int,
+      lloydIters: Int = 1, rerankPool: Int = 0): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subd = dim / m
+
+    def subRows(df: DataFrame, outId: String): DataFrame =
+      df.select(col(outId), posexplode(array(
+        (0 until m).map(i => slice(col("v"), i * subd + 1, subd)): _*)))
+        .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+
+    // normalize to the unit sphere FIRST: for unit vectors
+    // ||a-b||^2 = 2 - 2cos(a,b), so the L2 order PQ approximates IS
+    // the cosine order the exact baseline ranks by (without this, a
+    // norm-varying corpus makes ADC chase magnitude, not angle).
+    // Requires nonzero vectors (a zero norm divides to NaN).
+    def normed(df: DataFrame, outId: String): DataFrame =
+      df.select(col(outId), transform(col("v"), x => x / col("nv")).as("v"))
+
+    val prepped = normed(prep(corpus, idCol, "__pid", vecCol), "__pid").persist()
+    val corpusSubs = subRows(prepped, "__pid").persist()
+
+    // hash-race seeds: the ksub smallest sampling keys, cell = rank.
+    // The rank window partitions by `__pid % 1` (always 0) so the
+    // already-LIMIT-bounded frame gets an explicit single-bucket spec
+    // (see Tables.boundedRank for why the planner needs this shape).
+    val seedIds = prepped
+      .orderBy(Portable.pmd5(concat(lit("pq:"), col("__pid").cast("string"))).asc,
+        col("__pid").asc)
+      .limit(ksub)
+      .withColumn("cell", row_number().over(
+        Window.partitionBy(col("__pid") % 1)
+          .orderBy(Portable.pmd5(concat(lit("pq:"), col("__pid").cast("string"))).asc,
+            col("__pid").asc)) - 1)
+      .select(col("__pid"), col("cell").cast(LongType).as("cell"))
+    var cb = subRows(prepped.join(broadcast(seedIds), "__pid"), "cell")
+      .select(col("cell"), col("sub"), col("sv").as("cw"))
+
+    // nearest codeword per (id, sub) against a broadcast codebook
+    def encode(subs: DataFrame, codebook: DataFrame, outId: String): DataFrame = {
+      val w = Window.partitionBy(col(outId), col("sub"))
+        .orderBy(col("__d").asc, col("cell").asc)
+      subs.join(broadcast(codebook), Seq("sub"))
+        .select(col(outId), col("sub"), col("sv"), col("cell"),
+          l2D(col("sv"), col("cw")).as("__d"))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col(outId), col("sub"), col("sv"), col("cell"))
+    }
+
+    // Lloyd under L2: mean codewords (ordered sum, one division per
+    // component — sum/count order identical on both engines)
+    val zero = typedLit(Seq.fill(subd)(0.0))
+    for (_ <- 0 until lloydIters) {
+      cb = encode(corpusSubs, cb, "__pid")
+        .groupBy(col("sub"), col("cell"))
+        .agg(
+          sort_array(collect_list(struct(col("__pid").as("i"), col("sv").as("vv"))))
+            .as("svs"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"),
+          transform(
+            aggregate(col("svs"), zero,
+              (acc, s) => zip_with(acc, s.getField("vv"), (x, y) => x + y)),
+            x => x / col("n")).as("cw"))
+    }
+
+    // corpus -> m-byte codes, one wide row per vector
+    val codes = encode(
+      corpusSubs.withColumnRenamed("__pid", "neighbor_id"), cb, "neighbor_id")
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max(when(col("sub") === 0, col("cell"))).as("c0"),
+        (1 until m).map(i =>
+          max(when(col("sub") === i, col("cell"))).as(s"c$i")): _*)
+
+    // per-query LUT: exact subvector-to-codeword distances
+    val lut = subRows(normed(prep(queries, idCol, "query_id", vecCol), "query_id"), "query_id")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell"),
+        l2D(col("sv"), col("cw")).as("d"))
+
+    var scored = codes
+    for (i <- 0 until m) {
+      val li = broadcast(lut.filter(col("sub") === i)
+        .select(col("query_id"), col("cell").as(s"c$i"), col("d").as(s"d$i")))
+      scored = scored.join(li,
+        if (i == 0) Seq(s"c$i") else Seq("query_id", s"c$i"))
+    }
+    val adist = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val adcRanked = scored
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+    if (rerankPool <= 0)
+      adcRanked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+    else {
+      // FAISS-style refine: the ADC scan shortlists `rerankPool`
+      // candidates per query from codes alone; only those few vectors
+      // are re-read for an exact cosine re-rank. PQ quantization caps
+      // shortlist quality, never final ranking quality — within-cell
+      // ties (a whole near-dup cluster collapsing to one code) are
+      // resolved here, not by the code distance.
+      val pool = adcRanked.filter(col("rank") <= rerankPool)
+        .select(col("query_id"), col("neighbor_id"))
+      val c = prep(corpus, idCol, "neighbor_id", vecCol)
+      val qp = broadcast(prep(queries, idCol, "query_id", vecCol)
+        .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn"))
+      rankTopK(c.join(broadcast(pool), Seq("neighbor_id"))
+        .join(qp, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score")), k)
+    }
+  }
+
   /** Embedding near-duplicate pairs within equal-`blockCol` groups:
     * pairs (a<b) with cosine >= threshold. Equi-join on the block key —
     * no cross product; norms precomputed per vector, not per pair.

@@ -89,6 +89,25 @@ object SimilarityQueries {
 
   private val zeroVecSql = "list_transform(generate_series(1, 64), i -> CAST(0 AS DOUBLE))"
 
+  // q125 product quantization: M subspaces x KSUB codewords, 1 Lloyd
+  // round (the oracle unrolls training, so rounds are priced in SQL
+  // size), ADC shortlist of PQ_POOL re-ranked exactly to TOPK.
+  // Measured at sf0.001 (PqSpec): raw ADC@5 recall 0.40; the re-ranked
+  // pipeline below 0.90 uniform / 1.00 clustered.
+  private val PQ_M = 16
+  private val PQ_KSUB = 16
+  private val PQ_ITERS = 1
+  private val PQ_POOL = 50
+  private val PQ_SUBD = 64 / PQ_M
+
+  private val zeroSubSql =
+    s"list_transform(generate_series(1, $PQ_SUBD), i -> CAST(0 AS DOUBLE))"
+
+  /** DuckDB: deterministic left-fold squared-L2 of two double lists —
+    * must mirror [[Similarity.l2D]] exactly. */
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, $PQ_SUBD), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+
   /** DuckDB twin of [[Similarity.farthestSeeds]] (race variant, the
     * production default): cell 0 is the vector with the largest
     * hash-race key, and each later cell the not-yet-picked vector
@@ -201,6 +220,110 @@ object SimilarityQueries {
                 ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
         WHERE rank <= $TOPK""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q125_ann_pq",
+      s"Product-quantization ANN with asymmetric distance and exact " +
+        s"re-rank — the compressed-domain path beside IVF (q44): " +
+        s"unit-normalized vectors (L2 order == cosine order on the " +
+        s"sphere) split into $PQ_M subspaces, each trained to " +
+        s"$PQ_KSUB codewords (hash-race seeds + $PQ_ITERS Lloyd round " +
+        "under L2, ordered-sum mean centroids), so a 256-byte corpus " +
+        s"vector becomes a $PQ_M-byte code. Queries never decode: " +
+        "each builds an (m x ksub) exact-distance lookup table once, " +
+        "every corpus vector scores as m table lookups summed in " +
+        s"fixed subspace order, and only the $PQ_POOL ADC survivors " +
+        s"per query are re-read for the exact cosine top-$TOPK " +
+        "(FAISS's refine recipe — quantization caps shortlist " +
+        "quality, never final ranking quality). At 100 TB the scan " +
+        "side reads ONLY the code table, 16x smaller than the raw " +
+        "corpus; the LUT and shortlist broadcast. PqSpec pins the " +
+        "measured recall vs q31's exact baseline; every double is " +
+        "bit-mirrored in the oracle, so the pipeline itself is exact.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.pqTopK(
+          spread(e, col("vec_id")), e.filter(col("vec_id") < NQ),
+          "vec_id", "embedding", TOPK, PQ_M, PQ_KSUB, dim = 64,
+          lloydIters = PQ_ITERS, rerankPool = PQ_POOL)
+      },
+      Some {
+        val seedKey = Portable.pmd5Sql("concat('pq:', CAST(vec_id AS VARCHAR))")
+        val subsCte = (0 until PQ_M).map { i =>
+          val off = i * PQ_SUBD
+          s"SELECT vec_id, $i AS sub, list_transform(generate_series(1, $PQ_SUBD), j -> v[$off + j]) AS sv FROM nprep"
+        }.mkString("\n          UNION ALL ")
+        val codeCols = (0 until PQ_M)
+          .map(i => s"max(CASE WHEN sub = $i THEN cell END) AS c$i")
+          .mkString(", ")
+        val lutJoins = (1 until PQ_M).map(i =>
+          s"JOIN lut l$i ON l$i.query_id = l0.query_id AND l$i.sub = $i AND l$i.cell = w.c$i")
+          .mkString("\n          ")
+        val adistSql = (0 until PQ_M).map(i => s"l$i.d").mkString(" + ")
+        // subs/cb1/lut are each referenced from many downstream CTEs
+        // (lut alone 16 times, once per LUT join); without MATERIALIZED
+        // DuckDB inlines the whole training tree at every reference —
+        // measured >17 CPU-min at sf0.01 vs 2.7 s materialized.
+        s"""
+        WITH ${prepCte()},
+        nprep AS (SELECT vec_id, list_transform(v, x -> x / nv) AS v FROM prep),
+        subs AS MATERIALIZED (
+          $subsCte),
+        seedids AS (
+          SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY $seedKey ASC, vec_id ASC) - 1 AS BIGINT) AS cell
+          FROM (SELECT vec_id FROM prep ORDER BY $seedKey ASC, vec_id ASC LIMIT $PQ_KSUB)),
+        cb0 AS (
+          SELECT si.cell, s.sub, s.sv AS cw
+          FROM subs s JOIN seedids si USING (vec_id)),
+        assign1 AS (
+          SELECT vec_id, sub, sv, cell FROM (
+            SELECT s.vec_id, s.sub, s.sv, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY ${l2Sql("s.sv", "c.cw")} ASC, c.cell ASC) AS r
+            FROM subs s JOIN cb0 c ON s.sub = c.sub)
+          WHERE r = 1),
+        cbsum AS (
+          SELECT sub, cell, CAST(count(*) AS BIGINT) AS n,
+                 list_reduce(list_prepend($zeroSubSql, list(sv ORDER BY vec_id)),
+                   (acc, x) -> list_transform(generate_series(1, $PQ_SUBD), i -> acc[i] + x[i])) AS svsum
+          FROM assign1 GROUP BY sub, cell),
+        cb1 AS MATERIALIZED (SELECT sub, cell, list_transform(svsum, x -> x / n) AS cw FROM cbsum),
+        cod AS (
+          SELECT vec_id, sub, cell FROM (
+            SELECT s.vec_id, s.sub, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY ${l2Sql("s.sv", "c.cw")} ASC, c.cell ASC) AS r
+            FROM subs s JOIN cb1 c ON s.sub = c.sub)
+          WHERE r = 1),
+        codesw AS (
+          SELECT vec_id, $codeCols FROM cod GROUP BY vec_id),
+        lut AS MATERIALIZED (
+          SELECT s.vec_id AS query_id, s.sub, c.cell, ${l2Sql("s.sv", "c.cw")} AS d
+          FROM subs s JOIN cb1 c ON s.sub = c.sub
+          WHERE s.vec_id < $NQ),
+        scored AS MATERIALIZED (
+          SELECT l0.query_id, w.vec_id AS neighbor_id, $adistSql AS adist
+          FROM codesw w
+          JOIN lut l0 ON l0.sub = 0 AND l0.cell = w.c0
+          $lutJoins),
+        pool AS (
+          SELECT query_id, neighbor_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist ASC, neighbor_id ASC) AS arank
+                FROM scored)
+          WHERE arank <= $PQ_POOL),
+        rer AS (
+          SELECT p.query_id, p.neighbor_id,
+                 ${foldSql("q.v", "c.v")} / (q.nv * c.nv) AS score
+          FROM pool p JOIN prep q ON q.vec_id = p.query_id
+                      JOIN prep c ON c.vec_id = p.neighbor_id)
+        SELECT query_id, rank, neighbor_id, score
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM rer)
+        WHERE rank <= $TOPK"""
+      }),
     // ----------------------------------------------------------------
     Q(
       "q31_ann_bruteforce",
