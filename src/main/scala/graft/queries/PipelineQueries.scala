@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Portable, TextAnalysis => TA}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sketches}
 import graft.queries.Tables.{boundedRank, spread, t}
 
 /** Training-pipeline assembly queries: the operations that turn a raw
@@ -26,6 +26,8 @@ object PipelineQueries {
   private val WIN_K = 5        // q74 winnowing gram width (words)
   private val WIN_W = 4        // q74 winnowing window (grams)
   private val EVAL_MAX = 100   // eval slice: doc_id < 100 (same split as q58)
+  private val BLOOM_M = 1 << 18 // q126 bloom bits (32 KB bitmap)
+  private val BLOOM_K = 4       // q126 hash functions
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -742,6 +744,56 @@ object PipelineQueries {
         SELECT event_type, hr, CAST(n AS BIGINT) AS n,
                max(CASE WHEN rn = greatest(1, (n*50 + 99) // 100) THEN v END) AS p50_micro,
                max(CASE WHEN rn = greatest(1, (n*99 + 99) // 100) THEN v END) AS p99_micro
-        FROM r GROUP BY event_type, hr, n"""))
+        FROM r GROUP BY event_type, hr, n""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q126_bloom_decontam",
+      s"Bloom-gated decontamination: per TRAIN document, how many of " +
+        s"its distinct $NGRAM-grams appear anywhere in the eval suite " +
+        "— q71's signal folded per train doc, computed through the " +
+        "MEMBERSHIP sketch that completes the family (KLL ranks q101, " +
+        "KMV distinct q69, count-min frequencies q124). The eval " +
+        s"grams build a $BLOOM_M-bit / $BLOOM_K-hash bitmap " +
+        s"(${BLOOM_M / 8192} KB, ONE row) that broadcasts at ANY eval " +
+        "cardinality — this is the explicit, mergeable form of the " +
+        "runtime bloom join filter: where a hash-set semi-join stops " +
+        "broadcasting at millions of eval grams, the bitmap stays " +
+        "fixed-size, candidates drop out at the SCAN, and only bloom " +
+        "survivors (true hits + a ~e-3 false-positive trickle) enter " +
+        "the exact verify join. No false negative is possible — the " +
+        "oracle is the PLAIN exact join, so the hash match PROVES the " +
+        "prefilter dropped nothing; BloomSpec pins mergeability " +
+        "(bloom(A)|bloom(B) == bloom(A u B)) and the measured FP rate.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val grams = docs.select(col("doc_id"),
+          explode(array_distinct(transform(
+            Portable.wordShingles(col("text"), NGRAM),
+            g => Portable.pmd5(g)))).as("gram"))
+          .persist()
+        val evalGrams = grams.filter(col("doc_id") < EVAL_MAX)
+          .select(col("gram")).distinct()
+        val bloom = Sketches.bloomBuild(evalGrams, "gram", BLOOM_M, BLOOM_K)
+        grams.filter(col("doc_id") >= EVAL_MAX)
+          .crossJoin(broadcast(bloom))
+          .filter(Sketches.bloomMightContain(
+            col("bloom"), col("gram"), BLOOM_M, BLOOM_K))
+          .select(col("doc_id").as("train_id"), col("gram"))
+          .join(evalGrams, "gram")
+          .groupBy(col("train_id"))
+          .agg(count(lit(1)).as("n_eval_grams"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   ${Portable.wordShinglesSql("text", NGRAM)},
+                   g -> ${Portable.pmd5Sql("g")}))) AS gram
+          FROM documents),
+        eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < $EVAL_MAX)
+        SELECT g.doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+        FROM g JOIN eg USING (gram)
+        WHERE g.doc_id >= $EVAL_MAX
+        GROUP BY 1"""))
   )
 }
