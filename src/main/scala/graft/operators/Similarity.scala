@@ -531,6 +531,93 @@ object Similarity {
   def l2D(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
+  /** Top principal direction of the embedding corpus by deterministic
+    * power iteration — the spectral datasheet stat (is the corpus
+    * effectively low-rank? is one direction eating the variance the
+    * encoder should spread?) and the whitening/SemDeDup precursor.
+    *
+    * Exactness strategy, in two halves:
+    *  - The CORPUS-SIZED half is integer-only: vectors int8-quantize
+    *    per-vector (q57's max-abs scale — each vector enters normalized
+    *    by its own magnitude, so this is the direction structure, not a
+    *    norm-weighted blend), and the dim x dim second-moment matrix
+    *    A_ij = sum_v c_i*c_j accumulates as BIGINT sums that commute
+    *    under ANY partitioning. One map-side-combined agg on a dim^2
+    *    key space; the explode costs CPU at the scan but ships at most
+    *    dim^2 rows per partition. (At ~1e12 vectors the BIGINT entries
+    *    would near 2^63 — route the sum through DECIMAL(38,0) then,
+    *    exactly as q93 does for its cross products.)
+    *  - The ITERATION half runs on the fixed dim x dim matrix B = A/n:
+    *    matvec folds each row in ascending-j order, the norm folds
+    *    squares in ascending-i order, and /, sqrt are IEEE
+    *    correctly-rounded on every engine — so the whole trajectory,
+    *    not just the fixpoint, is bit-reproducible (no convergence
+    *    tolerance, a FIXED `iters` count).
+    *
+    * v0 = all-ones / sqrt(dim); sign of the result is pinned by the
+    * iteration itself (both engines compute the identical trajectory),
+    * so no sign convention is needed. Returns one row per dimension:
+    * (dim_i, loading, eigval, var_share), eigval the Rayleigh quotient
+    * v'Bv and var_share = eigval / trace(B) — the fraction of
+    * (quantized) variance the top direction carries. */
+  def principalComponent(corpus: DataFrame, vecCol: String, dim: Int,
+      iters: Int): DataFrame = {
+    val codes = corpus
+      .select(toDouble(col(vecCol)).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127)
+      .select(transform(col("v"), x =>
+        when(col("scale") === 0, lit(0L))
+          .otherwise(floor(x / col("scale")).cast(LongType))).as("c"))
+    val entries = codes
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .groupBy(col("i"), col("j")).agg(sum(col("ci") * col("cj")).as("a"))
+    val nRow = codes.agg(count(lit(1)).as("n"))
+    // B rows, each an ascending-j double array; persisted — every
+    // iteration and the Rayleigh/trace readouts reuse it
+    val covRows = entries.crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("a").cast(DoubleType) / col("n").cast(DoubleType)).as("b"))
+      .groupBy(col("i"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("b")))),
+        s => s.getField("b")).as("arow"))
+      .persist()
+    def matvec(v: DataFrame): DataFrame =
+      covRows.crossJoin(broadcast(v))
+        .select(col("i"),
+          aggregate(zip_with(col("arow"), col("pv"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x).as("wi"))
+    def orderedList(idx: Column, value: Column): Column =
+      transform(sort_array(collect_list(struct(idx, value.as("x")))),
+        s => s.getField("x"))
+    var v = covRows.sparkSession.range(1)
+      .select(transform(sequence(lit(1), lit(dim)),
+        _ => lit(1.0) / sqrt(lit(dim.toDouble))).as("pv"))
+    for (_ <- 0 until iters) {
+      v = matvec(v)
+        .agg(orderedList(col("i"), col("wi")).as("wl"))
+        .select(col("wl"),
+          sqrt(aggregate(transform(col("wl"), x => x * x),
+            lit(0.0), (acc, x) => acc + x)).as("nrm"))
+        .select(transform(col("wl"), x => x / col("nrm")).as("pv"))
+    }
+    val lam = matvec(v).crossJoin(broadcast(v))
+      .select(col("i"),
+        (col("wi") * element_at(col("pv"), col("i") + 1)).as("p"))
+      .agg(aggregate(orderedList(col("i"), col("p")),
+        lit(0.0), (acc, x) => acc + x).as("eigval"))
+    val tr = covRows
+      .select(col("i"), element_at(col("arow"), col("i") + 1).as("d"))
+      .agg(aggregate(orderedList(col("i"), col("d")),
+        lit(0.0), (acc, x) => acc + x).as("trace"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(posexplode(col("pv")).as(Seq("dim_i", "loading")),
+        col("eigval"), col("trace"))
+      .select(col("dim_i").cast(LongType).as("dim_i"), col("loading"),
+        col("eigval"), (col("eigval") / col("trace")).as("var_share"))
+  }
+
   /** Product-quantization ANN with asymmetric distance (ADC) — the
     * compressed-domain companion to [[ivfTopK]]: the vector splits into
     * `m` contiguous subspaces, each quantized against its own

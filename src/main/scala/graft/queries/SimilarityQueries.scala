@@ -98,6 +98,7 @@ object SimilarityQueries {
   private val PQ_KSUB = 16
   private val PQ_ITERS = 1
   private val PQ_POOL = 50
+  private val PCA_ITERS = 12 // q127 power-iteration rounds (fixed, no tolerance)
   private val PQ_SUBD = 64 / PQ_M
 
   private val zeroSubSql =
@@ -323,6 +324,89 @@ object SimilarityQueries {
                 ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM rer)
         WHERE rank <= $TOPK"""
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q127_pca_power",
+      s"Top principal direction of the embedding corpus by $PCA_ITERS " +
+        "deterministic power-iteration rounds — the spectral datasheet " +
+        "stat (one row per dimension: loading, Rayleigh eigenvalue, " +
+        "variance share) that tells a curation pipeline whether one " +
+        "direction is eating the variance the encoder should spread, " +
+        "and the precursor to whitening / SemDeDup-style PCA preprocs. " +
+        "Split for exactness at scale: the corpus-sized half is " +
+        "INTEGER-only (int8 codes, q57's scale; the dim x dim second-" +
+        "moment matrix accumulates as BIGINT sums that commute under " +
+        "any partitioning — one map-side-combined agg on a dim^2 key " +
+        "space), while the float iteration runs on the fixed dim x dim " +
+        "matrix with ascending-index folds, so /, sqrt and the fold " +
+        "order are IEEE-identical on both engines — the whole " +
+        "trajectory is bit-reproducible, no convergence tolerance. " +
+        "PcaSpec checks the result against the dominant eigenvector " +
+        "computed independently (residual ||Bv - lambda v||).",
+      (s, dir) =>
+        Similarity.principalComponent(
+          spread(t(s, dir, "embeddings"), col("vec_id")), "embedding",
+          dim = 64, iters = PCA_ITERS),
+      Some {
+        val matvecSql = (prev: String) =>
+          s"""SELECT i, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, 64), jj -> arow[jj] * pv[jj])),
+            (acc, x) -> acc + x) AS wi
+          FROM cov, $prev"""
+        val iterCtes = (1 to PCA_ITERS).map { k =>
+          s"""w$k AS MATERIALIZED (
+          ${matvecSql(s"v${k - 1}")}),
+        v$k AS MATERIALIZED (
+          SELECT list_transform(wl, x -> x / nrm) AS pv FROM (
+            SELECT wl, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(wl, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+            FROM (SELECT list(wi ORDER BY i) AS wl FROM w$k)))"""
+        }.mkString(",\n        ")
+        s"""
+        WITH pv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sc AS (
+          SELECT v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> abs(x))),
+                   (a, x) -> greatest(a, x)) / 127 AS scale
+          FROM pv),
+        codes AS MATERIALIZED (
+          SELECT CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(v, x -> CAST(floor(x / scale) AS BIGINT)) END AS c
+          FROM sc),
+        ent AS MATERIALIZED (
+          SELECT i - 1 AS i, j - 1 AS j, CAST(sum(c[i] * c[j]) AS BIGINT) AS a
+          FROM codes,
+               unnest(generate_series(1, 64)) AS ui(i),
+               unnest(generate_series(1, 64)) AS uj(j)
+          GROUP BY 1, 2),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM codes),
+        cov AS MATERIALIZED (
+          SELECT i,
+                 list(CAST(a AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nn)
+                   ORDER BY j) AS arow
+          FROM ent GROUP BY i),
+        v0 AS (
+          SELECT list_transform(generate_series(1, 64),
+                   x -> 1 / sqrt(CAST(64 AS DOUBLE))) AS pv),
+        $iterCtes,
+        wf AS MATERIALIZED (
+          ${matvecSql(s"v$PCA_ITERS")}),
+        lam AS (
+          SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY i)),
+                   (acc, x) -> acc + x) AS eigval
+          FROM (SELECT wf.i AS i, wf.wi * pv[CAST(wf.i + 1 AS INT)] AS p
+                FROM wf, v$PCA_ITERS)),
+        tr AS (
+          SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY i)),
+                   (acc, x) -> acc + x) AS trace
+          FROM (SELECT i, arow[CAST(i + 1 AS INT)] AS d FROM cov))
+        SELECT CAST(u.i - 1 AS BIGINT) AS dim_i, pv[u.i] AS loading,
+               eigval, eigval / trace AS var_share
+        FROM v$PCA_ITERS, lam, tr, unnest(generate_series(1, 64)) AS u(i)"""
       }),
     // ----------------------------------------------------------------
     Q(

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q127's power iteration, checked two independent ways: on a corpus
+  * BUILT around a known dominant direction the recovered loadings must
+  * align with it, and on the harness corpus the eigenpair must satisfy
+  * its defining equation — the residual ||Bv - lambda*v|| computed
+  * driver-side from an independently quantized second-moment matrix. */
+class PcaSpec extends SparkSpec {
+
+  private val DIM = 64
+
+  private def u(s: String): Double =
+    (graft.functions.Portable.pmd5Local(s) % 2000 - 1000) / 1000.0
+
+  private def loadings(df: org.apache.spark.sql.DataFrame): Array[Double] =
+    df.collect().sortBy(_.getAs[Long]("dim_i")).map(_.getAs[Double]("loading"))
+
+  test("recovers a planted dominant direction") {
+    import spark.implicits._
+    val dir = Array.tabulate(DIM)(i => u(s"d$i"))
+    val dn = math.sqrt(dir.map(x => x * x).sum)
+    val rows = (0 until 300).map { t =>
+      val amp = 3.0 + 2.0 * u(s"a$t") // strong signal along dir
+      (t.toLong, (0 until DIM).map(i => amp * dir(i) / dn + 0.3 * u(s"n$t,$i")))
+    }
+    val pc = loadings(Similarity.principalComponent(
+      rows.toDF("vec_id", "embedding"), "embedding", DIM, iters = 12))
+    val cosine = math.abs(
+      pc.zip(dir).map { case (a, b) => a * b / dn }.sum /
+        math.sqrt(pc.map(x => x * x).sum))
+    info(f"|cos(planted, recovered)| = $cosine%.4f")
+    assert(cosine > 0.95, f"recovered direction misaligned: $cosine%.4f")
+  }
+
+  test("eigenpair satisfies Bv = lambda*v on the harness corpus") {
+    val e = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // the uniform harness corpus has a near-flat spectrum (var_share
+    // ~0.027 vs 1/64 uniform), so convergence is slow by construction:
+    // 12 iters leaves a 5.2% residual, 48 get under the gate. q127
+    // keeps 12 — its guarantee is trajectory exactness, not fixpoint.
+    val out = Similarity.principalComponent(e, "embedding", DIM, iters = 48)
+      .collect().sortBy(_.getAs[Long]("dim_i"))
+    val v = out.map(_.getAs[Double]("loading"))
+    val lambda = out.head.getAs[Double]("eigval")
+    val share = out.head.getAs[Double]("var_share")
+
+    // independent driver-side rebuild of B from the same quantization rule
+    val vecs = e.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val codes = vecs.map { x =>
+      val scale = x.map(math.abs).max / 127
+      if (scale == 0) Array.fill(DIM)(0L)
+      else x.map(xi => math.floor(xi / scale).toLong)
+    }
+    val n = codes.length.toDouble
+    val b = Array.tabulate(DIM, DIM)((i, j) =>
+      codes.map(c => c(i) * c(j)).sum.toDouble / n)
+
+    val bv = Array.tabulate(DIM)(i => b(i).zip(v).map { case (x, y) => x * y }.sum)
+    val residual = math.sqrt(
+      bv.zip(v).map { case (w, vi) => (w - lambda * vi) * (w - lambda * vi) }.sum)
+    info(f"lambda = $lambda%.3f, var_share = $share%.4f, ||Bv - lv|| = $residual%.2e")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12, "v not unit")
+    assert(residual / lambda < 0.05,
+      f"eigenpair residual too large: ${residual / lambda}%.4f")
+    assert(share > 0 && share <= 1.0, s"var_share out of range: $share")
+  }
+}

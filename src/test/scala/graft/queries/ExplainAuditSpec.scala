@@ -3,9 +3,9 @@ package graft.queries
 import scala.annotation.tailrec
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, RangeExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -156,18 +156,32 @@ class ExplainAuditSpec extends SparkSpec {
         case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
         case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
       }
-      build.exists {
+      def provablyTiny(p: SparkPlan): Boolean = p.exists {
         case h: HashAggregateExec => h.groupingExpressions.isEmpty
         case s: SortAggregateExec => s.groupingExpressions.isEmpty
+        // collect_list/map_from_entries global aggs (bloom bitmaps,
+        // ordered-fold vectors) plan as ObjectHashAggregate — same
+        // 1-row-by-construction proof as the hash/sort cases
+        case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
         case _: LocalTableScanExec => true
+        // spark.range(k) with a plan-time-constant k (seed frames)
+        case r: RangeExec => r.numElements <= 1024
+        // a reused broadcast is as tiny as the exchange it reuses —
+        // ReusedExchangeExec is a leaf, so recurse into the original
+        case r: ReusedExchangeExec => provablyTiny(r.child)
         case _ => false
       }
+      provablyTiny(build)
     }
     val offenders = allPlans.flatMap { case (n, p) =>
       if (BruteForceAllowed(n)) Nil
       else p.collect {
         case j: BroadcastNestedLoopJoinExec if !tinyBuild(j) =>
-          s"$n -> ${j.simpleStringWithNodeId()}"
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          s"$n -> ${j.nodeName} building [${build.collect { case x => x.nodeName }.mkString(" <- ")}]"
       }
     }
     assert(offenders.isEmpty,
