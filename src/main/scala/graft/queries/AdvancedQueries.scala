@@ -460,6 +460,40 @@ object AdvancedQueries {
         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
     // ----------------------------------------------------------------
     Q(
+      "q128_cohort_retention",
+      "Cohort retention matrix — the third leg of the product-" +
+        "analytics triad beside the funnel (q100) and sessionization " +
+        "(q35): users cohort by their FIRST active day, and each " +
+        "(cohort_day, day_offset) cell counts how many of that cohort " +
+        "were active again offset days later (offset 0 = cohort " +
+        "size). (user, day) pairs dedupe FIRST so the heavy event " +
+        "stream collapses to at most users x days rows before " +
+        "anything else; the cohort assignment is one user-keyed min " +
+        "and an equi-join that reuses the user partitioning; the " +
+        "matrix agg outputs cohorts x offsets rows — tiny at any " +
+        "scale. All integer/date arithmetic, exact on both engines.",
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val f = ud.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+        ud.join(f, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("d"), col("cohort_day")).cast(LongType).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        f AS (
+          SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id)
+        SELECT cohort_day,
+               CAST(datediff('day', cohort_day, d) AS BIGINT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ud JOIN f USING (user_id)
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
       "q104_key_skew",
       "Join-key skew profile — the diagnostic that SIZES a salted " +
         "repartition (q39/operators.Skew) before anyone pays for a " +
