@@ -123,6 +123,22 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Johnson-Lindenstrauss random projection: `dim` -> `outDim` via the
+    * same deterministic plan-time plane literals SRP uses (table `t`
+    * keys an independent plane set — keep it clear of the SRP/near-dup
+    * table ranges). Each output coordinate is one exact ascending-index
+    * fold, so the projection is a SCAN-STAGE arithmetic projection —
+    * zero shuffle, codegen-friendly — and every double is oracle-
+    * mirrorable. The JL use: project once at ingest, then build the
+    * ANN index / pair scans on vectors outDim/dim the size; q130
+    * audits the cosine distortion that buys. */
+  def jlProject(vecD: Column, outDim: Int, dim: Int, t: Int): Column =
+    array((0 until outDim).map { j =>
+      val plane = typedLit((1 to dim).map(i => planeComponent(t, j, i)).toSeq)
+      aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+        (acc, i) => acc + element_at(vecD, i) * element_at(plane, i))
+    }: _*)
+
   /** Multi-table SRP-LSH ANN: `tables` independent plane sets, each
     * hashing every vector to a bucket; candidates are the UNION over
     * tables of same-bucket vectors (the standard recall lever — one
@@ -561,7 +577,32 @@ object Similarity {
     * v'Bv and var_share = eigval / trace(B) — the fraction of
     * (quantized) variance the top direction carries. */
   def principalComponent(corpus: DataFrame, vecCol: String, dim: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    principalComponents(corpus, vecCol, dim, iters, 1).drop("component")
+
+  /** Top-`nComponents` eigenpairs by power iteration with Hotelling
+    * deflation: after each recovered pair (v, lambda), the working
+    * matrix becomes B' = B - lambda * v v^T (entrywise
+    * `b_ij - eigval * v_i * v_j`, the same left-associated product
+    * chain on both engines), and the next iteration runs on B'.
+    * `var_share` stays relative to the ORIGINAL trace, so component
+    * shares sum toward the explained fraction of total variance.
+    * Output adds a leading `component` column (0 = dominant).
+    *
+    * Execution split (the q44 seed-selection precedent): the
+    * corpus-sized half — int8 codes and the BIGINT second-moment
+    * matrix — is one distributed map-side-combined aggregation; the
+    * fixed dim x dim eigensolve then runs DRIVER-side, because a
+    * 64 x 64 matrix is planner-scale metadata at any corpus size and
+    * engine-side iteration pays ~2 shuffle stages per round for
+    * nothing (measured 12-41 s of pure stage latency at sf0.1 vs
+    * milliseconds driver-side). JVM doubles are the same IEEE-754
+    * values DuckDB computes: every fold below is an explicit
+    * ascending-index loop, `+`/`*`/`/`/sqrt are correctly rounded on
+    * both, and no Math.fma is ever used — so the driver trajectory is
+    * bit-identical to the oracle's list_reduce chains. */
+  def principalComponents(corpus: DataFrame, vecCol: String, dim: Int,
+      iters: Int, nComponents: Int): DataFrame = {
     val codes = corpus
       .select(toDouble(col(vecCol)).as("v"))
       .withColumn("scale",
@@ -569,53 +610,66 @@ object Similarity {
       .select(transform(col("v"), x =>
         when(col("scale") === 0, lit(0L))
           .otherwise(floor(x / col("scale")).cast(LongType))).as("c"))
-    val entries = codes
+    // A is symmetric: generate only j >= i (dim*(dim+1)/2 rows per
+    // vector instead of dim^2), aggregate, then mirror the strict
+    // upper triangle — the mirrored integers are the SAME sums, so
+    // exactness is untouched and the corpus-sized stage halves
+    val upper = codes
       .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
-      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
-      .groupBy(col("i"), col("j")).agg(sum(col("ci") * col("cj")).as("a"))
+      .select(col("i"), col("ci"),
+        posexplode(slice(col("c"), col("i") + 1, lit(dim) - col("i")))
+          .as(Seq("dj", "cj")))
+      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
+      .agg(sum(col("ci") * col("cj")).as("a"))
     val nRow = codes.agg(count(lit(1)).as("n"))
-    // B rows, each an ascending-j double array; persisted — every
-    // iteration and the Rayleigh/trace readouts reuse it
-    val covRows = entries.crossJoin(broadcast(nRow))
-      .select(col("i"), col("j"),
-        (col("a").cast(DoubleType) / col("n").cast(DoubleType)).as("b"))
-      .groupBy(col("i"))
-      .agg(transform(sort_array(collect_list(struct(col("j"), col("b")))),
-        s => s.getField("b")).as("arow"))
-      .persist()
-    def matvec(v: DataFrame): DataFrame =
-      covRows.crossJoin(broadcast(v))
-        .select(col("i"),
-          aggregate(zip_with(col("arow"), col("pv"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x).as("wi"))
-    def orderedList(idx: Column, value: Column): Column =
-      transform(sort_array(collect_list(struct(idx, value.as("x")))),
-        s => s.getField("x"))
-    var v = covRows.sparkSession.range(1)
-      .select(transform(sequence(lit(1), lit(dim)),
-        _ => lit(1.0) / sqrt(lit(dim.toDouble))).as("pv"))
-    for (_ <- 0 until iters) {
-      v = matvec(v)
-        .agg(orderedList(col("i"), col("wi")).as("wl"))
-        .select(col("wl"),
-          sqrt(aggregate(transform(col("wl"), x => x * x),
-            lit(0.0), (acc, x) => acc + x)).as("nrm"))
-        .select(transform(col("wl"), x => x / col("nrm")).as("pv"))
+    // ONE driver read: dim*(dim+1)/2 integer entries + the count —
+    // the same bounded-metadata class as a manifest or a BPE argmax
+    val collected = upper.crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"), col("a"), col("n")).collect()
+    val n = collected.head.getAs[Long]("n").toDouble
+    val b = Array.ofDim[Double](dim, dim)
+    collected.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val v = r.getAs[Long]("a").toDouble / n
+      b(i)(j) = v
+      b(j)(i) = v
     }
-    val lam = matvec(v).crossJoin(broadcast(v))
-      .select(col("i"),
-        (col("wi") * element_at(col("pv"), col("i") + 1)).as("p"))
-      .agg(aggregate(orderedList(col("i"), col("p")),
-        lit(0.0), (acc, x) => acc + x).as("eigval"))
-    val tr = covRows
-      .select(col("i"), element_at(col("arow"), col("i") + 1).as("d"))
-      .agg(aggregate(orderedList(col("i"), col("d")),
-        lit(0.0), (acc, x) => acc + x).as("trace"))
-    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-      .select(posexplode(col("pv")).as(Seq("dim_i", "loading")),
-        col("eigval"), col("trace"))
-      .select(col("dim_i").cast(LongType).as("dim_i"), col("loading"),
-        col("eigval"), (col("eigval") / col("trace")).as("var_share"))
+    // ascending-index left folds, mirroring list_reduce exactly
+    def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+    def iterate(m: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 0 until iters) {
+        val w = matvec(m, v)
+        var ss = 0.0
+        var i = 0
+        while (i < dim) { ss += w(i) * w(i); i += 1 }
+        val nrm = math.sqrt(ss)
+        v = w.map(_ / nrm)
+      }
+      val w = matvec(m, v)
+      var lam = 0.0
+      var i = 0
+      while (i < dim) { lam += w(i) * v(i); i += 1 }
+      (v, lam)
+    }
+    var trace = 0.0
+    for (i <- 0 until dim) trace += b(i)(i)
+    var m = b
+    val rows = (0 until nComponents).flatMap { c =>
+      val (v, lam) = iterate(m)
+      if (c < nComponents - 1)
+        m = Array.tabulate(dim, dim)((i, j) => m(i)(j) - lam * v(i) * v(j))
+      (0 until dim).map(i => (c.toLong, i.toLong, v(i), lam, lam / trace))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    rows.toDF("component", "dim_i", "loading", "eigval", "var_share")
   }
 
   /** Product-quantization ANN with asymmetric distance (ADC) — the
@@ -675,16 +729,18 @@ object Similarity {
     var cb = subRows(prepped.join(broadcast(seedIds), "__pid"), "cell")
       .select(col("cell"), col("sub"), col("sv").as("cw"))
 
-    // nearest codeword per (id, sub) against a broadcast codebook
-    def encode(subs: DataFrame, codebook: DataFrame, outId: String): DataFrame = {
-      val w = Window.partitionBy(col(outId), col("sub"))
-        .orderBy(col("__d").asc, col("cell").asc)
+    // nearest codeword per (id, sub) against a broadcast codebook.
+    // Argmin as min(struct(d, cell, sv)): (d, cell) is unique within a
+    // group, so the struct order IS the (distance asc, cell asc)
+    // tiebreak the oracle's row_number mirrors — but as a map-side-
+    // combinable agg instead of a full-width window shuffle + sort.
+    def encode(subs: DataFrame, codebook: DataFrame, outId: String): DataFrame =
       subs.join(broadcast(codebook), Seq("sub"))
-        .select(col(outId), col("sub"), col("sv"), col("cell"),
-          l2D(col("sv"), col("cw")).as("__d"))
-        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-        .select(col(outId), col("sub"), col("sv"), col("cell"))
-    }
+        .groupBy(col(outId), col("sub"))
+        .agg(min(struct(l2D(col("sv"), col("cw")).as("d"),
+          col("cell").as("cell"), col("sv").as("sv"))).as("m"))
+        .select(col(outId), col("sub"), col("m.sv").as("sv"),
+          col("m.cell").as("cell"))
 
     // Lloyd under L2: mean codewords (ordered sum, one division per
     // component — sum/count order identical on both engines)
@@ -718,14 +774,21 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("cell"),
         l2D(col("sv"), col("cw")).as("d"))
 
-    var scored = codes
-    for (i <- 0 until m) {
-      val li = broadcast(lut.filter(col("sub") === i)
-        .select(col("query_id"), col("cell").as(s"c$i"), col("d").as(s"d$i")))
-      scored = scored.join(li,
-        if (i == 0) Seq(s"c$i") else Seq("query_id", s"c$i"))
-    }
-    val adist = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
+    // each query's whole LUT as ONE flat (sub*ksub + cell) -> d map, so
+    // the ADC scan is a single broadcast join + m map lookups per code
+    // row, not m sequential joins (measured 5.2 s -> ~2 s at sf0.1 —
+    // local stage-scheduling overhead, but also 16x fewer build sides
+    // on a real cluster). Lookup order d0 + d1 + ... + d(m-1) is the
+    // same left-associated chain the oracle's 16-way join sums.
+    val lutMaps = broadcast(lut
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * ksub + col("cell")).cast(IntegerType).as("k"),
+        col("d")))).as("lm")))
+    val scored = codes.crossJoin(lutMaps)
+    val adist = (0 until m).map(i =>
+      element_at(col("lm"), (lit(i * ksub) + col(s"c$i")).cast(IntegerType)))
+      .reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val adcRanked = scored

@@ -99,6 +99,78 @@ object SimilarityQueries {
   private val PQ_ITERS = 1
   private val PQ_POOL = 50
   private val PCA_ITERS = 12 // q127 power-iteration rounds (fixed, no tolerance)
+
+  // q130 JL audit: 64 -> JL_DIM projection, pairs among the first
+  // JL_NP vectors; JL_T keys a plane family clear of the SRP (t 0..7)
+  // and near-dup ranges
+  private val JL_DIM = 16
+  private val JL_NP = 16
+  private val JL_T = 90
+
+  /** DuckDB mirror of one power-iteration chain over CTE `cov` with
+    * name prefix `p`: w{p}1/v{p}1 .. w{p}N/v{p}N, the final matvec
+    * wf{p}, and the Rayleigh quotient lam{p}. Must track
+    * [[Similarity.principalComponents]]'s fold orders exactly. */
+  private def pcaChainSql(cov: String, p: String): String = {
+    def matvec(prev: String): String =
+      s"""SELECT i, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, 64), jj -> arow[jj] * pv[jj])),
+            (acc, x) -> acc + x) AS wi
+          FROM $cov, $prev"""
+    val iters = (1 to PCA_ITERS).map { k =>
+      val prev = if (k == 1) "v0" else s"v$p${k - 1}"
+      s"""w$p$k AS MATERIALIZED (
+          ${matvec(prev)}),
+        v$p$k AS MATERIALIZED (
+          SELECT list_transform(wl, x -> x / nrm) AS pv FROM (
+            SELECT wl, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(wl, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+            FROM (SELECT list(wi ORDER BY i) AS wl FROM w$p$k)))"""
+    }.mkString(",\n        ")
+    s"""$iters,
+        wf$p AS MATERIALIZED (
+          ${matvec(s"v$p$PCA_ITERS")}),
+        lam$p AS MATERIALIZED (
+          SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(pp ORDER BY i)),
+                   (acc, x) -> acc + x) AS eigval
+          FROM (SELECT wf$p.i AS i, wf$p.wi * pv[CAST(wf$p.i + 1 AS INT)] AS pp
+                FROM wf$p, v$p$PCA_ITERS))"""
+  }
+
+  /** Shared q127/q129 base: quantized codes, the integer second-moment
+    * matrix, B = A/n row lists, and the deterministic v0. */
+  private val pcaBaseSql: String = s"""pv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sc AS (
+          SELECT v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> abs(x))),
+                   (a, x) -> greatest(a, x)) / 127 AS scale
+          FROM pv),
+        codes AS MATERIALIZED (
+          SELECT CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(v, x -> CAST(floor(x / scale) AS BIGINT)) END AS c
+          FROM sc),
+        ent AS MATERIALIZED (
+          SELECT i - 1 AS i, j - 1 AS j, CAST(sum(c[i] * c[j]) AS BIGINT) AS a
+          FROM codes,
+               unnest(generate_series(1, 64)) AS ui(i),
+               unnest(generate_series(1, 64)) AS uj(j)
+          GROUP BY 1, 2),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM codes),
+        cov AS MATERIALIZED (
+          SELECT i,
+                 list(CAST(a AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nn)
+                   ORDER BY j) AS arow
+          FROM ent GROUP BY i),
+        v0 AS (
+          SELECT list_transform(generate_series(1, 64),
+                   x -> 1 / sqrt(CAST(64 AS DOUBLE))) AS pv),
+        tr AS (
+          SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY i)),
+                   (acc, x) -> acc + x) AS trace
+          FROM (SELECT i, arow[CAST(i + 1 AS INT)] AS d FROM cov))"""
   private val PQ_SUBD = 64 / PQ_M
 
   private val zeroSubSql =
@@ -407,6 +479,100 @@ object SimilarityQueries {
         SELECT CAST(u.i - 1 AS BIGINT) AS dim_i, pv[u.i] AS loading,
                eigval, eigval / trace AS var_share
         FROM v$PCA_ITERS, lam, tr, unnest(generate_series(1, 64)) AS u(i)"""
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q129_pca_deflate",
+      "Top-2 PCA by Hotelling deflation — q127's dominant direction " +
+        "plus the runner-up from B' = B - lambda v v^T (entrywise, the " +
+        "same left-associated product chain on both engines), each " +
+        s"recovered by its own $PCA_ITERS fixed power-iteration " +
+        "rounds. Deflation never touches the corpus again: every " +
+        "deflated matrix is still dim x dim, so extra components cost " +
+        "one more tiny broadcast frame each, and var_share stays " +
+        "relative to the ORIGINAL trace so component shares sum toward " +
+        "the explained fraction of total (quantized) variance — the " +
+        "two-number answer to: is this embedding corpus effectively " +
+        "low-rank? PcaSpec pins two-direction recovery and " +
+        "near-orthogonality on a planted-spectrum corpus.",
+      (s, dir) =>
+        Similarity.principalComponents(
+          spread(t(s, dir, "embeddings"), col("vec_id")), "embedding",
+          dim = 64, iters = PCA_ITERS, nComponents = 2),
+      Some {
+        s"""
+        WITH $pcaBaseSql,
+        ${pcaChainSql("cov", "a")},
+        cov2 AS MATERIALIZED (
+          SELECT i, list_transform(generate_series(1, 64),
+                   jj -> arow[jj] - eigval * pv[CAST(i + 1 AS INT)] * pv[jj])
+                   AS arow
+          FROM cov, va$PCA_ITERS, lama),
+        ${pcaChainSql("cov2", "b")}
+        SELECT CAST(0 AS BIGINT) AS component, CAST(u.i - 1 AS BIGINT) AS dim_i,
+               pv[u.i] AS loading, eigval, eigval / trace AS var_share
+        FROM va$PCA_ITERS, lama, tr, unnest(generate_series(1, 64)) AS u(i)
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), CAST(u.i - 1 AS BIGINT),
+               pv[u.i], eigval, eigval / trace
+        FROM vb$PCA_ITERS, lamb, tr, unnest(generate_series(1, 64)) AS u(i)"""
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q130_jl_distortion",
+      s"Johnson-Lindenstrauss projection audit: 64-dim embeddings " +
+        s"project to $JL_DIM dims through the SAME deterministic " +
+        "plan-time plane literals SRP hashing uses (an independent " +
+        s"table id), and every probe pair among the first $JL_NP " +
+        "vectors reports its full-space cosine, reduced-space cosine " +
+        "and absolute gap — the measurement that decides whether the " +
+        "ANN index / pair scans can run on vectors a quarter the size. " +
+        "The projection itself is a scan-stage arithmetic projection " +
+        "(zero shuffle, codegen-friendly, exact ascending folds — " +
+        "bit-mirrored in the oracle); only the bounded audit slice " +
+        "ever self-joins. JlSpec pins the measured distortion band.",
+      (s, dir) => {
+        val p = t(s, dir, "embeddings").filter(col("vec_id") < JL_NP)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .select(col("vec_id"), col("v"),
+            Similarity.jlProject(col("v"), JL_DIM, 64, JL_T).as("r"))
+          .select(col("vec_id"), col("v"), col("r"),
+            sqrt(Similarity.dotD(col("v"), col("v"))).as("nv"),
+            sqrt(Similarity.dotD(col("r"), col("r"))).as("nr"))
+        val a = p.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("r").as("ra"), col("nv").as("na"), col("nr").as("nra"))
+        val b = p.select(col("vec_id").as("id_b"), col("v").as("vb"),
+          col("r").as("rb"), col("nv").as("nb"), col("nr").as("nrb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (Similarity.dotD(col("va"), col("vb")) / (col("na") * col("nb")))
+              .as("cos_full"),
+            (Similarity.dotD(col("ra"), col("rb")) / (col("nra") * col("nrb")))
+              .as("cos_jl"))
+          .withColumn("gap", abs(col("cos_jl") - col("cos_full")))
+      },
+      Some {
+        val rList = (0 until JL_DIM).map(k => projSql("v", JL_T, k))
+          .mkString("[", ",\n                 ", "]")
+        s"""
+        WITH p0 AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < $JL_NP),
+        pr AS MATERIALIZED (
+          SELECT vec_id, v,
+                 $rList AS r
+          FROM p0),
+        pp AS MATERIALIZED (
+          SELECT vec_id, v, r,
+                 sqrt(${foldSql("v", "v")}) AS nv,
+                 sqrt(${foldSql("r", "r")}) AS nr
+          FROM pr)
+        SELECT id_a, id_b, cos_full, cos_jl, abs(cos_jl - cos_full) AS gap
+        FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${foldSql("a.v", "b.v")} / (a.nv * b.nv) AS cos_full,
+                 ${foldSql("a.r", "b.r")} / (a.nr * b.nr) AS cos_jl
+          FROM pp a JOIN pp b ON a.vec_id < b.vec_id)"""
       }),
     // ----------------------------------------------------------------
     Q(

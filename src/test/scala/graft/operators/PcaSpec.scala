@@ -36,6 +36,44 @@ class PcaSpec extends SparkSpec {
     assert(cosine > 0.95, f"recovered direction misaligned: $cosine%.4f")
   }
 
+  test("deflation recovers a second planted direction, orthogonal and subordinate") {
+    import spark.implicits._
+    // two orthogonal planted directions, the first carrying more energy
+    val r1 = Array.tabulate(DIM)(i => u(s"e$i"))
+    val r2raw = Array.tabulate(DIM)(i => u(s"f$i"))
+    val d1 = { val n = math.sqrt(r1.map(x => x * x).sum); r1.map(_ / n) }
+    val proj = r2raw.zip(d1).map { case (a, b) => a * b }.sum
+    val d2 = {
+      val o = r2raw.zip(d1).map { case (a, b) => a - proj * b }
+      val n = math.sqrt(o.map(x => x * x).sum); o.map(_ / n)
+    }
+    // ZERO-MEAN amplitudes: the operator diagonalizes the UNCENTERED
+    // second moment, so a mean offset would itself become the top
+    // direction (E[x] = 4 d1 + 2 d2 has cos 0.894 with d1 — measured)
+    val rows = (0 until 400).map { t =>
+      val a1 = 4.0 * u(s"g$t"); val a2 = 2.0 * u(s"h$t")
+      (t.toLong, (0 until DIM).map(i =>
+        a1 * d1(i) + a2 * d2(i) + 0.2 * u(s"k$t,$i")))
+    }
+    val out = Similarity.principalComponents(
+      rows.toDF("vec_id", "embedding"), "embedding", DIM, iters = 30,
+      nComponents = 2).collect()
+    def comp(c: Long) = out.filter(_.getAs[Long]("component") == c)
+      .sortBy(_.getAs[Long]("dim_i")).map(_.getAs[Double]("loading"))
+    val (v1, v2) = (comp(0), comp(1))
+    def lam(c: Long) = out.find(_.getAs[Long]("component") == c).get
+      .getAs[Double]("eigval")
+    def cosAbs(a: Array[Double], b: Array[Double]) = math.abs(
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    info(f"lam1=${lam(0)}%.3f lam2=${lam(1)}%.3f |v1.v2|=${cosAbs(v1, v2)}%.4f " +
+      f"|cos(v1,d1)|=${cosAbs(v1, d1)}%.3f |cos(v2,d2)|=${cosAbs(v2, d2)}%.3f")
+    assert(lam(0) >= lam(1), "dominant eigenvalue must come first")
+    assert(cosAbs(v1, v2) < 0.05, "components not orthogonal")
+    assert(cosAbs(v1, d1) > 0.9, "first planted direction missed")
+    assert(cosAbs(v2, d2) > 0.9, "second planted direction missed")
+  }
+
   test("eigenpair satisfies Bv = lambda*v on the harness corpus") {
     val e = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     // the uniform harness corpus has a near-flat spectrum (var_share

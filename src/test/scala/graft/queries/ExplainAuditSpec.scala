@@ -143,7 +143,9 @@ class ExplainAuditSpec extends SparkSpec {
     "q77_containment_join", // eval-suite token sets broadcast: small by construction (the q31 shape)
     "q103_semantic_dedup", // within-cluster pairs after a label equi-join; probe side broadcast
     "q106_diverse_ann",   // re-rank joins the k-row ANN pool to itself
-    "q119_hard_negatives") // q31's shape: the held-out query set broadcasts, label filter post-join
+    "q119_hard_negatives", // q31's shape: the held-out query set broadcasts, label filter post-join
+    "q125_ann_pq",        // the per-query LUT maps broadcast: one row per held-out query
+    "q130_jl_distortion") // bounded audit slice self-joins under an id inequality
 
   test("registry sweep: nested-loop joins only broadcast provably tiny frames") {
     // A BroadcastNestedLoopJoin is safe iff its broadcast side cannot
