@@ -76,6 +76,41 @@ object Graph {
     ranks
   }
 
+  /** k-core of the symmetrized pair graph by `rounds` fixed peeling
+    * rounds: drop every node whose surviving degree is < k, restrict
+    * edges to surviving endpoints, repeat. The k-core (maximal
+    * subgraph with min degree >= k) is UNIQUE — peeling order cannot
+    * change it — so a run that reaches the fixpoint is exact; callers
+    * pick `rounds` >= the graph's peel depth and a spec asserts
+    * rounds/rounds+1 agreement at test scale (GraphSpec). The round
+    * count is plan-time fixed so the DuckDB oracle unrolls the SAME
+    * peels — no driver-side convergence probe inside the query.
+    *
+    * Scale design: each round is one count agg on the 8-byte node id
+    * plus two semi-joins of the edge list against the (shrinking)
+    * survivor set; nothing ever grows, and on a production run with
+    * unknown peel depth the driver loops rounds with the CC-style
+    * per-round truncation and stops when the edge count stabilizes —
+    * the same machinery pageRank's truncateEvery already provides.
+    *
+    * Output: (id, core_degree) — surviving nodes with their degree
+    * inside the k-core (>= k when converged). */
+  def kCore(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      k: Int = 2, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
+    var edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    for (_ <- 0 until rounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).select(col("src").as("node"))
+      edges = edges
+        .join(keep, edges("src") === keep("node"), "left_semi")
+        .join(keep, edges("dst") === keep("node"), "left_semi")
+    }
+    edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Rebuild `df` from its own RDD, hiding the upstream plan behind a
     * LogicalRDD. Persist path: lazy cache (materialized by the next
     * action). Checkpoint path: eager (the reliable write needs the

@@ -19,6 +19,8 @@ object DedupQueries {
   private val NB = K / RPB
   private val SHINGLE = 3     // words per shingle
   private val JT = 0.8        // near-dup verification threshold
+  private val KCORE_K = 2      // q131: minimum in-core degree
+  private val KCORE_ROUNDS = 6 // q131: fixed peel rounds (GraphSpec: >= depth)
   private val PR_ITERS = 5    // q70 power-iteration rounds
 
   /** q59 corpus slice (doc_id < SSJOIN_SCOPE). The harness's synthetic
@@ -192,6 +194,45 @@ object DedupQueries {
           UNION
           SELECT w.id, s.dst FROM walk w JOIN sym s ON w.r = s.src)
         SELECT id AS doc_id, MIN(r) AS comp FROM walk GROUP BY id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q131_kcore",
+      s"$KCORE_K-core of the near-dup pair graph: $KCORE_ROUNDS fixed " +
+        "peeling rounds drop every doc whose surviving degree is " +
+        s"< $KCORE_K and re-restrict the edges, leaving only CYCLIC " +
+        "duplication structure — template families and boilerplate " +
+        "rings — where q48's components also keep incidental chains. " +
+        "The k-core is UNIQUE (peeling order can't change it), so the " +
+        "plan-time round count just has to cover the peel depth: " +
+        "GraphSpec asserts rounds and rounds+1 agree at test scale, " +
+        "and a production run with unknown depth loops driver-side " +
+        "with pageRank's per-round truncation until the edge count " +
+        "stabilizes. Each round is one count agg on 8-byte node ids " +
+        "plus two semi-joins against the shrinking survivor set — " +
+        "nothing ever grows. Output: surviving docs with their " +
+        "in-core degree.",
+      (s, dir) =>
+        Graph.kCore(lshVerifiedPairs(s, dir), k = KCORE_K, rounds = KCORE_ROUNDS),
+      Some {
+        val peels = (1 to KCORE_ROUNDS).map { r =>
+          s"""k$r AS MATERIALIZED (
+          SELECT src AS node FROM (
+            SELECT src, count(*) AS n FROM e${r - 1} GROUP BY src)
+          WHERE n >= $KCORE_K),
+        e$r AS MATERIALIZED (
+          SELECT e.src, e.dst FROM e${r - 1} e
+          JOIN k$r a ON e.src = a.node
+          JOIN k$r b ON e.dst = b.node)"""
+        }.mkString(",\n        ")
+        s"""$pairsCte,
+        e0 AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs),
+        $peels
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM e$KCORE_ROUNDS GROUP BY src"""
+      }),
     // ----------------------------------------------------------------
     Q(
       "q82_cluster_representatives",

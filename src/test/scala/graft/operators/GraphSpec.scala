@@ -72,4 +72,30 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("LogicalRDD"),
       "default stride must leave short runs as the plain unrolled plan")
   }
+
+  test("kCore keeps exactly the cyclic structure, at its unique fixpoint") {
+    import spark.implicits._
+    // triangle {1,2,3} with a 2-step pendant path 3-11-12, a chain
+    // 4-5-6, and a 4-cycle {7,8,9,10}: the 2-core is the triangle +
+    // cycle, nothing else — and the path needs TWO peel rounds
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 11L), (11L, 12L),
+      (4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 10L), (7L, 10L))
+      .toDF("id_a", "id_b")
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.kCore(es, k = 2, rounds = rounds).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("core_degree")).toMap
+    val core = run(6)
+    assert(core == Map(1L -> 2, 2L -> 2, 3L -> 2,
+      7L -> 2, 8L -> 2, 9L -> 2, 10L -> 2),
+      s"2-core should be the triangle + 4-cycle at degree 2, got $core")
+    // uniqueness: one more round changes nothing (the q131 contract
+    // that lets the oracle unroll a FIXED round count)
+    assert(run(7) == core, "rounds beyond the peel depth must be no-ops")
+    // peeling propagates one layer per round: round 1 drops the leaf
+    // 12 but 11 (still degree 2 then) survives; round 2 finishes it
+    assert(run(1).contains(11L) && !run(2).contains(11L),
+      "the 2-step pendant path must take exactly two peel rounds")
+    // 3-core of this graph is empty (triangle nodes have degree 2)
+    assert(Graph.kCore(es, k = 3, rounds = 6).isEmpty, "3-core must be empty")
+  }
 }
