@@ -15,11 +15,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Mechanics (Karnin-Lang-Liberty shape, deterministic variant): level
   * i holds items of weight 2^i. When a level exceeds k items it is
-  * sorted and every second item is promoted to level i+1 (each survivor
-  * inherits its dropped neighbor's weight); the starting parity
-  * alternates with a compaction counter carried in the state instead of
-  * the random coin the paper uses, so the sketch is REPRODUCIBLE: the
-  * same inputs through the same merge tree give bit-identical state.
+  * sorted and every second item of an EVEN-count slice is promoted to
+  * level i+1 (each survivor inherits its dropped neighbor's weight —
+  * pairs conserve total weight exactly; an odd item out stays at its
+  * level, so weight(sketch) == n always); the parity alternates with a
+  * compaction counter carried in the state instead of the random coin
+  * the paper uses, so the sketch is REPRODUCIBLE: the same inputs
+  * through the same merge tree give bit-identical state.
   * Rank queries walk the weighted items in value order and return the
   * smallest value whose cumulative weight reaches ceil(W*p/100) — the
   * same type-1 definition as q85's oracle, in the same integer
@@ -56,9 +58,17 @@ object Kll {
     compact(KllBuf(levels, a.compactions + b.compactions), k)
   }
 
-  /** Cascade: any level over capacity promotes every second item (of
-    * its sorted order) one level up and empties. The parity flip per
-    * compaction cancels the keep-low/keep-high bias across rounds. */
+  /** Cascade: any level over capacity promotes one level up and
+    * (nearly) empties. Weight is conserved EXACTLY: only an even count
+    * of items promotes — each promoted item doubles its weight, so
+    * pairs conserve total weight — and an odd one out STAYS at its
+    * level, the alternating parity bit choosing which end survives
+    * (the same bit picks odd- or even-indexed items within the pairs,
+    * cancelling the keep-low/keep-high rank bias across rounds). Rank
+    * error therefore comes only from promotion displacement (a
+    * promoted item stands for its dropped pair partner), never from
+    * lost mass — `weight(sketch) == n` is an exact invariant under any
+    * insert/merge tree (PropertySpec, KllSketchSpec). */
   private def compact(b: KllBuf, k: Int): KllBuf = {
     if (b.levels.forall(_.lengthCompare(k) <= 0)) return b
     val levels = collection.mutable.ArrayBuffer(b.levels.map(_.toVector): _*)
@@ -69,8 +79,12 @@ object Kll {
         val sorted = levels(i).sorted
         val offset = (comps % 2).toInt
         comps += 1
-        val promoted = Vector.range(offset, sorted.length, 2).map(sorted)
-        levels(i) = Vector.empty
+        val (pairs, keep) =
+          if (sorted.length % 2 == 0) (sorted, Vector.empty[Long])
+          else if (offset == 0) (sorted.init, Vector(sorted.last))
+          else (sorted.tail, Vector(sorted.head))
+        val promoted = Vector.range(offset, pairs.length, 2).map(pairs)
+        levels(i) = keep
         if (i + 1 == levels.length) levels += promoted
         else levels(i + 1) = levels(i + 1) ++ promoted
       }
@@ -79,9 +93,10 @@ object Kll {
     KllBuf(levels.toVector, comps)
   }
 
-  /** Total weight represented (== n items inserted only while no
-    * compaction has fired; compaction preserves weight to within one
-    * item's weight per round — the source of the rank-error bound). */
+  /** Total weight represented — exactly the number of inserted items,
+    * in EVERY regime: compaction promotes only even counts (pairs
+    * conserve weight) and parks the odd one out at its level, so no
+    * mass is ever created or lost (see [[compact]]). */
   def weight(b: KllBuf): Long =
     b.levels.zipWithIndex.map { case (vs, i) => vs.length.toLong << i }.sum
 

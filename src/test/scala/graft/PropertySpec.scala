@@ -65,14 +65,15 @@ object KllProps extends Properties("Kll") {
           Kll.quantiles(b, Seq(p)).head == exactQ(xs, p)
     }
 
-  property("compaction regime: state bounded, weight near n, result in data range") =
+  property("compaction regime: state bounded, weight conserved exactly, result in data range") =
     forAll(dataGen, Gen.choose(2, 32), Gen.choose(1, 200)) { (xs, k, chunk) =>
       val b = sketchOf(xs, k, chunk)
       val levels = b.levels.size
       val sizeOk = b.levels.forall(_.size <= k)
-      val w = Kll.weight(b)
-      // every compaction drops at most one item's weight at its level
-      val weightOk = w >= 1 && math.abs(w - xs.length) <= xs.length / 2
+      // compaction promotes only even counts (pairs conserve weight)
+      // and parks the odd one out — weight == n is an exact invariant,
+      // not a drift bound, under ANY k/partitioning/fold tree
+      val weightOk = Kll.weight(b) == xs.length.toLong
       val q = Kll.quantiles(b, Seq(50)).head
       sizeOk && weightOk && q >= xs.min && q <= xs.max && levels <= 32
     }

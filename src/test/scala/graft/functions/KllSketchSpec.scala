@@ -60,9 +60,10 @@ class KllSketchSpec extends SparkSpec {
         assert(Kll.stateSize(b) <= k * maxLevels)
       }
       val merged = partials.reduce((a, b) => Kll.merge(a, b, k))
-      // weight drift: each compaction moves at most one item's weight
-      assert(math.abs(Kll.weight(merged) - n) <= n / 50,
-        s"weight ${Kll.weight(merged)} drifted from $n")
+      // weight is conserved EXACTLY: compaction promotes only pairs
+      // and parks the odd one out at its level
+      assert(Kll.weight(merged) == n.toLong,
+        s"weight ${Kll.weight(merged)} != $n")
       // observed eps at k=256 is ~0.4%; assert a 2% ceiling
       for (p <- Seq(25, 50, 75, 99)) {
         val est = Kll.quantiles(merged, Seq(p)).head
