@@ -88,24 +88,38 @@ object Graph {
     *
     * Scale design: each round is one count agg on the 8-byte node id
     * plus two semi-joins of the edge list against the (shrinking)
-    * survivor set; nothing ever grows, and on a production run with
-    * unknown peel depth the driver loops rounds with the CC-style
-    * per-round truncation and stops when the edge count stabilizes —
-    * the same machinery pageRank's truncateEvery already provides.
+    * survivor set; nothing ever grows. Each round MATERIALIZES into a
+    * cache (one count job, the CC pattern from Dedup.connectedComponents)
+    * and the next round plans over the materialized rows: the round
+    * body references the edge frame three times (degree agg + two
+    * semi-joins), so an unmaterialized loop fans the logical plan out
+    * 3^rounds and Catalyst analysis alone goes exponential by round
+    * ~6 — measured as a multi-hour analysis stall at rounds=6 on an
+    * 11-edge graph before this truncation. The previous round's cache
+    * is freed as soon as the next is materialized (two live at most);
+    * the final round's cache is left for the caller's action and falls
+    * to `spark.catalog.clearCache()` like every other operator cache.
     *
     * Output: (id, core_degree) — surviving nodes with their degree
     * inside the k-core (>= k when converged). */
   def kCore(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       k: Int = 2, rounds: Int = 6): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
+    val spark = pairs.sparkSession
     var edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    var freePrev: () => Unit = () => ()
     for (_ <- 0 until rounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("n"))
         .filter(col("n") >= k).select(col("src").as("node"))
-      edges = edges
+      val next = edges
         .join(keep, edges("src") === keep("node"), "left_semi")
         .join(keep, edges("dst") === keep("node"), "left_semi")
+      val handle = next.persist()
+      handle.count() // one job per round; lineage cut below
+      edges = spark.createDataFrame(handle.rdd, handle.schema)
+      freePrev()
+      freePrev = () => { handle.unpersist(); () }
     }
     edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("core_degree"))

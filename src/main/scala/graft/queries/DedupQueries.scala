@@ -206,8 +206,9 @@ object DedupQueries {
         "plan-time round count just has to cover the peel depth: " +
         "GraphSpec asserts rounds and rounds+1 agree at test scale, " +
         "and a production run with unknown depth loops driver-side " +
-        "with pageRank's per-round truncation until the edge count " +
-        "stabilizes. Each round is one count agg on 8-byte node ids " +
+        "until the edge count stabilizes (each round already " +
+        "materializes CC-style, so plan depth is constant). Each " +
+        "round is one count agg on 8-byte node ids " +
         "plus two semi-joins against the shrinking survivor set — " +
         "nothing ever grows. Output: surviving docs with their " +
         "in-core degree.",

@@ -74,17 +74,28 @@ object Tables {
 
   /** Read one testdata table from an sf directory.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
-    * sessions) — it then surfaces as a LongType of nanos. Normalize it to
-    * a micros TimestampType here so queries see the same value DuckDB does
-    * (DuckDB also truncates nanos to micros).
+    * `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others.
+    * Normalize EVERY variant to a UTC-instant micros TimestampType so
+    * queries see the same value DuckDB does regardless of generation:
+    *  - LongType: nanos read under `spark.sql.legacy.parquet.nanosAsLong`
+    *    (set in Verify/Bench/test sessions) — integer-divide to micros
+    *    (DuckDB also truncates nanos to micros).
+    *  - TimestampNTZType: micros without a zone — reinterpret the wall
+    *    time as UTC (sessions run with spark.sql.session.timeZone=UTC,
+    *    and DuckDB treats the same bytes as a plain TIMESTAMP), keeping
+    *    the micros value bit-identical.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       // integer div — a double division would lose precision above 2^53 ns
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events"
+        && df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      // NTZ -> instant via cast: the wall time is read in the session
+      // zone, which Verify/Bench/tests pin to UTC — micros preserved
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 }

@@ -18,9 +18,15 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  val eventSchema: StructType = StructType(Seq(
+  /** Event schema with `ts` in the physical type the source directory
+    * actually carries — testdata generations have shipped `ts` as both
+    * TIMESTAMP(NANOS) (surfacing as LongType under `nanosAsLong`) and
+    * TIMESTAMP(MICROS, no zone) (surfacing as TimestampNTZType); a
+    * streaming source schema must match the files, so it is probed
+    * from the directory's parquet footer at plan time (no job). */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (parquet TIMESTAMP(NANOS) read w/ nanosAsLong)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -28,16 +34,26 @@ object EventsStream {
 
   /** File-stream source over an events parquet directory.
     * `maxFilesPerTrigger` caps files per micro-batch — tests use 1 to
-    * force one batch per staged file (deterministic watermark steps). */
+    * force one batch per staged file (deterministic watermark steps).
+    * `ts` is normalized to a UTC-instant micros TimestampType exactly
+    * as the batch reader (graft.queries.Tables.t) does, so stream and
+    * batch twins stay bit-identical across testdata generations. */
   def readStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
     val reader = spark.readStream
-      .schema(eventSchema)
+      .schema(eventSchema(tsType))
       .format("parquet")
       .option("path", dir)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.load()
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.load()
+    tsType match {
+      case LongType => // nanos-as-long: integer-divide (exact) to micros
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // wall time read in the UTC session zone
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling — or, with `slide`, overlapping — window counts/sums per
