@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,6 +20,11 @@ object AdvancedQueries {
   // the DuckDB oracle so the three sites cannot drift apart
   private[graft] val DRIFT_BINS = 8
   private[graft] val DRIFT_BIN_WIDTH = 20.0
+
+  // q135: Merkle-summary bucket count — 256 summary rows per side at
+  // any table size (a production run sizes this so rows/bucket fits a
+  // drill; the reconciliation cost model is unchanged)
+  private val DIFF_BUCKETS = 256
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -700,6 +706,151 @@ object AdvancedQueries {
                ${(0 until DRIFT_BINS).map(i =>
                  s"abs(b$i * 10000 // n - pb$i * 10000 // pn)").mkString(" + ")}
                  AS drift_bp
-        FROM p WHERE phr = hr - INTERVAL 1 HOUR"""))
+        FROM p WHERE phr = hr - INTERVAL 1 HOUR""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q134_table_profile",
+      "Relational-table datasheet — the per-COLUMN profile (q68 " +
+        "profiles the text corpus; this is its twin for any warehouse " +
+        "table): for every column of orders, row count, null count, " +
+        "exact distinct count, and min/max rendered to a per-type " +
+        "canonical string (integers verbatim, doubles fixed to " +
+        "DECIMAL(18,2) — engine-native double formatting diverges in " +
+        "scientific-notation thresholds — timestamps to " +
+        "'yyyy-MM-dd HH:mm:ss'). One scan, one aggregate row, " +
+        "exploded to column-cardinality output; the multi-column " +
+        "distinct runs as one expand (6 keys x rows), the accepted " +
+        "profiler cost at warehouse scale — and when even that is too " +
+        "hot, the swap is q132's HLL registers per column: same " +
+        "output shape, constant state.",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def reprOf(c: String, f: Column => Column) =
+          Seq(f(min(col(c))).cast(StringType).as(s"min_$c"),
+            f(max(col(c))).cast(StringType).as(s"max_$c"))
+        val ident = (c: Column) => c
+        val money = (c: Column) => c.cast(DecimalType(18, 2))
+        val tstamp = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+        val cols: Seq[(String, Column => Column)] = Seq(
+          "o_orderkey" -> ident, "o_custkey" -> ident,
+          "o_orderstatus" -> ident, "o_totalprice" -> money,
+          "o_orderdate" -> tstamp, "o_orderpriority" -> ident)
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap { case (c, f) =>
+            Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+              countDistinct(col(c)).as(s"nd_$c")) ++ reprOf(c, f)
+          }
+        o.agg(aggs.head, aggs.tail: _*)
+          .select(col("n_rows"), explode(array(cols.map { case (c, _) =>
+            struct(lit(c).as("column_name"), col(s"nn_$c").as("n_null"),
+              col(s"nd_$c").as("n_distinct"), col(s"min_$c").as("min_repr"),
+              col(s"max_$c").as("max_repr"))
+          }: _*)).as("p"))
+          .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
+            col("p.n_distinct"), col("p.min_repr"), col("p.max_repr"))
+      },
+      Some {
+        val branches = Seq(
+          ("o_orderkey", "CAST(%s AS VARCHAR)"),
+          ("o_custkey", "CAST(%s AS VARCHAR)"),
+          ("o_orderstatus", "CAST(%s AS VARCHAR)"),
+          ("o_totalprice", "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+          ("o_orderdate", "strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S')"),
+          ("o_orderpriority", "CAST(%s AS VARCHAR)"))
+        branches.map { case (c, fmt) =>
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             ${fmt.format(s"min($c)")} AS min_repr,
+             ${fmt.format(s"max($c)")} AS max_repr
+        FROM orders"""
+        }.mkString("\n        UNION ALL\n        ")
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q135_snapshot_diff",
+      "Merkle-bucket snapshot reconciliation — finding the changed " +
+        "rows between two table snapshots WITHOUT a full-table " +
+        s"compare: each side folds to $DIFF_BUCKETS (bucket, count, " +
+        "xor-of-row-digests) summary rows first (bit_xor commutes and " +
+        "self-inverts, so the fold is one map-side-combined agg and " +
+        "equal buckets cancel to equal digests); only buckets whose " +
+        "summaries DISAGREE are drilled, via a digest full-outer " +
+        "restricted to those buckets — at 100 TB a one-row change " +
+        "costs one summary pass per side plus one bucket's rows, not " +
+        "a table-pair join (the replica-repair / CDC-audit shape). " +
+        "Snapshot B is a deterministic in-query mutation of orders " +
+        "(drops keys with pmd5 % 97 == 0, rewrites priority where " +
+        "pmd5 % 101 == 1), so both engines derive identical sides; " +
+        "output is the drilled diff: affected key, bucket, and " +
+        "removed/changed classification.",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def digested(df: DataFrame) = df.select(col("o_orderkey"),
+          (Portable.pmd5(col("o_orderkey").cast(StringType)) % DIFF_BUCKETS)
+            .as("bucket"),
+          Portable.pmd5(concat_ws("|", col("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority"))).as("digest"))
+        val keyHash = Portable.pmd5(col("o_orderkey").cast(StringType))
+        val a = digested(o)
+        val b = digested(o.filter(keyHash % 97 =!= 0)
+          .withColumn("o_orderpriority",
+            when(keyHash % 101 === 1, lit("0-RECLASSIFIED"))
+              .otherwise(col("o_orderpriority"))))
+        def summary(side: DataFrame) = side.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"), expr("bit_xor(digest)").as("dg"))
+        val bad = summary(a).as("sa")
+          .join(summary(b).as("sb"), Seq("bucket"), "full_outer")
+          .filter(coalesce(col("sa.cnt"), lit(-1L)) =!= coalesce(col("sb.cnt"), lit(-2L))
+            || coalesce(col("sa.dg"), lit(-1L)) =!= coalesce(col("sb.dg"), lit(-2L)))
+          .select(col("bucket"))
+        val da = a.join(broadcast(bad), "bucket")
+        val db = b.join(broadcast(bad), "bucket")
+        val gone = da.as("x").join(db.as("y"),
+            col("x.o_orderkey") === col("y.o_orderkey")
+              && col("x.digest") === col("y.digest"), "left_anti")
+          .select(col("o_orderkey"), col("bucket"))
+        val bKeys = db.select(col("o_orderkey"), lit(1).as("in_b"))
+        gone.join(bKeys, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("bucket"),
+            when(col("in_b").isNull, lit("removed"))
+              .otherwise(lit("changed")).as("change"))
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT o_orderkey,
+                 ${Portable.pmd5Sql("CAST(o_orderkey AS VARCHAR)")} % $DIFF_BUCKETS AS bucket,
+                 ${Portable.pmd5Sql("concat_ws('|', o_orderkey, o_orderstatus, o_orderpriority)")} AS digest
+          FROM orders),
+        bmut AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN ${Portable.pmd5Sql("CAST(o_orderkey AS VARCHAR)")} % 101 = 1
+                      THEN '0-RECLASSIFIED' ELSE o_orderpriority END AS o_orderpriority
+          FROM orders
+          WHERE ${Portable.pmd5Sql("CAST(o_orderkey AS VARCHAR)")} % 97 <> 0),
+        b AS (
+          SELECT o_orderkey,
+                 ${Portable.pmd5Sql("CAST(o_orderkey AS VARCHAR)")} % $DIFF_BUCKETS AS bucket,
+                 ${Portable.pmd5Sql("concat_ws('|', o_orderkey, o_orderstatus, o_orderpriority)")} AS digest
+          FROM bmut),
+        sa AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt, bit_xor(digest) AS dg
+               FROM a GROUP BY bucket),
+        sb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt, bit_xor(digest) AS dg
+               FROM b GROUP BY bucket),
+        bad AS (
+          SELECT coalesce(sa.bucket, sb.bucket) AS bucket
+          FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+          WHERE coalesce(sa.cnt, -1) <> coalesce(sb.cnt, -2)
+             OR coalesce(sa.dg, -1) <> coalesce(sb.dg, -2)),
+        da AS (SELECT a.* FROM a JOIN bad USING (bucket)),
+        db AS (SELECT b.* FROM b JOIN bad USING (bucket))
+        SELECT da.o_orderkey, da.bucket,
+               CASE WHEN db2.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change
+        FROM da
+        LEFT JOIN db ON da.o_orderkey = db.o_orderkey AND da.digest = db.digest
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM db) db2
+               ON da.o_orderkey = db2.o_orderkey
+        WHERE db.o_orderkey IS NULL"""))
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.functions.Portable
 import graft.queries.Tables.{boundedRank, spread, t}
@@ -27,6 +28,13 @@ object CorpusQueries {
   private val OR_TERMS = Seq("dup", "join", "scan")
   private val CDC_DIV = 64     // q55 boundary divisor (~avg chunk len)
   private val KMV_K = 32       // q69 sketch size (rel error ~ 1/sqrt(k))
+  private val PRI_K = 20       // q136 sample size
+  // q136 uniform-variate resolution: u = (pmd5 % 2^30 + 1) / 2^30.
+  // 30 bits keeps w * 1000 * 2^30 (~1e16 at document scale) safely
+  // inside BIGINT on BOTH engines — the full 60-bit hash could push
+  // w * 2^60 / (h+1) past 2^63 for unlucky tiny h, where Spark's div
+  // overflows to null but DuckDB's HUGEINT does not.
+  private val PRI_U = 1L << 30
 
   /** DuckDB twin of [[Chunking.cdcChunks]] as a `chunks` CTE (one row
     * per chunk: doc_id, idx, clen, chash). Boundary positions must be
@@ -562,6 +570,128 @@ object CorpusQueries {
         JOIN w USING (token)
         GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC
-        LIMIT $SEARCH_K"""))
+        LIMIT $SEARCH_K""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q133_bm25",
+      "BM25 ranked retrieval — q118's IDF weighting completed with " +
+        "term-frequency saturation and document-length normalization, " +
+        "in EXACT integer arithmetic: k1 and b are DEFINED as the " +
+        "rationals 6/5 and 3/4 (the canonical 1.2/0.75), avgdl enters " +
+        "as the exact ratio t_toks/n_docs, and cross-multiplying " +
+        "clears every denominator: per-term score_milli = w * 1000 * " +
+        "44*tf*T div (20*tf*T + 6*T + 18*dl*N) with w = q118's " +
+        "length(bin(N div df)) integer IDF — floored at milli " +
+        "precision per term, so both engines sum identical integers " +
+        "(a float BM25 would drift with reduction order). Products " +
+        "route through DECIMAL(38,0)/HUGEINT: w*44000*tf*T passes " +
+        "2^63 on a trillion-token corpus while 38 digits hold to " +
+        "1e38. Term filter and dl projection run scan-stage; df/N/T " +
+        "are k-row/1-row broadcasts; the dl join is a doc_id key " +
+        "join (at corpus scale: co-located against doc_id-bucketed " +
+        s"storage). Top $SEARCH_K under the total order " +
+        "(score desc, doc_id).",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val docsLen = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val totals = docsLen.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("t_toks"))
+        val tok = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token").isin(OR_TERMS: _*))
+        val dfreq = tok.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val weights = dfreq.crossJoin(broadcast(totals))
+          .select(col("token"),
+            expr("CAST(length(bin(n_docs div df)) AS BIGINT)").as("w"),
+            col("n_docs"), col("t_toks"))
+        tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+          .join(docsLen, "doc_id")
+          .join(broadcast(weights), "token")
+          .withColumn("term_milli", expr(
+            "CAST(w * 1000 * 44 * tf * CAST(t_toks AS DECIMAL(38,0)) div " +
+              "(20 * tf * CAST(t_toks AS DECIMAL(38,0)) " +
+              "+ 6 * CAST(t_toks AS DECIMAL(38,0)) " +
+              "+ 18 * dl * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)"))
+          .groupBy(col("doc_id")).agg(sum(col("term_milli")).as("score_milli"))
+          .orderBy(col("score_milli").desc, col("doc_id").asc)
+          .limit(SEARCH_K)
+      },
+      Some(s"""
+        WITH dl AS (
+          SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+        tok AS (
+          SELECT doc_id, t AS token
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t IN (${OR_TERMS.mkString("'", "', '", "'")})),
+        dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY token),
+        w AS (SELECT token, CAST(length(bin(n_docs // df)) AS BIGINT) AS w,
+                     n_docs, t_toks
+              FROM dfq, tot),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        terms AS (
+          SELECT tf.doc_id,
+                 CAST(w.w * 1000 * 44 * tf.tf * CAST(w.t_toks AS HUGEINT) //
+                      (20 * tf.tf * CAST(w.t_toks AS HUGEINT)
+                       + 6 * CAST(w.t_toks AS HUGEINT)
+                       + 18 * dl.dl * CAST(w.n_docs AS HUGEINT)) AS BIGINT) AS term_milli
+          FROM tf JOIN dl USING (doc_id) JOIN w USING (token))
+        SELECT doc_id, CAST(sum(term_milli) AS BIGINT) AS score_milli
+        FROM terms GROUP BY doc_id
+        ORDER BY score_milli DESC, doc_id ASC
+        LIMIT $SEARCH_K""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q136_priority_sample",
+      "Weighted sampling without replacement by PRIORITY sampling " +
+        "(Duffield-Lund-Thorup): each document draws the " +
+        "deterministic uniform u = (pmd5(doc_id) % 2^30 + 1)/2^30 and " +
+        s"competes on priority w/u (w = n_chars); the top $PRI_K " +
+        "priorities are the sample, and tau (the priority of rank " +
+        s"${PRI_K + 1}) yields the Horvitz-Thompson estimation weight " +
+        "max(w, tau) under which subset sums are unbiased for the " +
+        "population — the long-doc-favoring sample q50's uniform coin " +
+        "cannot give, with the correction factor a downstream " +
+        "estimator needs. Priorities are exact integers (milli scale, " +
+        "u cleared by cross-multiplication; see PRI_U for the " +
+        "overflow-safety bound), the sample is the total order " +
+        "(priority desc, doc_id), and the global top-k plans as " +
+        "TakeOrderedAndProject — per-partition k-row heaps, never a " +
+        "full sort; tau is a 1-row broadcast.",
+      (s, dir) => {
+        val pri = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("doc_id"), col("n_chars").cast(LongType).as("w"),
+            ((Portable.pmd5(col("doc_id").cast(StringType)) % PRI_U) + 1)
+              .as("hp"))
+          .select(col("doc_id"), col("w"),
+            expr(s"w * 1000 * $PRI_U div hp").as("pm"))
+        val top = pri.orderBy(col("pm").desc, col("doc_id")).limit(PRI_K + 1)
+        top.persist()
+        val tau = top.agg(min(col("pm")).as("tau"))
+        top.orderBy(col("pm").desc, col("doc_id")).limit(PRI_K)
+          .crossJoin(broadcast(tau))
+          .select(col("doc_id"), col("w"), col("pm").as("priority_milli"),
+            greatest(col("w") * 1000, col("tau")).as("est_weight_milli"))
+      },
+      Some(s"""
+        WITH pri AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                 (CAST(n_chars AS BIGINT) * 1000 * $PRI_U) //
+                 ((${Portable.pmd5Sql("CAST(doc_id AS VARCHAR)")} % $PRI_U) + 1) AS pm
+          FROM documents),
+        top AS (SELECT * FROM pri ORDER BY pm DESC, doc_id LIMIT ${PRI_K + 1}),
+        tau AS (SELECT min(pm) AS tau FROM top)
+        SELECT doc_id, w, pm AS priority_milli,
+               greatest(w * 1000, tau) AS est_weight_milli
+        FROM top, tau
+        ORDER BY pm DESC, doc_id
+        LIMIT $PRI_K"""))
   )
 }

@@ -591,6 +591,93 @@ object CurationQueries {
         SELECT lang, cnt,
                cnt * 10000 // total AS share_bp,
                (total // n_langs) * 10000 // cnt AS weight_bp
-        FROM c, s"""))
+        FROM c, s""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q132_hll_distinct",
+      "HyperLogLog distinct-count audit — the mergeable CARDINALITY " +
+        "sketch beside KMV (q69), count-min (q124), Bloom (q126) and " +
+        s"KLL (q101): ${Sketches.HLL_M} 6-bit-max registers per " +
+        "source, register[b] = max rho over keys hashing to bucket b, " +
+        "merge = element-wise MAX (the '__all__' row is BUILT from the " +
+        "per-source registers, proving shards sketch independently). " +
+        "State is constant per group at any cardinality — the property " +
+        "that replaces a trillion-key count(distinct) shuffle with " +
+        s"${Sketches.HLL_M} integers per shard. The estimate is exact " +
+        "integer arithmetic end to end: alpha as the rational " +
+        s"${Sketches.HLL_ALPHA_MILLI}/1000, power sums as shifted " +
+        "BIGINTs, the divide in DECIMAL(38,0)/HUGEINT, and the " +
+        "small-range linear-counting table precomputed driver-side so " +
+        "no query-time ln ties the result to an engine's libm. The " +
+        "exact count(distinct) column is the test-scale AUDIT side " +
+        "(q84/q124's sketch-vs-truth pattern), not the scale path.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val toks = docs.select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        toks.persist()
+        val regsSrc = Sketches.hllRegisters(toks, "source", "tok")
+        val regs = regsSrc.unionByName(
+          Sketches.hllMerge(regsSrc, "source", "__all__"))
+        val est = Sketches.hllEstimate(regs, "source")
+        val exact = toks.groupBy(col("source"))
+          .agg(countDistinct(col("tok")).as("exact_distinct"))
+          .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+            .select(lit("__all__").as("source"), col("exact_distinct")))
+        est.join(exact, "source")
+          .select(col("source"), col("exact_distinct"), col("v_empty"),
+            col("s_pow"), col("est_raw_milli"), col("est_milli"),
+            expr("CAST(abs(CAST(est_milli AS DECIMAL(38,0)) " +
+              "- CAST(exact_distinct AS DECIMAL(38,0)) * 1000) * 10000 " +
+              "div (exact_distinct * 1000) AS BIGINT)").as("err_bp"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        hh AS (
+          SELECT source, ${Portable.pmd5Sql("tok")} AS h FROM toks),
+        rho AS (
+          SELECT source, h % ${Sketches.HLL_M} AS bucket,
+                 CASE WHEN h // ${Sketches.HLL_M} = 0 THEN ${Sketches.HLL_RHO_BITS + 1}
+                      ELSE ${Sketches.HLL_RHO_BITS + 1} - length(bin(h // ${Sketches.HLL_M})) END AS rho
+          FROM hh),
+        regs_src AS (
+          SELECT source, bucket, max(rho) AS register FROM rho GROUP BY 1, 2),
+        regs AS (
+          SELECT source, bucket, register FROM regs_src
+          UNION ALL
+          SELECT '__all__' AS source, bucket, max(register) AS register
+          FROM regs_src GROUP BY 2),
+        srcs AS (
+          SELECT DISTINCT source FROM toks UNION ALL SELECT '__all__'),
+        dense AS (
+          SELECT s.source, b.bucket, coalesce(r.register, 0) AS register
+          FROM srcs s CROSS JOIN (SELECT unnest(range(${Sketches.HLL_M})) AS bucket) b
+          LEFT JOIN regs r ON r.source = s.source AND r.bucket = b.bucket),
+        agg AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST(${Sketches.HLL_RHO_BITS + 1} - register AS INT)) AS BIGINT) AS s_pow
+          FROM dense GROUP BY 1),
+        est0 AS (
+          SELECT source, v_empty, s_pow,
+                 CAST(CAST('${Sketches.HLL_EST_NUMERATOR}' AS HUGEINT) // s_pow AS BIGINT) AS est_raw_milli
+          FROM agg),
+        est AS (
+          SELECT source, v_empty, s_pow, est_raw_milli,
+                 CASE WHEN est_raw_milli <= ${Sketches.HLL_LC_CUTOFF_MILLI} AND v_empty > 0
+                      THEN ([${Sketches.HLL_LC_MILLI.mkString(", ")}])[CAST(v_empty AS INT)]
+                      ELSE est_raw_milli END AS est_milli
+          FROM est0),
+        ex AS (
+          SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+          FROM toks GROUP BY 1
+          UNION ALL
+          SELECT '__all__', CAST(count(DISTINCT tok) AS BIGINT) FROM toks)
+        SELECT e.source, ex.exact_distinct, e.v_empty, e.s_pow,
+               e.est_raw_milli, e.est_milli,
+               CAST(abs(CAST(e.est_milli AS HUGEINT) - CAST(ex.exact_distinct AS HUGEINT) * 1000) * 10000
+                    // (ex.exact_distinct * 1000) AS BIGINT) AS err_bp
+        FROM est e JOIN ex ON e.source = ex.source"""))
   )
 }
