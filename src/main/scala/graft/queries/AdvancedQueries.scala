@@ -797,6 +797,9 @@ object AdvancedQueries {
           .withColumn("o_orderpriority",
             when(keyHash % 101 === 1, lit("0-RECLASSIFIED"))
               .otherwise(col("o_orderpriority"))))
+        // each side feeds BOTH the summary agg and the drill join —
+        // cache the digested projection so the md5 work runs once
+        a.persist(); b.persist()
         def summary(side: DataFrame) = side.groupBy(col("bucket"))
           .agg(count(lit(1)).as("cnt"), expr("bit_xor(digest)").as("dg"))
         val bad = summary(a).as("sa")
@@ -851,6 +854,94 @@ object AdvancedQueries {
         LEFT JOIN db ON da.o_orderkey = db.o_orderkey AND da.digest = db.digest
         LEFT JOIN (SELECT DISTINCT o_orderkey FROM db) db2
                ON da.o_orderkey = db2.o_orderkey
-        WHERE db.o_orderkey IS NULL"""))
+        WHERE db.o_orderkey IS NULL""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q137_ohlc_bars",
+      "OHLC bar aggregation — the timeseries summary every metrics/" +
+        "market store emits: per (event_type, hour), the opening and " +
+        "closing values under the total order (ts, event_id) plus " +
+        "low/high/count. Open and close are SELECTIONS via min/max " +
+        "over a (ts, event_id, value) struct (lexicographic, " +
+        "tie-broken by event_id — both engines pick the same row; no " +
+        "float arithmetic ever runs, so the doubles are the stored " +
+        "bytes). One map-side-combined agg on the (type, hour) key — " +
+        "six numbers per bucket cross the shuffle regardless of " +
+        "events per hour. Null values are excluded up front (none in " +
+        "this corpus; the guard pins struct-comparison semantics " +
+        "cross-engine).",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("bucket", date_trunc("hour", col("ts")))
+        e.groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("low"), max(col("value")).as("high"),
+            min(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("open"),
+            max(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("close"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+          FROM events WHERE value IS NOT NULL)
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+               min(value) AS low, max(value) AS high,
+               (min({'t': ts, 'i': event_id, 'v': value})).v AS open,
+               (max({'t': ts, 'i': event_id, 'v': value})).v AS close
+        FROM e GROUP BY event_type, bucket""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q138_gap_fill",
+      "Hourly gap-filling with forward fill — the timeseries " +
+        "completion operator dashboards and training-feature " +
+        "pipelines need before any rolling computation: each event " +
+        "type's hour grid spans its own [min, max] bucket range " +
+        "(sequence + explode), missing hours join as n=0 gap rows, " +
+        "and the last observed CLOSE (q137's selection, no float " +
+        "math) carries forward via last_value IGNORE NULLS over a " +
+        "window PARTITIONED BY event_type — bounded by the hour-range " +
+        "length per type, never by event count, so the window is " +
+        "scale-free (the grid is |types| x hours while the event scan " +
+        "collapses to the same hourly keys first). The corpus has " +
+        "real gaps at every SF, so the fill path is exercised, not " +
+        "vacuous.",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("bucket", date_trunc("hour", col("ts")))
+        val hourly = e.groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            max(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("close"))
+        val grid = hourly.groupBy(col("event_type"))
+          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        grid.join(hourly, Seq("event_type", "bucket"), "left")
+          .select(col("event_type"), col("bucket"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("close"), ignoreNulls = true).over(w).as("close_filled"),
+            col("n").isNull.as("is_gap"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+          FROM events WHERE value IS NOT NULL),
+        hourly AS (
+          SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+                 (max({'t': ts, 'i': event_id, 'v': value})).v AS close
+          FROM e GROUP BY event_type, bucket),
+        span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                 FROM hourly GROUP BY event_type),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                 FROM span)
+        SELECT g.event_type, g.bucket, coalesce(h.n, 0) AS n,
+               last_value(h.close IGNORE NULLS)
+                 OVER (PARTITION BY g.event_type ORDER BY g.bucket) AS close_filled,
+               h.n IS NULL AS is_gap
+        FROM grid g
+        LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket = h.bucket"""))
   )
 }
