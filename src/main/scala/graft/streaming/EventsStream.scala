@@ -73,6 +73,30 @@ object EventsStream {
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed OHLC bars — the incremental form of q137: per closed
+    * (window, event_type), open/close selected by min/max over a
+    * (ts, event_id, value) struct and low/high over the value. Every
+    * aggregate is an associative selection with a constant-size merge
+    * buffer, so the state store holds six numbers per open window and
+    * the closed rows are bit-identical to the batch bars (no float
+    * arithmetic ever runs — the doubles are the stored bytes). Null
+    * values are excluded to pin struct-comparison semantics, exactly
+    * as q137 does. */
+  def ohlcStream(events: DataFrame, windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("low"), col("high"), col("open"), col("close"))
+
   /** Stream-stream interval self-join: pairs of same-user events where
     * the second falls within `window` after the first. Watermarks bound
     * the join state on both sides — without them the state grows
@@ -253,9 +277,10 @@ object EventsStream {
           val st = state.getOption.getOrElse(QuantState(Nil))
           // per-hour batch sketches; event_id insertion order makes the
           // buffer bytes (not just the result) replay-reproducible. The
-          // row count rides along EXACTLY — compaction drifts the
-          // sketch's internal weight, so weight(buf) is not a count in
-          // the bounded-capacity regime
+          // row count rides along beside the buffer — weight(buf) now
+          // equals it exactly in every regime (weight-conserving
+          // compaction), but the explicit count keeps the output
+          // independent of sketch internals
           val incoming = batch.toSeq
             .groupBy(e => Math.floorDiv(micros(e.ts), HourUs) * HourUs)
             .view.mapValues { es =>

@@ -574,4 +574,30 @@ class StreamingSpec extends SparkSpec {
     mustNull.foreach(v => assert(gotNullSet.contains(v),
       s"unmatched view not emitted though watermark passed it: $v"))
   }
+
+  test("OHLC bar stream: closed windows are bit-identical to the batch q137 bars") {
+    val q = EventsStream.ohlcStream(EventsStream.readStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ohlc_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ohlc_out")
+    val batch = graft.SparkEntry.queries("q137_ohlc_bars")(
+      spark, "/root/testdata/sf0.001")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[java.sql.Timestamp]("bucket"),
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("low"), r.getAs[Double]("high"),
+          r.getAs[Double]("open"), r.getAs[Double]("close"))).toMap
+    val g = keyed(got); val b = keyed(batch)
+    assert(g.nonEmpty, "no closed OHLC windows emitted")
+    // append mode emits only watermark-closed windows: every emitted bar
+    // must equal its batch twin EXACTLY (selections, not arithmetic —
+    // the doubles are the stored bytes)
+    g.foreach { case (k, v) =>
+      assert(b.contains(k), s"stream emitted unknown bar $k")
+      assert(b(k) == v, s"bar $k diverged: stream $v vs batch ${b(k)}")
+    }
+  }
 }
