@@ -942,6 +942,41 @@ object AdvancedQueries {
                  OVER (PARTITION BY g.event_type ORDER BY g.bucket) AS close_filled,
                h.n IS NULL AS is_gap
         FROM grid g
-        LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket = h.bucket"""))
+        LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket = h.bucket""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q139_rank_windows",
+      "Distribution-rank window family — the three ANSI analytics " +
+        "q53's sequence/lag/running-sum set does not touch: " +
+        "percent_rank, cume_dist and ntile(4) over each order " +
+        "priority, ranked by (o_totalprice, o_orderkey) — a TOTAL " +
+        "order, so every rank, quantile boundary and tile assignment " +
+        "is engine-deterministic, and both distribution ranks are ONE " +
+        "division of exact integers (no accumulated float state). " +
+        "The slice filter (o_orderkey % 20 = 0) is pushed to the " +
+        "scan; one shuffle on the partition key serves all three " +
+        "functions. A full-partition rank sort is dashboard-scale by " +
+        "nature — the corpus-scale rank path is q95's two-pass " +
+        "histogram refine; this is the per-partition analytic form.",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        o.select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).cast(LongType).as("quartile"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)"""))
   )
 }

@@ -29,6 +29,8 @@ object CorpusQueries {
   private val CDC_DIV = 64     // q55 boundary divisor (~avg chunk len)
   private val KMV_K = 32       // q69 sketch size (rel error ~ 1/sqrt(k))
   private val PRI_K = 20       // q136 sample size
+  private val DF_CAP = 50      // q140: tokens with df above this are dropped
+  private val COS2_TH_BP = 2500 // q140: cos^2 >= 0.25 i.e. cosine >= 0.5
   // q136 uniform-variate resolution: u = (pmd5 % 2^30 + 1) / 2^30.
   // 30 bits keeps w * 1000 * 2^30 (~1e16 at document scale) safely
   // inside BIGINT on BOTH engines — the full 60-bit hash could push
@@ -692,6 +694,78 @@ object CorpusQueries {
                greatest(w * 1000, tau) AS est_weight_milli
         FROM top, tau
         ORDER BY pm DESC, doc_id
-        LIMIT $PRI_K"""))
+        LIMIT $PRI_K""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q140_tfidf_pairs",
+      "Weighted all-pairs document similarity — tf-idf COSINE over " +
+        "the postings join (the IR-weighted complement of q59's " +
+        "unweighted Jaccard ssjoin): token weight = tf x q118's " +
+        "integer IDF, partial dot products accumulate per shared " +
+        "token, and the score is cos^2 in basis points — dot^2 x " +
+        "10000 div (norm_a x norm_b), exact integer arithmetic with " +
+        "the squares in DECIMAL(38,0)/HUGEINT, so no sqrt and no " +
+        s"float drift; pairs kept at cos^2 >= $COS2_TH_BP bp " +
+        "(cosine >= 0.5). Tokens with df > " + DF_CAP + " are dropped " +
+        "BY DEFINITION (both engines identically): at any corpus " +
+        "size the postings self-join fans out at most df^2 pairs per " +
+        "token, so the cap bounds the join the way q59's rare-first " +
+        "prefix does — ubiquitous tokens carry bitlen IDF ~1 and " +
+        "barely move the cosine anyway. Token tf table persists once " +
+        "and feeds df, weights, norms and dots.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        tf.persist()
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DF_CAP)
+        val weights = tf.join(dfreq, "tok").crossJoin(broadcast(total))
+          .select(col("doc_id"), col("tok"),
+            (col("tf") * expr("CAST(length(bin(n_docs div df)) AS BIGINT)")).as("w"))
+        weights.persist()
+        val norms = weights.groupBy(col("doc_id"))
+          .agg(sum(expr("CAST(w * w AS DECIMAL(38,0))")).as("norm"))
+        val dots = weights.as("a")
+          .join(weights.as("b"), Seq("tok"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        dots
+          .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a")), "doc_a")
+          .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("norm_b")), "doc_b")
+          .withColumn("cos2_bp", expr(
+            "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 10000 div (norm_a * norm_b) AS BIGINT)"))
+          .filter(col("cos2_bp") >= COS2_TH_BP)
+          .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_bp"))
+      },
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1 HAVING count(*) <= $DF_CAP),
+        w AS (SELECT doc_id, tok,
+                     tf * CAST(length(bin(n_docs // df)) AS BIGINT) AS w
+              FROM tf JOIN dfq USING (tok), tot),
+        norms AS (SELECT doc_id, sum(CAST(w * w AS HUGEINT)) AS norm
+                  FROM w GROUP BY 1),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.w * b.w) AS BIGINT) AS dot
+          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, dot,
+               CAST(CAST(dot AS HUGEINT) * dot * 10000
+                    // (na.norm * nb.norm) AS BIGINT) AS cos2_bp
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE CAST(dot AS HUGEINT) * dot * 10000 // (na.norm * nb.norm)
+              >= $COS2_TH_BP"""))
   )
 }
