@@ -413,6 +413,45 @@ object TextQueries {
                CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
                CAST(count(DISTINCT g) AS BIGINT) * 10000
                  // count(*) AS diversity_bp
-        FROM g GROUP BY source"""))
+        FROM g GROUP BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q141_text_normalize",
+      "Text canonicalization — the pre-dedup normalization pass (the " +
+        "C4 recipe: lowercase, strip non-alphanumerics, collapse " +
+        "whitespace) with the content digest OF THE NORMALIZED FORM — " +
+        "the key under which 'same text modulo case and punctuation' " +
+        "collapses where q26's raw-byte digest would not. Pure " +
+        "scan-stage projection: lower + two regexp_replace passes + " +
+        "trim, all codegen builtins with identical regex semantics on " +
+        "both engines (character class and ' +' collapse; DuckDB " +
+        "needs the explicit 'g' flag Spark applies by default). Per " +
+        "doc: token counts before/after and the 60-bit digest — only " +
+        "24 bytes per row ever reach the output, the full text never " +
+        "shuffles. Unicode NFKC would need a JVM Normalizer call (a " +
+        "non-codegen mapPartitions seam, same class as the multimodal " +
+        "codec); this corpus is ASCII so the codegen path is the " +
+        "complete story here.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens_raw"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+          .select(col("doc_id"), col("n_tokens_raw"),
+            size(split(col("norm"), " ")).cast(LongType).as("n_tokens_norm"),
+            Portable.pmd5(col("norm")).as("norm_digest"))
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT doc_id,
+                 CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens_raw,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT doc_id, n_tokens_raw,
+               CAST(length(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm,
+               ${Portable.pmd5Sql("norm")} AS norm_digest
+        FROM n"""))
   )
 }
