@@ -977,6 +977,48 @@ object AdvancedQueries {
         FROM orders
         WHERE o_orderkey % 20 = 0
         WINDOW w AS (PARTITION BY o_orderpriority
-                     ORDER BY o_totalprice ASC, o_orderkey ASC)"""))
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q142_scd2_intervals",
+      "SCD2 dimension build — turning a per-key change stream into " +
+        "validity intervals, the warehouse operator behind every " +
+        "as-of enrichment (q42 CONSUMES a table shaped like this " +
+        "output): per user, consecutive duplicate values collapse " +
+        "first (change detection via lag — real update streams " +
+        "re-emit unchanged state), then each surviving change opens " +
+        "an interval [ts, next change's ts) via lead, the open " +
+        "current row ending null. Both window passes share one " +
+        "user_id partitioning under the total order (ts, event_id); " +
+        "per-partition width is a user's history, never the corpus. " +
+        "The value compare is stored-byte equality, no arithmetic — " +
+        "engine-exact.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val changes = ev
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .filter(col("prev").isNull || col("value") =!= col("prev"))
+        changes
+          .select(col("user_id"), col("value"),
+            col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").asc, col("event_id").asc)).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(value, 1) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        SELECT user_id, value, ts AS valid_from,
+               lead(ts, 1) OVER w2 AS valid_to,
+               lead(ts, 1) OVER w2 IS NULL AS is_current
+        FROM c
+        WHERE prev IS NULL OR value <> prev
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""))
   )
 }
