@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 60-bit portable hash: the SAME value as the composed form
+  * `conv(substring(md5(s), 1, 15), 16, 10)` (graft.functions.Portable
+  * .pmd5 — the first 15 hex digits of the md5, i.e. the first 60 bits
+  * of the digest), computed straight from the digest bytes.
+  *
+  * The composed form materializes a 32-char lowercase-hex string, takes
+  * a substring, and parses it back through base conversion — three
+  * string ops per call on the engine's single hottest primitive (every
+  * dedup signature, shingle, LSH band, bucket and sample coin routes
+  * through pmd5). This expression md5s the UTF8 bytes and assembles the
+  * long with eight shifts; implements `doGenCode`, so it stays inside
+  * whole-stage codegen — preference (b) of the custom-operator ladder,
+  * like [[SimHash60]].
+  *
+  * Value equivalence with the hex path is bit-for-bit (Pmd5Spec
+  * property-checks it against the composed form and the driver-side
+  * twin), so every DuckDB oracle stays valid wherever this replaces
+  * the composed expression. Null input -> null.
+  */
+case class Pmd5Hash60(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pmd5_60"
+
+  // strict STRING-only contract (no implicit widening): the composed
+  // hex form this replaces would likewise fail analysis on non-string
+  // input, so divergence here is impossible
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pmd5_60 requires STRING input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Pmd5Hash60.hash60(input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Pmd5Hash60.hash60($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Pmd5Hash60 =
+    copy(child = newChild)
+}
+
+object Pmd5Hash60 {
+
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes): bytes 0..6 whole, byte 7's high
+    * nibble — exactly the value of parsing the first 15 hex chars.
+    * Called from generated code (static forwarder). */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** Idempotent session registration (the public Column<->Expression
+    * seam in Spark 4 is the function registry; see [[SimHash60]]). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("pmd5_60")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "pmd5_60", exprs => Pmd5Hash60(exprs.head), "scala_udf")
+
+  def apply(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("pmd5_60", s)
+  }
+}

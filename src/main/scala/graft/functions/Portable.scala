@@ -17,8 +17,23 @@ import org.apache.spark.sql.types._
   */
 object Portable {
 
-  /** 60-bit portable hash of a string column (first 15 hex chars of md5). */
-  def pmd5(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  /** 60-bit portable hash of a string column (first 15 hex chars of md5).
+    *
+    * When a SparkSession is active (always, on the driver building a
+    * query), this routes through the native codegen expression
+    * [[graft.expressions.Pmd5Hash60]] — bit-identical value, no
+    * hex-string round trip on the engine's hottest primitive. The
+    * composed form remains as the session-free fallback and as the
+    * executable definition the DuckDB oracles mirror. */
+  def pmd5(c: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => graft.expressions.Pmd5Hash60(s, c)
+      case None => pmd5Composed(c)
+    }
+
+  /** The portable composed form of [[pmd5]] — what `pmd5Sql` mirrors. */
+  def pmd5Composed(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Driver-side twin of [[pmd5]] — same value, computed in Scala. Used
     * to precompute literal tables (e.g. LSH hyperplanes) so the hash
