@@ -26,6 +26,9 @@ object AdvancedQueries {
   // drill; the reconciliation cost model is unchanged)
   private val DIFF_BUCKETS = 256
 
+  // q143: KMV sketch size per side (rel error ~ 1/sqrt(k))
+  private val KMV_JOIN_K = 64
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1019,6 +1022,83 @@ object AdvancedQueries {
                lead(ts, 1) OVER w2 IS NULL AS is_current
         FROM c
         WHERE prev IS NULL OR value <> prev
-        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""))
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q143_join_estimate",
+      "Pre-join cardinality estimation from KMV sketches — sizing a " +
+        "join BEFORE paying for it (the planner-side use of q69's " +
+        s"distinct sketch): each side folds its key domain to the $KMV_JOIN_K " +
+        "smallest hashes (a TakeOrdered top-k, constant state at any " +
+        "cardinality), the union sketch's k-th value estimates " +
+        "|A u B| as (k-1)*2^60 div h_k, the fraction of union-sketch " +
+        "members seen by BOTH sides estimates Jaccard, and their " +
+        "product estimates the join-key intersection — all exact " +
+        "integer arithmetic ((k-1)*2^60 rides DECIMAL(38,0)/HUGEINT " +
+        "past 2^63). Sketches that are not full degrade to the exact " +
+        "count (the CASE both engines share). The audit columns join " +
+        "the estimates to the true distinct counts, the q84/q124 " +
+        "sketch-vs-truth pattern; at 100 TB only the two k-row " +
+        "sketches ever meet the driver.",
+      (s, dir) => {
+        def kmv(df: DataFrame, c: Column) = df
+          .select(Portable.pmd5(c.cast(StringType)).as("h")).distinct()
+          .orderBy(col("h").asc).limit(KMV_JOIN_K)
+        val ha = kmv(t(s, dir, "events"), col("user_id"))
+        val hb = kmv(t(s, dir, "orders"), col("o_custkey"))
+        ha.persist(); hb.persist()
+        val u = ha.unionAll(hb).distinct().orderBy(col("h").asc).limit(KMV_JOIN_K)
+        val uStats = u.agg(count(lit(1)).as("u_n"), max(col("h")).as("h_k"))
+        val common = u.join(ha, Seq("h"), "left_semi")
+          .join(hb, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("common"))
+        val exacts = t(s, dir, "events")
+          .select(col("user_id").as("k")).distinct()
+          .join(t(s, dir, "orders").select(col("o_custkey").as("k")).distinct(),
+            Seq("k"), "full_outer")
+          .agg(count(lit(1)).as("union_exact"))
+        val na = t(s, dir, "events").agg(countDistinct(col("user_id")).as("n_a"))
+        val nb = t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n_b"))
+        uStats.crossJoin(broadcast(common))
+          .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+          .crossJoin(broadcast(exacts))
+          .withColumn("est_union", expr(
+            s"CASE WHEN u_n < $KMV_JOIN_K THEN u_n " +
+              s"ELSE CAST(CAST(${KMV_JOIN_K - 1} AS DECIMAL(38,0)) * ${1L << 60} " +
+              "div h_k AS BIGINT) END"))
+          .withColumn("est_inter", expr(s"common * est_union div $KMV_JOIN_K"))
+          .select(lit(KMV_JOIN_K.toLong).as("k"), col("n_a"), col("n_b"),
+            col("union_exact"), col("common"),
+            col("est_union"), col("est_inter"))
+      },
+      Some(s"""
+        WITH ha AS (
+          SELECT DISTINCT ${Portable.pmd5Sql("CAST(user_id AS VARCHAR)")} AS h
+          FROM events ORDER BY h ASC LIMIT $KMV_JOIN_K),
+        hb AS (
+          SELECT DISTINCT ${Portable.pmd5Sql("CAST(o_custkey AS VARCHAR)")} AS h
+          FROM orders ORDER BY h ASC LIMIT $KMV_JOIN_K),
+        u AS (
+          SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+          ORDER BY h ASC LIMIT $KMV_JOIN_K),
+        us AS (SELECT CAST(count(*) AS BIGINT) AS u_n, max(h) AS h_k FROM u),
+        cm AS (SELECT CAST(count(*) AS BIGINT) AS common FROM u
+               WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+        ex AS (
+          SELECT CAST(count(*) AS BIGINT) AS union_exact FROM (
+            SELECT DISTINCT user_id AS k FROM events
+            UNION
+            SELECT DISTINCT o_custkey FROM orders)),
+        na AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_a FROM events),
+        nb AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_b FROM orders),
+        est AS (
+          SELECT u_n, h_k,
+                 CASE WHEN u_n < $KMV_JOIN_K THEN u_n
+                      ELSE CAST(CAST(${KMV_JOIN_K - 1} AS HUGEINT) * ${1L << 60}
+                           // h_k AS BIGINT) END AS est_union
+          FROM us)
+        SELECT CAST($KMV_JOIN_K AS BIGINT) AS k, n_a, n_b, union_exact, common,
+               est_union, common * est_union // $KMV_JOIN_K AS est_inter
+        FROM est, cm, ex, na, nb"""))
   )
 }
