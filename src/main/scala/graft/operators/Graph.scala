@@ -53,8 +53,7 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    val sym = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val sym = symmetrize(pairs, idA, idB)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val edges = sym.join(deg, "src").repartition(col("src")).persist()
     var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
@@ -106,8 +105,7 @@ object Graph {
       k: Int = 2, rounds: Int = 6): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
     val spark = pairs.sparkSession
-    var edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    var edges = symmetrize(pairs, idA, idB)
     var freePrev: () => Unit = () => ()
     for (_ <- 0 until rounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("n"))
@@ -124,6 +122,14 @@ object Graph {
     edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Both directions of an undirected pair list: (a,b) and (b,a) as
+    * (src, dst) — the shared edge canonicalization for every graph
+    * operator here (self-loops and duplicate pairs pass through; the
+    * upstream pair generators already dedup). */
+  private def symmetrize(pairs: DataFrame, idA: String, idB: String): DataFrame =
+    pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
 
   /** Rebuild `df` from its own RDD, hiding the upstream plan behind a
     * LogicalRDD. Persist path: lazy cache (materialized by the next

@@ -211,9 +211,14 @@ object DedupQueries {
         "round is one count agg on 8-byte node ids " +
         "plus two semi-joins against the shrinking survivor set — " +
         "nothing ever grows. Output: surviving docs with their " +
-        "in-core degree.",
+        "in-core degree, plus the convergence CERTIFICATE at_fixpoint " +
+        "(at the true k-core every survivor has degree >= k, so any " +
+        "false row is proof the fixed round count undershot the peel " +
+        "depth — truncation shows in the data instead of silently " +
+        "passing the mirrored-oracle compare).",
       (s, dir) =>
-        Graph.kCore(lshVerifiedPairs(s, dir), k = KCORE_K, rounds = KCORE_ROUNDS),
+        Graph.kCore(lshVerifiedPairs(s, dir), k = KCORE_K, rounds = KCORE_ROUNDS)
+          .withColumn("at_fixpoint", col("core_degree") >= KCORE_K),
       Some {
         val peels = (1 to KCORE_ROUNDS).map { r =>
           s"""k$r AS MATERIALIZED (
@@ -231,7 +236,8 @@ object DedupQueries {
           UNION ALL
           SELECT id_b, id_a FROM pairs),
         $peels
-        SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree,
+               CAST(count(*) AS BIGINT) >= $KCORE_K AS at_fixpoint
         FROM e$KCORE_ROUNDS GROUP BY src"""
       }),
     // ----------------------------------------------------------------
