@@ -24,7 +24,16 @@ object Portable {
     * [[graft.expressions.Pmd5Hash60]] — bit-identical value, no
     * hex-string round trip on the engine's hottest primitive. The
     * composed form remains as the session-free fallback and as the
-    * executable definition the DuckDB oracles mirror. */
+    * executable definition the DuckDB oracles mirror.
+    *
+    * Session coupling: the native function registers in the ACTIVE
+    * session's registry, so a Column built under session A and
+    * analyzed by an unrelated session B resolves only if B also has
+    * the function — true automatically for sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` (including
+    * `newSession()` clones) or via `Engine.register`; a bare local
+    * multi-session app should register `Pmd5Hash60.register(b)` or
+    * use [[pmd5Composed]]. */
   def pmd5(c: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) => graft.expressions.Pmd5Hash60(s, c)

@@ -113,11 +113,16 @@ object Graph {
       val next = edges
         .join(keep, edges("src") === keep("node"), "left_semi")
         .join(keep, edges("dst") === keep("node"), "left_semi")
-      val handle = next.persist()
-      handle.count() // one job per round; lineage cut below
-      edges = spark.createDataFrame(handle.rdd, handle.schema)
+      // reuse the shared lineage-cut helper (lazy persist variant),
+      // then materialize eagerly: one job per round. The previous
+      // round's cache is freed only AFTER this round's rows are in —
+      // the round computes FROM it, so freeing at truncate time (when
+      // the hook fires) would force a recompute of the whole chain
+      var thisRound: () => Unit = () => ()
+      edges = truncate(spark, next, reliable = false, f => thisRound = f)
+      edges.count()
       freePrev()
-      freePrev = () => { handle.unpersist(); () }
+      freePrev = thisRound
     }
     edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("core_degree"))

@@ -810,6 +810,9 @@ object AdvancedQueries {
           .filter(coalesce(col("sa.cnt"), lit(-1L)) =!= coalesce(col("sb.cnt"), lit(-2L))
             || coalesce(col("sa.dg"), lit(-1L)) =!= coalesce(col("sb.dg"), lit(-2L)))
           .select(col("bucket"))
+        // both drill sides broadcast this (<= DIFF_BUCKETS rows); cache
+        // it so the two summary aggs + compare run once, not per side
+        bad.persist()
         val da = a.join(broadcast(bad), "bucket")
         val db = b.join(broadcast(bad), "bucket")
         val gone = da.as("x").join(db.as("y"),
@@ -1041,7 +1044,11 @@ object AdvancedQueries {
         "sketch-vs-truth pattern; at 100 TB only the two k-row " +
         "sketches ever meet the driver.",
       (s, dir) => {
-        def kmv(df: DataFrame, c: Column) = df
+        // null keys never join; exclude them from both domains up front
+        // (Spark's full_outer treats NULL keys as distinct per side
+        // while the SQL mirror's UNION would collapse them — aligning
+        // the definition beats relying on null-free data)
+        def kmv(df: DataFrame, c: Column) = df.filter(c.isNotNull)
           .select(Portable.pmd5(c.cast(StringType)).as("h")).distinct()
           .orderBy(col("h").asc).limit(KMV_JOIN_K)
         val ha = kmv(t(s, dir, "events"), col("user_id"))
@@ -1053,8 +1060,10 @@ object AdvancedQueries {
           .join(hb, Seq("h"), "left_semi")
           .agg(count(lit(1)).as("common"))
         val exacts = t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
           .select(col("user_id").as("k")).distinct()
-          .join(t(s, dir, "orders").select(col("o_custkey").as("k")).distinct(),
+          .join(t(s, dir, "orders").filter(col("o_custkey").isNotNull)
+            .select(col("o_custkey").as("k")).distinct(),
             Seq("k"), "full_outer")
           .agg(count(lit(1)).as("union_exact"))
         val na = t(s, dir, "events").agg(countDistinct(col("user_id")).as("n_a"))
@@ -1074,10 +1083,12 @@ object AdvancedQueries {
       Some(s"""
         WITH ha AS (
           SELECT DISTINCT ${Portable.pmd5Sql("CAST(user_id AS VARCHAR)")} AS h
-          FROM events ORDER BY h ASC LIMIT $KMV_JOIN_K),
+          FROM events WHERE user_id IS NOT NULL
+          ORDER BY h ASC LIMIT $KMV_JOIN_K),
         hb AS (
           SELECT DISTINCT ${Portable.pmd5Sql("CAST(o_custkey AS VARCHAR)")} AS h
-          FROM orders ORDER BY h ASC LIMIT $KMV_JOIN_K),
+          FROM orders WHERE o_custkey IS NOT NULL
+          ORDER BY h ASC LIMIT $KMV_JOIN_K),
         u AS (
           SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
           ORDER BY h ASC LIMIT $KMV_JOIN_K),
@@ -1086,9 +1097,9 @@ object AdvancedQueries {
                WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
         ex AS (
           SELECT CAST(count(*) AS BIGINT) AS union_exact FROM (
-            SELECT DISTINCT user_id AS k FROM events
+            SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL
             UNION
-            SELECT DISTINCT o_custkey FROM orders)),
+            SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL)),
         na AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_a FROM events),
         nb AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_b FROM orders),
         est AS (

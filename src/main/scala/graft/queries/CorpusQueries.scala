@@ -676,7 +676,14 @@ object CorpusQueries {
             expr(s"w * 1000 * $PRI_U div hp").as("pm"))
         val top = pri.orderBy(col("pm").desc, col("doc_id")).limit(PRI_K + 1)
         top.persist()
-        val tau = top.agg(min(col("pm")).as("tau"))
+        // tau is the priority of rank K+1; when the population itself
+        // has <= K members there is no rank K+1 and EVERY member is
+        // sampled with certainty — HT weight = w exactly, i.e. tau = 0
+        // (min over the full top frame would instead be a sample
+        // member's own priority and bias subset sums upward)
+        val tau = top.agg(
+          when(count(lit(1)) <= PRI_K, lit(0L)).otherwise(min(col("pm")))
+            .as("tau"))
         top.orderBy(col("pm").desc, col("doc_id")).limit(PRI_K)
           .crossJoin(broadcast(tau))
           .select(col("doc_id"), col("w"), col("pm").as("priority_milli"),
@@ -689,7 +696,8 @@ object CorpusQueries {
                  ((${Portable.pmd5Sql("CAST(doc_id AS VARCHAR)")} % $PRI_U) + 1) AS pm
           FROM documents),
         top AS (SELECT * FROM pri ORDER BY pm DESC, doc_id LIMIT ${PRI_K + 1}),
-        tau AS (SELECT min(pm) AS tau FROM top)
+        tau AS (SELECT CASE WHEN count(*) <= $PRI_K THEN 0
+                       ELSE min(pm) END AS tau FROM top)
         SELECT doc_id, w, pm AS priority_milli,
                greatest(w * 1000, tau) AS est_weight_milli
         FROM top, tau

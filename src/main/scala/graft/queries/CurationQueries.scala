@@ -617,6 +617,10 @@ object CurationQueries {
           explode(split(col("text"), " ")).as("tok"))
         toks.persist()
         val regsSrc = Sketches.hllRegisters(toks, "source", "tok")
+        // consumed twice (union arm + the '__all__' max-merge): cache
+        // the 64 x |sources| register rows so the token-stream
+        // aggregation behind them runs once
+        regsSrc.persist()
         val regs = regsSrc.unionByName(
           Sketches.hllMerge(regsSrc, "source", "__all__"))
         val est = Sketches.hllEstimate(regs, "source")

@@ -37,17 +37,30 @@ object EventsStream {
     * force one batch per staged file (deterministic watermark steps).
     * `ts` is normalized to a UTC-instant micros TimestampType exactly
     * as the batch reader (graft.queries.Tables.t) does, so stream and
-    * batch twins stay bit-identical across testdata generations. */
+    * batch twins stay bit-identical across testdata generations.
+    *
+    * The physical `ts` type comes from `tsType` when given; otherwise
+    * it is probed from the directory's parquet footers at plan time
+    * (no job). A watch directory that is still EMPTY at stream start
+    * cannot be probed — the probe then falls back to the current
+    * testdata generation's micros-NTZ; a producer that will write the
+    * nanos layout into an initially-empty directory must pass
+    * `tsType = Some(LongType)` explicitly. Directories must be
+    * generation-homogeneous (one physical ts type per dir) — true of
+    * any writer that doesn't change layout mid-directory. */
   def readStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+      maxFilesPerTrigger: Option[Int] = None,
+      tsType: Option[DataType] = None): DataFrame = {
+    val resolved = tsType.getOrElse(
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType })
     val reader = spark.readStream
-      .schema(eventSchema(tsType))
+      .schema(eventSchema(resolved))
       .format("parquet")
       .option("path", dir)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val raw = reader.load()
-    tsType match {
+    resolved match {
       case LongType => // nanos-as-long: integer-divide (exact) to micros
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => // wall time read in the UTC session zone
