@@ -227,6 +227,57 @@ object Maintenance {
     }
   }
 
+  /** Per-file Bloom manifest over a key column — the point-lookup
+    * complement of [[writeManifest]]'s min/max ranges (the
+    * Iceberg-bloom idea): each data file contributes one `mBits`-bit
+    * bitmap of its key values, so an equality probe can prune to the
+    * files whose bitmap MIGHT contain the key before any footer is
+    * opened. Min/max ranges prune range predicates but are useless
+    * for point lookups on a column the layout isn't sorted by; the
+    * bloom prunes those at ~(1 - e^(-kn/m))^k false-positive cost,
+    * never false negatives. `mBits`/`k` are recorded in the manifest
+    * rows so the probe side cannot drift from the build. */
+  def writeBloomManifest(spark: SparkSession, dataDir: String,
+      manifestDir: String, keyCol: String, mBits: Int = 1024,
+      k: Int = 4): Long = {
+    val keys = spark.read.parquet(dataDir)
+      .withColumn("__file", input_file_name())
+      .select(col("__file").as("file"),
+        col(keyCol).cast("string").as("__key"))
+      .filter(col("__key").isNotNull)
+    val m = Sketches.bloomBuildGrouped(keys, "file", "__key", mBits, k)
+      .withColumn("m_bits", lit(mBits)).withColumn("k_hashes", lit(k))
+    m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestDir)
+    spark.read.parquet(manifestDir).count()
+  }
+
+  /** Bloom-manifest point lookup: open only the files whose bitmap
+    * might contain `value`, then apply the EXACT equality filter —
+    * bloom false positives cost wasted file reads, never wrong rows.
+    * The collect is the pruned FILE LIST (planning metadata), as in
+    * [[readWithManifest]]; an empty survivor set short-circuits to an
+    * empty frame. */
+  def readPointLookup(spark: SparkSession, dataDir: String,
+      manifestDir: String, keyCol: String, value: String): DataFrame = {
+    val m = spark.read.parquet(manifestDir)
+    val meta = m.select(col("m_bits"), col("k_hashes")).head()
+    val (mBits, k) = (meta.getInt(0), meta.getInt(1))
+    val files = m.filter(
+      Sketches.bloomMightContain(col("bloom"), lit(value), mBits, k))
+      .select(col("file")).collect().map(_.getString(0))
+    val full = spark.read.parquet(dataDir)
+    val pruned =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
+      else {
+        val decoded = files.map(f =>
+          new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString)
+        spark.read.parquet(decoded.toIndexedSeq: _*)
+      }
+    pruned.filter(col(keyCol).cast("string") === value)
+  }
+
   /** Algebraic per-key summary of a long-valued column: (cnt, sum,
     * min, max, sumsq). Every field merges by sum/min/max, so a summary
     * maintained incrementally batch-by-batch is EXACTLY the one

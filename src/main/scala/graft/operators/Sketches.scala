@@ -85,6 +85,30 @@ object Sketches {
         w => coalesce(element_at(col("bm"), w), lit(0L))).as("bloom"))
   }
 
+  /** Per-GROUP Bloom bitmaps: one `bloom` array per `grpCol` value —
+    * the file-level form of [[bloomBuild]] (group = file path) that
+    * backs manifest point-lookup pruning (Maintenance
+    * .writeBloomManifest). Same layout, same probe
+    * ([[bloomMightContain]]), same guarantees: no false negatives per
+    * group, bit-OR merge. The shuffle carries at most
+    * groups x mBits/64 word rows after map-side combine. */
+  def bloomBuildGrouped(keys: DataFrame, grpCol: String, keyCol: String,
+      mBits: Int, k: Int): DataFrame = {
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      s"mBits must be a power of two >= 64, got $mBits")
+    val words = mBits / 64
+    val pos = (0 until k).map(i => Portable.pmd5Salted(i, col(keyCol)) % mBits)
+    keys
+      .select(col(grpCol), explode(array(pos.map(p =>
+        struct(shiftrightunsigned(p, 6).cast(IntegerType).as("w"),
+          call_function("shiftleft", lit(1L), p % 64).as("m"))): _*)).as("e"))
+      .groupBy(col(grpCol), col("e.w").as("w")).agg(bit_or(col("e.m")).as("mask"))
+      .groupBy(col(grpCol))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bm"))
+      .select(col(grpCol), transform(sequence(lit(0), lit(words - 1)),
+        w => coalesce(element_at(col("bm"), w), lit(0L))).as("bloom"))
+  }
+
   /** Membership probe against a [[bloomBuild]] bitmap column: true iff
     * ALL k bits for `key` are set. Evaluates scan-stage (the bitmap
     * rides along via a broadcast 1-row cross join); a `true` is only a

@@ -32,6 +32,9 @@ object CurationQueries {
   private val HBINS = 64 // q95: histogram bins per source
   private val TOPK_G = 3 // q96: rows kept per group
   private val CUT_L = 20 // q97: repeated-run gram width (matches q78)
+  // q144: fixed probe keys (present at every SF; the oracle mirrors
+  // the same IN-list, so values — not pruning — are what's compared)
+  private val BLOOM_LOOKUP_IDS = Seq(7L, 123L, 404L)
 
   private def blockSql = BLOCK.map(b => s"'$b'").mkString(", ")
 
@@ -533,6 +536,42 @@ object CurationQueries {
         FROM orders
         WHERE o_custkey BETWEEN 10 AND 40
           AND epoch(o_orderdate) BETWEEN 852076800 AND 873071999""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q144_bloom_lookup",
+      "Bloom-manifest point lookup end-to-end — q114's file skipping " +
+        "for EQUALITY probes on a column the layout is not sorted by " +
+        "(min/max ranges cannot prune those): documents re-laid out " +
+        "across 8 hash files, a per-file Bloom manifest built " +
+        "(Maintenance.writeBloomManifest), and three doc_id lookups " +
+        "answered via readPointLookup — only files whose bitmap MIGHT " +
+        "contain the key are opened, the exact equality filter " +
+        "removes bloom false positives, and no-false-negatives means " +
+        "a miss never loses a row. The oracle is the plain IN-list " +
+        "scan, so the hash match proves pruning drops nothing; " +
+        "BloomManifestSpec measures the file-count drop. Layout + " +
+        "manifest build is the write-once catalog cost, charged here " +
+        "to keep the query self-contained.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val root = java.nio.file.Files.createTempDirectory("graft-q144").toString
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .deleteOnExit(rootPath)
+        docs.repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$root/data")
+        Maintenance.writeBloomManifest(s, s"$root/data", s"$root/manifest",
+          "doc_id")
+        BLOOM_LOOKUP_IDS.map { id =>
+          Maintenance.readPointLookup(s, s"$root/data", s"$root/manifest",
+            "doc_id", id.toString)
+        }.reduce(_ unionByName _)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      },
+      Some(s"""
+        SELECT doc_id, source, lang, n_chars
+        FROM documents
+        WHERE doc_id IN (${BLOOM_LOOKUP_IDS.mkString(", ")})""")),
     // ----------------------------------------------------------------
     Q(
       "q117_curriculum_tiers",
