@@ -29,7 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("pmd5_60"),
       new ExpressionInfo(classOf[Pmd5Hash60].getName, "pmd5_60"),
-      (children: Seq[Expression]) => Pmd5Hash60(children.head)))
+      (children: Seq[Expression]) => Pmd5Hash60.build(children)))
     // size(array_intersect(array_sort(a), array_sort(b))) -> merge walk
     ext.injectOptimizerRule(_ => RewriteSortedIntersect)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 60-bit portable hash: the SAME value as the composed form
@@ -32,21 +32,29 @@ case class Pmd5Hash60(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "pmd5_60"
 
-  // strict STRING-only contract (no implicit widening): the composed
-  // hex form this replaces would likewise fail analysis on non-string
-  // input, so divergence here is impossible
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"pmd5_60 requires STRING input, got ${child.dataType.simpleString}")
+  // exactly what the composed hex form accepts: md5 takes STRING (any
+  // collation — the hash is over the UTF-8 bytes, collation never
+  // matters) or BINARY; anything else fails analysis on both paths,
+  // so routing through this expression cannot change analyzability
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pmd5_60 requires STRING or BINARY input, got ${other.simpleString}")
+  }
 
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(
-      Pmd5Hash60.hash60(input.asInstanceOf[UTF8String].getBytes))
+    java.lang.Long.valueOf(Pmd5Hash60.hash60(input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.Pmd5Hash60.hash60($c.getBytes());")
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case BinaryType =>
+        s"${ev.value} = graft.expressions.Pmd5Hash60.hash60($c);"
+      case _ =>
+        s"${ev.value} = graft.expressions.Pmd5Hash60.hash60($c.getBytes());"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Pmd5Hash60 =
     copy(child = newChild)
@@ -72,11 +80,17 @@ object Pmd5Hash60 {
 
   /** Idempotent session registration (the public Column<->Expression
     * seam in Spark 4 is the function registry; see [[SimHash60]]). */
+  private[graft] def build(exprs: Seq[Expression]): Pmd5Hash60 = {
+    require(exprs.length == 1,
+      s"pmd5_60 takes exactly 1 argument, got ${exprs.length}")
+    Pmd5Hash60(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit =
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("pmd5_60")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "pmd5_60", exprs => Pmd5Hash60(exprs.head), "scala_udf")
+        "pmd5_60", build, "scala_udf")
 
   def apply(spark: SparkSession, s: Column): Column = {
     register(spark)

@@ -213,6 +213,15 @@ object Maintenance {
       col(s"min_$c") <= hi && col(s"max_$c") >= lo
     }.reduce(_ && _)
     val files = m.filter(pred).select(col("file")).collect().map(_.getString(0))
+    readFiles(spark, dataDir, files)
+  }
+
+  /** Read exactly `files` (URI-encoded, as input_file_name() yields
+    * them) from a data directory; an empty list short-circuits to an
+    * empty frame with the data schema. Shared by both pruned-read
+    * paths so the URI-decoding subtlety lives once. */
+  private def readFiles(spark: SparkSession, dataDir: String,
+      files: Array[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(dataDir).schema)
@@ -225,7 +234,6 @@ object Maintenance {
         new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString)
       spark.read.parquet(decoded.toIndexedSeq: _*)
     }
-  }
 
   /** Per-file Bloom manifest over a key column — the point-lookup
     * complement of [[writeManifest]]'s min/max ranges (the
@@ -260,22 +268,18 @@ object Maintenance {
   def readPointLookup(spark: SparkSession, dataDir: String,
       manifestDir: String, keyCol: String, value: String): DataFrame = {
     val m = spark.read.parquet(manifestDir)
-    val meta = m.select(col("m_bits"), col("k_hashes")).head()
-    val (mBits, k) = (meta.getInt(0), meta.getInt(1))
-    val files = m.filter(
-      Sketches.bloomMightContain(col("bloom"), lit(value), mBits, k))
-      .select(col("file")).collect().map(_.getString(0))
-    val full = spark.read.parquet(dataDir)
-    val pruned =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
-      else {
-        val decoded = files.map(f =>
-          new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString)
-        spark.read.parquet(decoded.toIndexedSeq: _*)
-      }
-    pruned.filter(col(keyCol).cast("string") === value)
+    // a manifest over an all-null or empty key column has zero rows —
+    // nothing can match, mirror readWithManifest's empty short-circuit
+    // rather than dying on head() of nothing
+    val files = m.select(col("m_bits"), col("k_hashes")).limit(1)
+      .collect().headOption match {
+      case None => Array.empty[String]
+      case Some(meta) =>
+        m.filter(Sketches.bloomMightContain(col("bloom"), lit(value),
+            meta.getInt(0), meta.getInt(1)))
+          .select(col("file")).collect().map(_.getString(0))
+    }
+    readFiles(spark, dataDir, files).filter(col(keyCol).cast("string") === value)
   }
 
   /** Algebraic per-key summary of a long-valued column: (cnt, sum,

@@ -1003,28 +1003,35 @@ object AdvancedQueries {
         val ev = t(s, dir, "events")
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
+        // null-safe change detection: a change TO null is a change, and
+        // consecutive nulls collapse like any repeated value — plain
+        // <> would 3-valued-logic both cases away. The first row is
+        // detected by lagging a constant (null only at the frame
+        // start), not by prev.isNull, which a genuine null value of
+        // the previous change would also satisfy.
         val changes = ev
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .withColumn("prev", lag(col("value"), 1).over(w))
-          .filter(col("prev").isNull || col("value") =!= col("prev"))
+          .withColumn("first", lag(lit(0), 1).over(w).isNull)
+          .filter(col("first") || !(col("value") <=> col("prev")))
         changes
           .select(col("user_id"), col("value"),
             col("ts").as("valid_from"),
-            lead(col("ts"), 1).over(Window.partitionBy(col("user_id"))
-              .orderBy(col("ts").asc, col("event_id").asc)).as("valid_to"))
+            lead(col("ts"), 1).over(w).as("valid_to"))
           .withColumn("is_current", col("valid_to").isNull)
       },
       Some("""
         WITH c AS (
           SELECT user_id, ts, event_id, value,
-                 lag(value, 1) OVER w AS prev
+                 lag(value, 1) OVER w AS prev,
+                 lag(0, 1) OVER w IS NULL AS first
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
         SELECT user_id, value, ts AS valid_from,
                lead(ts, 1) OVER w2 AS valid_to,
                lead(ts, 1) OVER w2 IS NULL AS is_current
         FROM c
-        WHERE prev IS NULL OR value <> prev
+        WHERE first OR value IS DISTINCT FROM prev
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
     // ----------------------------------------------------------------
     Q(
@@ -1075,7 +1082,12 @@ object AdvancedQueries {
             s"CASE WHEN u_n < $KMV_JOIN_K THEN u_n " +
               s"ELSE CAST(CAST(${KMV_JOIN_K - 1} AS DECIMAL(38,0)) * ${1L << 60} " +
               "div h_k AS BIGINT) END"))
-          .withColumn("est_inter", expr(s"common * est_union div $KMV_JOIN_K"))
+          // Jaccard denominator is the union SKETCH size u_n (== K when
+          // full, == |A u B| when not): dividing by K unconditionally
+          // would shrink the not-full estimate by u_n/K and break the
+          // promised exact degradation
+          .withColumn("est_inter", expr(
+            "CASE WHEN u_n = 0 THEN 0 ELSE common * est_union div u_n END"))
           .select(lit(KMV_JOIN_K.toLong).as("k"), col("n_a"), col("n_b"),
             col("union_exact"), col("common"),
             col("est_union"), col("est_inter"))
@@ -1109,7 +1121,9 @@ object AdvancedQueries {
                            // h_k AS BIGINT) END AS est_union
           FROM us)
         SELECT CAST($KMV_JOIN_K AS BIGINT) AS k, n_a, n_b, union_exact, common,
-               est_union, common * est_union // $KMV_JOIN_K AS est_inter
+               est_union,
+               CASE WHEN u_n = 0 THEN 0
+                    ELSE common * est_union // u_n END AS est_inter
         FROM est, cm, ex, na, nb"""))
   )
 }

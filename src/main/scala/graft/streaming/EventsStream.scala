@@ -53,7 +53,16 @@ object EventsStream {
       tsType: Option[DataType] = None): DataFrame = {
     val resolved = tsType.getOrElse(
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType })
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          // fall back ONLY for the not-yet-populated watch directory;
+          // a nonexistent path (typo) must fail fast here, not as a
+          // confusing mid-stream error later
+          val p = new org.apache.hadoop.fs.Path(dir)
+          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+            TimestampNTZType
+          else throw e
+      })
     val reader = spark.readStream
       .schema(eventSchema(resolved))
       .format("parquet")
