@@ -18,6 +18,15 @@ object PortableProps extends Properties("Portable") {
     Portable.pmd5Local(s) == Portable.pmd5Local(s)
   }
 
+  property("native Pmd5Hash60.hash60 == pmd5Local for arbitrary strings") =
+    forAll { (s: String) =>
+      // the identity that keeps every oracle valid when the codegen
+      // expression replaces the composed hex form on the Spark side
+      graft.expressions.Pmd5Hash60.hash60(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) ==
+        Portable.pmd5Local(s)
+    }
+
   property("minhash params in range, multiplier nonzero") =
     forAll(Gen.choose(0, 1000)) { i =>
       val (a, b) = Portable.minhashParams(i)
