@@ -128,6 +128,56 @@ object Graph {
       .agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Synchronous label propagation (community detection) over the
+    * symmetrized pair graph: every node starts labeled with its own id;
+    * each round, a node adopts the most frequent label among its
+    * NEIGHBORS, ties broken by the smallest label — both rules
+    * deterministic, so (unlike classic randomized-order LPA) the same
+    * input always yields the same communities. Updates are synchronous
+    * (all nodes re-label from the same previous round), which is what
+    * makes a fixed round count well-defined and lets the DuckDB oracle
+    * unroll the identical rounds; on bipartite structures synchronous
+    * LPA can oscillate with period 2, which a fixed `rounds` simply
+    * samples — callers wanting a fixpoint certificate compare rounds
+    * and rounds+1 the way GraphSpec does for kCore.
+    *
+    * Scale design: each round is one edge equi-join on `src` plus two
+    * keyed aggregations — (dst, lbl) counts, then an argmax per dst
+    * folded as `min(struct(-count, label))` so no per-node sort or
+    * window exists anywhere; the edge list is persisted pre-partitioned
+    * on `src` (the pageRank layout) so all rounds reuse one exchange,
+    * and `truncateEvery` bounds plan depth for long runs exactly as in
+    * [[pageRank]]. Labels are one 16-byte row per node.
+    *
+    * Cache contract: same as [[pageRank]] — the result reads the
+    * persisted edges; free with `spark.catalog.clearCache()`.
+    *
+    * Output: (id, lbl) — one row per node of the symmetrized graph. */
+  def labelPropagation(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", rounds: Int = 3,
+      truncateEvery: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = pairs.sparkSession
+    val sym = symmetrize(pairs, idA, idB).repartition(col("src")).persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var freePrev: () => Unit = () => ()
+    for (t <- 1 to rounds) {
+      val next = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        // lexicographic struct min == (max count, then min label); the
+        // negation cannot overflow (c is a positive row count)
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("best"))
+        .select(col("dst").as("id"), col("best.l").as("lbl"))
+      labels = next
+      if (truncateEvery > 0 && t % truncateEvery == 0 && t < rounds)
+        labels = truncate(spark, labels, reliable = false,
+          freeHook = f => { freePrev(); freePrev = f })
+    }
+    labels
+  }
+
   /** Both directions of an undirected pair list: (a,b) and (b,a) as
     * (src, dst) — the shared edge canonicalization for every graph
     * operator here (self-loops and duplicate pairs pass through; the

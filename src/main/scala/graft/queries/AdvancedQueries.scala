@@ -1124,6 +1124,157 @@ object AdvancedQueries {
                est_union,
                CASE WHEN u_n = 0 THEN 0
                     ELSE common * est_union // u_n END AS est_inter
-        FROM est, cm, ex, na, nb"""))
+        FROM est, cm, ex, na, nb""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q145_quality_report",
+      "Declarative data-quality audit (the Deequ shape, " +
+        "graft.operators.Quality): eleven constraints over the star " +
+        "schema — completeness, accepted values, ranges, key " +
+        "uniqueness, referential integrity — each reported as " +
+        "(check_name, checked, violations, pass). ROW checks compile " +
+        "to ONE conditional-agg scan per table no matter how many are " +
+        "registered; UNIQUE checks shuffle only key columns; REF " +
+        "checks are a key-projected left-outer against the distinct " +
+        "dimension keys (broadcast for customer, shuffled for the " +
+        "fact-sized orders side) counting matches and misses in one " +
+        "agg — no second row-count scan. The report is honest on this " +
+        "data: lineitem's (l_orderkey, l_linenumber) pair is NOT " +
+        "unique and the 30-unit quantity SLA fails, so both classes " +
+        "of outcome appear. All counts are exact integers.",
+      (s, dir) => {
+        import graft.operators.Quality
+        import graft.operators.Quality.{RefCheck, RowCheck, UniqueCheck}
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val cust = t(s, dir, "customer")
+        val rOrders = Quality.report(
+          o,
+          rowChecks = Seq(
+            RowCheck("orders.o_orderkey NOT NULL", col("o_orderkey").isNotNull),
+            RowCheck("orders.o_orderstatus IN (F,O,P)",
+              col("o_orderstatus").isin("F", "O", "P")),
+            RowCheck("orders.o_totalprice IN [0,600000]",
+              col("o_totalprice") >= 0.0 && col("o_totalprice") <= 600000.0)),
+          uniqueChecks =
+            Seq(UniqueCheck("orders.o_orderkey UNIQUE", Seq("o_orderkey"))),
+          refChecks = Seq(RefCheck(
+            "orders.o_custkey REFERENCES customer.c_custkey",
+            "o_custkey", cust, "c_custkey")))
+        val rLine = Quality.report(
+          l,
+          rowChecks = Seq(
+            RowCheck("lineitem.l_quantity IN [1,50]",
+              col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+            RowCheck("lineitem.l_quantity <= 30 (SLA)", col("l_quantity") <= 30.0),
+            RowCheck("lineitem.l_discount IN [0,0.1]",
+              col("l_discount") >= 0.0 && col("l_discount") <= 0.1)),
+          uniqueChecks = Seq(UniqueCheck(
+            "lineitem(l_orderkey,l_linenumber) UNIQUE",
+            Seq("l_orderkey", "l_linenumber"))),
+          // orders is fact-sized: shuffled key join, never broadcast
+          refChecks = Seq(RefCheck(
+            "lineitem.l_orderkey REFERENCES orders.o_orderkey",
+            "l_orderkey", o, "o_orderkey", broadcastDim = false)))
+        val rCust = Quality.report(
+          cust,
+          rowChecks = Seq(
+            RowCheck("customer.c_acctbal NOT NULL", col("c_acctbal").isNotNull)))
+        rOrders.unionAll(rLine).unionAll(rCust).orderBy("check_name")
+      },
+      Some {
+        def rowSql(table: String, name: String, pred: String) =
+          s"""SELECT '$name' AS check_name, CAST(count(*) AS BIGINT) AS checked,
+             CAST(sum(CASE WHEN COALESCE($pred, false) THEN 0 ELSE 1 END) AS BIGINT)
+               AS violations
+          FROM $table"""
+        def uniqueSql(table: String, name: String, keys: String) =
+          s"""SELECT '$name', CAST(COALESCE(sum(cnt), 0) AS BIGINT),
+             CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT)
+          FROM (SELECT count(*) AS cnt FROM $table GROUP BY $keys)"""
+        def refSql(name: String, fact: String, fk: String, dim: String, pk: String) =
+          s"""SELECT '$name', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(CASE WHEN d.__pk IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT)
+          FROM (SELECT $fk FROM $fact WHERE $fk IS NOT NULL) f
+          LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $dim) d ON f.$fk = d.__pk"""
+        val rows = Seq(
+          rowSql("orders", "orders.o_orderkey NOT NULL",
+            "o_orderkey IS NOT NULL"),
+          rowSql("orders", "orders.o_orderstatus IN (F,O,P)",
+            "o_orderstatus IN ('F','O','P')"),
+          rowSql("orders", "orders.o_totalprice IN [0,600000]",
+            "o_totalprice >= 0.0 AND o_totalprice <= 600000.0"),
+          uniqueSql("orders", "orders.o_orderkey UNIQUE", "o_orderkey"),
+          refSql("orders.o_custkey REFERENCES customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"),
+          rowSql("lineitem", "lineitem.l_quantity IN [1,50]",
+            "l_quantity >= 1.0 AND l_quantity <= 50.0"),
+          rowSql("lineitem", "lineitem.l_quantity <= 30 (SLA)",
+            "l_quantity <= 30.0"),
+          rowSql("lineitem", "lineitem.l_discount IN [0,0.1]",
+            "l_discount >= 0.0 AND l_discount <= 0.1"),
+          uniqueSql("lineitem", "lineitem(l_orderkey,l_linenumber) UNIQUE",
+            "l_orderkey, l_linenumber"),
+          refSql("lineitem.l_orderkey REFERENCES orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          rowSql("customer", "customer.c_acctbal NOT NULL",
+            "c_acctbal IS NOT NULL"))
+        s"""
+        WITH rpt AS (
+          ${rows.mkString("\n          UNION ALL\n          ")})
+        SELECT check_name, checked, violations, violations = 0 AS pass
+        FROM rpt ORDER BY check_name"""
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q149_integer_ewma",
+      "Integer exponential smoothing over the hourly event series — " +
+        "the trend line q88's burst detector compares against, kept " +
+        "EXACT: per event type, s_t = (s_{t-1} + x_t) div 2 " +
+        "(alpha = 1/2 as a pure integer halving, seeded s_1 = x_1), " +
+        "so both engines produce identical longs with no float decay " +
+        "chain. The recurrence is inherently sequential PER KEY, so " +
+        "it runs as an ordered in-array fold: the hourly counts " +
+        "aggregate keyed on (type, hour) first — the only data-sized " +
+        "shuffle — then each type's series collects to one array " +
+        "whose length is bounded by the TIME RANGE (hours), not the " +
+        "event volume, and one aggregate() lambda emits the running " +
+        "EWMA array that zips back to rows. The DuckDB mirror walks " +
+        "the same recurrence as a recursive CTE. At 100 TB the " +
+        "per-key state is still only #hours longs; a longer horizon " +
+        "chunks by (key, month) and chains the carry, and the " +
+        "streaming twin keeps s_t as mapGroupsWithState state.",
+      (s, dir) => {
+        val h = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        h.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("xs"))
+          .withColumn("es", expr("""
+            aggregate(xs, cast(array() as array<bigint>),
+              (acc, x) -> array_append(acc,
+                CASE WHEN size(acc) = 0 THEN x.n
+                     ELSE (element_at(acc, -1) + x.n) div 2 END))"""))
+          .select(col("event_type"), explode(arrays_zip(col("xs"), col("es"))).as("z"))
+          .select(col("event_type"), col("z.xs.hr").as("hr"),
+            col("z.xs.n").as("n"), col("z.es").as("ewma"))
+      },
+      Some("""
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        hs AS (
+          SELECT event_type, hr, n,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+          FROM h),
+        rec AS (
+          SELECT event_type, hr, n, i, n AS ewma FROM hs WHERE i = 1
+          UNION ALL
+          SELECT hs.event_type, hs.hr, hs.n, hs.i, (rec.ewma + hs.n) // 2
+          FROM rec JOIN hs ON hs.event_type = rec.event_type
+                          AND hs.i = rec.i + 1)
+        SELECT event_type, hr, n, ewma FROM rec"""))
   )
 }

@@ -721,6 +721,61 @@ object CurationQueries {
                e.est_raw_milli, e.est_milli,
                CAST(abs(CAST(e.est_milli AS HUGEINT) - CAST(ex.exact_distinct AS HUGEINT) * 1000) * 10000
                     // (ex.exact_distinct * 1000) AS BIGINT) AS err_bp
-        FROM est e JOIN ex ON e.source = ex.source"""))
+        FROM est e JOIN ex ON e.source = ex.source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q146_k_anonymity",
+      "k-anonymity audit over quasi-identifiers — the re-identification " +
+        "risk datasheet a PII review asks for before release (q92's " +
+        "redaction masks direct identifiers; THIS measures what the " +
+        "indirect ones still leak): customers grouped by the QI tuple " +
+        "(nation, market segment, account-balance band of 1000), " +
+        "every group's size k folded into the standard risk histogram " +
+        "— k=1 (unique, re-identifiable), 2-4, 5-9, 10+ — with group " +
+        "and row counts and each band's share of all rows in integer " +
+        "basis points. Two keyed aggregations: the QI groupBy shuffles " +
+        "three narrow columns (never names or payloads), the " +
+        "band-cardinality histogram is a 4-row roll-up, and the total " +
+        "joins back as a broadcast 1-row frame — no unpartitioned " +
+        "window anywhere. The balance band is floor(acctbal/1000): " +
+        "one IEEE double divide + floor, bit-identical across engines.",
+      (s, dir) => {
+        val g = t(s, dir, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000.0).as("bal_band"))
+          .agg(count(lit(1)).as("k"))
+        val h = g
+          .groupBy(when(col("k") === 1, 1L).when(col("k") <= 4, 2L)
+            .when(col("k") <= 9, 5L).otherwise(10L).as("bucket_lo"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+        val tot = h.agg(sum(col("n_rows")).as("total"))
+        h.crossJoin(broadcast(tot))
+          .select(col("bucket_lo"),
+            when(col("bucket_lo") === 1, "k=1")
+              .when(col("bucket_lo") === 2, "k=2-4")
+              .when(col("bucket_lo") === 5, "k=5-9")
+              .otherwise("k>=10").as("k_bucket"),
+            col("n_groups"), col("n_rows"),
+            expr("n_rows * 10000 div total").as("rows_bp"))
+          .orderBy("bucket_lo")
+      },
+      Some("""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment,
+                 floor(c_acctbal / 1000.0) AS bal_band, count(*) AS k
+          FROM customer GROUP BY 1, 2, 3),
+        h AS (
+          SELECT CASE WHEN k = 1 THEN 1 WHEN k <= 4 THEN 2
+                      WHEN k <= 9 THEN 5 ELSE 10 END AS bucket_lo,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(k) AS BIGINT) AS n_rows
+          FROM g GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM h)
+        SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+               CASE bucket_lo WHEN 1 THEN 'k=1' WHEN 2 THEN 'k=2-4'
+                    WHEN 5 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
+               n_groups, n_rows,
+               n_rows * 10000 // total AS rows_bp
+        FROM h, tot ORDER BY bucket_lo"""))
   )
 }

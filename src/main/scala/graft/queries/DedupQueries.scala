@@ -22,6 +22,7 @@ object DedupQueries {
   private val KCORE_K = 2      // q131: minimum in-core degree
   private val KCORE_ROUNDS = 6 // q131: fixed peel rounds (GraphSpec: >= depth)
   private val PR_ITERS = 5    // q70 power-iteration rounds
+  private val LPA_ROUNDS = 3  // q148 synchronous label-propagation rounds
 
   /** q59 corpus slice (doc_id < SSJOIN_SCOPE). The harness's synthetic
     * corpus is adversarially PAIR-DENSE for an exact-complete ssjoin:
@@ -807,6 +808,42 @@ object DedupQueries {
         SELECT source, n_grams,
                coalesce(n_novel, 0) AS n_novel,
                coalesce(n_novel, 0) * 10000 // n_grams AS novelty_bp
-        FROM n LEFT JOIN nov USING (source)"""))
+        FROM n LEFT JOIN nov USING (source)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q148_label_propagation",
+      "Deterministic label-propagation communities over the near-dup " +
+        s"graph (q28's verified pairs): $LPA_ROUNDS synchronous " +
+        "rounds, each node adopting its neighbors' most frequent " +
+        "label with ties to the smallest — the cheap community signal " +
+        "BETWEEN q48's flat components (LPA can split a chain the " +
+        "transitive closure fuses) and q70's per-node centrality. " +
+        "Each round is one pre-partitioned edge join plus two keyed " +
+        "aggregations; the per-node argmax folds as min(struct(-n, " +
+        "lbl)) — no window, no sort, 16 bytes per node per round — " +
+        "and long runs truncate plan depth on the pageRank stride. " +
+        "Output is the community roster: label, member count, id span.",
+      (s, dir) =>
+        Graph.labelPropagation(lshVerifiedPairs(s, dir).select("id_a", "id_b"),
+            rounds = LPA_ROUNDS)
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("id")).as("min_doc"), max(col("id")).as("max_doc")),
+      Some(s"""$pairsCte,
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM sym),
+        ${(1 to LPA_ROUNDS).map(t => s"""
+        l$t AS (
+          SELECT id, lbl FROM (
+            SELECT sym.dst AS id, p.lbl,
+                   row_number() OVER (PARTITION BY sym.dst
+                     ORDER BY count(*) DESC, p.lbl ASC) AS rnk
+            FROM sym JOIN l${t - 1} p ON p.id = sym.src
+            GROUP BY sym.dst, p.lbl)
+          WHERE rnk = 1)""").mkString(",")}
+        SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+               min(id) AS min_doc, max(id) AS max_doc
+        FROM l$LPA_ROUNDS GROUP BY lbl"""))
   )
 }

@@ -452,6 +452,87 @@ object TextQueries {
         SELECT doc_id, n_tokens_raw,
                CAST(length(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm,
                ${Portable.pmd5Sql("norm")} AS norm_digest
-        FROM n"""))
+        FROM n""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q147_bigram_lm",
+      "Bigram language-model scoring — q112's fluency proxy upgraded " +
+        "from unigram frequency to CONDITIONAL structure: bigram and " +
+        "unigram counts learned on one hash-half of the corpus, the " +
+        "other half scored per adjacent token pair by the integer " +
+        "negative-log2 of p(w2|w1) ~ tier(c(w1)) - tier(c(w1,w2)) " +
+        "(tiers via binary-string length — exact, no transcendentals; " +
+        "c12 <= c1 keeps every term non-negative). An unseen bigram " +
+        "over a known w1 scores tier(c1)+1 — one bit worse than any " +
+        "observed continuation; an unknown w1 a flat 20-bit penalty. " +
+        "Adjacent pairs come from zipping the token array against its " +
+        "own tail IN the scan stage (no positional self-join, no " +
+        "window); the count tables join token-keyed (q51's cost " +
+        "class, never broadcast-bounded) and per-source means are " +
+        "integer milli-bits. Low = predictable fluent text; high = " +
+        "junk or shuffled text — the score a quality-filter thresholds.",
+      (s, dir) => {
+        val d = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"),
+            (Portable.pmd5(concat(lit("d:"), col("doc_id").cast("string"))) % 2)
+              .as("half"),
+            split(col("text"), " ").as("arr"))
+        val uni = d.select(col("half"), explode(col("arr")).as("w1"))
+          .filter(col("half") === 0)
+          .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+          .select(col("w1"), (length(bin(col("c1"))) - 1).cast(LongType).as("t1"))
+        val pairs = d
+          .withColumn("a1", slice(col("arr"), lit(1), size(col("arr")) - 1))
+          .withColumn("a2", slice(col("arr"), lit(2), size(col("arr")) - 1))
+          .select(col("source"), col("half"),
+            explode(arrays_zip(col("a1"), col("a2"))).as("p"))
+          .select(col("source"), col("half"),
+            col("p.a1").as("w1"), col("p.a2").as("w2"))
+        val bi = pairs.filter(col("half") === 0)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+          .select(col("w1"), col("w2"),
+            (length(bin(col("c12"))) - 1).cast(LongType).as("t12"))
+        pairs.filter(col("half") === 1)
+          .join(uni, Seq("w1"), "left")
+          .join(bi, Seq("w1", "w2"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("t1").isNull, 20L)
+              .when(col("t12").isNull, col("t1") + 1L)
+              .otherwise(col("t1") - col("t12"))).as("sum_nll2"))
+          .select(col("source"), col("n_bigrams"), col("sum_nll2"),
+            expr("sum_nll2 * 1000 div n_bigrams").as("nll2_milli"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source,
+                 ${Portable.pmd5Sql("concat('d:', CAST(doc_id AS VARCHAR))")} % 2 AS half,
+                 string_split(text, ' ') AS l
+          FROM documents),
+        uni AS (
+          SELECT tk AS w1, CAST(length(bin(count(*))) - 1 AS BIGINT) AS t1
+          FROM (SELECT half, unnest(l) AS tk FROM d)
+          WHERE half = 0 GROUP BY tk),
+        pr AS (
+          SELECT source, half,
+                 unnest(list_transform(generate_series(1, len(l) - 1),
+                   i -> l[i])) AS w1,
+                 unnest(list_transform(generate_series(1, len(l) - 1),
+                   i -> l[i + 1])) AS w2
+          FROM d),
+        bi AS (
+          SELECT w1, w2, CAST(length(bin(count(*))) - 1 AS BIGINT) AS t12
+          FROM pr WHERE half = 0 GROUP BY w1, w2)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN t1 IS NULL THEN 20
+                             WHEN t12 IS NULL THEN t1 + 1
+                             ELSE t1 - t12 END) AS BIGINT) AS sum_nll2,
+               CAST(sum(CASE WHEN t1 IS NULL THEN 20
+                             WHEN t12 IS NULL THEN t1 + 1
+                             ELSE t1 - t12 END) AS BIGINT) * 1000
+                 // count(*) AS nll2_milli
+        FROM pr LEFT JOIN uni USING (w1) LEFT JOIN bi USING (w1, w2)
+        WHERE half = 1
+        GROUP BY source"""))
   )
 }
