@@ -696,27 +696,54 @@ object Similarity {
       lloydIters: Int = 1, rerankPool: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subd = dim / m
+    val prepped = pqNormed(prep(corpus, idCol, "__pid", vecCol), "__pid").persist()
+    val corpusSubs = pqSubRows(prepped, "__pid", m, subd).persist()
+    val cb = pqTrainCodebook(prepped, corpusSubs, m, ksub, subd, lloydIters)
+    val codes = pqWideCodes(corpusSubs, cb, m)
+    val lutMaps = pqLutMaps(queries, idCol, vecCol, cb, m, ksub, subd)
+    // full-corpus ADC: every code row scores against every query's LUT
+    val scored = codes.crossJoin(lutMaps)
+    pqShortlistRerank(scored, corpus, queries, idCol, vecCol,
+      k, m, ksub, rerankPool)
+  }
 
-    def subRows(df: DataFrame, outId: String): DataFrame =
-      df.select(col(outId), posexplode(array(
-        (0 until m).map(i => slice(col("v"), i * subd + 1, subd)): _*)))
-        .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+  // ---- product-quantization internals (pqTopK / ivfPqTopK) ----
 
-    // normalize to the unit sphere FIRST: for unit vectors
-    // ||a-b||^2 = 2 - 2cos(a,b), so the L2 order PQ approximates IS
-    // the cosine order the exact baseline ranks by (without this, a
-    // norm-varying corpus makes ADC chase magnitude, not angle).
-    // Requires nonzero vectors (a zero norm divides to NaN).
-    def normed(df: DataFrame, outId: String): DataFrame =
-      df.select(col(outId), transform(col("v"), x => x / col("nv")).as("v"))
+  /** (id, sub, sv): the `m` contiguous `subd`-wide subvectors of `v`. */
+  private def pqSubRows(df: DataFrame, outId: String, m: Int, subd: Int): DataFrame =
+    df.select(col(outId), posexplode(array(
+      (0 until m).map(i => slice(col("v"), i * subd + 1, subd)): _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
 
-    val prepped = normed(prep(corpus, idCol, "__pid", vecCol), "__pid").persist()
-    val corpusSubs = subRows(prepped, "__pid").persist()
+  /** Normalize a prepped frame to the unit sphere FIRST: for unit
+    * vectors ||a-b||^2 = 2 - 2cos(a,b), so the L2 order PQ
+    * approximates IS the cosine order the exact baseline ranks by
+    * (without this, a norm-varying corpus makes ADC chase magnitude,
+    * not angle). Requires nonzero vectors (a zero norm divides to NaN). */
+  private def pqNormed(df: DataFrame, outId: String): DataFrame =
+    df.select(col(outId), transform(col("v"), x => x / col("nv")).as("v"))
 
-    // hash-race seeds: the ksub smallest sampling keys, cell = rank.
-    // The rank window partitions by `__pid % 1` (always 0) so the
-    // already-LIMIT-bounded frame gets an explicit single-bucket spec
-    // (see Tables.boundedRank for why the planner needs this shape).
+  /** Nearest codeword per (id, sub) against a broadcast codebook.
+    * Argmin as min(struct(d, cell, sv)): (d, cell) is unique within a
+    * group, so the struct order IS the (distance asc, cell asc)
+    * tiebreak the oracle's row_number mirrors — but as a map-side-
+    * combinable agg instead of a full-width window shuffle + sort. */
+  private def pqEncode(subs: DataFrame, codebook: DataFrame, outId: String): DataFrame =
+    subs.join(broadcast(codebook), Seq("sub"))
+      .groupBy(col(outId), col("sub"))
+      .agg(min(struct(l2D(col("sv"), col("cw")).as("d"),
+        col("cell").as("cell"), col("sv").as("sv"))).as("m"))
+      .select(col(outId), col("sub"), col("m.sv").as("sv"),
+        col("m.cell").as("cell"))
+
+  /** Hash-race seed codebook (the ksub smallest sampling keys, cell =
+    * rank; the rank window partitions by `__pid % 1` — always 0 — so
+    * the already-LIMIT-bounded frame gets an explicit single-bucket
+    * spec, see Tables.boundedRank) plus `lloydIters` mean-update
+    * rounds under L2 (ordered sum, one division per component —
+    * sum/count order identical on both engines). */
+  private def pqTrainCodebook(prepped: DataFrame, corpusSubs: DataFrame,
+      m: Int, ksub: Int, subd: Int, lloydIters: Int): DataFrame = {
     val seedIds = prepped
       .orderBy(Portable.pmd5(concat(lit("pq:"), col("__pid").cast("string"))).asc,
         col("__pid").asc)
@@ -726,27 +753,11 @@ object Similarity {
           .orderBy(Portable.pmd5(concat(lit("pq:"), col("__pid").cast("string"))).asc,
             col("__pid").asc)) - 1)
       .select(col("__pid"), col("cell").cast(LongType).as("cell"))
-    var cb = subRows(prepped.join(broadcast(seedIds), "__pid"), "cell")
+    var cb = pqSubRows(prepped.join(broadcast(seedIds), "__pid"), "cell", m, subd)
       .select(col("cell"), col("sub"), col("sv").as("cw"))
-
-    // nearest codeword per (id, sub) against a broadcast codebook.
-    // Argmin as min(struct(d, cell, sv)): (d, cell) is unique within a
-    // group, so the struct order IS the (distance asc, cell asc)
-    // tiebreak the oracle's row_number mirrors — but as a map-side-
-    // combinable agg instead of a full-width window shuffle + sort.
-    def encode(subs: DataFrame, codebook: DataFrame, outId: String): DataFrame =
-      subs.join(broadcast(codebook), Seq("sub"))
-        .groupBy(col(outId), col("sub"))
-        .agg(min(struct(l2D(col("sv"), col("cw")).as("d"),
-          col("cell").as("cell"), col("sv").as("sv"))).as("m"))
-        .select(col(outId), col("sub"), col("m.sv").as("sv"),
-          col("m.cell").as("cell"))
-
-    // Lloyd under L2: mean codewords (ordered sum, one division per
-    // component — sum/count order identical on both engines)
     val zero = typedLit(Seq.fill(subd)(0.0))
     for (_ <- 0 until lloydIters) {
-      cb = encode(corpusSubs, cb, "__pid")
+      cb = pqEncode(corpusSubs, cb, "__pid")
         .groupBy(col("sub"), col("cell"))
         .agg(
           sort_array(collect_list(struct(col("__pid").as("i"), col("sv").as("vv"))))
@@ -758,9 +769,13 @@ object Similarity {
               (acc, s) => zip_with(acc, s.getField("vv"), (x, y) => x + y)),
             x => x / col("n")).as("cw"))
     }
+    cb
+  }
 
-    // corpus -> m-byte codes, one wide row per vector
-    val codes = encode(
+  /** Corpus -> m-byte codes, one wide (neighbor_id, c0..c{m-1}) row
+    * per vector. */
+  private def pqWideCodes(corpusSubs: DataFrame, cb: DataFrame, m: Int): DataFrame =
+    pqEncode(
       corpusSubs.withColumnRenamed("__pid", "neighbor_id"), cb, "neighbor_id")
       .groupBy(col("neighbor_id"))
       .agg(
@@ -768,24 +783,39 @@ object Similarity {
         (1 until m).map(i =>
           max(when(col("sub") === i, col("cell"))).as(s"c$i")): _*)
 
-    // per-query LUT: exact subvector-to-codeword distances
-    val lut = subRows(normed(prep(queries, idCol, "query_id", vecCol), "query_id"), "query_id")
+  /** Per-query LUT of exact subvector-to-codeword distances, folded to
+    * ONE flat (sub*ksub + cell) -> d map per query, so the ADC scan is
+    * a single broadcast join + m map lookups per code row, not m
+    * sequential joins (measured 5.2 s -> ~2 s at sf0.1 — local
+    * stage-scheduling overhead, but also 16x fewer build sides on a
+    * real cluster). */
+  private def pqLutMaps(queries: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, m: Int, ksub: Int, subd: Int): DataFrame = {
+    val lut = pqSubRows(
+      pqNormed(prep(queries, idCol, "query_id", vecCol), "query_id"),
+      "query_id", m, subd)
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cell"),
         l2D(col("sv"), col("cw")).as("d"))
-
-    // each query's whole LUT as ONE flat (sub*ksub + cell) -> d map, so
-    // the ADC scan is a single broadcast join + m map lookups per code
-    // row, not m sequential joins (measured 5.2 s -> ~2 s at sf0.1 —
-    // local stage-scheduling overhead, but also 16x fewer build sides
-    // on a real cluster). Lookup order d0 + d1 + ... + d(m-1) is the
-    // same left-associated chain the oracle's 16-way join sums.
-    val lutMaps = broadcast(lut
+    broadcast(lut
       .groupBy(col("query_id"))
       .agg(map_from_entries(collect_list(struct(
         (col("sub") * ksub + col("cell")).cast(IntegerType).as("k"),
         col("d")))).as("lm")))
-    val scored = codes.crossJoin(lutMaps)
+  }
+
+  /** ADC ranking + FAISS-style refine over a (c0..c{m-1}, lm) scored
+    * frame: lookup order d0 + d1 + ... + d(m-1) is the same
+    * left-associated chain the oracle's m-way join sums. With
+    * `rerankPool <= 0` the raw ADC order IS the answer; otherwise the
+    * ADC scan shortlists `rerankPool` candidates per query from codes
+    * alone and only those few vectors are re-read for an exact cosine
+    * re-rank — PQ quantization caps shortlist quality, never final
+    * ranking quality (within-cell ties — a whole near-dup cluster
+    * collapsing to one code — are resolved here, not by code distance). */
+  private def pqShortlistRerank(scored: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, ksub: Int, rerankPool: Int): DataFrame = {
     val adist = (0 until m).map(i =>
       element_at(col("lm"), (lit(i * ksub) + col(s"c$i")).cast(IntegerType)))
       .reduce(_ + _)
@@ -798,12 +828,6 @@ object Similarity {
       adcRanked.filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
     else {
-      // FAISS-style refine: the ADC scan shortlists `rerankPool`
-      // candidates per query from codes alone; only those few vectors
-      // are re-read for an exact cosine re-rank. PQ quantization caps
-      // shortlist quality, never final ranking quality — within-cell
-      // ties (a whole near-dup cluster collapsing to one code) are
-      // resolved here, not by the code distance.
       val pool = adcRanked.filter(col("rank") <= rerankPool)
         .select(col("query_id"), col("neighbor_id"))
       val c = prep(corpus, idCol, "neighbor_id", vecCol)
@@ -814,6 +838,58 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score")), k)
     }
+  }
+
+  /** IVF-PQ composed ANN — the production billion-vector serving
+    * architecture (FAISS's IVF + ADC recipe, non-residual variant):
+    * [[trainIvfCentroids]]'s coarse quantizer prunes the CANDIDATE SET
+    * (each query scores only vectors assigned to its `nProbe` nearest
+    * cells — the q44 equi-join, ~nProbe/nCells of the corpus), while
+    * PQ compresses the SCORING (candidates rank by m-byte codes
+    * against the query's LUT, then the shortlist re-reads raw vectors
+    * for the exact top-k). The two quantizers are independent: coarse
+    * cells train under cosine on raw vectors exactly as q44's IVF,
+    * codebooks under L2 on the unit sphere exactly as q125's PQ, so
+    * each half is bit-identical to its standalone operator and the
+    * oracle reuses both CTE trees verbatim.
+    *
+    * At 100 TB this is the ANN configuration that actually ships: the
+    * scan reads the (cell, code) table — 16x smaller than raw — AND
+    * only nProbe/nCells of it survives the probe equi-join; raw
+    * vectors are fetched by id only for the per-query shortlist.
+    * Codes here are PQ codes of the FULL vector, not the cell
+    * residual: residual encoding buys accuracy when cells are much
+    * tighter than the sphere (thousands of cells), and would couple
+    * the codebook to the coarse assignment — at the harness's 16
+    * cells the coupling costs more than it buys (AnnRecallSpec pins
+    * measured recall vs the exact baseline). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int, m: Int, ksub: Int,
+      dim: Int, trainIters: Int = 2, lloydIters: Int = 1,
+      rerankPool: Int = 50): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subd = dim / m
+    // coarse quantizer: cells under cosine on RAW vectors (q44's)
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCells, trainIters, dim)
+    val assigned = nearestCells(prep(corpus, idCol, "neighbor_id", vecCol),
+        cents, "neighbor_id", 1)
+      .select(col("neighbor_id"), col("cell"))
+    val probes = nearestCells(prep(queries, idCol, "query_id", vecCol),
+        cents, "query_id", nProbe)
+      .select(col("query_id"), col("cell"))
+    // PQ codes: codebooks under L2 on the UNIT SPHERE (q125's)
+    val prepped = pqNormed(prep(corpus, idCol, "__pid", vecCol), "__pid").persist()
+    val corpusSubs = pqSubRows(prepped, "__pid", m, subd).persist()
+    val cb = pqTrainCodebook(prepped, corpusSubs, m, ksub, subd, lloydIters)
+    val codes = pqWideCodes(corpusSubs, cb, m)
+    val lutMaps = pqLutMaps(queries, idCol, vecCol, cb, m, ksub, subd)
+    // candidates = cell equi-join (a vector can sit in several probed
+    // cells only via several probes of ONE query -> distinct)
+    val cand = broadcast(probes).join(assigned, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cand.join(codes, Seq("neighbor_id")).join(lutMaps, Seq("query_id"))
+    pqShortlistRerank(scored, corpus, queries, idCol, vecCol,
+      k, m, ksub, rerankPool)
   }
 
   /** Embedding near-duplicate pairs within equal-`blockCol` groups:

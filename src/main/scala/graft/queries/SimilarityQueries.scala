@@ -181,6 +181,91 @@ object SimilarityQueries {
   private def l2Sql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, $PQ_SUBD), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
 
+  /** DuckDB: the PQ CTE tree shared by q125 and q150, over `nprep`
+    * (the unit-sphere projection of `prep`): subspace rows, hash-race
+    * seed codebook, ONE Lloyd round (PQ_ITERS = 1 is priced into the
+    * SQL shape), wide m-byte codes, and the per-query exact-distance
+    * LUT. subs/cb1/lut are each referenced from many downstream CTEs
+    * (lut alone $PQ_M times, once per LUT join); without MATERIALIZED
+    * DuckDB inlines the whole training tree at every reference —
+    * measured >17 CPU-min at sf0.01 vs 2.7 s materialized. The Lloyd
+    * assignment is named `passign1` so the tree stacks collision-free
+    * with [[kmeansCtes]]' `assign1` in q150's single WITH. */
+  private def pqTreeCtes: String = {
+    val seedKey = Portable.pmd5Sql("concat('pq:', CAST(vec_id AS VARCHAR))")
+    val subsCte = (0 until PQ_M).map { i =>
+      val off = i * PQ_SUBD
+      s"SELECT vec_id, $i AS sub, list_transform(generate_series(1, $PQ_SUBD), j -> v[$off + j]) AS sv FROM nprep"
+    }.mkString("\n          UNION ALL ")
+    val codeCols = (0 until PQ_M)
+      .map(i => s"max(CASE WHEN sub = $i THEN cell END) AS c$i")
+      .mkString(", ")
+    s"""subs AS MATERIALIZED (
+          $subsCte),
+        seedids AS (
+          SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY $seedKey ASC, vec_id ASC) - 1 AS BIGINT) AS cell
+          FROM (SELECT vec_id FROM prep ORDER BY $seedKey ASC, vec_id ASC LIMIT $PQ_KSUB)),
+        cb0 AS (
+          SELECT si.cell, s.sub, s.sv AS cw
+          FROM subs s JOIN seedids si USING (vec_id)),
+        passign1 AS (
+          SELECT vec_id, sub, sv, cell FROM (
+            SELECT s.vec_id, s.sub, s.sv, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY ${l2Sql("s.sv", "c.cw")} ASC, c.cell ASC) AS r
+            FROM subs s JOIN cb0 c ON s.sub = c.sub)
+          WHERE r = 1),
+        cbsum AS (
+          SELECT sub, cell, CAST(count(*) AS BIGINT) AS n,
+                 list_reduce(list_prepend($zeroSubSql, list(sv ORDER BY vec_id)),
+                   (acc, x) -> list_transform(generate_series(1, $PQ_SUBD), i -> acc[i] + x[i])) AS svsum
+          FROM passign1 GROUP BY sub, cell),
+        cb1 AS MATERIALIZED (SELECT sub, cell, list_transform(svsum, x -> x / n) AS cw FROM cbsum),
+        cod AS (
+          SELECT vec_id, sub, cell FROM (
+            SELECT s.vec_id, s.sub, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY ${l2Sql("s.sv", "c.cw")} ASC, c.cell ASC) AS r
+            FROM subs s JOIN cb1 c ON s.sub = c.sub)
+          WHERE r = 1),
+        codesw AS (
+          SELECT vec_id, $codeCols FROM cod GROUP BY vec_id),
+        lut AS MATERIALIZED (
+          SELECT s.vec_id AS query_id, s.sub, c.cell, ${l2Sql("s.sv", "c.cw")} AS d
+          FROM subs s JOIN cb1 c ON s.sub = c.sub
+          WHERE s.vec_id < $NQ)"""
+  }
+
+  /** DuckDB: the m-term ADC sum over the [[pqLutJoins]] aliases. */
+  private def pqAdistSql: String = (0 until PQ_M).map(i => s"l$i.d").mkString(" + ")
+
+  /** DuckDB: one LUT join per subspace beyond l0 — the m-way join whose
+    * sum mirrors the Spark side's left-associated map-lookup chain. */
+  private def pqLutJoins: String = (1 until PQ_M).map(i =>
+    s"JOIN lut l$i ON l$i.query_id = l0.query_id AND l$i.sub = $i AND l$i.cell = w.c$i")
+    .mkString("\n          ")
+
+  /** DuckDB: shared q125/q150 tail — ADC shortlist of PQ_POOL, exact
+    * cosine re-rank of the shortlist, final top-TOPK. Reads `scored`
+    * (query_id, neighbor_id, adist) and `prep`. */
+  private def pqTailSql: String = s"""pool AS (
+          SELECT query_id, neighbor_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist ASC, neighbor_id ASC) AS arank
+                FROM scored)
+          WHERE arank <= $PQ_POOL),
+        rer AS (
+          SELECT p.query_id, p.neighbor_id,
+                 ${foldSql("q.v", "c.v")} / (q.nv * c.nv) AS score
+          FROM pool p JOIN prep q ON q.vec_id = p.query_id
+                      JOIN prep c ON c.vec_id = p.neighbor_id)
+        SELECT query_id, rank, neighbor_id, score
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM rer)
+        WHERE rank <= $TOPK"""
+
   /** DuckDB twin of [[Similarity.farthestSeeds]] (race variant, the
     * production default): cell 0 is the vector with the largest
     * hash-race key, and each later cell the not-yet-picked vector
@@ -320,83 +405,70 @@ object SimilarityQueries {
           "vec_id", "embedding", TOPK, PQ_M, PQ_KSUB, dim = 64,
           lloydIters = PQ_ITERS, rerankPool = PQ_POOL)
       },
-      Some {
-        val seedKey = Portable.pmd5Sql("concat('pq:', CAST(vec_id AS VARCHAR))")
-        val subsCte = (0 until PQ_M).map { i =>
-          val off = i * PQ_SUBD
-          s"SELECT vec_id, $i AS sub, list_transform(generate_series(1, $PQ_SUBD), j -> v[$off + j]) AS sv FROM nprep"
-        }.mkString("\n          UNION ALL ")
-        val codeCols = (0 until PQ_M)
-          .map(i => s"max(CASE WHEN sub = $i THEN cell END) AS c$i")
-          .mkString(", ")
-        val lutJoins = (1 until PQ_M).map(i =>
-          s"JOIN lut l$i ON l$i.query_id = l0.query_id AND l$i.sub = $i AND l$i.cell = w.c$i")
-          .mkString("\n          ")
-        val adistSql = (0 until PQ_M).map(i => s"l$i.d").mkString(" + ")
-        // subs/cb1/lut are each referenced from many downstream CTEs
-        // (lut alone 16 times, once per LUT join); without MATERIALIZED
-        // DuckDB inlines the whole training tree at every reference —
-        // measured >17 CPU-min at sf0.01 vs 2.7 s materialized.
-        s"""
+      Some(s"""
         WITH ${prepCte()},
         nprep AS (SELECT vec_id, list_transform(v, x -> x / nv) AS v FROM prep),
-        subs AS MATERIALIZED (
-          $subsCte),
-        seedids AS (
-          SELECT vec_id,
-                 CAST(row_number() OVER (ORDER BY $seedKey ASC, vec_id ASC) - 1 AS BIGINT) AS cell
-          FROM (SELECT vec_id FROM prep ORDER BY $seedKey ASC, vec_id ASC LIMIT $PQ_KSUB)),
-        cb0 AS (
-          SELECT si.cell, s.sub, s.sv AS cw
-          FROM subs s JOIN seedids si USING (vec_id)),
-        assign1 AS (
-          SELECT vec_id, sub, sv, cell FROM (
-            SELECT s.vec_id, s.sub, s.sv, c.cell,
-                   row_number() OVER (PARTITION BY s.vec_id, s.sub
-                     ORDER BY ${l2Sql("s.sv", "c.cw")} ASC, c.cell ASC) AS r
-            FROM subs s JOIN cb0 c ON s.sub = c.sub)
-          WHERE r = 1),
-        cbsum AS (
-          SELECT sub, cell, CAST(count(*) AS BIGINT) AS n,
-                 list_reduce(list_prepend($zeroSubSql, list(sv ORDER BY vec_id)),
-                   (acc, x) -> list_transform(generate_series(1, $PQ_SUBD), i -> acc[i] + x[i])) AS svsum
-          FROM assign1 GROUP BY sub, cell),
-        cb1 AS MATERIALIZED (SELECT sub, cell, list_transform(svsum, x -> x / n) AS cw FROM cbsum),
-        cod AS (
-          SELECT vec_id, sub, cell FROM (
-            SELECT s.vec_id, s.sub, c.cell,
-                   row_number() OVER (PARTITION BY s.vec_id, s.sub
-                     ORDER BY ${l2Sql("s.sv", "c.cw")} ASC, c.cell ASC) AS r
-            FROM subs s JOIN cb1 c ON s.sub = c.sub)
-          WHERE r = 1),
-        codesw AS (
-          SELECT vec_id, $codeCols FROM cod GROUP BY vec_id),
-        lut AS MATERIALIZED (
-          SELECT s.vec_id AS query_id, s.sub, c.cell, ${l2Sql("s.sv", "c.cw")} AS d
-          FROM subs s JOIN cb1 c ON s.sub = c.sub
-          WHERE s.vec_id < $NQ),
+        $pqTreeCtes,
         scored AS MATERIALIZED (
-          SELECT l0.query_id, w.vec_id AS neighbor_id, $adistSql AS adist
+          SELECT l0.query_id, w.vec_id AS neighbor_id, $pqAdistSql AS adist
           FROM codesw w
           JOIN lut l0 ON l0.sub = 0 AND l0.cell = w.c0
-          $lutJoins),
-        pool AS (
-          SELECT query_id, neighbor_id
-          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY adist ASC, neighbor_id ASC) AS arank
-                FROM scored)
-          WHERE arank <= $PQ_POOL),
-        rer AS (
-          SELECT p.query_id, p.neighbor_id,
-                 ${foldSql("q.v", "c.v")} / (q.nv * c.nv) AS score
-          FROM pool p JOIN prep q ON q.vec_id = p.query_id
-                      JOIN prep c ON c.vec_id = p.neighbor_id)
-        SELECT query_id, rank, neighbor_id, score
-        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
-              FROM rer)
-        WHERE rank <= $TOPK"""
-      }),
+          $pqLutJoins),
+        $pqTailSql""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q150_ann_ivfpq",
+      "IVF-PQ composed ANN — q44's coarse quantizer pruning the " +
+        s"candidate set (each query scores only the $NPROBE of " +
+        s"$NCELLS probed cells' vectors, a cell equi-join) with " +
+        "q125's product quantization compressing the scoring " +
+        "(candidates rank by m-byte codes against the query's LUT, " +
+        s"then the $PQ_POOL-deep shortlist re-reads raw vectors for " +
+        s"the exact cosine top-$TOPK) — the FAISS IVFADC architecture " +
+        "that actually ships at billion-vector scale: the ADC scan " +
+        "reads nProbe/nCells of a 16x-compressed code table, and raw " +
+        "vectors are touched only per-shortlist. Both quantizers " +
+        "train exactly as their standalone operators (cosine cells " +
+        "on raw vectors, L2 codebooks on the unit sphere; codes are " +
+        "full-vector, not cell-residual — see Similarity.ivfPqTopK " +
+        "for the residual trade), so the oracle stacks the two " +
+        "proven CTE trees and every double still matches bit-for-bit.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+          spread(e, col("vec_id")), e.filter(col("vec_id") < NQ),
+          "vec_id", "embedding", TOPK, NCELLS, NPROBE, PQ_M, PQ_KSUB,
+          dim = 64, trainIters = TRAIN_ITERS, lloydIters = PQ_ITERS,
+          rerankPool = PQ_POOL)
+      },
+      Some(s"""
+        WITH ${prepCte()},
+        nprep AS (SELECT vec_id, list_transform(v, x -> x / nv) AS v FROM prep),
+        ${kmeansCtes(TRAIN_ITERS)},
+        cscored AS (
+          SELECT p.vec_id, c.cell,
+                 ${foldSql("p.v", "c.cv")} / (p.nv * c.cn) AS cscore
+          FROM prep p, cents$TRAIN_ITERS c),
+        cranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cscore DESC, cell ASC) AS crank
+          FROM cscored),
+        cassign AS (SELECT vec_id AS neighbor_id, cell FROM cranked WHERE crank = 1),
+        cprobes AS (
+          SELECT vec_id AS query_id, cell
+          FROM cranked WHERE vec_id < $NQ AND crank <= $NPROBE),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT query_id, neighbor_id
+          FROM cprobes q JOIN cassign a ON q.cell = a.cell),
+        $pqTreeCtes,
+        scored AS MATERIALIZED (
+          SELECT l0.query_id, w.vec_id AS neighbor_id, $pqAdistSql AS adist
+          FROM codesw w
+          JOIN cand cd ON cd.neighbor_id = w.vec_id
+          JOIN lut l0 ON l0.query_id = cd.query_id
+                     AND l0.sub = 0 AND l0.cell = w.c0
+          $pqLutJoins),
+        $pqTailSql""")),
     // ----------------------------------------------------------------
     Q(
       "q127_pca_power",

@@ -82,4 +82,33 @@ class PqSpec extends SparkSpec {
     // every tie exactly: 1.00
     assert(rr >= 0.95, f"re-ranked PQ recall on clustered data regressed: $rr%.2f")
   }
+
+  test("IVF-PQ: coarse pruning costs bounded recall; self never lost") {
+    val exact = neighbors(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    def recall(a: Map[Long, Seq[Long]]): Double =
+      (0L until 8L).map(id =>
+        a.getOrElse(id, Nil).toSet.intersect(exact(id).toSet).size / 5.0).sum / 8
+    // the q150 production config vs the same PQ without coarse pruning
+    val full = neighbors(Similarity.pqTopK(e, q, "vec_id", "embedding",
+      5, 16, 16, 64, lloydIters = 1, rerankPool = 50))
+    val ivfpq = neighbors(Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+      5, 16, 3, 16, 16, 64, trainIters = 2, lloydIters = 1, rerankPool = 50))
+    val (rFull, rIvf) = (recall(full), recall(ivfpq))
+    info(f"recall@5: full-corpus PQ+rerank = $rFull%.2f; IVF(3/16 cells)+PQ+rerank = $rIvf%.2f")
+    // pruning can only shrink the candidate set, never reorder survivors
+    // (the re-rank is exact): IVF-PQ recall is bounded by the full scan's
+    assert(rIvf <= rFull + 1e-9, "pruned recall cannot exceed the full ADC scan")
+    // measured: 0.70 vs 0.90 full — the uniform corpus again (no cell
+    // structure to learn, the documented q44/PqSpec floor; scanning
+    // 3/16 of the corpus keeps 78% of the full pipeline's recall).
+    // A regression below this means the composition broke, not noise:
+    // every stage is deterministic.
+    assert(rIvf >= 0.69, f"IVF-PQ recall regressed: $rIvf%.2f")
+    // a query is always assigned to one of its own probed cells
+    // (crank 1 of nProbe), so it is always its own candidate, and the
+    // exact re-rank puts it first (cos = 1)
+    (0L until 8L).foreach { id =>
+      assert(ivfpq(id).head == id, s"IVF-PQ must put query $id first (cos=1)")
+    }
+  }
 }
