@@ -24,6 +24,15 @@ object DedupQueries {
   private val PR_ITERS = 5    // q70 power-iteration rounds
   private val LPA_ROUNDS = 3  // q148 synchronous label-propagation rounds
 
+  // q152 admission-gate thresholds (basis points / tokens). Set so the
+  // harness corpus genuinely splits: the short-doc gate and the
+  // near-dup gate each reject sources at sf0.01 (values re-measured in
+  // the q152 doc-string claim).
+  private val GATE_SHORT_TOKENS = 20
+  private val GATE_SHORT_MAX_BP = 1500
+  private val GATE_DIV_MIN_BP = 2000
+  private val GATE_ND_MAX_BP = 1500
+
   /** q59 corpus slice (doc_id < SSJOIN_SCOPE). The harness's synthetic
     * corpus is adversarially PAIR-DENSE for an exact-complete ssjoin:
     * ~25% of ALL document pairs share 80% vocabulary (template
@@ -844,6 +853,88 @@ object DedupQueries {
           WHERE rnk = 1)""").mkString(",")}
         SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
                min(id) AS min_doc, max(id) AS max_doc
-        FROM l$LPA_ROUNDS GROUP BY lbl"""))
+        FROM l$LPA_ROUNDS GROUP BY lbl""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q152_admission_gate",
+      "Per-source corpus ADMISSION GATE — the go/no-go datasheet a " +
+        "mixer consults before a source enters the training mix, " +
+        "composing three gates of three cost classes: a short-doc " +
+        s"share (< $GATE_SHORT_TOKENS tokens, <= $GATE_SHORT_MAX_BP " +
+        "bp — one scan-stage projection), 3-gram diversity " +
+        s"(>= $GATE_DIV_MIN_BP bp distinct/total, q120's " +
+        "mode-collapse monitor — grams travel as 8-byte hashes), and " +
+        s"near-dup incidence (docs in any q28 verified pair, <= " +
+        s"$GATE_ND_MAX_BP bp — the LSH pipeline, already bounded). " +
+        "All shares are integer basis points; `admitted` is the " +
+        "conjunction, so the report carries both the verdict and " +
+        "WHICH gate failed. Sources genuinely split on this corpus: " +
+        "the short-doc and near-dup gates each reject some sources.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val perSrc = docs
+          .select(col("source"),
+            (size(split(col("text"), " ")) < GATE_SHORT_TOKENS).as("short"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("short"), 1L).otherwise(0L)).as("n_short"))
+        val div = docs.select(col("source"),
+            explode(Portable.shingleHashesFromTokens(
+              Portable.tokenHashes(col("text")))).as("g"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+        val touched = lshVerifiedPairs(s, dir)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+          .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_neardup"))
+        perSrc.join(div, Seq("source"))
+          .join(touched, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            expr("n_short * 10000 div n_docs").as("short_bp"),
+            expr("n_distinct * 10000 div n_grams").as("diversity_bp"),
+            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+            expr("coalesce(n_neardup, 0) * 10000 div n_docs").as("neardup_bp"))
+          .withColumn("admitted",
+            col("short_bp") <= GATE_SHORT_MAX_BP &&
+              col("diversity_bp") >= GATE_DIV_MIN_BP &&
+              col("neardup_bp") <= GATE_ND_MAX_BP)
+      },
+      Some(s"""$pairsCte,
+        base AS (
+          SELECT source,
+                 CASE WHEN len(string_split(text, ' ')) < $GATE_SHORT_TOKENS
+                      THEN 1 ELSE 0 END AS short
+          FROM documents),
+        ps AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(short) AS BIGINT) AS n_short
+          FROM base GROUP BY source),
+        g AS (
+          SELECT source, unnest(${Portable.shingleHashesFromTokensSql("th")}) AS g
+          FROM (SELECT source, ${Portable.tokenHashesSql("text")} AS th
+                FROM documents)),
+        dv AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+          FROM g GROUP BY source),
+        tch AS (
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_neardup
+          FROM (SELECT DISTINCT doc_id FROM (
+                  SELECT id_a AS doc_id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs)) t
+          JOIN documents d ON d.doc_id = t.doc_id
+          GROUP BY d.source),
+        rpt AS (
+          SELECT ps.source, n_docs,
+                 n_short * 10000 // n_docs AS short_bp,
+                 n_distinct * 10000 // n_grams AS diversity_bp,
+                 coalesce(n_neardup, 0) AS n_neardup,
+                 coalesce(n_neardup, 0) * 10000 // n_docs AS neardup_bp
+          FROM ps JOIN dv USING (source) LEFT JOIN tch USING (source))
+        SELECT source, n_docs, short_bp, diversity_bp, n_neardup, neardup_bp,
+               (short_bp <= $GATE_SHORT_MAX_BP
+                 AND diversity_bp >= $GATE_DIV_MIN_BP
+                 AND neardup_bp <= $GATE_ND_MAX_BP) AS admitted
+        FROM rpt"""))
   )
 }

@@ -99,6 +99,7 @@ object SimilarityQueries {
   private val PQ_ITERS = 1
   private val PQ_POOL = 50
   private val PCA_ITERS = 12 // q127 power-iteration rounds (fixed, no tolerance)
+  private val RRF_K = 60     // q151 reciprocal-rank-fusion damping (the standard 60)
 
   // q130 JL audit: 64 -> JL_DIM projection, pairs among the first
   // JL_NP vectors; JL_T keys a plane family clear of the SRP (t 0..7)
@@ -469,6 +470,98 @@ object SimilarityQueries {
                      AND l0.sub = 0 AND l0.cell = w.c0
           $pqLutJoins),
         $pqTailSql""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q151_hybrid_rrf",
+      "Hybrid retrieval by reciprocal-rank fusion — the standard " +
+        "recipe for merging rankings whose SCORES are incomparable " +
+        s"(RRF, Cormack et al.): q33's SRP-LSH top-$TOPK and q44's " +
+        s"IVF top-$TOPK (two ANN families with different blind spots) " +
+        s"full-outer-join on (query, neighbor), each list contributes " +
+        s"1e6 div ($RRF_K + rank) in exact integer micro-units " +
+        "(missing from a list = 0), and the fused score re-ranks to " +
+        s"the final top-$TOPK. Both input pipelines run exactly as " +
+        "their standalone queries (the oracle stacks both CTE trees); " +
+        "the fusion itself touches only 2 x queries x k rank rows — " +
+        "free at any corpus scale, which is why hybrid serving stacks " +
+        "fuse at the rank level instead of calibrating scores.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < NQ)
+        val a = Similarity.lshTopK(spread(e, col("vec_id")), qs,
+          "vec_id", "embedding", TOPK, BITS, dim = 64, tables = TABLES)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk_a"))
+        val b = Similarity.ivfTopK(spread(e, col("vec_id")), qs,
+          "vec_id", "embedding", TOPK, NCELLS, NPROBE,
+          trainIters = TRAIN_ITERS, dim = 64)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk_b"))
+        val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+          .select(col("query_id"), col("neighbor_id"),
+            (coalesce(expr(s"1000000 div ($RRF_K + rnk_a)"), lit(0L)) +
+              coalesce(expr(s"1000000 div ($RRF_K + rnk_b)"), lit(0L)))
+              .as("rrf_micro"))
+        fused
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)))
+          .filter(col("rank") <= TOPK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("rrf_micro"))
+      },
+      Some(s"""
+        WITH ${prepCte()},
+        sbk AS (
+          ${(0 until TABLES).map(tb =>
+            s"SELECT vec_id, v, nv, $tb AS t, ${srpSql("v", tb)} AS bucket FROM prep")
+            .mkString("\n          UNION ALL ")}),
+        sscored AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${scoreSql("q", "c")} AS score
+          FROM sbk q JOIN sbk c ON q.t = c.t AND q.bucket = c.bucket
+          WHERE q.vec_id < $NQ),
+        sr AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+            FROM sscored)
+          WHERE rnk <= $TOPK),
+        ${kmeansCtes(TRAIN_ITERS)},
+        icscored AS (
+          SELECT p.vec_id, p.v, p.nv, c.cell,
+                 ${foldSql("p.v", "c.cv")} / (p.nv * c.cn) AS cscore
+          FROM prep p, cents$TRAIN_ITERS c),
+        icranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cscore DESC, cell ASC) AS crank
+          FROM icscored),
+        iassigned AS (
+          SELECT vec_id AS neighbor_id, v, nv, cell FROM icranked WHERE crank = 1),
+        iprobes AS (
+          SELECT vec_id AS query_id, v AS qv, nv AS qn, cell
+          FROM icranked WHERE vec_id < $NQ AND crank <= $NPROBE),
+        iscored AS (
+          SELECT DISTINCT q.query_id, a.neighbor_id,
+                 ${foldSql("q.qv", "a.v")} / (q.qn * a.nv) AS score
+          FROM iprobes q JOIN iassigned a ON q.cell = a.cell),
+        ir AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+            FROM iscored)
+          WHERE rnk <= $TOPK),
+        fused AS (
+          SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                 coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+                 coalesce(CAST(1000000 // ($RRF_K + a.rnk) AS BIGINT), 0)
+                   + coalesce(CAST(1000000 // ($RRF_K + b.rnk) AS BIGINT), 0)
+                   AS rrf_micro
+          FROM sr a FULL OUTER JOIN ir b
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+        SELECT query_id, rank, neighbor_id, rrf_micro
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_micro DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM fused)
+        WHERE rank <= $TOPK""")),
     // ----------------------------------------------------------------
     Q(
       "q127_pca_power",

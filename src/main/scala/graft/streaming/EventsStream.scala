@@ -341,6 +341,58 @@ object EventsStream {
   case class DriftOut(event_type: String, hr: Timestamp, n: Long,
       prev_n: Long, drift_bp: Long)
 
+  case class EwmaBucket(hr: Timestamp, n: Long)
+  case class EwmaState(open: List[EwmaBucket], last: Option[Long])
+  case class EwmaOut(event_type: String, hr: Timestamp, n: Long, ewma: Long)
+
+  /** Streaming integer EWMA — the incremental twin of batch q149: per
+    * event type, each CLOSED hour's count folds into the running
+    * s_t = (s_{t-1} + n) div 2 trend (seeded s = n at the type's first
+    * closed hour; the fold runs over OBSERVED hours in order, gaps and
+    * all, exactly like the batch array fold). State per type is the
+    * open hour counts inside the watermark horizon plus ONE long — the
+    * carry — however long the stream runs; closes process in hour
+    * order, so any replay order emits identical rows. Batch mode
+    * closes everything: the output IS the q149 result. */
+  def ewmaStream(events: Dataset[Event], watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[EwmaOut],
+      stEnc: org.apache.spark.sql.Encoder[EwmaState]): Dataset[EwmaOut] = {
+    val streaming = events.isStreaming
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          val st = state.getOption.getOrElse(EwmaState(Nil, None))
+          val incoming = batch.toSeq
+            .groupBy(e => Math.floorDiv(micros(e.ts), HourUs) * HourUs)
+            .view.mapValues(_.size.toLong).toMap
+          val merged = (st.open.map(b => micros(b.hr) -> b.n) ++ incoming.toSeq)
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          val (closed, open) = merged.partition { case (hrUs, _) => hrUs + HourUs <= wmUs }
+          var last = st.last
+          val outs = closed.toSeq.sortBy(_._1).map { case (hrUs, n) =>
+            // Long / on non-negatives == Spark div == DuckDB // here
+            val s = last match { case None => n; case Some(p) => (p + n) / 2 }
+            last = Some(s)
+            EwmaOut(etype, new Timestamp(hrUs / 1000L), n, s)
+          }
+          state.update(EwmaState(
+            open.toSeq.sortBy(_._1)
+              .map { case (u, n) => EwmaBucket(new Timestamp(u / 1000L), n) }.toList,
+            last))
+          if (open.nonEmpty) {
+            val nextCloseMs = (open.keys.min + HourUs) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(nextCloseMs, state.getCurrentWatermarkMs() + 1))
+          }
+          outs.iterator
+      }
+  }
+
   /** Streaming hour-over-hour distribution drift — the incremental twin
     * of batch q113: per event type, each CLOSED hour's 8-bin value
     * histogram is compared with the previous closed hour's (consecutive

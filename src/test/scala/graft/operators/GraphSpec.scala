@@ -98,4 +98,28 @@ class GraphSpec extends SparkSpec {
     // 3-core of this graph is empty (triangle nodes have degree 2)
     assert(Graph.kCore(es, k = 3, rounds = 6).isEmpty, "3-core must be empty")
   }
+
+  test("label propagation matches a driver-side synchronous reference; truncation-stable") {
+    def runLp(rounds: Int, stride: Int): Map[Long, Long] =
+      Graph.labelPropagation(pairs, rounds = rounds, truncateEvery = stride)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: same symmetrized graph, same synchronous
+    // (max count, min label) rule, computed in plain Scala
+    val adj = pairs.collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var ref: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 3)
+      ref = adj.map { case (u, ns) =>
+        u -> ns.groupBy(ref).view.mapValues(_.size)
+          .map { case (l, c) => (-c.toLong, l) }.min._2
+      }
+    val got = runLp(3, 5)
+    spark.catalog.clearCache()
+    assert(got == ref, "synchronous LPA must match the driver reference exactly")
+    // per-round plan truncation must not change a single label
+    val truncated = runLp(3, 1)
+    spark.catalog.clearCache()
+    assert(truncated == got, "truncateEvery must never change labels")
+  }
 }

@@ -240,6 +240,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming integer EWMA: emitted rows match the batch q149 result") {
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val q = EventsStream.ewmaStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ewma_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "ewma stream did not finish in 120 s")
+    val got = spark.table("ewma_out")
+    val batch = graft.queries.AdvancedQueries.all
+      .find(_.name == "q149_integer_ewma").get
+      .run(spark, "/root/testdata/sf0.001")
+    assert(got.count() > 0)
+    val joined = got.alias("s").join(batch.alias("b"), Seq("event_type", "hr"))
+    assert(joined.count() == got.count(), "emitted ewma row missing from batch")
+    assert(joined.filter(
+      col("s.n") =!= col("b.n") || col("s.ewma") =!= col("b.ewma")).isEmpty,
+      "streamed ewma must carry the batch fold's exact value")
+  }
+
+  test("streaming integer EWMA: batch mode reproduces q149 exactly") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val got = EventsStream.ewmaStream(events).collect()
+      .map(o => (o.event_type, o.hr, o.n, o.ewma)).toSet
+    val want = graft.queries.AdvancedQueries.all
+      .find(_.name == "q149_integer_ewma").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hr"),
+        r.getAs[Long]("n"), r.getAs[Long]("ewma"))).toSet
+    assert(got == want)
+  }
+
   test("online anomaly: batch mode reproduces the q80 result exactly") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
