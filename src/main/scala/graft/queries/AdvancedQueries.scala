@@ -1275,6 +1275,102 @@ object AdvancedQueries {
           SELECT hs.event_type, hs.hr, hs.n, hs.i, (rec.ewma + hs.n) // 2
           FROM rec JOIN hs ON hs.event_type = rec.event_type
                           AND hs.i = rec.i + 1)
-        SELECT event_type, hr, n, ewma FROM rec"""))
+        SELECT event_type, hr, n, ewma FROM rec""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q153_cdc_merge",
+      "CDC MERGE apply — the lakehouse upsert/delete primitive (MERGE " +
+        "INTO / Delta-style apply) q135's diff and q142's SCD2 both " +
+        "presuppose: a change table (op, key, new values) applies to " +
+        "the snapshot in ONE full-outer key join — D drops the row, " +
+        "U/I take the change side, untouched keys pass through. The " +
+        "change set derives deterministically in-query (pmd5 " +
+        "residues: %7=0 deletes, %11=1 priority updates, %13=2 " +
+        "inserts under shifted keys) so both engines build identical " +
+        "sides; the output is the merge AUDIT row — per-op counts, " +
+        "before/after cardinality, and the xor-of-digests of the " +
+        "ENTIRE merged table (q135's Merkle summary), so the hash " +
+        "match proves the full post-merge state, not a sample. At " +
+        "100 TB the join shuffles only keys + changed columns, and a " +
+        "real change batch is small: broadcast it, or bucket the " +
+        "snapshot on key so the merge never exchanges the big side.",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val kh = Portable.pmd5(col("o_orderkey").cast(StringType))
+        val del = o.filter(kh % 7 === 0)
+          .select(col("o_orderkey").as("k"), lit("D").as("op"),
+            lit(null).cast(StringType).as("c_status"),
+            lit(null).cast(StringType).as("c_prio"))
+        val upd = o.filter(kh % 7 =!= 0 && kh % 11 === 1)
+          .select(col("o_orderkey").as("k"), lit("U").as("op"),
+            col("o_orderstatus").as("c_status"),
+            lit("0-CDC-URGENT").as("c_prio"))
+        val ins = o.filter(kh % 13 === 2)
+          .select((col("o_orderkey") + 1000000000L).as("k"), lit("I").as("op"),
+            lit("N").as("c_status"), col("o_orderpriority").as("c_prio"))
+        val changes = del.unionAll(upd).unionAll(ins)
+        val snap = o.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("s_status"), col("o_orderpriority").as("s_prio"))
+        val merged = snap.join(changes, Seq("k"), "full_outer")
+          .filter(!(col("op") <=> "D"))
+          .select(col("k"),
+            when(col("op").isNotNull, col("c_status")).otherwise(col("s_status"))
+              .as("status"),
+            when(col("op").isNotNull, col("c_prio")).otherwise(col("s_prio"))
+              .as("prio"))
+        val after = merged
+          .withColumn("digest",
+            Portable.pmd5(concat_ws("|", col("k"), col("status"), col("prio"))))
+          .agg(count(lit(1)).as("n_after"),
+            expr("bit_xor(digest)").as("after_digest"))
+        val ops = changes.agg(
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_delete"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_update"),
+          sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_insert"))
+        val before = o.agg(count(lit(1)).as("n_before"))
+        before.crossJoin(broadcast(ops)).crossJoin(broadcast(after))
+          .select(col("n_before"), col("n_delete"), col("n_update"),
+            col("n_insert"), col("n_after"), col("after_digest"))
+      },
+      Some {
+        val kh = Portable.pmd5Sql("CAST(o_orderkey AS VARCHAR)")
+        val digest = Portable.pmd5Sql("concat_ws('|', k, status, prio)")
+        s"""
+        WITH del AS (
+          SELECT o_orderkey AS k, 'D' AS op,
+                 CAST(NULL AS VARCHAR) AS c_status, CAST(NULL AS VARCHAR) AS c_prio
+          FROM orders WHERE $kh % 7 = 0),
+        upd AS (
+          SELECT o_orderkey, 'U', o_orderstatus, '0-CDC-URGENT'
+          FROM orders WHERE $kh % 7 <> 0 AND $kh % 11 = 1),
+        ins AS (
+          SELECT o_orderkey + 1000000000, 'I', 'N', o_orderpriority
+          FROM orders WHERE $kh % 13 = 2),
+        changes AS (
+          SELECT * FROM del UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins),
+        snap AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s_status,
+                 o_orderpriority AS s_prio
+          FROM orders),
+        m AS (
+          SELECT k,
+                 CASE WHEN c.op IS NOT NULL THEN c.c_status ELSE s.s_status END AS status,
+                 CASE WHEN c.op IS NOT NULL THEN c.c_prio ELSE s.s_prio END AS prio
+          FROM snap s FULL OUTER JOIN changes c USING (k)
+          WHERE c.op IS DISTINCT FROM 'D'),
+        aft AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_after,
+                 bit_xor($digest) AS after_digest
+          FROM m),
+        ops AS (
+          SELECT CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+                 CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+                 CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert
+          FROM changes),
+        bef AS (SELECT CAST(count(*) AS BIGINT) AS n_before FROM orders)
+        SELECT n_before, n_delete, n_update, n_insert, n_after, after_digest
+        FROM bef, ops, aft"""
+      })
   )
 }
