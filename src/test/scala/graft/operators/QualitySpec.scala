@@ -58,6 +58,26 @@ class QualitySpec extends SparkSpec {
     assert(!r.getAs[Boolean]("pass"))
   }
 
+  test("any number of row checks compile to ONE scan of the table") {
+    val dir = java.nio.file.Files.createTempDirectory("quality-scan")
+      .resolve("t").toString
+    Seq((1L, 5.0, "x"), (2L, 7.0, "y")).toDF("id", "v", "s")
+      .write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val report = Quality.report(df, rowChecks = Seq(
+      RowCheck("id not null", col("id").isNotNull),
+      RowCheck("v in [0,10]", col("v") >= 0.0 && col("v") <= 10.0),
+      RowCheck("v in [0,6]", col("v") <= 6.0),
+      RowCheck("s accepted", col("s").isin("x", "y", "z")),
+      RowCheck("s not null", col("s").isNotNull),
+      RowCheck("id positive", col("id") > 0L)))
+    val plan = report.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"6 row checks must cost exactly one scan, plan had $scans")
+    assert(report.collect().forall(_.getAs[Boolean]("pass"))
+      == false, "the v <= 6 check must fail on v = 7")
+  }
+
   test("report stacks all three check classes into one ordered frame") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val dim = Seq("a", "b").toDF("s")
