@@ -78,7 +78,10 @@ object Quality {
     else {
       val aggs = count(lit(1)).as("checked") +:
         checks.zipWithIndex.map { case (c, i) =>
-          sum(when(coalesce(c.pred, lit(false)), 0L).otherwise(1L)).as(s"v_$i")
+          // coalesce: sum over an EMPTY table is NULL — the constraint
+          // vacuously passes with 0 violations, it doesn't return NULL
+          coalesce(sum(when(coalesce(c.pred, lit(false)), 0L).otherwise(1L)),
+            lit(0L)).as(s"v_$i")
         }
       Some(df.agg(aggs.head, aggs.tail: _*)
         .select(col("checked"), explode(array(checks.zipWithIndex.map {

@@ -44,6 +44,17 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Boolean]("pass"))
   }
 
+  test("empty table: row check vacuously passes (0 violations, not NULL)") {
+    val df = Seq.empty[Long].toDF("k")
+    val r = Quality.report(df,
+      rowChecks = Seq(RowCheck("k not null", col("k").isNotNull)))
+      .collect().head
+    assert(r.getAs[Long]("checked") == 0L)
+    assert(!r.isNullAt(r.fieldIndex("violations")) &&
+      r.getAs[Long]("violations") == 0L)
+    assert(!r.isNullAt(r.fieldIndex("pass")) && r.getAs[Boolean]("pass"))
+  }
+
   test("NULL foreign keys are not referential violations (SQL FK semantics)") {
     val fact = Seq(Some(10L), Some(11L), None, Some(99L)).toDF("fk")
     val dim = Seq(10L, 11L, 12L).toDF("pk")
