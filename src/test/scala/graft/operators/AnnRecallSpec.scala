@@ -86,6 +86,25 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("RRF fusion (q151) beats both of its input rankings on recall") {
+    val exact = neighbors(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    def recall(a: Map[Long, Seq[Long]]): Double = recallAgainst(exact, 8)(a)
+    val lsh = recall(neighbors(Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 5, 64, 8)))
+    val ivf = recall(neighbors(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 16, 3)))
+    val rrf = recall(neighbors(graft.queries.SimilarityQueries.all
+      .find(_.name == "q151_hybrid_rrf").get
+      .run(spark, "/root/testdata/sf0.001")))
+    info(f"recall@5: srp-only=$lsh%.2f ivf-only=$ivf%.2f rrf-fused=$rrf%.2f")
+    // measured 0.63 / 0.70 / 0.80: the two families miss DIFFERENT
+    // exact neighbors (bucket geometry vs cell geometry), so the
+    // union-then-re-rank recovers what each alone drops — the whole
+    // case for rank-level fusion. Pinned so a regression in either
+    // input silently degrading the fusion surfaces here.
+    assert(rrf >= lsh && rrf >= ivf,
+      f"fusion must not lose to an input: rrf=$rrf%.2f lsh=$lsh%.2f ivf=$ivf%.2f")
+    assert(rrf >= 0.79, f"fused recall regressed: $rrf%.2f")
+  }
+
   test("trained IVF cells beat the seed where cluster structure exists") {
     import spark.implicits._
     // Deterministic clustered corpus: 16 hash-derived centers in 64-d,
