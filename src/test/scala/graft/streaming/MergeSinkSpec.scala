@@ -72,6 +72,32 @@ class MergeSinkSpec extends SparkSpec {
     assert(snapshot(dir)(2L) == ("b3", 22L))
   }
 
+  test("randomized op sequences match a driver-side map fold (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"merge-prop-$seed").resolve("t").toString
+      var ref = Map.empty[Long, (String, Long)]
+      for (batchId <- 0L until 6L) {
+        // one op per key per batch (the documented CDC contract)
+        val keys = rnd.shuffle((1L to 12L).toList).take(1 + rnd.nextInt(6))
+        val ops = keys.map { k =>
+          if (rnd.nextInt(4) == 0) ("D", k, null: String, 0L)
+          else ("U", k, s"n$batchId-$k", rnd.nextInt(1000).toLong)
+        }
+        MergeSink.applyBatch(ops.toDF("op", "k", "name", "v"), dir, batchId)
+        ops.foreach {
+          case ("D", k, _, _) => ref -= k
+          case ("U", k, n, v) => ref += k -> ((n, v))
+          case _ => ()
+        }
+      }
+      assert(snapshot(dir) == ref, s"seed $seed diverged from the reference fold")
+      // compaction preserves the fold result too
+      MergeSink.compact(spark, dir, "k", "op")
+      assert(snapshot(dir) == ref, s"seed $seed diverged after compaction")
+    }
+  }
+
   test("streaming apply: file-source batches land through the checkpointed stream") {
     val root = Files.createTempDirectory("merge-stream")
     Files.createDirectories(root.resolve("in"))
