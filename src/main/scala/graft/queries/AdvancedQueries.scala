@@ -1371,6 +1371,71 @@ object AdvancedQueries {
         bef AS (SELECT CAST(count(*) AS BIGINT) AS n_before FROM orders)
         SELECT n_before, n_delete, n_update, n_insert, n_after, after_digest
         FROM bef, ops, aft"""
-      })
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q155_volume_trend",
+      "Per-type event-volume trend by EXACT least squares — the slope " +
+        "q149's EWMA smooths toward, computed closed-form: hourly " +
+        "counts regress on the hour index with all five moments " +
+        "(n, St, Sn, Stt, Stn) as BIGINT sums — hours re-base against " +
+        "the global minimum (one broadcast 1-row agg) so every moment " +
+        "stays far from 2^63 — and the slope reported in integer " +
+        "micro-events/hour (the 1e6*num product rides DECIMAL(38,0)/" +
+        "HUGEINT past 2^63). Division is the one cross-engine trap: " +
+        "Spark's div truncates toward zero, DuckDB's // floors, so " +
+        "negative numerators ROUTE THROUGH abs and re-sign — both " +
+        "engines then truncate identically. den > 0 whenever a type " +
+        "spans two distinct hours. One narrow keyed agg over the " +
+        "hourly pre-agg; nothing data-sized crosses the driver.",
+      (s, dir) => {
+        val h = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val t0 = h.agg(min(col("hr").cast(LongType)).as("hr0"))
+        h.crossJoin(broadcast(t0))
+          .withColumn("t", expr("(cast(hr as long) - hr0) div 3600"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("t")).as("st"), sum(col("n")).as("sn"),
+            sum(col("t") * col("t")).as("stt"),
+            sum(col("t") * col("n")).as("stn"))
+          .select(col("event_type"), col("n_hours"),
+            (col("n_hours") * col("stn") - col("st") * col("sn")).as("num"),
+            (col("n_hours") * col("stt") - col("st") * col("st")).as("den"))
+          // micro-resolution: 1e6 * num can pass 2^63 at larger SFs, so
+          // the product rides DECIMAL(38,0) (exact; div on decimals is
+          // exact integral division) and lands back in BIGINT
+          .withColumn("slope_micro", expr(
+            "CASE WHEN num >= 0 " +
+              "THEN CAST(CAST(num AS DECIMAL(38,0)) * 1000000 div den AS BIGINT) " +
+              "ELSE -CAST(CAST(-num AS DECIMAL(38,0)) * 1000000 div den AS BIGINT) END"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        t0 AS (SELECT CAST(min(epoch(hr)) AS BIGINT) AS hr0 FROM h),
+        b AS (
+          SELECT event_type, n,
+                 (CAST(epoch(hr) AS BIGINT) - hr0) // 3600 AS t
+          FROM h, t0),
+        m AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                 CAST(sum(t) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS sn,
+                 CAST(sum(t * t) AS BIGINT) AS stt,
+                 CAST(sum(t * n) AS BIGINT) AS stn
+          FROM b GROUP BY event_type)
+        SELECT event_type, n_hours,
+               n_hours * stn - st * sn AS num,
+               n_hours * stt - st * st AS den,
+               CASE WHEN n_hours * stn - st * sn >= 0
+                    THEN CAST(CAST(n_hours * stn - st * sn AS HUGEINT) * 1000000
+                           // (n_hours * stt - st * st) AS BIGINT)
+                    ELSE -CAST(CAST(-(n_hours * stn - st * sn) AS HUGEINT) * 1000000
+                           // (n_hours * stt - st * st) AS BIGINT) END AS slope_micro
+        FROM m ORDER BY event_type"""))
   )
 }

@@ -776,6 +776,47 @@ object CurationQueries {
                     WHEN 5 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
                n_groups, n_rows,
                n_rows * 10000 // total AS rows_bp
-        FROM h, tot ORDER BY bucket_lo"""))
+        FROM h, tot ORDER BY bucket_lo""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q154_l_diversity",
+      "l-diversity audit — k-anonymity's (q146) necessary complement: " +
+        "a large QI group still leaks when every member SHARES the " +
+        "sensitive value (homogeneity attack — group size protects " +
+        "identity, not attributes). Customers group by the QI pair " +
+        "(nation, balance band); per group l = exact distinct count " +
+        "of the sensitive market segment; the report is the l " +
+        "histogram — groups, rows, and row share in integer basis " +
+        "points — where l = 1 rows are fully attribute-disclosed " +
+        "however large their group. Same two-aggregation shape as " +
+        "q146: the QI shuffle carries (int, long, segment), the " +
+        "histogram is <= 5 rows, the total broadcasts back.",
+      (s, dir) => {
+        val g = t(s, dir, "customer")
+          .groupBy(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000.0).as("bal_band"))
+          .agg(count(lit(1)).as("k"),
+            countDistinct(col("c_mktsegment")).as("l"))
+        val h = g.groupBy(col("l"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+        val tot = h.agg(sum(col("n_rows")).as("total"))
+        h.crossJoin(broadcast(tot))
+          .select(col("l"), col("n_groups"), col("n_rows"),
+            expr("n_rows * 10000 div total").as("rows_bp"))
+          .orderBy("l")
+      },
+      Some("""
+        WITH g AS (
+          SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_band,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+          FROM customer GROUP BY 1, 2),
+        h AS (
+          SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(k) AS BIGINT) AS n_rows
+          FROM g GROUP BY l),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM h)
+        SELECT l, n_groups, n_rows, n_rows * 10000 // total AS rows_bp
+        FROM h, tot ORDER BY l"""))
   )
 }
