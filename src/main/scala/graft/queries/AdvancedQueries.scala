@@ -1436,6 +1436,97 @@ object AdvancedQueries {
                            // (n_hours * stt - st * st) AS BIGINT)
                     ELSE -CAST(CAST(-(n_hours * stn - st * sn) AS HUGEINT) * 1000000
                            // (n_hours * stt - st * st) AS BIGINT) END AS slope_micro
-        FROM m ORDER BY event_type"""))
+        FROM m ORDER BY event_type""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q156_benford_audit",
+      "Benford first-digit audit over order totals — the classic " +
+        "fabricated-data screen (organic multiplicative amounts lean " +
+        "log-uniform; synthetic-uniform data shows up FLAT, which is " +
+        "exactly what this corpus's generator produces and the report " +
+        "makes visible): totals become exact integer cents, the " +
+        "leading digit comes off the BIGINT's decimal string (integer " +
+        "-> string is locale-free and identical on both engines — no " +
+        "float formatting, no log10), and each digit's observed share " +
+        "in basis points stands against Benford's log10(1+1/d) " +
+        "expectation, precomputed as the nine constant bp literals " +
+        "both engines share. One conditional-agg scan; 9 output rows.",
+      (s, dir) => {
+        val expected = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+        val d = t(s, dir, "orders")
+          .select(substring(
+            expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+            1, 1).cast(LongType).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = d.agg(sum(col("n")).as("total"))
+        val exp = expected.zipWithIndex.map { case (bp, i) =>
+          s"WHEN ${i + 1} THEN CAST($bp AS BIGINT)"
+        }.mkString("CASE digit ", " ", " END")
+        d.crossJoin(broadcast(tot))
+          .withColumn("obs_bp", expr("n * 10000 div total"))
+          .withColumn("exp_bp", expr(exp))
+          .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+          .select(col("digit"), col("n"), col("obs_bp"), col("exp_bp"), col("dev_bp"))
+          .orderBy("digit")
+      },
+      Some {
+        val expected = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+        val exp = expected.zipWithIndex.map { case (bp, i) =>
+          s"WHEN ${i + 1} THEN $bp"
+        }.mkString("CASE digit ", " ", " END")
+        s"""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+        SELECT digit, n,
+               n * 10000 // total AS obs_bp,
+               $exp AS exp_bp,
+               abs(n * 10000 // total - ($exp)) AS dev_bp
+        FROM d, tot ORDER BY digit"""
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q157_gap_histogram",
+      "Inter-arrival structure per event type: consecutive event gaps " +
+        "(micros, via one lag window keyed on type — the q113/q142 " +
+        "window shape) fold into log2 buckets computed as " +
+        "length(bin(gap)) — the exact integer floor(log2) both " +
+        "engines share, q112's trick on durations — so the histogram " +
+        "row count is ~60 per type at ANY volume. Zero-gap ties " +
+        "(same-micro events) take bucket -1 explicitly. The burst/idle " +
+        "signature q88's detector thresholds, as a full distribution.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("event_type"),
+            (unix_micros(col("ts")) -
+              lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+          .filter(col("gap").isNotNull)
+          .withColumn("bucket",
+            when(col("gap") === 0, lit(-1L))
+              .otherwise((length(bin(col("gap"))) - 1).cast(LongType)))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                   PARTITION BY event_type
+                   ORDER BY ts ASC, event_id ASC) AS BIGINT) AS gap
+          FROM events),
+        b AS (
+          SELECT event_type, gap,
+                 CASE WHEN gap = 0 THEN -1
+                      ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket
+          FROM g WHERE gap IS NOT NULL)
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+               min(gap) AS min_gap, max(gap) AS max_gap
+        FROM b GROUP BY 1, 2"""))
   )
 }
