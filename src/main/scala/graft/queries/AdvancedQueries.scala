@@ -1527,6 +1527,48 @@ object AdvancedQueries {
           FROM g WHERE gap IS NOT NULL)
         SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
                min(gap) AS min_gap, max(gap) AS max_gap
-        FROM b GROUP BY 1, 2"""))
+        FROM b GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q158_transition_matrix",
+      "Event-type Markov transition matrix — the common-paths mining " +
+        "behind funnel design (q100 checks ONE hypothesized path; " +
+        "this surfaces which paths exist): per user, consecutive " +
+        "event pairs from one partitioned lag window (the q157 " +
+        "shape), counted into the (from, to) matrix with " +
+        "row-conditional shares in basis points — p(to | from) as " +
+        "exact integers. The matrix is |types|^2 rows at any volume; " +
+        "row totals join back as a broadcast |types|-row frame, not " +
+        "a second window.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val pairs = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("from_type"))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("row_total"))
+        pairs.join(broadcast(totals), Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 10000 div row_total").as("row_bp"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS from_type,
+                 event_type AS to_type
+          FROM events),
+        m AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE from_type IS NOT NULL
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+          FROM m GROUP BY 1)
+        SELECT from_type, to_type, n, n * 10000 // row_total AS row_bp
+        FROM m JOIN tot USING (from_type)"""))
   )
 }
