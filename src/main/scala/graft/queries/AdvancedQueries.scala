@@ -1569,6 +1569,77 @@ object AdvancedQueries {
           SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
           FROM m GROUP BY 1)
         SELECT from_type, to_type, n, n * 10000 // row_total AS row_bp
-        FROM m JOIN tot USING (from_type)"""))
+        FROM m JOIN tot USING (from_type)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q159_time_to_convert",
+      "Time-to-convert distribution per first-view cohort day — the " +
+        "latency half of the funnel (q100 counts WHO converts; this " +
+        "measures HOW FAST): per user, first 'view' and first " +
+        "'purchase' from one conditional-min agg (a single user-keyed " +
+        "shuffle, the q128 collapse); converts = purchase at-or-after " +
+        "view; per cohort day, the conversion share in bp plus EXACT " +
+        "p50/p90 of the convert delta by q46's deterministic rank " +
+        "selection (lower median, rank ceil(0.9n) — discrete data " +
+        "values, no interpolation drift) over a cohort-PARTITIONED " +
+        "window. Cohorts with zero converts report honest NULL " +
+        "quantiles through the left join.",
+      (s, dir) => {
+        val firsts = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("fv"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+          .filter(col("fv").isNotNull)
+          .withColumn("cohort", to_date(col("fv")))
+        val counts = firsts.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n_viewers"),
+            sum(when(col("fp").isNotNull && col("fp") >= col("fv"), 1L)
+              .otherwise(0L)).as("n_converts"))
+        val deltas = firsts
+          .filter(col("fp").isNotNull && col("fp") >= col("fv"))
+          .select(col("cohort"), col("user_id"),
+            (unix_micros(col("fp")) - unix_micros(col("fv"))).as("d"))
+        val w = Window.partitionBy(col("cohort"))
+          .orderBy(col("d").asc, col("user_id").asc)
+        val ranked = deltas.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cohort"))))
+        val p50 = ranked.filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("cohort"), col("d").as("p50_us"))
+        val p90 = ranked.filter(col("rn") === expr("(9 * n + 9) div 10"))
+          .select(col("cohort"), col("d").as("p90_us"))
+        counts.join(p50, Seq("cohort"), "left").join(p90, Seq("cohort"), "left")
+          .select(col("cohort"), col("n_viewers"), col("n_converts"),
+            expr("n_converts * 10000 div n_viewers").as("conv_bp"),
+            col("p50_us"), col("p90_us"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+          FROM events GROUP BY user_id),
+        fc AS (
+          SELECT user_id, fv, fp, CAST(fv AS DATE) AS cohort
+          FROM f WHERE fv IS NOT NULL),
+        c AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS n_viewers,
+                 CAST(sum(CASE WHEN fp IS NOT NULL AND fp >= fv
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_converts
+          FROM fc GROUP BY cohort),
+        dl AS (
+          SELECT cohort, user_id,
+                 CAST(epoch_us(fp) - epoch_us(fv) AS BIGINT) AS d,
+                 row_number() OVER w AS rn,
+                 count(*) OVER (PARTITION BY cohort) AS n
+          FROM fc WHERE fp IS NOT NULL AND fp >= fv
+          WINDOW w AS (PARTITION BY cohort
+                       ORDER BY epoch_us(fp) - epoch_us(fv) ASC, user_id ASC)),
+        p50 AS (SELECT cohort, d AS p50_us FROM dl WHERE rn = (n + 1) // 2),
+        p90 AS (SELECT cohort, d AS p90_us FROM dl WHERE rn = (9 * n + 9) // 10)
+        SELECT cohort, n_viewers, n_converts,
+               n_converts * 10000 // n_viewers AS conv_bp,
+               p50_us, p90_us
+        FROM c LEFT JOIN p50 USING (cohort) LEFT JOIN p90 USING (cohort)"""))
   )
 }
