@@ -345,6 +345,54 @@ object EventsStream {
   case class EwmaState(open: List[EwmaBucket], last: Option[Long])
   case class EwmaOut(event_type: String, hr: Timestamp, n: Long, ewma: Long)
 
+  case class PendEv(ts: Timestamp, event_id: Long, event_type: String)
+  case class TransState(pending: List[PendEv], lastType: Option[String])
+  case class TransOut(user_id: Long, from_type: String, to_type: String,
+      ts: Timestamp, event_id: Long)
+
+  /** Streaming event-type transitions — the incremental twin of q158's
+    * lag window: per user, each event emits one (previous type ->
+    * this type) pair in exact (ts, event_id) order. Order under
+    * out-of-order ARRIVAL is what the state buys: an event is only
+    * processed once the watermark proves nothing earlier can still
+    * arrive (ts strictly below the watermark — Spark admits ts == wm,
+    * so that boundary stays buffered), and the buffer holds at most
+    * the watermark horizon's events per user plus ONE string — the
+    * last emitted type — forever. Batch mode closes everything: the
+    * emitted pairs ARE the batch lag query's rows, and their (from,
+    * to) counts aggregate to q158's matrix exactly. */
+  def transitionStream(events: Dataset[Event], watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[TransOut],
+      stEnc: org.apache.spark.sql.Encoder[TransState]): Dataset[TransOut] = {
+    val streaming = events.isStreaming
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[TransState]) =>
+          val st = state.getOption.getOrElse(TransState(Nil, None))
+          val all = (st.pending ++
+            batch.map(e => PendEv(e.ts, e.event_id, e.event_type)))
+            .sortBy(e => (micros(e.ts), e.event_id))
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          val (closed, open) = all.partition(e => micros(e.ts) < wmUs)
+          var last = st.lastType
+          val outs = closed.flatMap { e =>
+            val o = last.map(f => TransOut(uid, f, e.event_type, e.ts, e.event_id))
+            last = Some(e.event_type)
+            o
+          }
+          state.update(TransState(open, last))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(micros(open.head.ts) / 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+          outs.iterator
+      }
+  }
+
   /** Streaming integer EWMA — the incremental twin of batch q149: per
     * event type, each CLOSED hour's count folds into the running
     * s_t = (s_{t-1} + n) div 2 trend (seeded s = n at the type's first

@@ -276,6 +276,61 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming transitions: batch mode reproduces the q158 lag pairs and matrix") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val events = ev
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val got = EventsStream.transitionStream(events).collect()
+      .map(o => (o.user_id, o.from_type, o.to_type, o.event_id)).toSet
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val want = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+        r.getAs[String]("event_type"), r.getAs[Long]("event_id"))).toSet
+    assert(got == want, "batch-mode stream must emit exactly the lag pairs")
+    // aggregated (from, to) counts == the q158 matrix
+    val agg = got.toSeq.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val matrix = graft.queries.AdvancedQueries.all
+      .find(_.name == "q158_transition_matrix").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+        -> r.getAs[Long]("n")).toMap
+    assert(agg == matrix)
+  }
+
+  test("streaming transitions: emitted pairs are exactly a batch-pair subset") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val q = EventsStream.transitionStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("trans_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "transition stream did not finish in 120 s")
+    val got = spark.table("trans_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+        r.getAs[String]("to_type"), r.getAs[Long]("event_id"))).toSet
+    val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val want = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+        r.getAs[String]("event_type"), r.getAs[Long]("event_id"))).toSet
+    assert(got.nonEmpty, "the watermark must close some pairs")
+    assert(got.subsetOf(want),
+      "every emitted pair must be one the batch lag query produces")
+  }
+
   test("online anomaly: batch mode reproduces the q80 result exactly") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
