@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Portable
+import graft.functions.{Portable, TextAnalysis => TA}
 import graft.operators.{Dedup, Graph}
 import graft.queries.Tables.{spread, t}
 
@@ -935,6 +935,134 @@ object DedupQueries {
                (short_bp <= $GATE_SHORT_MAX_BP
                  AND diversity_bp >= $GATE_DIV_MIN_BP
                  AND neardup_bp <= $GATE_ND_MAX_BP) AS admitted
-        FROM rpt"""))
+        FROM rpt""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q160_curation_funnel",
+      "The end-to-end curation funnel — every stage a real pipeline " +
+        "runs before training, SEQUENCED, with survivor counts and " +
+        "retained bp at each cut: (0) raw corpus; (1) quality filter " +
+        "(q24's exact composite at 0.5); (2) exact dedup keepers " +
+        "(min doc per content digest, q26's rule); (3) near-dup " +
+        "cluster representatives — q28's verified pairs RESTRICTED " +
+        "to the surviving set, components to fixpoint, one rep each " +
+        "(q48+q82's rule applied mid-funnel); (4) eval held-out and " +
+        "contaminated train docs removed (q58's cross-set rule — a " +
+        "per-doc predicate, so computing it on the full corpus " +
+        "equals computing it on survivors). The one-line answer to " +
+        "'how much data is left, and which stage ate it'. Every " +
+        "stage reuses the proven operator and its oracle CTEs; the " +
+        "funnel output is 5 rows at any corpus size.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val q1 = docs
+          .filter(TA.qualityScore(col("text"), TA.EnMarkers) >= 0.5)
+          .select(col("doc_id"), col("text"))
+        val s2 = q1.select(col("doc_id"), Portable.pmd5(col("text")).as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val rp = lshVerifiedPairs(s, dir).select("id_a", "id_b")
+          .join(s2.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+          .join(s2.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+        val nonrep = Dedup.connectedComponents(rp)
+          .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+        val s3 = s2.join(nonrep, Seq("doc_id"), "left_anti")
+        val banded = Dedup.bandKeys(
+          Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
+        val cands = Dedup.lshCandidatesAcross(
+          banded.filter(col("doc_id") >= 100),
+          banded.filter(col("doc_id") < 100), "doc_id", NB)
+          .select(col("id_l").as("train_id"), col("id_r").as("eval_id"))
+        val sets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ts"))
+        val contaminated = cands
+          .join(sets.select(col("doc_id").as("train_id"), col("ts").as("ts_t")),
+            "train_id")
+          .join(sets.select(col("doc_id").as("eval_id"), col("ts").as("ts_e")),
+            "eval_id")
+          .filter(Dedup.jaccard(col("ts_t"), col("ts_e")) >= JT)
+          .select("train_id").distinct()
+        val s4 = s3.filter(col("doc_id") >= 100)
+          .join(contaminated.withColumnRenamed("train_id", "doc_id"),
+            Seq("doc_id"), "left_anti")
+        def row(i: Int, name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+              col("n_docs"))
+        val stages = row(0, "raw", docs)
+          .unionAll(row(1, "quality", q1))
+          .unionAll(row(2, "exact_dedup", s2))
+          .unionAll(row(3, "neardup_reps", s3))
+          .unionAll(row(4, "decontaminated", s4))
+        val n0 = docs.agg(count(lit(1)).as("n0"))
+        stages.crossJoin(broadcast(n0))
+          .select(col("stage"), col("stage_name"), col("n_docs"),
+            expr("n_docs * 10000 div n0").as("retained_bp"))
+          .orderBy("stage")
+      },
+      Some {
+        val stopList = s"[${TA.EnMarkers.map(m => s"'$m'").mkString(", ")}]"
+        s"""${pairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        q1 AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                     + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) * 0.4
+                     + CAST(len(list_filter(string_split(text, ' '),
+                         tk -> list_contains($stopList, tk))) AS DOUBLE)
+                       / len(string_split(text, ' ')) * 0.2 AS score
+            FROM documents)
+          WHERE score >= 0.5),
+        s2 AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id, ${Portable.pmd5Sql("text")} AS h
+                FROM documents WHERE doc_id IN (SELECT doc_id FROM q1))
+          GROUP BY h),
+        rp AS (
+          SELECT id_a, id_b FROM pairs
+          WHERE id_a IN (SELECT doc_id FROM s2)
+            AND id_b IN (SELECT doc_id FROM s2)),
+        rsym AS (SELECT id_a AS src, id_b AS dst FROM rp
+                 UNION SELECT id_b, id_a FROM rp),
+        walk(id, r) AS (
+          SELECT src, src FROM rsym
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN rsym s ON w.r = s.src),
+        comp AS (SELECT id, MIN(r) AS comp FROM walk GROUP BY id),
+        s3 AS (
+          SELECT doc_id FROM s2
+          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)),
+        ccand AS (
+          SELECT DISTINCT l.doc_id AS train_id, r.doc_id AS eval_id
+          FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+          WHERE l.doc_id >= 100 AND r.doc_id < 100),
+        contaminated AS (
+          SELECT DISTINCT train_id FROM (
+            SELECT train_id,
+                   CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                     / len(list_distinct(a.ts || b.ts)) AS j
+            FROM ccand JOIN sets a ON ccand.train_id = a.doc_id
+                       JOIN sets b ON ccand.eval_id = b.doc_id)
+          WHERE j >= $JT),
+        s4 AS (
+          SELECT doc_id FROM s3
+          WHERE doc_id >= 100
+            AND doc_id NOT IN (SELECT train_id FROM contaminated)),
+        n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        stages AS (
+          SELECT 0 AS stage, 'raw' AS stage_name, (SELECT n FROM n0) AS n_docs
+          UNION ALL SELECT 1, 'quality',
+            (SELECT CAST(count(*) AS BIGINT) FROM q1)
+          UNION ALL SELECT 2, 'exact_dedup',
+            (SELECT CAST(count(*) AS BIGINT) FROM s2)
+          UNION ALL SELECT 3, 'neardup_reps',
+            (SELECT CAST(count(*) AS BIGINT) FROM s3)
+          UNION ALL SELECT 4, 'decontaminated',
+            (SELECT CAST(count(*) AS BIGINT) FROM s4))
+        SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs,
+               n_docs * 10000 // (SELECT n FROM n0) AS retained_bp
+        FROM stages ORDER BY stage"""
+      })
   )
 }
