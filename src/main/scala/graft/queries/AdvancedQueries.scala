@@ -1640,6 +1640,79 @@ object AdvancedQueries {
         SELECT cohort, n_viewers, n_converts,
                n_converts * 10000 // n_viewers AS conv_bp,
                p50_us, p90_us
-        FROM c LEFT JOIN p50 USING (cohort) LEFT JOIN p90 USING (cohort)"""))
+        FROM c LEFT JOIN p50 USING (cohort) LEFT JOIN p90 USING (cohort)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q161_interval_union",
+      "Interval coalescing (the sweep-line union) — per user, every " +
+        "event opens a 5-minute activity window and overlapping or " +
+        "touching windows MERGE; the report is each user's total " +
+        "covered time, merged-interval count, and coverage share of " +
+        "their active span, all in exact micros. The sweep is two " +
+        "user-partitioned windows: a running max of interval ends " +
+        "over PRECEDING rows marks where a gap opens (start beyond " +
+        "everything seen = new group; the first row coalesces its " +
+        "NULL running max to Long.MinValue so it always opens one), " +
+        "and a running sum of those flags numbers the groups — the " +
+        "standard O(n log n)-per-key coalesce with no self-join. " +
+        "Distinct from q35's gap sessions: THIS merges fixed-width " +
+        "windows (uptime/coverage semantics), not inter-event gaps.",
+      (s, dir) => {
+        val W = 300L * 1000000L
+        val base = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + W).as("e"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("s").asc, col("event_id").asc)
+        val flagged = base
+          .withColumn("pm",
+            max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("newgrp",
+            when(col("s") > coalesce(col("pm"), lit(Long.MinValue)), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum(col("newgrp")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ivals = flagged.groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("n_ev"), min(col("s")).as("gs"),
+            max(col("e")).as("ge"))
+        ivals.groupBy(col("user_id"))
+          .agg(sum(col("n_ev")).as("n_events"),
+            count(lit(1)).as("n_intervals"),
+            sum(col("ge") - col("gs")).as("covered_us"),
+            (max(col("ge")) - min(col("gs"))).as("span_us"))
+          .withColumn("coverage_bp", expr("covered_us * 10000 div span_us"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT user_id, event_id,
+                 CAST(epoch_us(ts) AS BIGINT) AS s,
+                 CAST(epoch_us(ts) AS BIGINT) + 300000000 AS e
+          FROM events),
+        f AS (
+          SELECT user_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808) THEN 1 ELSE 0 END AS newgrp,
+                 event_id
+          FROM base),
+        g AS (
+          SELECT user_id, s, e,
+                 sum(newgrp) OVER (PARTITION BY user_id
+                   ORDER BY s ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM f),
+        iv AS (
+          SELECT user_id, grp, CAST(count(*) AS BIGINT) AS n_ev,
+                 min(s) AS gs, max(e) AS ge
+          FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(ge - gs) AS BIGINT) AS covered_us,
+               max(ge) - min(gs) AS span_us,
+               CAST(sum(ge - gs) AS BIGINT) * 10000 // (max(ge) - min(gs))
+                 AS coverage_bp
+        FROM iv GROUP BY user_id"""))
   )
 }
