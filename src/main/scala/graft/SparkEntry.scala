@@ -16,7 +16,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ AdvancedQueries.all ++ CorpusQueries.all ++
-      PipelineQueries.all ++ CurationQueries.all
+      PipelineQueries.all ++ CurationQueries.all ++ MiningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

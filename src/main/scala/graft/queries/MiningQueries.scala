@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.t
+
+/** Pattern-mining / graph-traversal / statistical-profiling queries
+  * (q162+): multi-source BFS over a co-occurrence graph, association
+  * rules, autocorrelation, functional-dependency profiling — the
+  * mining layer a training-data curation team runs ON TOP of the
+  * dedup/quality operators to understand corpus structure.
+  *
+  * Shared design rules (same as the rest of the registry): exact
+  * integer/decimal accumulation wherever a sum crosses a shuffle
+  * (doubles only in final scalar formulas, where IEEE evaluation is
+  * order-free and bit-identical across engines), no unpartitioned
+  * windows over unbounded input, joins keyed on narrow columns only.
+  */
+object MiningQueries {
+
+  /** q162: BFS depth bound. Fixed at plan time — the loop unrolls into
+    * a 3-deep dag, so no checkpoint machinery is needed (contrast the
+    * data-dependent iteration in Dedup.connectedComponents, which
+    * checkpoints per round because its round count is unbounded). */
+  private val BFS_DEPTH = 3
+
+  /** q162: seed rule — parts whose key is divisible by this. A pure
+    * arithmetic predicate so both engines pick the identical seed set
+    * with no RNG. */
+  private val BFS_SEED_MOD = 97
+
+  /** q163: minimum support in basis points of baskets. */
+  private val MIN_SUPPORT_BP = 100
+
+  /** q164: autocorrelation lags evaluated (hours 1..N). */
+  private val ACF_MAX_LAG = 6
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q162_copurchase_bfs",
+      "Multi-source BFS over the part co-purchase graph: parts are " +
+        "vertices, an edge links two parts that share an order " +
+        "(distinct (order, part) pairs self-joined on the order key — " +
+        "fan-out is quadratic only in BASKET size, which is bounded " +
+        "by schema at 7 and by practice at tens, never in corpus " +
+        "size), seeds are the arithmetic set p_partkey % " +
+        s"$BFS_SEED_MOD = 0, and three expansion rounds label every " +
+        "part with its minimum hop distance. Each round is ONE " +
+        "equi-join of the current frontier against the cached edge " +
+        "list (pre-partitioned on src so all rounds reuse the " +
+        "exchange) plus an anti-join against the visited set — " +
+        "8-byte keys only, never part payloads. The depth is a " +
+        "plan-time constant, so the loop unrolls into a fixed dag " +
+        "and needs no per-round checkpoint (the unbounded-iteration " +
+        "variant of this pattern, connected components, has one). " +
+        "Output: per hop, the reachable-part count and key range — " +
+        "the 'blast radius' report for seed-set contamination " +
+        "analysis (how much of the catalog is within k association " +
+        "steps of a flagged item).",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = items.as("a")
+        val b = items.as("b")
+        val edges = a.join(b, col("a.l_orderkey") === col("b.l_orderkey"))
+          .where(col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+          .repartition(col("src"))
+          .persist()
+        val seeds = t(s, dir, "part")
+          .where(col("p_partkey") % BFS_SEED_MOD === 0)
+          .select(col("p_partkey").as("id"))
+        var visited = seeds.withColumn("hop", lit(0))
+        var frontier = seeds
+        for (h <- 1 to BFS_DEPTH) {
+          val next = frontier.join(edges, frontier("id") === edges("src"))
+            .select(col("dst").as("id")).distinct()
+            .join(visited.select("id"), Seq("id"), "left_anti")
+          visited = visited.union(next.withColumn("hop", lit(h)))
+          frontier = next
+        }
+        visited.groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_parts"),
+            min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+          .orderBy(col("hop"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey),
+        bfs AS (
+          SELECT p_partkey AS id, 0 AS hop FROM part
+          WHERE p_partkey % $BFS_SEED_MOD = 0
+          UNION
+          SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.id
+          WHERE b.hop < $BFS_DEPTH),
+        best AS (SELECT id, min(hop) AS hop FROM bfs GROUP BY id)
+        SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_parts,
+               min(id) AS min_id, max(id) AS max_id
+        FROM best GROUP BY hop ORDER BY hop""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q163_assoc_rules",
+      "Association rules over order baskets at the brand level: " +
+        "baskets are orders, items are the distinct part brands in " +
+        "each basket (lineitem joined to the part dimension on the " +
+        "8-byte part key, projecting ONLY the brand), and every " +
+        "ordered brand pair (a < b lexically) gets support, " +
+        "directed confidence a->b, and lift — all in integer basis " +
+        "points, with the lift cross-product computed in " +
+        "DECIMAL(38,0)/HUGEINT because n_ab * N overflows a 64-bit " +
+        "long at around 1e11 baskets (the silent-wrap trap q104's " +
+        "review found, designed out here from the start). Item " +
+        "cardinality bounds the pair space (25 brands -> <= 300 " +
+        "rows), so the report aggregates down, never up: the only " +
+        "corpus-scale shuffles are the distinct (order, brand) " +
+        "projection and one pair count keyed on two short strings. " +
+        "Rules below ${MIN_SUPPORT_BP} bp support are dropped.",
+      (s, dir) => {
+        val brands = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val ob = t(s, dir, "lineitem")
+          .join(brands, col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand").as("brand"))
+          .distinct()
+          .persist()
+        val nBaskets = ob.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+        val perBrand = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
+        val x = ob.as("x")
+        val y = ob.as("y")
+        val pairs = x.join(y, col("x.l_orderkey") === col("y.l_orderkey"))
+          .where(col("x.brand") < col("y.brand"))
+          .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(perBrand.withColumnRenamed("brand", "brand_a")
+            .withColumnRenamed("n_brand", "n_a"), Seq("brand_a"))
+          .join(perBrand.withColumnRenamed("brand", "brand_b")
+            .withColumnRenamed("n_brand", "n_b"), Seq("brand_b"))
+          .crossJoin(broadcast(nBaskets))
+          .where(col("n_ab") * 10000 >= col("n_baskets") * MIN_SUPPORT_BP)
+          .select(col("brand_a"), col("brand_b"), col("n_ab"),
+            expr("n_ab * 10000 div n_baskets").as("support_bp"),
+            expr("n_ab * 10000 div n_a").as("conf_ab_bp"),
+            expr("n_ab * 10000 div n_b").as("conf_ba_bp"),
+            // `div` (IntegralDivide) truncates like DuckDB's `//`; a
+            // fractional divide + decimal cast would HALF_UP-round and
+            // disagree near integer boundaries
+            expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * CAST(n_baskets AS DECIMAL(38,0)) * 10000" +
+              " div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))) AS BIGINT)")
+              .as("lift_bp"))
+          .orderBy(col("brand_a"), col("brand_b"))
+      },
+      Some(s"""
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey, p_brand AS brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM ob),
+        pb AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_brand FROM ob GROUP BY 1),
+        pr AS (
+          SELECT x.brand AS brand_a, y.brand AS brand_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM ob x JOIN ob y ON x.l_orderkey = y.l_orderkey
+          WHERE x.brand < y.brand GROUP BY 1, 2)
+        SELECT brand_a, brand_b, n_ab,
+               n_ab * 10000 // n_baskets AS support_bp,
+               n_ab * 10000 // a.n_brand AS conf_ab_bp,
+               n_ab * 10000 // b.n_brand AS conf_ba_bp,
+               CAST(CAST(n_ab AS HUGEINT) * n_baskets * 10000
+                    // (CAST(a.n_brand AS HUGEINT) * b.n_brand) AS BIGINT) AS lift_bp
+        FROM pr
+        JOIN pb a ON pr.brand_a = a.brand
+        JOIN pb b ON pr.brand_b = b.brand
+        CROSS JOIN nb
+        WHERE n_ab * 10000 >= n_baskets * $MIN_SUPPORT_BP
+        ORDER BY brand_a, brand_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q164_acf",
+      "Autocorrelation function of the hourly event-volume series at " +
+        s"lags 1..$ACF_MAX_LAG hours — the seasonality probe behind " +
+        "ingest-anomaly baselining (a strong lag-24 ACF says " +
+        "'compare to yesterday', a strong lag-1 says 'smooth'). " +
+        "Hourly counts reduce the corpus to one row per hour; each " +
+        "lag pairs hour t with hour t+k via an 8-byte epoch equi-join " +
+        "(present-hour pairs only — no unpartitioned lag window, and " +
+        "the join replaces the global sort a window would need); " +
+        "Pearson r per lag uses the exact-moment pattern (q99): " +
+        "counts accumulate as DECIMAL(38,0)/HUGEINT, and only the " +
+        "final scalar formula touches doubles, so the statistic is " +
+        "bit-identical under any partitioning. Lags with zero " +
+        "variance on either side report NULL on both engines.",
+      (s, dir) => {
+        val d38 = DecimalType(38, 0)
+        val hourly = t(s, dir, "events")
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts")))).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist()
+        val lags = s.range(1, ACF_MAX_LAG + 1).select(col("id").as("lag"))
+        val left = hourly.crossJoin(broadcast(lags))
+          .select(col("lag"), (col("hr") + col("lag") * 3600L).as("hr_next"),
+            col("cnt").as("x"))
+        val paired = left.join(hourly.select(col("hr").as("hr_next"),
+          col("cnt").as("y")), Seq("hr_next"))
+        paired.groupBy(col("lag"))
+          .agg(count(lit(1)).cast(d38).as("n"),
+            sum(col("x").cast(d38)).as("sx"),
+            sum(col("y").cast(d38)).as("sy"),
+            sum((col("x") * col("x")).cast(d38)).as("sxx"),
+            sum((col("y") * col("y")).cast(d38)).as("syy"),
+            sum((col("x") * col("y")).cast(d38)).as("sxy"))
+          .select(col("lag"), col("n").cast(LongType).as("n_pairs"),
+            when(col("n") * col("sxx") === col("sx") * col("sx"), lit(null))
+              .when(col("n") * col("syy") === col("sy") * col("sy"), lit(null))
+              .otherwise(
+                (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+                  / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+                    * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
+              .as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some(s"""
+        WITH hourly AS (
+          SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+        lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, ${ACF_MAX_LAG + 1})),
+        paired AS (
+          SELECT l.lag, a.cnt AS x, b.cnt AS y
+          FROM hourly a CROSS JOIN lags l
+          JOIN hourly b ON b.hr = a.hr + l.lag * 3600),
+        m AS (
+          SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM paired GROUP BY lag)
+        SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN n * sxx = sx * sx THEN NULL
+                    WHEN n * syy = sy * sy THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS acf
+        FROM m ORDER BY lag"""))
+  )
+}
