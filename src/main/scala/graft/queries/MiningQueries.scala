@@ -250,6 +250,157 @@ object MiningQueries {
                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                END AS acf
-        FROM m ORDER BY lag"""))
+        FROM m ORDER BY lag""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q165_fd_profile",
+      "Approximate functional-dependency profiling — the schema-" +
+        "discovery pass a data catalog runs to find which columns " +
+        "determine which (candidate keys, denormalization errors, " +
+        "safe partition hierarchies). For each candidate determinant " +
+        "-> dependent pair, the g3 error metric: the minimum number " +
+        "of rows to delete for the FD to hold exactly = n_rows - " +
+        "sum over determinant groups of the majority dependent's " +
+        "count. Two keyed aggregations per candidate (pair counts, " +
+        "then per-determinant argmax), each shuffling only the two " +
+        "candidate columns; candidates evaluate independently and " +
+        "union at the report level (5 rows). nation->region holds " +
+        "exactly by construction; the part/orders candidates measure " +
+        "real violation mass.",
+      (s, dir) => {
+        def fd(df: org.apache.spark.sql.DataFrame, det: String, dep: String,
+            label: String) = {
+          val pairs = df.groupBy(col(det).as("det"), col(dep).as("dep"))
+            .agg(count(lit(1)).as("cnt"))
+          pairs.groupBy(col("det"))
+            .agg(sum(col("cnt")).as("rows_det"), max(col("cnt")).as("keep_det"))
+            .agg(lit(label).as("fd"), sum(col("rows_det")).as("n_rows"),
+              count(lit(1)).as("n_groups"),
+              (sum(col("rows_det")) - sum(col("keep_det"))).as("n_violations"),
+              expr("(sum(rows_det) - sum(keep_det)) * 10000 div sum(rows_det)")
+                .as("err_bp"))
+        }
+        val part = t(s, dir, "part")
+        val orders = t(s, dir, "orders")
+        val nation = t(s, dir, "nation")
+        fd(part, "p_brand", "p_type", "brand->type")
+          .unionByName(fd(part, "p_type", "p_brand", "type->brand"))
+          .unionByName(fd(part, "p_brand", "p_size", "brand->size"))
+          .unionByName(fd(orders, "o_orderpriority", "o_orderstatus",
+            "priority->status"))
+          .unionByName(fd(nation, "n_nationkey", "n_regionkey",
+            "nation->region"))
+          .orderBy(col("fd"))
+      },
+      Some("""
+        WITH cand AS (
+          SELECT 'brand->type' AS fd, p_brand AS det, p_type AS dep FROM part
+          UNION ALL
+          SELECT 'type->brand', p_type, p_brand FROM part
+          UNION ALL
+          SELECT 'brand->size', p_brand, CAST(p_size AS VARCHAR) FROM part
+          UNION ALL
+          SELECT 'priority->status', o_orderpriority, o_orderstatus FROM orders
+          UNION ALL
+          SELECT 'nation->region', CAST(n_nationkey AS VARCHAR),
+                 CAST(n_regionkey AS VARCHAR) FROM nation),
+        pairs AS (
+          SELECT fd, det, dep, CAST(count(*) AS BIGINT) AS cnt
+          FROM cand GROUP BY 1, 2, 3),
+        per_det AS (
+          SELECT fd, det, CAST(sum(cnt) AS BIGINT) AS rows_det,
+                 max(cnt) AS keep_det
+          FROM pairs GROUP BY 1, 2)
+        SELECT fd, CAST(sum(rows_det) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(rows_det) - sum(keep_det) AS BIGINT) AS n_violations,
+               CAST((sum(rows_det) - sum(keep_det)) * 10000 // sum(rows_det)
+                    AS BIGINT) AS err_bp
+        FROM per_det GROUP BY fd ORDER BY fd""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q166_weighted_median",
+      "Exact distributed weighted median: per return flag, the " +
+        "lower weighted median of extended price with quantity as " +
+        "weight — the robust 'typical spend' statistic unit tests " +
+        "can't fake with an unweighted median when row weights vary. " +
+        "One partitioned window per group computes cumulative weight " +
+        "in VALUE order with the default RANGE frame, which both " +
+        "engines define to include ALL peers of the current value — " +
+        "so the cumulative weight at any row is tie-insensitive and " +
+        "the selected value (the least value whose doubled cumulative " +
+        "weight reaches the group total) is deterministic without a " +
+        "tiebreak column. Weights accumulate as longs (quantity is " +
+        "bounded); the window partitions by the group key, so no " +
+        "single-task global sort exists at any size.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast(LongType).as("w"))
+        val byFlag = Window.partitionBy(col("l_returnflag"))
+        val cum = li
+          .withColumn("cum_w", sum(col("w")).over(byFlag.orderBy(col("v"))))
+          .withColumn("tot_w", sum(col("w")).over(byFlag))
+        cum.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"), max(col("tot_w")).as("total_weight"),
+            min(when(col("cum_w") * 2 >= col("tot_w"), col("v")))
+              .as("w_median"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH cum AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 sum(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                   AS cum_w,
+                 sum(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_returnflag) AS tot_w
+          FROM lineitem)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(max(tot_w) AS BIGINT) AS total_weight,
+               min(CASE WHEN cum_w * 2 >= tot_w THEN v END) AS w_median
+        FROM cum GROUP BY 1 ORDER BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q167_skyline",
+      "Per-brand 2-D skyline (Pareto frontier minimizing retail " +
+        "price and size): the multi-objective shortlist query — " +
+        "'show every part no same-brand part beats on both price and " +
+        "size'. NOT the quadratic NOT-EXISTS the semantics read as: " +
+        "a sort-based plan — per (brand, price) the minimum size, a " +
+        "per-brand window in price order (ROWS frame, one row per " +
+        "distinct price) gives the best size at any STRICTLY lower " +
+        "price, and a part survives iff no cheaper part has size <= " +
+        "its own and no equal-priced part has size strictly below. " +
+        "All windows partition by brand; the oracle states the same " +
+        "semantics as the correlated NOT EXISTS, proving the " +
+        "sort-based rewrite exact including tie handling (equal " +
+        "price+size pairs dominate neither side and both survive).",
+      (s, dir) => {
+        val p = t(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+          col("p_retailprice").as("price"), col("p_size").as("size"))
+        val atPrice = p.groupBy(col("p_brand"), col("price"))
+          .agg(min(col("size")).as("min_size_here"))
+        val strictW = Window.partitionBy(col("p_brand")).orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withStrict = atPrice.withColumn("min_size_below",
+          min(col("min_size_here")).over(strictW))
+        p.join(withStrict, Seq("p_brand", "price"))
+          .where((col("min_size_below").isNull
+              || col("min_size_below") > col("size"))
+            && col("min_size_here") >= col("size"))
+          .select(col("p_brand"), col("p_partkey"), col("price"), col("size"))
+          .orderBy(col("p_brand"), col("price"), col("size"), col("p_partkey"))
+      },
+      Some("""
+        SELECT p_brand, p_partkey, p_retailprice AS price, p_size AS size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_brand = p.p_brand
+            AND q.p_retailprice <= p.p_retailprice
+            AND q.p_size <= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+        ORDER BY 1, 3, 4, 2"""))
   )
 }
