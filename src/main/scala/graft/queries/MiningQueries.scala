@@ -37,6 +37,13 @@ object MiningQueries {
   /** q164: autocorrelation lags evaluated (hours 1..N). */
   private val ACF_MAX_LAG = 6
 
+  /** q168: sorted-neighborhood window — each row compares to the next
+    * SNM_WINDOW-1 rows in block-sorted order. */
+  private val SNM_WINDOW = 3
+
+  /** q168: exact token-Jaccard verification threshold. */
+  private val SNM_JACCARD = 0.5
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -401,6 +408,213 @@ object MiningQueries {
             AND q.p_retailprice <= p.p_retailprice
             AND q.p_size <= p.p_size
             AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
-        ORDER BY 1, 3, 4, 2"""))
+        ORDER BY 1, 3, 4, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q168_sorted_neighborhood",
+      "Sorted-neighborhood dedup (window size " +
+        s"$SNM_WINDOW): docs sort by a normalized text prefix inside " +
+        "(lang, prefix-4) blocks, each doc is compared ONLY to its " +
+        s"next ${SNM_WINDOW - 1} sort neighbors (lead windows " +
+        "partitioned by block — never a global sort), and candidates " +
+        "verify with exact token-set Jaccard at " +
+        s"$SNM_JACCARD. The classic complement to LSH blocking " +
+        "(q30): cost is exactly (window-1) comparisons per row " +
+        "regardless of key skew, and the known single-pass blind " +
+        "spot — true pairs straddling a block boundary — is the " +
+        "documented trade (production runs multi-pass with rotated " +
+        "keys; the pass structure is identical). The sort key is " +
+        "computed from the text ONCE in the scan stage; only (block, " +
+        "sortkey, id) cross the sort shuffle, text joins back by id " +
+        "for the <= 2N verify pairs.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keyed = docs.select(col("doc_id"), col("lang"),
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 12)
+            .as("sortkey"))
+          .withColumn("blk", substring(col("sortkey"), 1, 4))
+        val w = Window.partitionBy(col("lang"), col("blk"))
+          .orderBy(col("sortkey"), col("doc_id"))
+        val withLeads = keyed.select(col("doc_id") +:
+          (1 until SNM_WINDOW).map(k =>
+            lead(col("doc_id"), k).over(w).as(s"n$k")): _*)
+        val cands = (1 until SNM_WINDOW).map(k =>
+            withLeads.select(col("doc_id").as("id_a"), col(s"n$k").as("id_b"))
+              .where(col("id_b").isNotNull))
+          .reduce(_ unionByName _)
+        val sets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ts"))
+        cands
+          .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            graft.operators.Dedup.jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
+          .filter(col("jaccard") >= SNM_JACCARD)
+      },
+      Some(s"""
+        WITH keyed AS (
+          SELECT doc_id, lang,
+                 substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 12) AS sortkey
+          FROM documents),
+        blk AS (
+          SELECT doc_id, lang, sortkey, substring(sortkey, 1, 4) AS blk FROM keyed),
+        leads AS (
+          SELECT doc_id,
+                 ${(1 until SNM_WINDOW).map(k =>
+                   s"lead(doc_id, $k) OVER (PARTITION BY lang, blk ORDER BY sortkey, doc_id) AS n$k")
+                   .mkString(", ")}
+          FROM blk),
+        cand AS (
+          ${(1 until SNM_WINDOW).map(k =>
+            s"SELECT doc_id AS id_a, n$k AS id_b FROM leads WHERE n$k IS NOT NULL")
+            .mkString("\n          UNION ALL ")}),
+        sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                   / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+          FROM cand JOIN sets a ON cand.id_a = a.doc_id
+                    JOIN sets b ON cand.id_b = b.doc_id)
+        WHERE jaccard >= $SNM_JACCARD""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q169_record_linkage",
+      "Fellegi-Sunter-style probabilistic record linkage: candidate " +
+        "pairs block on (lang, length bucket of 100 chars) — an " +
+        "equi-join on a narrow compound key, never all-pairs — and " +
+        "each pair accumulates integer agreement weights per " +
+        "evidence field (same source +16/-4, length within " +
+        "20 chars +8/-2, token Jaccard >= 0.3 gives +24/-6), the " +
+        "log-odds-shaped additive scoring the ER literature " +
+        "standardized; the sum classifies match (>= 30) / possible " +
+        "(>= 10) / non-match, reported as per-(lang, verdict) pair " +
+        "counts with the score range. All weights are plan-time " +
+        "integers, so the verdict is bit-deterministic; the Jaccard " +
+        "evidence bit compares one exact rational-valued double the " +
+        "same way on both engines. The block join ships each record's " +
+        "token set once (the Jaccard evidence needs it); a " +
+        "100 TB deployment would pre-hash tokens to 8-byte ints at " +
+        "the scan exactly as q30 does — kept as strings here so the " +
+        "oracle states the evidence rule verbatim.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"),
+          array_distinct(split(col("text"), " ")).as("ts"))
+          .withColumn("lb", expr("n_chars div 100"))
+        val l = docs.as("l")
+        val r = docs.as("r")
+        val scored = l.join(r,
+            col("l.lang") === col("r.lang") && col("l.lb") === col("r.lb")
+              && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.lang").as("lang"),
+            (when(col("l.source") === col("r.source"), 16).otherwise(-4)
+              + when(abs(col("l.n_chars") - col("r.n_chars")) <= 20, 8).otherwise(-2)
+              + when(graft.operators.Dedup.jaccard(col("l.ts"), col("r.ts")) >= 0.3,
+                  24).otherwise(-6)).as("score"))
+        scored
+          .select(col("lang"), col("score"),
+            when(col("score") >= 30, "match")
+              .when(col("score") >= 10, "possible")
+              .otherwise("non-match").as("verdict"))
+          .groupBy(col("lang"), col("verdict"))
+          .agg(count(lit(1)).as("n_pairs"), min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+          .orderBy(col("lang"), col("verdict"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, source, n_chars,
+                 list_distinct(string_split(text, ' ')) AS ts,
+                 n_chars // 100 AS lb
+          FROM documents),
+        scored AS (
+          SELECT l.lang,
+                 (CASE WHEN l.source = r.source THEN 16 ELSE -4 END
+                  + CASE WHEN abs(l.n_chars - r.n_chars) <= 20 THEN 8 ELSE -2 END
+                  + CASE WHEN CAST(len(list_intersect(l.ts, r.ts)) AS DOUBLE)
+                           / (len(l.ts) + len(r.ts) - len(list_intersect(l.ts, r.ts)))
+                           >= 0.3 THEN 24 ELSE -6 END) AS score
+          FROM d l JOIN d r
+            ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id)
+        SELECT lang,
+               CASE WHEN score >= 30 THEN 'match'
+                    WHEN score >= 10 THEN 'possible'
+                    ELSE 'non-match' END AS verdict,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               min(score) AS min_score, max(score) AS max_score
+        FROM scored GROUP BY 1, 2 ORDER BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q170_changepoint",
+      "Offline change-point detection per event type: the single " +
+        "split day maximizing |mean daily volume before - after| — " +
+        "the first tool an ingest-drift incident review reaches for " +
+        "('when did this source change?'). Daily counts reduce the " +
+        "corpus to one row per (type, day); cumulative sums in day " +
+        "order run in a window PARTITIONED by type (day cardinality " +
+        "per type is calendar-bounded, so no single giant partition " +
+        "exists even at 100 TB — contrast a global-sort CUSUM); " +
+        "every candidate split's two segment means derive from the " +
+        "exact integer (cum, total) pair, the score is one " +
+        "double expression over exact ints (identical on both " +
+        "engines), and the per-type argmax takes the earliest day " +
+        "on ties. Segment means are also reported exactly in " +
+        "milli-units via integer division.",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val byType = Window.partitionBy(col("event_type"))
+        val ordered = daily
+          .withColumn("rn", row_number().over(byType.orderBy(col("day"))))
+          .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("day"))))
+          .withColumn("n_days", count(lit(1)).over(byType))
+          .withColumn("tot", sum(col("cnt")).over(byType))
+        val scoredSplits = ordered.where(col("rn") < col("n_days"))
+          .select(col("event_type"), col("day"), col("n_days"),
+            col("rn").as("left_days"), (col("n_days") - col("rn")).as("right_days"),
+            expr("cum * 1000 div rn").as("left_mean_milli"),
+            expr("(tot - cum) * 1000 div (n_days - rn)").as("right_mean_milli"),
+            abs(col("cum").cast(DoubleType) / col("rn")
+              - (col("tot") - col("cum")).cast(DoubleType)
+                / (col("n_days") - col("rn"))).as("score"))
+        scoredSplits
+          .withColumn("rank", row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("score").desc, col("day"))))
+          .where(col("rank") === 1)
+          .select(col("event_type"), col("day").as("split_day"), col("n_days"),
+            col("left_days"), col("right_days"),
+            col("left_mean_milli"), col("right_mean_milli"), col("score"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        ordered AS (
+          SELECT event_type, day, cnt,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+          FROM daily),
+        scored AS (
+          SELECT event_type, day, n_days, rn AS left_days,
+                 n_days - rn AS right_days,
+                 cum * 1000 // rn AS left_mean_milli,
+                 (tot - cum) * 1000 // (n_days - rn) AS right_mean_milli,
+                 abs(CAST(cum AS DOUBLE) / rn
+                     - CAST(tot - cum AS DOUBLE) / (n_days - rn)) AS score
+          FROM ordered WHERE rn < n_days),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY score DESC, day) AS rank
+          FROM scored)
+        SELECT event_type, day AS split_day, n_days, left_days, right_days,
+               left_mean_milli, right_mean_milli, score
+        FROM ranked WHERE rank = 1 ORDER BY event_type"""))
   )
 }

@@ -109,4 +109,54 @@ class MiningQueriesSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // q168 sorted neighborhood: planted adjacent near-dups are found
+  // ------------------------------------------------------------------
+
+  test("q168: planted near-dup pair with shared prefix is recovered") {
+    val dir = java.nio.file.Files.createTempDirectory("mining-snm").toString
+    val noise = (10L to 40L).map(i =>
+      (i, s"unique${i} content block number ${i} with filler ${i * 7}", "en"))
+    // two docs sharing 9 of 10 tokens AND the normalized prefix — they
+    // sort adjacent inside the (en, pref4) block and verify at J >= 0.5
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en"))
+    (noise ++ planted).toSeq.sortBy(_._1).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("q168_sorted_neighborhood", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"planted pair missing from $got")
+    // window bound: at most (SNM_WINDOW-1) * N candidate pairs exist,
+    // and none of the mutually-dissimilar noise docs may pair up
+    assert(got.forall { case (a, b) => (a == 1L && b == 2L) || a >= 10L })
+  }
+
+  // ------------------------------------------------------------------
+  // q170 change point: a planted step lands the split on the step day
+  // ------------------------------------------------------------------
+
+  test("q170: step function volume finds the exact step boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("mining-cp").toString
+    val base = 1700006400L // midnight-aligned day D0
+    val day0 = base / 86400L
+    // type A: 2/day for days 0..9, then 20/day for days 10..19 ->
+    // best split = last low day (rank ties broken by earliest day);
+    // type B: constant 5/day -> any split scores 0, earliest day wins
+    val rows =
+      (for (d <- 0 until 20; i <- 0 until (if (d < 10) 2 else 20))
+        yield ("A", base + d * 86400L + i)) ++
+      (for (d <- 0 until 20; i <- 0 until 5) yield ("B", base + d * 86400L + i))
+    rows.map { case (ty, sec) =>
+      (ty, Timestamp.from(java.time.Instant.ofEpochSecond(sec))) }
+      .toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("q170_changepoint", dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("A") == day0 + 9, s"step split: ${got("A") - day0}")
+    assert(got("B") == day0, s"flat series split: ${got("B") - day0}")
+  }
 }
