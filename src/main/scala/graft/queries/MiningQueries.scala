@@ -615,6 +615,117 @@ object MiningQueries {
           FROM scored)
         SELECT event_type, day AS split_day, n_days, left_days, right_days,
                left_mean_milli, right_mean_milli, score
-        FROM ranked WHERE rank = 1 ORDER BY event_type"""))
+        FROM ranked WHERE rank = 1 ORDER BY event_type""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q171_smb_join",
+      "Co-located sort-merge-bucket join: lineitem and orders are " +
+        "written ONCE bucketed (+in-bucket sorted) on the order key, " +
+        "then the fact-to-fact join runs with NO exchange on either " +
+        "side — bucket i joins bucket i in place. This is the " +
+        "100 TB answer to the one join a star schema cannot " +
+        "broadcast (fact x fact): the shuffle cost moves to the " +
+        "write path and amortizes over every subsequent join on the " +
+        "key; MiningQueriesSpec asserts the joined plan contains " +
+        "zero shuffles upstream of the merge join. The layout write " +
+        "is charged inside the query (q114's convention for " +
+        "maintenance-backed reads); the oracle is the plain join, " +
+        "proving co-location changes nothing about the answer. " +
+        "Money sums accumulate in DECIMAL(38,0) cents.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+              .as("rev_cents"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("graft_q171_li")
+        ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("graft_q171_ord")
+        s.table("graft_q171_li").hint("merge")
+          .join(s.table("graft_q171_ord"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            sum(col("rev_cents").cast(DecimalType(38, 0)))
+              .cast(LongType).as("revenue_cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS HUGEINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q172_mad_outliers",
+      "Robust outlier detection per event type: median / MAD (median " +
+        "absolute deviation) with the modified z-score cut |x - med| " +
+        "> 3 * MAD — the outlier screen that, unlike mean/stddev " +
+        "(q76's family), cannot be dragged by the outliers it hunts. " +
+        "Both medians are the LOWER weighted median via the " +
+        "tie-insensitive RANGE-frame cumulative count (q166's " +
+        "machinery, unit weights), each computed in a window " +
+        "partitioned by type; the per-type (med, mad) pair joins " +
+        "back as a broadcast-size frame. Every comparison is one " +
+        "exact double both engines evaluate identically; no global " +
+        "sort, no unpartitioned window, two passes over values only.",
+      (s, dir) => {
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, vCol: String) = {
+          val byT = Window.partitionBy(col("event_type"))
+          df.withColumn("cum", count(lit(1)).over(byT.orderBy(col(vCol))))
+            .withColumn("tot", count(lit(1)).over(byT))
+            .groupBy(col("event_type"))
+            .agg(min(when(col("cum") * 2 >= col("tot"), col(vCol))).as("m"))
+        }
+        val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        val med = lowerMedian(ev, "value")
+          .withColumnRenamed("m", "med")
+        val dev = ev.join(med, "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev")
+          .withColumnRenamed("m", "mad")
+        dev.join(mad, "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+            min(col("mad")).as("mad"),
+            sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers"))
+          .withColumn("outlier_bp", expr("n_outliers * 10000 div n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, value FROM events),
+        c1 AS (
+          SELECT event_type, value,
+                 CAST(count(*) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+          FROM ev),
+        med AS (
+          SELECT event_type, min(CASE WHEN cum * 2 >= tot THEN value END) AS med
+          FROM c1 GROUP BY 1),
+        dev AS (
+          SELECT ev.event_type, ev.value, med.med,
+                 abs(ev.value - med.med) AS dev
+          FROM ev JOIN med ON ev.event_type = med.event_type),
+        c2 AS (
+          SELECT event_type, dev,
+                 CAST(count(*) OVER (PARTITION BY event_type ORDER BY dev) AS BIGINT) AS cum,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+          FROM dev),
+        mad AS (
+          SELECT event_type, min(CASE WHEN cum * 2 >= tot THEN dev END) AS mad
+          FROM c2 GROUP BY 1)
+        SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+               min(dev.med) AS med, min(mad.mad) AS mad,
+               CAST(sum(CASE WHEN dev.dev > mad.mad * 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               CAST(sum(CASE WHEN dev.dev > mad.mad * 3 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS outlier_bp
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

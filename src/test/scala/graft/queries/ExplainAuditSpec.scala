@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
 import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, RangeExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 import graft.{SparkEntry, SparkSpec}
@@ -208,6 +208,18 @@ class ExplainAuditSpec extends SparkSpec {
       .collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.size >= 2,
       s"nation/region dims must broadcast, found ${bhj.size} broadcast joins")
+  }
+
+  test("q171 bucketed SMB join runs with zero shuffles under the merge join") {
+    // the whole point of the bucketed layout: neither fact side
+    // exchanges — bucket i merge-joins bucket i in place. Only the
+    // post-join aggregation may shuffle.
+    val smj = planMap("q171_smb_join").collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "q171 must plan a sort-merge join")
+    val joinSideShuffles = smj.flatMap(shuffles)
+    assert(joinSideShuffles.isEmpty,
+      "bucketed join sides must not exchange, found: " +
+        joinSideShuffles.map(_.simpleStringWithNodeId()).mkString("; "))
   }
 
   test("ANN queries broadcast the small side, never a cartesian") {
