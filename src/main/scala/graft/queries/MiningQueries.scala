@@ -638,9 +638,21 @@ object MiningQueries {
             expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
               .as("rev_cents"))
         val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        // external tables at a fresh scratch path per call: a MANAGED
+        // table would collide with a previous session's leftover
+        // warehouse directory (the catalog is per-session, the
+        // filesystem is not) — q114's deleteOnExit convention
+        val root = java.nio.file.Files.createTempDirectory("graft-q171").toString
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .deleteOnExit(rootPath)
+        s.sql("DROP TABLE IF EXISTS graft_q171_li")
+        s.sql("DROP TABLE IF EXISTS graft_q171_ord")
         li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/li")
           .mode("overwrite").saveAsTable("graft_q171_li")
         ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$root/ord")
           .mode("overwrite").saveAsTable("graft_q171_ord")
         s.table("graft_q171_li").hint("merge")
           .join(s.table("graft_q171_ord"),
@@ -726,6 +738,128 @@ object MiningQueries {
                CAST(sum(CASE WHEN dev.dev > mad.mad * 3 THEN 1 ELSE 0 END) * 10000
                     // count(*) AS BIGINT) AS outlier_bp
         FROM dev JOIN mad ON dev.event_type = mad.event_type
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q173_event_pattern",
+      "CEP-style sequence pattern over the event log — MATCH_" +
+        "RECOGNIZE semantics ('view followed by purchase within 1 " +
+        "hour with no error in between') expressed as forward-" +
+        "looking conditional window frames: per user in (ts, " +
+        "event_id) order, each view reads the timestamp of its NEXT " +
+        "purchase and NEXT error via min(CASE...) over ROWS 1 " +
+        "FOLLOWING..UNBOUNDED — one partitioned sort serves both " +
+        "probes, where the join formulation would scan the tail " +
+        "per view. A view matches iff the purchase lands within the " +
+        "window and no error precedes it. Daily rollup: views, " +
+        "matches, match rate in bp, and mean conversion latency in " +
+        "EXACT micros (integer sum div count — no float time math).",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day"))
+        val tail = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val views = ev
+          .withColumn("next_purchase",
+            min(when(col("event_type") === "purchase", col("us"))).over(tail))
+          .withColumn("next_error",
+            min(when(col("event_type") === "error", col("us"))).over(tail))
+          .where(col("event_type") === "view")
+          .withColumn("hit",
+            col("next_purchase").isNotNull
+              && col("next_purchase") - col("us") <= 3600L * 1000000L
+              && (col("next_error").isNull
+                || col("next_error") > col("next_purchase")))
+        views.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_views"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_matches"),
+            sum(when(col("hit"), col("next_purchase") - col("us"))
+              .otherwise(0L)).as("latency_us_sum"))
+          .select(col("day"), col("n_views"), col("n_matches"),
+            expr("n_matches * 10000 div n_views").as("match_bp"),
+            when(col("n_matches") > 0,
+              expr("latency_us_sum div n_matches")).as("mean_latency_us"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                 CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+          FROM events),
+        probed AS (
+          SELECT *,
+                 min(CASE WHEN event_type = 'purchase' THEN us END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_purchase,
+                 min(CASE WHEN event_type = 'error' THEN us END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_error
+          FROM ev),
+        views AS (
+          SELECT day,
+                 (next_purchase IS NOT NULL
+                  AND next_purchase - us <= CAST(3600 AS BIGINT) * 1000000
+                  AND (next_error IS NULL OR next_error > next_purchase))
+                   AS hit,
+                 next_purchase - us AS lat
+          FROM probed WHERE event_type = 'view')
+        SELECT day, CAST(count(*) AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // count(*)
+                    AS BIGINT) AS match_bp,
+               CASE WHEN sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+                    THEN CAST(sum(CASE WHEN hit THEN lat ELSE 0 END)
+                              // sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               END AS mean_latency_us
+        FROM views GROUP BY day ORDER BY day""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q174_multimodal_decode",
+      "Multimodal decode end-to-end UNDER THE ORACLE: payloads " +
+        "attach to every doc (utf-8 bytes standing in for media, " +
+        "modality from id — the q34 convention), then " +
+        "Multimodal.extractFeatures runs the batched per-partition " +
+        "decode through the stub codec and emits the typed feature " +
+        "row (dims, channels, frames, mean byte intensity). Because " +
+        "the stub is deterministic arithmetic on the bytes, DuckDB " +
+        "can state the SAME decode in SQL — so the whole mapPartitions " +
+        "pipeline (schema, pruning-before-decode, batch iteration, " +
+        "per-row error isolation for empty payloads) is hash-checked " +
+        "against an independent engine, not just spec'd. Swapping in " +
+        "a real codec changes only the arithmetic, not the plumbing " +
+        "this verifies. Per-row intensity is one exact-integer " +
+        "divide; no cross-row float accumulation exists. (The oracle " +
+        "counts characters where the stub counts utf-8 bytes — " +
+        "byte-identical on this verified-ASCII corpus.)",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val payload = graft.multimodal.Multimodal.attachPayload(
+          docs, "doc_id", "text")
+        graft.multimodal.Multimodal.extractFeatures(
+          payload, "doc_id", graft.multimodal.Multimodal.StubCodec)
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id AS id, length(text) AS n,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+                 CAST(list_sum(list_transform(split(text, ''), c -> ord(c)))
+                      AS BIGINT) AS bsum
+          FROM documents WHERE length(text) > 0)
+        SELECT id, kind,
+               CAST(CASE WHEN kind = 'audio' THEN 0 ELSE n % 640 + 1 END AS INT) AS width,
+               CAST(CASE WHEN kind = 'audio' THEN 0 ELSE n % 480 + 1 END AS INT) AS height,
+               CAST(CASE WHEN kind = 'audio' THEN 2 ELSE 3 END AS INT) AS channels,
+               CAST(CASE WHEN kind = 'image' THEN 1
+                         WHEN kind = 'audio' THEN n // 4 + 1
+                         ELSE n // 1024 + 1 END AS INT) AS frames,
+               CAST(bsum AS DOUBLE) / n AS mean_intensity
+        FROM base"""))
   )
 }
