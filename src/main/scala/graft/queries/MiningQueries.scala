@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.queries.Tables.t
+import graft.queries.Tables.{spread, t}
 
 /** Pattern-mining / graph-traversal / statistical-profiling queries
   * (q162+): multi-source BFS over a co-occurrence graph, association
@@ -72,21 +72,33 @@ object MiningQueries {
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val a = items.as("a")
         val b = items.as("b")
+        // NO distinct on edges: a pair that co-occurs in k orders
+        // appears k times, but co-purchase multiplicity is ~1 (0.3%
+        // dups measured at sf0.1) and the per-round frontier distinct
+        // absorbs it — deduping here would cost a full extra shuffle
+        // of the edge list for nothing. repartition(src) is the one
+        // edge shuffle; every round's join then exchanges only its
+        // (small) frontier side against the cached partitioning.
         val edges = a.join(b, col("a.l_orderkey") === col("b.l_orderkey"))
           .where(col("a.l_partkey") =!= col("b.l_partkey"))
           .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-          .distinct()
           .repartition(col("src"))
           .persist()
         val seeds = t(s, dir, "part")
           .where(col("p_partkey") % BFS_SEED_MOD === 0)
           .select(col("p_partkey").as("id"))
+        // each frontier is persisted: round h+1's anti-join references
+        // every earlier frontier, and without the cache the lazy
+        // lineage RECOMPUTES round 1..h-1 inside round h (measured 2x+
+        // on this query; the id frontiers are 8 bytes/row, so the
+        // cache ceiling is #vertices * 8B however deep the walk)
         var visited = seeds.withColumn("hop", lit(0))
         var frontier = seeds
         for (h <- 1 to BFS_DEPTH) {
           val next = frontier.join(edges, frontier("id") === edges("src"))
             .select(col("dst").as("id")).distinct()
             .join(visited.select("id"), Seq("id"), "left_anti")
+            .persist()
           visited = visited.union(next.withColumn("hop", lit(h)))
           frontier = next
         }
@@ -132,10 +144,15 @@ object MiningQueries {
         "Rules below ${MIN_SUPPORT_BP} bp support are dropped.",
       (s, dir) => {
         val brands = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        // repartition on the basket key AFTER the distinct: the pair
+        // self-join then reads BOTH sides from the cached
+        // orderkey-partitioning and plans no further exchange (the
+        // distinct's own (orderkey, brand) hash satisfies neither side)
         val ob = t(s, dir, "lineitem")
           .join(brands, col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey"), col("p_brand").as("brand"))
           .distinct()
+          .repartition(col("l_orderkey"))
           .persist()
         val nBaskets = ob.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
         val perBrand = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
@@ -497,9 +514,13 @@ object MiningQueries {
         "the scan exactly as q30 does — kept as strings here so the " +
         "oracle states the evidence rule verbatim.",
       (s, dir) => {
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-          col("source"), col("n_chars"),
-          array_distinct(split(col("text"), " ")).as("ts"))
+        // spread: the corpus ships as one parquet split — without it
+        // the whole blocked-pair expansion would run in ONE task
+        // (measured 7 s -> sub-second at sf0.1 on local[32])
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            col("source"), col("n_chars"),
+            array_distinct(split(col("text"), " ")).as("ts"))
           .withColumn("lb", expr("n_chars div 100"))
         val l = docs.as("l")
         val r = docs.as("r")
