@@ -37,6 +37,33 @@ object MiningQueries {
   /** q164: autocorrelation lags evaluated (hours 1..N). */
   private val ACF_MAX_LAG = 6
 
+  /** q173's per-view classification frame (one row per view event with
+    * its hit verdict and exact-micros latency) — shared between the
+    * batch aggregation and the streaming twin's equivalence spec
+    * (EventsStream.patternStream emits exactly these rows in batch
+    * mode). */
+  private[graft] def patternViews(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"),
+      col("event_id"),
+      expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day"))
+    val tail = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev
+      .withColumn("next_purchase",
+        min(when(col("event_type") === "purchase", col("us"))).over(tail))
+      .withColumn("next_error",
+        min(when(col("event_type") === "error", col("us"))).over(tail))
+      .where(col("event_type") === "view")
+      .withColumn("hit",
+        col("next_purchase").isNotNull
+          && col("next_purchase") - col("us") <= 3600L * 1000000L
+          && (col("next_error").isNull
+            || col("next_error") > col("next_purchase")))
+  }
+
   /** q168: sorted-neighborhood window — each row compares to the next
     * SNM_WINDOW-1 rows in block-sorted order. */
   private val SNM_WINDOW = 3
@@ -776,24 +803,7 @@ object MiningQueries {
         "matches, match rate in bp, and mean conversion latency in " +
         "EXACT micros (integer sum div count — no float time math).",
       (s, dir) => {
-        val ev = t(s, dir, "events").select(col("user_id"),
-          col("event_type"), unix_micros(col("ts")).as("us"),
-          col("event_id"),
-          expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day"))
-        val tail = Window.partitionBy(col("user_id"))
-          .orderBy(col("us"), col("event_id"))
-          .rowsBetween(1, Window.unboundedFollowing)
-        val views = ev
-          .withColumn("next_purchase",
-            min(when(col("event_type") === "purchase", col("us"))).over(tail))
-          .withColumn("next_error",
-            min(when(col("event_type") === "error", col("us"))).over(tail))
-          .where(col("event_type") === "view")
-          .withColumn("hit",
-            col("next_purchase").isNotNull
-              && col("next_purchase") - col("us") <= 3600L * 1000000L
-              && (col("next_error").isNull
-                || col("next_error") > col("next_purchase")))
+        val views = patternViews(s, dir)
         views.groupBy(col("day"))
           .agg(count(lit(1)).as("n_views"),
             sum(when(col("hit"), 1L).otherwise(0L)).as("n_matches"),

@@ -393,6 +393,81 @@ object EventsStream {
       }
   }
 
+  case class PatState(pending: List[PendEv], views: List[PendEv])
+  case class PatOut(user_id: Long, view_ts: Timestamp, view_event_id: Long,
+      hit: Boolean, latency_us: Option[Long])
+
+  /** Streaming CEP pattern — the incremental twin of batch q173's
+    * 'view then purchase within 1 h with no error between': per user,
+    * every view is classified the moment its outcome is DETERMINED —
+    * by the first subsequent purchase (hit iff within the hour, with
+    * exact micros latency), by the first subsequent error (miss), or
+    * by the watermark passing view + 1 h (any later purchase can only
+    * be late, and an error-first future is also a miss — so the
+    * verdict is already forced and the view leaves state). That
+    * horizon rule is what bounds state: pending views live at most
+    * 1 h + watermark delay, unlike a naive formulation that would
+    * hold every unanswered view forever. Events process in exact
+    * (ts, event_id) order under the transitionStream watermark-buffer
+    * discipline, so replay and arrival order cannot change a verdict.
+    * Batch mode closes everything and the output rows ARE q173's
+    * per-view classification (MiningQueries.patternViews). */
+  def patternStream(events: Dataset[Event], watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[PatOut],
+      stEnc: org.apache.spark.sql.Encoder[PatState]): Dataset[PatOut] = {
+    val streaming = events.isStreaming
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[PatState, PatOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[PatState]) =>
+          val st = state.getOption.getOrElse(PatState(Nil, Nil))
+          val all = (st.pending ++
+            batch.map(e => PendEv(e.ts, e.event_id, e.event_type)))
+            .sortBy(e => (micros(e.ts), e.event_id))
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          val (closed, open) = all.partition(e => micros(e.ts) < wmUs)
+          var views = st.views
+          val outs = scala.collection.mutable.ListBuffer[PatOut]()
+          closed.foreach { e =>
+            e.event_type match {
+              case "view" => views = views :+ e
+              case "purchase" =>
+                views.foreach { v =>
+                  val lat = micros(e.ts) - micros(v.ts)
+                  val hit = lat <= HourUs
+                  outs += PatOut(uid, v.ts, v.event_id, hit,
+                    if (hit) Some(lat) else None)
+                }
+                views = Nil
+              case "error" =>
+                views.foreach(v =>
+                  outs += PatOut(uid, v.ts, v.event_id, hit = false, None))
+                views = Nil
+              case _ => ()
+            }
+          }
+          // horizon expiry — in batch mode (wm = +inf) this closes the
+          // tail views that never saw a purchase or error, exactly the
+          // batch query's NULL-next-purchase misses
+          val (expired, alive) =
+            if (wmUs == Long.MaxValue) (views, Nil)
+            else views.partition(v => micros(v.ts) + HourUs < wmUs)
+          expired.foreach(v =>
+            outs += PatOut(uid, v.ts, v.event_id, hit = false, None))
+          state.update(PatState(open, alive))
+          val nexts =
+            open.headOption.map(e => micros(e.ts) / 1000L + 1).toList ++
+              alive.headOption.map(v => (micros(v.ts) + HourUs) / 1000L + 1)
+          if (nexts.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(nexts.min, state.getCurrentWatermarkMs() + 1))
+          outs.iterator
+      }
+  }
+
   /** Streaming integer EWMA — the incremental twin of batch q149: per
     * event type, each CLOSED hour's count folds into the running
     * s_t = (s_{t-1} + n) div 2 trend (seeded s = n at the type's first

@@ -331,6 +331,47 @@ class StreamingSpec extends SparkSpec {
       "every emitted pair must be one the batch lag query produces")
   }
 
+  test("streaming CEP pattern: batch mode emits exactly q173's per-view verdicts") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val got = EventsStream.patternStream(events).collect()
+      .map(o => (o.user_id, o.view_event_id, o.hit, o.latency_us)).toSet
+    val want = graft.queries.MiningQueries
+      .patternViews(spark, "/root/testdata/sf0.001").collect()
+      .map { r =>
+        val hit = r.getAs[Boolean]("hit")
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), hit,
+          if (hit) Some(r.getAs[Long]("next_purchase") - r.getAs[Long]("us"))
+          else None)
+      }.toSet
+    assert(got == want,
+      "batch-mode pattern stream must classify every view like the window query")
+    assert(got.exists(_._3) && got.exists(!_._3), "both verdicts must occur")
+  }
+
+  test("streaming CEP pattern: watermark-closed verdicts are a batch subset") {
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event](org.apache.spark.sql.Encoders.product[EventsStream.Event])
+    val q = EventsStream.patternStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("pat_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "pattern stream did not finish in 120 s")
+    val got = spark.table("pat_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_event_id"),
+        r.getAs[Boolean]("hit"))).toSet
+    val want = graft.queries.MiningQueries
+      .patternViews(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Boolean]("hit"))).toSet
+    assert(got.nonEmpty, "the watermark must close some verdicts")
+    assert(got.subsetOf(want),
+      "every emitted verdict must agree with the batch classification")
+  }
+
   test("online anomaly: batch mode reproduces the q80 result exactly") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
