@@ -71,6 +71,10 @@ object MiningQueries {
   /** q168: exact token-Jaccard verification threshold. */
   private val SNM_JACCARD = 0.5
 
+  /** q176: events kept per (user, day) basket — bounds the ordered
+    * collect's per-group state. */
+  private val PATH_LEN = 5
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -891,6 +895,119 @@ object MiningQueries {
                          WHEN kind = 'audio' THEN n // 4 + 1
                          ELSE n // 1024 + 1 END AS INT) AS frames,
                CAST(bsum AS DOUBLE) / n AS mean_intensity
-        FROM base"""))
+        FROM base""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q175_seasonal_backtest",
+      "Forecast-baseline backtest per event type: the two classical " +
+        "naive predictors — persistence (this hour = last hour) and " +
+        "seasonal naive (this hour = same hour yesterday) — scored " +
+        "against realized hourly volume, the calibration step every " +
+        "anomaly threshold (q80/q88) sits on. Hourly counts reduce " +
+        "the corpus first; each hour joins its two reference hours " +
+        "by 8-byte epoch arithmetic (no lag window); MAE is reported " +
+        "exactly in milli-events via integer division and the winner " +
+        "column compares the two absolute-error SUMS (same hour set, " +
+        "so no division enters the comparison). Only hours where " +
+        "both references exist score — the honest backtest frame.",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts")))).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist()
+        val h1 = hourly.select(col("event_type"), (col("hr") + 3600L).as("hr"),
+          col("cnt").as("pred1"))
+        val h24 = hourly.select(col("event_type"), (col("hr") + 86400L).as("hr"),
+          col("cnt").as("pred24"))
+        hourly.join(h1, Seq("event_type", "hr"))
+          .join(h24, Seq("event_type", "hr"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(abs(col("cnt") - col("pred1"))).as("ae1"),
+            sum(abs(col("cnt") - col("pred24"))).as("ae24"))
+          .select(col("event_type"), col("n_hours"),
+            expr("ae1 * 1000 div n_hours").as("mae_persist_milli"),
+            expr("ae24 * 1000 div n_hours").as("mae_seasonal_milli"),
+            when(col("ae24") < col("ae1"), "seasonal")
+              .when(col("ae1") < col("ae24"), "persistence")
+              .otherwise("tie").as("winner"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT h.event_type, h.cnt, p1.cnt AS pred1, p24.cnt AS pred24
+          FROM hourly h
+          JOIN hourly p1 ON p1.event_type = h.event_type AND p1.hr = h.hr - 3600
+          JOIN hourly p24 ON p24.event_type = h.event_type AND p24.hr = h.hr - 86400)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(abs(cnt - pred1)) * 1000 // count(*) AS BIGINT) AS mae_persist_milli,
+               CAST(sum(abs(cnt - pred24)) * 1000 // count(*) AS BIGINT) AS mae_seasonal_milli,
+               CASE WHEN sum(abs(cnt - pred24)) < sum(abs(cnt - pred1)) THEN 'seasonal'
+                    WHEN sum(abs(cnt - pred1)) < sum(abs(cnt - pred24)) THEN 'persistence'
+                    ELSE 'tie' END AS winner
+        FROM scored GROUP BY event_type ORDER BY event_type""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q176_session_paths",
+      "Top navigation paths: each (user, day) basket's first " +
+        s"$PATH_LEN event types in exact (ts, event_id) order joined " +
+        "into a path string, ranked by frequency — the clickstream " +
+        "mining report behind funnel design (q100 checks ONE " +
+        "hypothesized path; this surfaces which paths exist). The " +
+        "ordered collect is BOUNDED before it aggregates: a " +
+        "row_number window keeps only each basket's first " +
+        s"$PATH_LEN events, so per-group state is $PATH_LEN rows " +
+        "however hot the user — the unbounded-collect trap this " +
+        "formulation dodges. Top 20 by (count desc, path) via " +
+        "global top-k (TakeOrderedAndProject), rank derived " +
+        "after the limit bounds the frame.",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+        val firstN = ev
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("day"))
+              .orderBy(col("us"), col("event_id"))))
+          .where(col("rn") <= PATH_LEN)
+        val paths = firstN
+          .groupBy(col("user_id"), col("day"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("event_type")))), x => x.getField("event_type")), ">")
+            .as("path"))
+        val top = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(20)
+        top.withColumn("rank",
+          Tables.boundedRank(col("n"))(col("n").desc, col("path")))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+                 epoch_us(ts) AS us, event_id, event_type
+          FROM events),
+        firstn AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, day
+                        ORDER BY us, event_id) AS rn
+            FROM ev) WHERE rn <= $PATH_LEN),
+        paths AS (
+          SELECT user_id, day,
+                 array_to_string(list(event_type ORDER BY us, event_id), '>') AS path
+          FROM firstn GROUP BY 1, 2),
+        top AS (
+          SELECT path, CAST(count(*) AS BIGINT) AS n
+          FROM paths GROUP BY path
+          ORDER BY n DESC, path LIMIT 20)
+        SELECT path, n,
+               CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rank
+        FROM top"""))
   )
 }
