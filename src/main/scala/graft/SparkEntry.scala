@@ -16,7 +16,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ AdvancedQueries.all ++ CorpusQueries.all ++
-      PipelineQueries.all ++ CurationQueries.all ++ MiningQueries.all
+      PipelineQueries.all ++ CurationQueries.all ++ MiningQueries.all ++
+      ProfilingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

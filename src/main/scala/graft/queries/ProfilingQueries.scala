@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+import graft.queries.Tables.{spread, t}
+
+/** Corpus-profiling / selection queries (q177+): temperature-scaled
+  * mixture weights, token-budget selection, concurrency sweep-lines,
+  * positional phrase retrieval, winsorized datasheet stats, per-node
+  * graph clustering — the layer that turns the dedup/quality signals
+  * into concrete data-selection decisions.
+  *
+  * Shared design rules (same as the rest of the registry): exact
+  * integer/decimal accumulation wherever a sum crosses a shuffle;
+  * doubles appear only in final scalar formulas whose operands are
+  * already exact and whose operations (sqrt, one division) are
+  * IEEE-correctly-rounded, so results are bit-identical across
+  * engines; no unpartitioned windows over unbounded input; joins
+  * keyed on narrow columns only.
+  */
+object ProfilingQueries {
+
+  /** q177: share scale — shares are carried as integer parts-per-1e8
+    * so their square roots land on the 1e4 (basis-point) scale. */
+  private val SHARE_E8 = 100000000L
+
+  /** q178: per-source token budget. Sized so the greedy selection is a
+    * real cut at every test SF (keeps ~40-80% of each source). */
+  private val BUDGET_TOKENS = 1000L
+
+  /** q179: width of the activity window each event opens, seconds. */
+  private val CONC_WINDOW_SECS = 300
+
+  /** q180: the phrase searched for, in order. Chosen from the testdata
+    * vocabulary so the query returns hits at every SF. */
+  private val PHRASE = Seq("slow", "hash", "batch")
+
+  /** q180: result rows returned. */
+  private val PHRASE_K = 20
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q177_temperature_mix",
+      "Temperature-scaled mixture weights (T = 2, i.e. p^(1/2)) per " +
+        "language — the multilingual-training recipe that upsamples " +
+        "rare languages less aggressively than q121's uniform target: " +
+        "weight proportional to sqrt(share). Every step is engine-" +
+        "exact: shares are integer parts-per-1e8 (the count product " +
+        "runs in DECIMAL(38,0) so a trillion-doc stratum cannot wrap " +
+        "Long), sqrt of an exact integer-valued double is IEEE " +
+        "correctly rounded, and the final normalization is integer " +
+        "basis points. One map-side-combined count per stratum, then " +
+        "arithmetic on a languages-row frame — two 1-row broadcast " +
+        "joins, nothing that grows with the corpus.",
+      (s, dir) => {
+        val c = t(s, dir, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        val tot = c.agg(sum(col("cnt")).as("total"))
+        val w = c.crossJoin(broadcast(tot))
+          .withColumn("share_e8",
+            expr(s"CAST(CAST(cnt AS DECIMAL(38,0)) * $SHARE_E8 div total AS BIGINT)"))
+          .withColumn("w",
+            floor(sqrt(col("share_e8").cast(DoubleType))).cast(LongType))
+        val ws = w.agg(sum(col("w")).as("wsum"))
+        w.crossJoin(broadcast(ws))
+          .select(col("lang"), col("cnt"), col("share_e8"),
+            col("w").as("sqrt_share_e4"),
+            expr("w * 10000 div wsum").as("weight_bp"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        w AS (
+          SELECT lang, cnt,
+                 CAST(CAST(cnt AS HUGEINT) * $SHARE_E8 // total AS BIGINT) AS share_e8,
+                 CAST(floor(sqrt(CAST(CAST(CAST(cnt AS HUGEINT) * $SHARE_E8 // total AS BIGINT) AS DOUBLE))) AS BIGINT) AS w
+          FROM c CROSS JOIN tot),
+        ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w)
+        SELECT lang, cnt, share_e8, w AS sqrt_share_e4,
+               CAST(w * 10000 // wsum AS BIGINT) AS weight_bp
+        FROM w CROSS JOIN ws""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q178_token_budget",
+      "Greedy token-budget selection: each source spends a fixed " +
+        s"$BUDGET_TOKENS-token budget on its docs in descending " +
+        "vocabulary-richness order (distinct-token count, doc_id " +
+        "ties) — a doc is kept iff the running token total THROUGH it " +
+        "fits the budget. The selection scan is one source-partitioned " +
+        "running-sum window (never global), so each stratum selects " +
+        "independently and in parallel; output is per-source kept/" +
+        "total counts and integer basis-point coverage (the kept-sum " +
+        "product runs in DECIMAL(38,0) — a petatoken stratum cannot " +
+        "wrap Long).",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType)
+            .as("n_distinct"))
+        val r = d.withColumn("run", sum(col("n_tokens")).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_distinct").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tots = d.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("total_tokens"),
+            count(lit(1)).as("total_docs"))
+        r.join(tots, "source")
+          .groupBy(col("source"), col("total_docs"), col("total_tokens"))
+          .agg(
+            sum(when(col("run") <= BUDGET_TOKENS, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("run") <= BUDGET_TOKENS, col("n_tokens")).otherwise(0L))
+              .as("tokens_kept"))
+          .select(col("source"), col("total_docs"), col("total_tokens"),
+            col("n_kept"), col("tokens_kept"),
+            expr("CAST(CAST(tokens_kept AS DECIMAL(38,0)) * 10000" +
+              " div total_tokens AS BIGINT)").as("coverage_bp"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+          FROM documents),
+        r AS (
+          SELECT source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY n_distinct DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM d),
+        tots AS (
+          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS total_docs
+          FROM d GROUP BY 1)
+        SELECT source, total_docs, total_tokens,
+               CAST(count(*) FILTER (WHERE run <= $BUDGET_TOKENS) AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(n_tokens) FILTER (WHERE run <= $BUDGET_TOKENS), 0) AS BIGINT) AS tokens_kept,
+               CAST(CAST(coalesce(sum(n_tokens) FILTER (WHERE run <= $BUDGET_TOKENS), 0) AS HUGEINT) * 10000 // total_tokens AS BIGINT) AS coverage_bp
+        FROM r JOIN tots USING (source)
+        GROUP BY source, total_docs, total_tokens""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q179_daily_peak_load",
+      "Daily peak concurrency by sweep-line: every event opens a " +
+        s"$CONC_WINDOW_SECS-second activity window; the day's peak is " +
+        "the maximum number of simultaneously-open windows among " +
+        "those that STARTED that day (so no cross-day carry state). " +
+        "Each event becomes a +1 point at its start and a -1 at its " +
+        "end; a day-partitioned running sum over (time, delta) order " +
+        "— ends sort before starts at the same instant, the half-open " +
+        "[s, e) convention — and its max is the peak. The max is " +
+        "order-insensitive within equal (time, delta) ties (a run of " +
+        "-1s only descends, a run of +1s peaks at its end), so the " +
+        "result is deterministic under any partitioning. Day " +
+        "partitions bound the window state; a day too large for one " +
+        "task splits into hour shards plus one bounded carry-in count " +
+        "per shard boundary — same sweep, same answer.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("ts"))
+        val pts = ev.select(col("day"), col("ts").as("tp"), lit(1L).as("delta"))
+          .unionAll(ev.select(col("day"),
+            (col("ts") + expr(s"INTERVAL $CONC_WINDOW_SECS SECONDS")).as("tp"),
+            lit(-1L).as("delta")))
+        pts.withColumn("run", sum(col("delta")).over(
+            Window.partitionBy(col("day")).orderBy(col("tp"), col("delta"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("day"))
+          .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_windows"),
+            max(col("run")).as("peak"))
+      },
+      Some(s"""
+        WITH pts AS (
+          SELECT CAST(ts AS DATE) AS day, ts AS tp, CAST(1 AS BIGINT) AS delta
+          FROM events
+          UNION ALL
+          SELECT CAST(ts AS DATE) AS day,
+                 ts + INTERVAL $CONC_WINDOW_SECS SECOND AS tp,
+                 CAST(-1 AS BIGINT) AS delta
+          FROM events),
+        sw AS (
+          SELECT day, delta,
+                 sum(delta) OVER (PARTITION BY day ORDER BY tp, delta
+                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM pts)
+        SELECT day,
+               CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_windows,
+               CAST(max(run) AS BIGINT) AS peak
+        FROM sw GROUP BY day""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q180_phrase_search",
+      "Exact phrase retrieval ('" + PHRASE.mkString(" ") + "') over a " +
+        "POSITIONAL inverted index — the adjacency signal q107's " +
+        "bag-of-terms AND-search structurally misses. Tokens carry " +
+        "their in-document position; the phrase is three postings " +
+        "joins on (doc_id, pos) with the later terms' positions " +
+        "shifted back, so only the phrase terms' postings — a " +
+        "per-term sliver of the corpus — ever leave the scan. " +
+        "Positions are RELATIVE in the join (pos+1, pos+2), so the " +
+        "0- vs 1-based explode bases of the two engines cancel. Top " +
+        s"$PHRASE_K by occurrence count under a total order. At " +
+        "corpus scale the tokenize-and-filter scan is replaced by " +
+        "q51's postings table keyed (token, doc_id, pos) — same " +
+        "join, no rescan.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val tk = docs
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(col("tok").isin(PHRASE: _*))
+          .persist()
+        val a = tk.filter(col("tok") === PHRASE(0))
+          .select(col("doc_id"), col("pos"))
+        val b = tk.filter(col("tok") === PHRASE(1))
+          .select(col("doc_id").as("doc_b"), (col("pos") - 1).as("pos_b"))
+        val c = tk.filter(col("tok") === PHRASE(2))
+          .select(col("doc_id").as("doc_c"), (col("pos") - 2).as("pos_c"))
+        a.join(b, col("doc_id") === col("doc_b") && col("pos") === col("pos_b"))
+          .join(c, col("doc_id") === col("doc_c") && col("pos") === col("pos_c"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+          .orderBy(col("n_occ").desc, col("doc_id"))
+          .limit(PHRASE_K)
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, i AS pos, arr[i] AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+               unnest(generate_series(1, len(arr))) u(i)
+          WHERE arr[i] IN (${PHRASE.mkString("'", "', '", "'")}))
+        SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        FROM tk a
+        JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                 AND b.tok = '${PHRASE(1)}'
+        JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                 AND c.tok = '${PHRASE(2)}'
+        WHERE a.tok = '${PHRASE(0)}'
+        GROUP BY 1 ORDER BY n_occ DESC, a.doc_id LIMIT $PHRASE_K""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q181_winsorized_stats",
+      "Winsorized per-source token-length datasheet: exact type-1 " +
+        "p10/p90 clips (q85's rank-selection machinery) and the mean " +
+        "after clipping outliers to them — the robust location " +
+        "estimate a truncation budget should be set from (a handful " +
+        "of megadocs can drag the raw mean past p90). Integer " +
+        "throughout: clips and sums are BIGINT, and the only double " +
+        "is the final one-division mean of two exact integers — " +
+        "bit-identical on both engines. One source-partitioned rank " +
+        "window, then a broadcast-size per-source clip dim joined " +
+        "back for one more aggregation pass.",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_tokens"), col("doc_id"))
+        val qs = d.withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("source"))))
+          .groupBy(col("source"))
+          .agg(
+            max(when(col("rn") === expr("(n*10 + 99) div 100"),
+              col("n_tokens"))).as("lo_clip"),
+            max(when(col("rn") === expr("(n*90 + 99) div 100"),
+              col("n_tokens"))).as("hi_clip"))
+        d.join(broadcast(qs), "source")
+          .groupBy(col("source"), col("lo_clip"), col("hi_clip"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("raw_sum"),
+            sum(least(greatest(col("n_tokens"), col("lo_clip")),
+              col("hi_clip"))).as("wins_sum"))
+          .select(col("source"), col("n_docs"), col("lo_clip"), col("hi_clip"),
+            col("raw_sum"), col("wins_sum"),
+            (col("wins_sum").cast(DoubleType) / col("n_docs")).as("wins_mean"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (
+          SELECT source, n_tokens,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_tokens, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM d),
+        qs AS (
+          SELECT source,
+                 max(CASE WHEN rn = (n*10 + 99) // 100 THEN n_tokens END) AS lo_clip,
+                 max(CASE WHEN rn = (n*90 + 99) // 100 THEN n_tokens END) AS hi_clip
+          FROM r GROUP BY source, n)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, lo_clip, hi_clip,
+               CAST(sum(n_tokens) AS BIGINT) AS raw_sum,
+               CAST(sum(least(greatest(n_tokens, lo_clip), hi_clip)) AS BIGINT) AS wins_sum,
+               CAST(sum(least(greatest(n_tokens, lo_clip), hi_clip)) AS DOUBLE)
+                 / count(*) AS wins_mean
+        FROM d JOIN qs ON d.source = qs.source
+        GROUP BY d.source, lo_clip, hi_clip""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q182_clustering_coeff",
+      "Per-node clustering coefficient over the SimHash near-dup " +
+        "graph (q49's Hamming<=3 edges) — q75's global triangle " +
+        "census localized: a node whose neighborhood closes into " +
+        "triangles sits INSIDE a template cluster; an open star is a " +
+        "hub linking unrelated near-dups. Triangles enumerate by " +
+        "q75's edge-iterator (sorted out-neighbor lists, one " +
+        "array-intersect per edge — wedges never materialize), then " +
+        "each triangle credits its three corners; the coefficient is " +
+        "integer basis points of closed wedges, so every engine " +
+        "emits identical rows. Work is edges x intersect; memory is " +
+        "bounded by max out-degree (production caps hub degrees " +
+        "first, as q75 documents).",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val sigs = docs.select(col("doc_id"),
+          Dedup.simhash(s, col("text")).as("sig"))
+        val e = Dedup.simhashHammingPairs(sigs, "doc_id", "sig",
+          maxHamming = 3, bands = 4, bandBits = 15)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+          .persist()
+        val adj = e.groupBy(col("a"))
+          .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+        // triangle (a < b < c): c ranges over N+(a) ∩ N+(b) at edge (a,b)
+        val tri = e
+          .join(adj.select(col("a").as("u"), col("nbrs").as("na")),
+            col("a") === col("u"))
+          .join(adj.select(col("a").as("v"), col("nbrs").as("nb")),
+            col("b") === col("v"))
+          .select(col("a"), col("b"),
+            explode(array_intersect(col("na"), col("nb"))).as("c"))
+        val tcnt = tri.select(col("a").as("v"))
+          .unionAll(tri.select(col("b").as("v")))
+          .unionAll(tri.select(col("c").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+        deg.filter(col("degree") >= 2)
+          .join(tcnt, Seq("v"), "left")
+          .withColumn("n_triangles", coalesce(col("tri"), lit(0L)))
+          .select(col("v").as("doc_id"), col("degree"), col("n_triangles"),
+            expr("n_triangles * 10000 div (degree * (degree - 1) div 2)")
+              .as("closed_bp"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 60), j ->
+                   CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+          FROM (SELECT doc_id,
+                       list_transform(list_distinct(string_split(text, ' ')),
+                                      tk -> ${graft.functions.Portable.pmd5Sql("tk")}) AS hs
+                FROM documents)),
+        bk AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 15}) & 32767 AS key FROM sh")
+            .mkString("\n          UNION ALL ")}),
+        e AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bk l JOIN bk r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          WHERE bit_count(xor(l.sig, r.sig)) <= 3),
+        tri AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tcnt AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS tri
+          FROM (SELECT a AS v FROM tri UNION ALL
+                SELECT b FROM tri UNION ALL
+                SELECT c FROM tri)
+          GROUP BY 1),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+          GROUP BY 1)
+        SELECT deg.v AS doc_id, degree,
+               CAST(coalesce(tri, 0) AS BIGINT) AS n_triangles,
+               CAST(coalesce(tri, 0) * 10000 // (degree * (degree - 1) // 2) AS BIGINT) AS closed_bp
+        FROM deg LEFT JOIN tcnt ON deg.v = tcnt.v
+        WHERE degree >= 2"""))
+  )
+}
