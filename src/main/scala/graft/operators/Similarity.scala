@@ -405,6 +405,38 @@ object Similarity {
       .filter(col("crank") <= n)
   }
 
+  /** Greedy k-center coreset selection with coverage assignment: `k`
+    * representatives chosen by pure farthest-point traversal (see
+    * [[farthestSeeds]] with `race = false` — each pick is the vector
+    * whose best cosine to the picks so far is smallest, hash/id
+    * tie-broken), then every corpus vector is assigned to its nearest
+    * representative. The k-round selection runs driver-side over the
+    * bounded deterministic [[SeedSampleCap]] sample (the sequential
+    * dependency is inherent to the greedy); the DISTRIBUTED work is
+    * the single corpus x k broadcast assignment pass — one scan, no
+    * shuffle wider than (id, cell, score). Returns (cell, center_id,
+    * member_id, cscore): per-cell aggregates give coreset coverage
+    * (population, worst member cosine), the data-selection diagnostic
+    * the facility-location family of curation methods reads. */
+  def kcenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val prepped = prep(corpus, idCol, "__tid", vecCol)
+    import spark.implicits._
+    val seeds = farthestSeeds(prepped, k, race = false)
+      .map { case (c, id, v, n) => (c, id, v, n) }
+      .toDF("cell", "center_id", "cv", "cn")
+    val scored = prepped.crossJoin(broadcast(seeds))
+      .select(col("__tid"), col("cell"), col("center_id"),
+        cosineFromPrepped(col("v"), col("nv"), col("cv"), col("cn")).as("cscore"))
+    val w = Window.partitionBy(col("__tid"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("cell"), col("center_id"), col("__tid").as("member_id"),
+        col("cscore"))
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, nProbe: Int, trainIters: Int = 2, dim: Int = 64,

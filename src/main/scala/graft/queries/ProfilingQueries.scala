@@ -383,6 +383,85 @@ object ProfilingQueries {
                CAST(coalesce(tri, 0) AS BIGINT) AS n_triangles,
                CAST(coalesce(tri, 0) * 10000 // (degree * (degree - 1) // 2) AS BIGINT) AS closed_bp
         FROM deg LEFT JOIN tcnt ON deg.v = tcnt.v
-        WHERE degree >= 2"""))
+        WHERE degree >= 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q183_trailing_week",
+      "Trailing-7-day revenue per order priority through a RANGE " +
+        "window frame — the time-keyed frame ROWS frames cannot " +
+        "express (a missing day must still count toward the week: the " +
+        "frame is value-bounded, not row-bounded). The window input " +
+        "is the PRE-AGGREGATED (priority, day) frame — bounded at " +
+        "priorities x calendar days rows at any corpus scale, so the " +
+        "per-priority partition holds a few thousand rows where the " +
+        "raw orders would be billions; the heavy lifting is the one " +
+        "map-side-combined daily aggregation. Money sums in " +
+        "DECIMAL(12,2) partials, cast to double only at output.",
+      (s, dir) => {
+        val dec12 = DecimalType(12, 2)
+        val d = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("priority"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice").cast(dec12)).as("day_rev"))
+        val w = Window.partitionBy(col("priority"))
+          .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+          .rangeBetween(-6, 0)
+        d.withColumn("week_rev", sum(col("day_rev")).over(w))
+          .select(col("priority"), col("day"),
+            col("day_rev").cast(DoubleType).as("day_revenue"),
+            col("week_rev").cast(DoubleType).as("trailing7_revenue"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                 sum(CAST(o_totalprice AS DECIMAL(12,2))) AS day_rev
+          FROM orders GROUP BY 1, 2)
+        SELECT priority, day, CAST(day_rev AS DOUBLE) AS day_revenue,
+               CAST(sum(day_rev) OVER (PARTITION BY priority ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS trailing7_revenue
+        FROM d""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q184_unpivot_measures",
+      "UNPIVOT (wide-to-long melt) of lineitem's four measure columns " +
+        "into (measure, value) rows with per-(returnflag, measure) " +
+        "count / sum / mean — the reshape every per-metric datasheet " +
+        "needs. Spark's stack() explodes the four measures inside the " +
+        "scan projection, so the table is read ONCE (the SQL " +
+        "formulation is a 4-way self-union — four scans — and serves " +
+        "as the oracle precisely because the answers must agree). " +
+        "Values quantize to DECIMAL(12,2) before any sum crosses a " +
+        "shuffle; the mean is one exact-integer division in doubles.",
+      (s, dir) => {
+        val m = t(s, dir, "lineitem").select(col("l_returnflag"),
+          expr("stack(4, " +
+            "'quantity', CAST(l_quantity AS DECIMAL(12,2)), " +
+            "'extendedprice', CAST(l_extendedprice AS DECIMAL(12,2)), " +
+            "'discount', CAST(l_discount AS DECIMAL(12,2)), " +
+            "'tax', CAST(l_tax AS DECIMAL(12,2))) AS (measure, value)"))
+        m.groupBy(col("l_returnflag"), col("measure"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_d"))
+          .select(col("l_returnflag"), col("measure"), col("n"),
+            col("sum_d").cast(DoubleType).as("total"),
+            (col("sum_d").cast(DoubleType) / col("n")).as("avg_value"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, 'quantity' AS measure,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS value FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'extendedprice',
+                 CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'discount',
+                 CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'tax',
+                 CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+        SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(value) AS DOUBLE) AS total,
+               CAST(sum(value) AS DOUBLE) / count(*) AS avg_value
+        FROM m GROUP BY 1, 2"""))
   )
 }

@@ -337,6 +337,44 @@ object SimilarityQueries {
     (init +: rounds).mkString(",\n        ")
   }
 
+  /** q185: coreset size. */
+  private val KC_K = 6
+
+  /** DuckDB twin of the PURE farthest-point traversal
+    * ([[Similarity.kcenterCoreset]], race = false): same bounded fp
+    * sample, but each pick minimizes (nearest cosine, tb, id) instead
+    * of maximizing the hash-race key. Seeds carry their source vec_id
+    * so the coreset members are reportable. */
+  private def kcenterSeedCtes(k: Int): String = {
+    val tb = Portable.pmd5Sql("concat('fp:', CAST(vec_id AS VARCHAR))")
+    val ps = Portable.pmd5Sql("concat('fps:', CAST(vec_id AS VARCHAR))")
+    val base = s"""kfp AS MATERIALIZED (
+       |          SELECT vec_id, v, nv, $tb AS tb FROM prep
+       |          ORDER BY $ps ASC, vec_id ASC
+       |          LIMIT ${Similarity.SeedSampleCap})""".stripMargin
+    val s0 = s"""kseeds0 AS MATERIALIZED (
+       |          SELECT CAST(0 AS BIGINT) AS cell, vec_id, v AS cv, nv AS cn
+       |          FROM kfp
+       |          ORDER BY tb ASC, vec_id ASC
+       |          LIMIT 1)""".stripMargin
+    val steps = (1 until k).map { t =>
+      s"""knear$t AS MATERIALIZED (
+         |          SELECT p.vec_id, p.v, p.nv, p.tb,
+         |                 max(${foldSql("p.v", "s.cv")} / (p.nv * s.cn)) AS near
+         |          FROM kfp p, kseeds${t - 1} s
+         |          WHERE p.vec_id NOT IN (SELECT vec_id FROM kseeds${t - 1})
+         |          GROUP BY p.vec_id, p.v, p.nv, p.tb),
+         |        kseeds$t AS MATERIALIZED (
+         |          SELECT * FROM kseeds${t - 1} UNION ALL
+         |          SELECT * FROM (
+         |            SELECT CAST($t AS BIGINT) AS cell, vec_id, v AS cv, nv AS cn
+         |            FROM knear$t
+         |            ORDER BY near ASC, tb ASC, vec_id ASC
+         |            LIMIT 1))""".stripMargin
+    }
+    (base +: s0 +: steps).mkString(",\n        ")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1019,6 +1057,43 @@ object SimilarityQueries {
         FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
-        WHERE rank <= $TOPK"""))
+        WHERE rank <= $TOPK""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q185_kcenter_coreset",
+      s"Greedy k-center coreset (facility-location data selection): " +
+        s"$KC_K representatives picked by pure farthest-point " +
+        "traversal — each pick is the vector whose best cosine to the " +
+        "picks so far is SMALLEST (hash/id tie-broken) — then one " +
+        "corpus x k broadcast pass assigns every vector to its " +
+        "nearest representative. Output per cell: representative, " +
+        "population, and the worst member cosine (the coverage radius " +
+        "a diversity-sampling budget reads). The sequential k-round " +
+        "greedy runs driver-side over the bounded deterministic " +
+        "sample (the sample-based k-center recipe — q44's seeding " +
+        "machinery with the race factor off); the distributed cost " +
+        "is one scan plus an (id, cell, score)-wide shuffle.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.kcenterCoreset(spread(e, col("vec_id")),
+            "vec_id", "embedding", KC_K)
+          .groupBy(col("cell"), col("center_id"))
+          .agg(count(lit(1)).as("n_members"), min(col("cscore")).as("worst_cos"))
+      },
+      Some(s"""
+        WITH ${prepCte()},
+        ${kcenterSeedCtes(KC_K)},
+        kassign AS (
+          SELECT cell, center_id, vec_id AS member_id, cscore FROM (
+            SELECT p.vec_id, s.cell, s.vec_id AS center_id,
+                   ${foldSql("p.v", "s.cv")} / (p.nv * s.cn) AS cscore,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${foldSql("p.v", "s.cv")} / (p.nv * s.cn) DESC,
+                              s.cell ASC) AS crank
+            FROM prep p, kseeds${KC_K - 1} s)
+          WHERE crank = 1)
+        SELECT cell, center_id, CAST(count(*) AS BIGINT) AS n_members,
+               min(cscore) AS worst_cos
+        FROM kassign GROUP BY 1, 2"""))
   )
 }

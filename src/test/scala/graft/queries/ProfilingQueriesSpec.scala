@@ -128,6 +128,21 @@ class ProfilingQueriesSpec extends SparkSpec {
   // q182: per-node credits sum to 3x the global census; bp bounded
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // q185: coreset assignment partitions the corpus
+  // ------------------------------------------------------------------
+
+  test("q185: every vector lands in exactly one cell of a distinct center") {
+    val n = spark.read.parquet(s"$SF/embeddings.parquet").count()
+    val rows = run("q185_kcenter_coreset", SF)
+      .select("cell", "center_id", "n_members", "worst_cos").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 6L))
+    assert(rows.map(_.getLong(1)).distinct.length == 6)
+    assert(rows.map(_.getLong(2)).sum == n)
+    // a center is its own nearest representative: radius never > 1
+    for (r <- rows) assert(r.getDouble(3) <= 1.0 + 1e-12)
+  }
+
   test("q182: triangle credits total 3x q75's census and bp <= 10000") {
     val global = run("q75_triangle_count", SF).collect()(0).getLong(0)
     val rows = run("q182_clustering_coeff", SF)
