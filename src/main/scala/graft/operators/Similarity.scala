@@ -950,4 +950,41 @@ object Similarity {
         cosineFromPrepped(col("l.v"), col("l.nv"), col("r.v"), col("r.nv")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** k-NN majority-vote classification: each query vector's label is
+    * predicted from its `k` nearest corpus neighbors by cosine —
+    * the non-parametric classifier every embedding space gets for
+    * free (label propagation onto unlabeled points, label-noise
+    * auditing when the queries DO have labels).
+    *
+    * Scale design: the neighbor search is [[bruteForceTopK]]'s
+    * broadcast-queries x one-corpus-scan (swap in [[lshTopKMultiprobe]]
+    * or [[ivfTopK]] candidates at corpus scale — the vote is agnostic
+    * to where the top-k came from). The vote itself runs entirely on
+    * the queries x k result — never corpus-sized: labels join onto
+    * that tiny frame keyed by neighbor id (the optimizer broadcasts
+    * the k-row side), and the argmax label per query is a window over
+    * a <= k-row partition. Ties break (votes desc, label asc) so the
+    * prediction is deterministic on every engine.
+    *
+    * Output: (query_id, true_label, predicted_label, votes). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val nbrLabels = corpus
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("nlabel"))
+    val votes = topk.join(nbrLabels, "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("nlabel"))))
+      .filter(col("rk") === 1)
+    pred.join(
+        broadcast(queries.select(col(idCol).as("query_id"),
+          col(labelCol).as("true_label"))),
+        "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("nlabel").as("predicted_label"), col("votes"))
+  }
 }

@@ -462,6 +462,74 @@ object ProfilingQueries {
         SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(value) AS DOUBLE) AS total,
                CAST(sum(value) AS DOUBLE) / count(*) AS avg_value
-        FROM m GROUP BY 1, 2"""))
+        FROM m GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q197_link_prediction",
+      "Common-neighbor link prediction over the SimHash near-dup graph " +
+        "(q49's Hamming<=3 edges): the top-20 NON-adjacent doc pairs " +
+        "sharing the most neighbors — transitive near-dup candidates " +
+        "the banding's direct comparison missed (A~B and B~C at " +
+        "Hamming 3 puts A,C up to 6 apart — outside every band), which " +
+        "is both a recall audit of the LSH gate and the candidate " +
+        "generator a second exact-verify pass would consume. Wedges " +
+        "enumerate through each center vertex (deg^2 per node, q75's " +
+        "cost class — production caps hub degrees first); the " +
+        "missing-edge check is a LEFT ANTI join against the edge list, " +
+        "and the top-20 rides per-partition heaps under a total order. " +
+        "Only 8-byte ids move at every stage — text and signatures " +
+        "never reach the wedge join.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val sigs = docs.select(col("doc_id"),
+          Dedup.simhash(s, col("text")).as("sig"))
+        val e = Dedup.simhashHammingPairs(sigs, "doc_id", "sig",
+          maxHamming = 3, bands = 4, bandBits = 15)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+          .persist()
+        val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+        val cand = und.select(col("a").as("v"), col("b").as("w1"))
+          .join(und.select(col("a").as("v2"), col("b").as("w2")),
+            col("v") === col("v2") && col("w1") < col("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("common_neighbors"))
+        cand
+          .join(e, col("w1") === col("a") && col("w2") === col("b"),
+            "left_anti")
+          .select(col("w1").as("id_a"), col("w2").as("id_b"),
+            col("common_neighbors"))
+          .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 60), j ->
+                   CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+          FROM (SELECT doc_id,
+                       list_transform(list_distinct(string_split(text, ' ')),
+                                      tk -> ${graft.functions.Portable.pmd5Sql("tk")}) AS hs
+                FROM documents)),
+        bk AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 15}) & 32767 AS key FROM sh")
+            .mkString("\n          UNION ALL ")}),
+        e AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bk l JOIN bk r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          WHERE bit_count(xor(l.sig, r.sig)) <= 3),
+        und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        cand AS (
+          SELECT n1.b AS id_a, n2.b AS id_b,
+                 CAST(count(*) AS BIGINT) AS common_neighbors
+          FROM und n1 JOIN und n2 ON n1.a = n2.a AND n1.b < n2.b
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, common_neighbors
+        FROM cand
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.a = cand.id_a AND e.b = cand.id_b)
+        ORDER BY common_neighbors DESC, id_a, id_b LIMIT 20"""))
   )
 }

@@ -21,6 +21,7 @@ object SimilarityQueries {
   private val NQ = 8        // query vectors: vec_id < NQ
   private val BITS = 5      // SRP signature width (32 buckets/table)
   private val COS_T = 0.3   // near-dup threshold (corpus max ~0.45)
+  private val KNN_K = 10    // q196 classification neighborhood size
 
   /** DuckDB: per-vector CTE with double list `v` and precomputed norm
     * `nv` (same projection [[Similarity]] does before any pair work). */
@@ -1094,6 +1095,50 @@ object SimilarityQueries {
           WHERE crank = 1)
         SELECT cell, center_id, CAST(count(*) AS BIGINT) AS n_members,
                min(cscore) AS worst_cos
-        FROM kassign GROUP BY 1, 2"""))
+        FROM kassign GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q196_knn_classify",
+      s"k-NN majority-vote classification: each of the $NQ held-out " +
+        s"query vectors is labeled by its $KNN_K nearest corpus " +
+        "neighbors (cosine), ties broken (votes desc, label asc) — " +
+        "the free non-parametric classifier of any embedding space, " +
+        "and the label-noise audit when queries keep their true " +
+        "label (output carries both). Neighbor search is q31's " +
+        "broadcast-queries x one-corpus-scan (ANN candidates slot in " +
+        "at corpus scale — the vote never cares where the top-k came " +
+        "from); everything after the search runs on the queries x k " +
+        "frame: the label join broadcasts it, and the argmax label " +
+        "is a window over <= k rows per query.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.knnClassify(
+          spread(e.filter(col("vec_id") >= NQ), col("vec_id")),
+          e.filter(col("vec_id") < NQ),
+          "vec_id", "embedding", "label", KNN_K)
+      },
+      Some(s"""
+        WITH ${prepCte(extra = ", label")},
+        topk AS (
+          SELECT query_id, nlabel FROM (
+            SELECT q.vec_id AS query_id, c.label AS nlabel,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${scoreSql("q", "c")} DESC, c.vec_id ASC)
+                     AS rank
+            FROM prep q JOIN prep c
+              ON q.vec_id < $NQ AND c.vec_id >= $NQ)
+          WHERE rank <= $KNN_K),
+        votes AS (
+          SELECT query_id, nlabel, CAST(count(*) AS BIGINT) AS votes
+          FROM topk GROUP BY 1, 2),
+        pred AS (
+          SELECT query_id, nlabel, votes FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY votes DESC, nlabel ASC) AS rk
+            FROM votes)
+          WHERE rk = 1)
+        SELECT p.query_id, q.label AS true_label,
+               p.nlabel AS predicted_label, p.votes
+        FROM pred p JOIN prep q ON q.vec_id = p.query_id"""))
   )
 }

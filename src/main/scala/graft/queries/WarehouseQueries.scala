@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.t
+
+/** Warehouse-classic decision-support shapes (q189+) the registry did
+  * not yet exercise: outer-join count-of-counts (TPC-H Q13), conditional
+  * share-of-total (Q14), correlated-min decorrelation (Q2), IN-over-
+  * grouped-HAVING (Q18), EXISTS as semi-join (Q4), scalar-subquery
+  * threshold + anti-join (Q22), and ratio-to-report hierarchy shares.
+  * The reference (a pandas ETL, see SURVEY.md) has none of these; they
+  * are the decision-support complement of the star family (q186-q188).
+  *
+  * Scale rules shared by the family: every correlated subquery is
+  * decorrelated into a keyed aggregate + join (never a per-row probe),
+  * scalar aggregates travel as 1-row broadcast frames, selective
+  * filters run before the shuffle they feed, and money arithmetic is
+  * decimal-exact until the final cast (q01's idiom).
+  */
+object WarehouseQueries {
+
+  private val dec12 = DecimalType(12, 2)
+  private val dec4 = DecimalType(4, 2)
+  private val dec14 = DecimalType(14, 2)
+  private def one = lit(1).cast(DecimalType(3, 2))
+
+  /** q190 promo-share month; q193 EXISTS quarter; q195 share year. */
+  private val MONTH_LO = "1996-03-01"
+  private val MONTH_HI = "1996-04-01"
+  private val HALF_LO = "1996-01-01"
+  private val HALF_HI = "1996-07-01"
+  private val YEAR_LO = "1997-01-01"
+  private val YEAR_HI = "1998-01-01"
+
+  /** q192: order-level quantity threshold (~p99 at every SF — the
+    * testdata's per-order quantity sum is SF-invariant in shape). */
+  private val BIG_QTY = 250
+
+  /** q194 dormancy horizon: "no order since" — every testdata customer
+    * has SOME order, so Q22's literal no-orders-ever predicate would be
+    * vacuously empty; recency-dormancy is also the realistic churn
+    * definition. */
+  private val DORMANT_SINCE = "1999-01-01"
+
+  /** q191 part slice: size >= 40 STANDARD parts (~4% of part). */
+  private val SLICE_SIZE = 40
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q189_order_count_histogram",
+      "Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER " +
+        "join customers to their non-'4-NOT SPECIFIED' orders, count " +
+        "per customer (zero-order customers kept by the outer join), " +
+        "then the count-of-counts histogram. The two-level aggregation " +
+        "is the canonical distribution query: the outer join and the " +
+        "per-customer count share ONE custkey exchange (the aggregate " +
+        "reuses the join's partitioning), and the histogram's key space " +
+        "is bounded by max-orders-per-customer — a few hundred keys at " +
+        "ANY corpus scale, so the second agg is map-side combined to " +
+        "almost nothing. The priority filter prunes orders BEFORE the " +
+        "shuffle (it belongs to the join, not the WHERE — zero-order " +
+        "customers must survive).",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_orderkey", "o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey)
+        GROUP BY c_count""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q190_promo_share",
+      s"Promotion revenue share (TPC-H Q14 shape) for ${MONTH_LO.take(7)}: " +
+        "of one ship-month's discounted revenue, the fraction earned by " +
+        "PROMO-type parts — conditional aggregation as share-of-total, " +
+        "1 row out. The month filter prunes lineitem AT THE SCAN before " +
+        "the partkey join (only ~1/80th of the fact shuffles); part " +
+        "arrives keyed on partkey (broadcast under the threshold here, " +
+        "key-partitioned co-location at warehouse scale — either way no " +
+        "second fact shuffle). Both sums are decimal-exact and the " +
+        "share divides the two exact doubles, so every engine computes " +
+        "bit-identical output.",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit(MONTH_LO)) &&
+            col("l_shipdate") < to_timestamp(lit(MONTH_HI)))
+          .select(col("l_partkey"),
+            (col("l_extendedprice").cast(dec12)
+              * (one - col("l_discount").cast(dec4))).as("rev"))
+        val p = t(s, dir, "part").select("p_partkey", "p_type")
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", col("rev"))).as("promo"),
+            sum(col("rev")).as("total"))
+          .select(
+            col("promo").cast(DoubleType).as("promo_revenue"),
+            col("total").cast(DoubleType).as("total_revenue"),
+            (col("promo").cast(DoubleType) * lit(100.0)
+              / col("total").cast(DoubleType)).as("promo_share_pct"))
+      },
+      Some(s"""
+        SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+               CAST(total AS DOUBLE) AS total_revenue,
+               CAST(promo AS DOUBLE) * 100.0 / CAST(total AS DOUBLE)
+                 AS promo_share_pct
+        FROM (
+          SELECT sum(CASE WHEN p_type = 'PROMO' THEN
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 END) AS promo,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                   AS total
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '$MONTH_LO 00:00:00'
+            AND l_shipdate < TIMESTAMP '$MONTH_HI 00:00:00')""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q191_min_cost_supplier",
+      "Minimum-cost supplier per part (TPC-H Q2 shape, supply catalog " +
+        "derived from lineitem since the testdata has no partsupp): for " +
+        s"each STANDARD part of size >= $SLICE_SIZE, the supplier " +
+        "offering its lowest observed price. The classic correlated " +
+        "subquery (cost = MIN cost over same part) DECORRELATED: the " +
+        "part slice broadcasts into the lineitem scan (semi-join prune " +
+        "— only sliced parts' rows leave the scan), per-(part, supplier) " +
+        "min prices aggregate on the compound key, and the per-part " +
+        "winner collapses to ONE grouped min(struct(cost, suppkey)) — " +
+        "lexicographic struct order IS the 'min cost, then min suppkey' " +
+        "tie rule, so no second join back against the min (the naive " +
+        "decorrelation) is needed. Supplier/nation enrich via broadcast; " +
+        "top-20 rides per-partition heaps.",
+      (s, dir) => {
+        val slice = t(s, dir, "part")
+          .filter(col("p_size") >= SLICE_SIZE && col("p_type") === "STANDARD")
+          .select("p_partkey", "p_name")
+        val cost = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice").cast(dec12).as("price"))
+          .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+          .agg(min(col("price")).as("cost"))
+        val win = cost
+          .groupBy(col("p_partkey"), col("p_name"))
+          .agg(min(struct(col("cost"), col("l_suppkey"))).as("w"))
+          .select(col("p_partkey"), col("p_name"),
+            col("w.l_suppkey").as("sk"), col("w.cost").as("cost"))
+        win
+          .join(broadcast(t(s, dir, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey")),
+            col("sk") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+            .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), col("cost").cast(DoubleType).as("cost"))
+          .orderBy(col("cost").desc, col("p_partkey"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH cost AS (
+          SELECT p_partkey, p_name, l_suppkey,
+                 min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size >= $SLICE_SIZE AND p_type = 'STANDARD'
+          GROUP BY p_partkey, p_name, l_suppkey),
+        best AS (
+          SELECT p_partkey, min(cost) AS mc FROM cost GROUP BY p_partkey),
+        win AS (
+          SELECT c.p_partkey, c.p_name, min(c.l_suppkey) AS sk, b.mc
+          FROM cost c JOIN best b
+            ON c.p_partkey = b.p_partkey AND c.cost = b.mc
+          GROUP BY c.p_partkey, c.p_name, b.mc)
+        SELECT w.p_partkey, w.p_name, s.s_name, n.n_name,
+               CAST(w.mc AS DOUBLE) AS cost
+        FROM win w
+        JOIN supplier s ON w.sk = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        ORDER BY cost DESC, w.p_partkey LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q192_big_orders",
+      "Large-volume orders and their customers (TPC-H Q18 shape): " +
+        s"orders whose total lineitem quantity exceeds $BIG_QTY " +
+        "(~the 99th percentile), with customer identity — the " +
+        "IN-over-grouped-HAVING pattern decorrelated into aggregate-" +
+        "then-join: the quantity HAVING reduces the fact to its tail " +
+        "FIRST (the per-order agg shuffles (orderkey, 8-byte sum) " +
+        "only), and only surviving orderkeys join orders and then " +
+        "customer — at warehouse scale the expensive joins see ~1% of " +
+        "the fact. Quantity sums are decimal-exact; top-20 by total " +
+        "price rides per-partition heaps under a total order.",
+      (s, dir) => {
+        val bigQty = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(dec12)).as("total_qty"))
+          .filter(col("total_qty") > BIG_QTY)
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        val c = t(s, dir, "customer").select("c_custkey", "c_name")
+        bigQty
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"),
+            col("total_qty").cast(DoubleType).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+               CAST(total_qty AS DOUBLE) AS total_qty
+        FROM (SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > $BIG_QTY) q
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q193_late_exists",
+      "Orders with a late shipment, counted per priority (TPC-H Q4 " +
+        s"shape) over ${HALF_LO.take(7)}..${HALF_HI.take(7)}: an order " +
+        "counts when ANY of its items shipped more than 90 days after " +
+        "the order date — EXISTS planned as a LEFT SEMI join (each " +
+        "order emitted at most once however many items are late, no " +
+        "distinct needed). The semi join is an equi-join on orderkey " +
+        "with the lateness comparison as a join residual, so it " +
+        "shuffles both sides on the key once; the date window prunes " +
+        "orders at the scan, and the per-priority count is a 5-key " +
+        "map-side-combined agg.",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit(HALF_LO)) &&
+            col("o_orderdate") < to_timestamp(lit(HALF_HI)))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("late_orders"))
+      },
+      Some(s"""
+        SELECT o_orderpriority, count(*) AS late_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '$HALF_LO 00:00:00'
+          AND o_orderdate < TIMESTAMP '$HALF_HI 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q194_dormant_rich",
+      "Rich-but-dormant customers by nation (TPC-H Q22 shape): " +
+        "customers with above-average positive account balance and no " +
+        s"order since $DORMANT_SINCE — the scalar-subquery threshold + " +
+        "NOT EXISTS pattern. The average arrives as a 1-row (sum, " +
+        "count) broadcast and the threshold compares by CROSS-MULTIPLY " +
+        "(balance * count > sum), decimal-exact with no division — an " +
+        "avg() would round differently per engine (Spark decimal avg " +
+        "vs DuckDB double avg). NOT EXISTS is a LEFT ANTI join on " +
+        "custkey: the recency filter prunes orders AT THE SCAN, only " +
+        "already-thresholded customers shuffle, and the orders side " +
+        "ships its key column alone. Nation enrich broadcasts; output " +
+        "is nation-cardinality.",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal").cast(dec14).as("bal"))
+        val thr = c.filter(col("bal") > 0)
+          .agg(sum(col("bal")).as("tot"), count(lit(1)).as("cnt"))
+        val rich = c.join(broadcast(thr))
+          .filter(col("bal") * col("cnt") > col("tot"))
+        val dormant = rich.join(
+          t(s, dir, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit(DORMANT_SINCE)))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        dormant
+          .join(broadcast(t(s, dir, "nation")
+            .select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal")).cast(DoubleType).as("totacctbal"))
+      },
+      Some(s"""
+        WITH thr AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(14,2))) AS tot,
+                 count(*) AS cnt
+          FROM customer WHERE CAST(c_acctbal AS DECIMAL(14,2)) > 0)
+        SELECT n_name, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer, nation, thr
+        WHERE c_nationkey = n_nationkey
+          AND CAST(c_acctbal AS DECIMAL(14,2)) * cnt > tot
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '$DORMANT_SINCE 00:00:00')
+        GROUP BY n_name""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q195_revenue_share",
+      s"Ratio-to-report over the region->nation hierarchy for " +
+        s"${YEAR_LO.take(4)}: each nation's customer revenue, its share " +
+        "of its region, and its share of the world — the percent-of-" +
+        "parent rollup every BI layer computes. Revenue aggregates " +
+        "decimal-exact to a NATION-cardinality frame first; the region " +
+        "share is a window sum PARTITIONED by region over that tiny " +
+        "frame (never over fact rows), and the global total arrives as " +
+        "a 1-row broadcast — no unpartitioned window anywhere. Shares " +
+        "divide exact doubles, so both engines agree bitwise. Fact " +
+        "joins shuffle on custkey then orderkey; the nation/region " +
+        "chain broadcasts.",
+      (s, dir) => {
+        val geo = t(s, dir, "nation")
+          .join(t(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name", "r_name")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit(YEAR_LO)) &&
+            col("o_orderdate") < to_timestamp(lit(YEAR_HI)))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          (col("l_extendedprice").cast(dec12)
+            * (one - col("l_discount").cast(dec4))).as("rev"))
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val byNation = li
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("rev")).as("rev"))
+        val byRegion = byNation
+          .withColumn("region_rev",
+            sum(col("rev")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))))
+        val world = byNation.agg(sum(col("rev")).as("world_rev"))
+        byRegion.join(broadcast(world))
+          .select(col("r_name"), col("n_name"),
+            col("rev").cast(DoubleType).as("revenue"),
+            (col("rev").cast(DoubleType)
+              / col("region_rev").cast(DoubleType)).as("region_share"),
+            (col("rev").cast(DoubleType)
+              / col("world_rev").cast(DoubleType)).as("world_share"))
+      },
+      Some(s"""
+        WITH bn AS (
+          SELECT r_name, n_name,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                   AS rev
+          FROM lineitem, orders, customer, nation, region
+          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND o_orderdate >= TIMESTAMP '$YEAR_LO 00:00:00'
+            AND o_orderdate < TIMESTAMP '$YEAR_HI 00:00:00'
+          GROUP BY r_name, n_name)
+        SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+               CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+                 AS region_share,
+               CAST(rev AS DOUBLE)
+                 / CAST((SELECT sum(rev) FROM bn) AS DOUBLE) AS world_share
+        FROM bn"""))
+  )
+}
