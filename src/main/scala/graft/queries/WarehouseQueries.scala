@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Portable
 import graft.queries.Tables.t
 
 /** Warehouse-classic decision-support shapes (q189+) the registry did
@@ -46,6 +47,14 @@ object WarehouseQueries {
 
   /** q191 part slice: size >= 40 STANDARD parts (~4% of part). */
   private val SLICE_SIZE = 40
+
+  /** q199/q200 trading pair and q200's share window. Both nations
+    * carry suppliers at every SF (testdata suppliers spread over all
+    * 25 nations). */
+  private val TRADE_A = "NATION_9"
+  private val TRADE_B = "NATION_11"
+  private val SHARE_LO = "1996-01-01"
+  private val SHARE_HI = "1998-01-01"
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -383,6 +392,226 @@ object WarehouseQueries {
                  AS region_share,
                CAST(rev AS DOUBLE)
                  / CAST((SELECT sum(rev) FROM bn) AS DOUBLE) AS world_share
-        FROM bn"""))
+        FROM bn""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q198_disjunctive_revenue",
+      "Disjunctive-predicate join revenue (TPC-H Q19 shape): total " +
+        "discounted revenue over an OR of three (brand, size-range, " +
+        "quantity-range) bundles — the predicate shape that separates " +
+        "planners: the partkey equality must still extract into a HASH " +
+        "join (the disjunction is a residual filter, never a reason to " +
+        "fall back to nested loops), and the per-side implications of " +
+        "the OR (brand IN the 3 brands, size <= 50, quantity <= 40) " +
+        "are CNF-derivable scan filters — each disjunct constrains " +
+        "both sides, so most of both tables dies before the join at " +
+        "any scale. Decimal-exact revenue, 1 row out.",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            (col("l_extendedprice").cast(dec12)
+              * (one - col("l_discount").cast(dec4))).as("rev"))
+        val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+        val bundle =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(10, 30)
+            && col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(20, 50)
+            && col("l_quantity").between(20, 40))
+        l.join(p, col("l_partkey") === col("p_partkey") && bundle)
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("rev")).cast(DoubleType).as("revenue"))
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                 AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q199_bilateral_trade",
+      s"Bilateral trade volume (TPC-H Q7 shape) between $TRADE_A and " +
+        s"$TRADE_B: shipped revenue by (supplier nation, customer " +
+        "nation, ship year) where the two ends are the two nations in " +
+        "either direction. BOTH dimension sides filter to the 2-nation " +
+        "set BEFORE their joins (the supplier and customer scans each " +
+        "keep ~2/25ths of their table — at warehouse scale the fact " +
+        "rows for other suppliers die at the first join), and the " +
+        "either-direction disjunction is a residual on the joined pair " +
+        "— 2 of the 4 surviving combinations. Nation names broadcast; " +
+        "year extraction is a scan projection; decimal-exact revenue " +
+        "on a 2x2xyears key space.",
+      (s, dir) => {
+        val nations = t(s, dir, "nation")
+          .filter(col("n_name").isin(TRADE_A, TRADE_B))
+          .select("n_nationkey", "n_name")
+        val sup = t(s, dir, "supplier")
+          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = t(s, dir, "customer")
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"), year(col("l_shipdate")).as("ship_year"),
+          (col("l_extendedprice").cast(dec12)
+            * (one - col("l_discount").cast(dec4))).as("rev"))
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(
+            (col("supp_nation") === TRADE_A && col("cust_nation") === TRADE_B) ||
+            (col("supp_nation") === TRADE_B && col("cust_nation") === TRADE_A))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+          .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+      },
+      Some(s"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                 AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = '$TRADE_A' AND cn.n_name = '$TRADE_B')
+           OR (sn.n_name = '$TRADE_B' AND cn.n_name = '$TRADE_A')
+        GROUP BY 1, 2, 3""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q200_market_share",
+      s"National market share (TPC-H Q8 shape): of the revenue MIDDLE " +
+        s"EAST customers generated in ${SHARE_LO.take(4)}-" +
+        s"${SHARE_HI.take(4)}, the share supplied by $TRADE_A, per " +
+        "order year — conditional-aggregation share-of-total inside a " +
+        "6-table chain. The region filter prunes customers before " +
+        "their shuffle; the supplier side carries only an is-target " +
+        "flag (nation broadcast); numerator and denominator are ONE " +
+        "pass over the joined facts (a conditional and an " +
+        "unconditional decimal sum), and the share divides the two " +
+        "exact doubles per year — never a join between separately " +
+        "aggregated halves.",
+      (s, dir) => {
+        val meNations = t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "MIDDLE EAST"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")
+        val cust = t(s, dir, "customer")
+          .join(broadcast(meNations), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+        val supFlag = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), (col("n_name") === TRADE_A).as("is_target"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit(SHARE_LO)) &&
+            col("o_orderdate") < to_timestamp(lit(SHARE_HI)))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year"))
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"),
+          (col("l_extendedprice").cast(dec12)
+            * (one - col("l_discount").cast(dec4))).as("rev"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("o_year"))
+          .agg(sum(when(col("is_target"), col("rev"))).as("target"),
+            sum(col("rev")).as("total"))
+          .select(col("o_year"),
+            coalesce(col("target").cast(DoubleType), lit(0.0))
+              .as("target_revenue"),
+            col("total").cast(DoubleType).as("total_revenue"),
+            (coalesce(col("target").cast(DoubleType), lit(0.0)) * 100.0
+              / col("total").cast(DoubleType)).as("mkt_share_pct"))
+      },
+      Some(s"""
+        SELECT CAST(o_year AS INTEGER) AS o_year,
+               CAST(coalesce(target, 0) AS DOUBLE) AS target_revenue,
+               CAST(total AS DOUBLE) AS total_revenue,
+               CAST(coalesce(target, 0) AS DOUBLE) * 100.0
+                 / CAST(total AS DOUBLE) AS mkt_share_pct
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+                 sum(CASE WHEN sn.n_name = '$TRADE_A' THEN
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 END) AS target,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                   AS total
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'MIDDLE EAST'
+            AND o_orderdate >= TIMESTAMP '$SHARE_LO 00:00:00'
+            AND o_orderdate < TIMESTAMP '$SHARE_HI 00:00:00'
+          GROUP BY 1)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q201_ab_test",
+      "Deterministic A/B experiment readout: users split 50/50 by " +
+        "portable hash of their id (assignment is a pure function — " +
+        "reproducible across runs, engines, and partitionings, the " +
+        "same property q123's leakage-safe split relies on), then per " +
+        "variant: assigned users, exposed (saw a view), converted " +
+        "(made a purchase), and conversion basis points among the " +
+        "exposed. Per-user flags are ONE user-keyed aggregation of " +
+        "conditional maxima — the corpus collapses to user " +
+        "cardinality before the 2-key variant rollup, and every share " +
+        "is integer basis points (no float drift). The readout table " +
+        "is the experiment-analysis primitive every event warehouse " +
+        "serves.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "view", 1).otherwise(0))
+              .as("exposed"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0))
+              .as("converted"))
+          .withColumn("variant",
+            Portable.pmd5(concat(lit("u:"), col("user_id").cast("string")))
+              % 2)
+        perUser.groupBy(col("variant"))
+          .agg(count(lit(1)).as("assigned"),
+            sum(col("exposed")).as("exposed"),
+            sum(when(col("exposed") === 1, col("converted"))).as("converted"))
+          .select(col("variant"), col("assigned"), col("exposed"),
+            col("converted"),
+            expr("converted * 10000 div exposed").as("cvr_bp"))
+      },
+      Some(s"""
+        WITH pu AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS exposed,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+                 ${Portable.pmd5Sql("concat('u:', CAST(user_id AS VARCHAR))")} % 2
+                   AS variant
+          FROM events GROUP BY user_id)
+        SELECT variant, CAST(count(*) AS BIGINT) AS assigned,
+               CAST(sum(exposed) AS BIGINT) AS exposed,
+               CAST(sum(CASE WHEN exposed = 1 THEN converted END) AS BIGINT)
+                 AS converted,
+               CAST(sum(CASE WHEN exposed = 1 THEN converted END) * 10000
+                 // sum(exposed) AS BIGINT) AS cvr_bp
+        FROM pu GROUP BY variant"""))
   )
 }
