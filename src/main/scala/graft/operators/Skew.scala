@@ -39,4 +39,29 @@ object Skew {
         sum(col("__n")).as("n"),
         sums.zipWithIndex.map { case ((_, alias), i) => sum(col(s"__s$i")).as(alias) }: _*)
   }
+
+  /** Salted inner equi-join for a KNOWN-skewed probe side: each probe
+    * row gets a deterministic salt in [0, buckets) (derived from a data
+    * column — never rand(), or retries/oracles break), the build side
+    * replicates every row `buckets` times, and the join runs on
+    * (key, salt) — so one hot key's rows spread over `buckets` reducers
+    * instead of funneling through one. Result is row-identical to the
+    * plain join: salting only refines the partitioning, every
+    * (probe row, build row) match still meets in exactly one bucket.
+    *
+    * This is the STATIC form for a skew known at authoring time (a
+    * celebrity user, a null-sentinel key); AQE's skew-join split is the
+    * adaptive complement but only engages when a sort-merge join's
+    * partition sizes trip its thresholds at runtime — a hot key hidden
+    * inside an otherwise-balanced hash join, or a broadcast-disabled
+    * medium build side, still wants the explicit salt. Cost: the build
+    * side shuffles `buckets` x its size — use only when build is the
+    * small side (yet too big or too dynamic to broadcast). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltFrom: Column, buckets: Int): DataFrame = {
+    val p = probe.withColumn("__salt", pmod(saltFrom, lit(buckets)))
+    val b = build.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    p.join(b, Seq(key, "__salt")).drop("__salt")
+  }
 }

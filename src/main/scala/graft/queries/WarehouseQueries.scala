@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Portable
-import graft.queries.Tables.t
+import graft.operators.Similarity
+import graft.queries.Tables.{spread, t}
 
 /** Warehouse-classic decision-support shapes (q189+) the registry did
   * not yet exercise: outer-join count-of-counts (TPC-H Q13), conditional
@@ -55,6 +56,11 @@ object WarehouseQueries {
   private val TRADE_B = "NATION_11"
   private val SHARE_LO = "1996-01-01"
   private val SHARE_HI = "1998-01-01"
+
+  /** q202 salt buckets; q203 mirrors q196's knn parameters. */
+  private val SALTS = 8
+  private val NQ_E = 8
+  private val KNN_K_E = 10
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -612,6 +618,101 @@ object WarehouseQueries {
                  AS converted,
                CAST(sum(CASE WHEN exposed = 1 THEN converted END) * 10000
                  // sum(exposed) AS BIGINT) AS cvr_bp
-        FROM pu GROUP BY variant"""))
+        FROM pu GROUP BY variant""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q202_salted_join",
+      s"Skew-safe salted equi-join (Skew.saltedJoin): events join their " +
+        s"user dimension on a KNOWN-skewed key through $SALTS salt " +
+        "buckets — each probe row carries a deterministic hash salt, " +
+        "the dimension replicates per salt, and the join runs on " +
+        "(key, salt) so a hot user's rows spread over " +
+        s"$SALTS reducers instead of funneling through one (the static " +
+        "complement of AQE's skew split, which only engages on " +
+        "sort-merge partition thresholds). The oracle is the PLAIN " +
+        "join — the hash match proves salting is a pure partitioning " +
+        "refinement, dropping and duplicating nothing. Value sums in " +
+        "decimal partials; segment-cardinality output.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("value").cast(dec12).as("v"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(ev, cust, "user_id",
+          Portable.pmd5(concat(lit("e:"), col("event_id").cast("string"))),
+          SALTS)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("v")).cast(DoubleType).as("total_value"))
+      },
+      Some("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q203_knn_eval",
+      "Classifier evaluation over q196's k-NN predictions: the " +
+        "confusion matrix (true label x predicted label counts) plus " +
+        "per-true-label accuracy in integer basis points — the " +
+        "label-noise/health readout a labeled-corpus owner runs after " +
+        "any automatic labeling pass. Everything downstream of the " +
+        "neighbor search operates on the queries x k frame, so the " +
+        "eval costs nothing beyond q196 at any corpus scale; counts " +
+        "and shares are exact integers.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val pred = Similarity.knnClassify(
+          spread(e.filter(col("vec_id") >= NQ_E), col("vec_id")),
+          e.filter(col("vec_id") < NQ_E),
+          "vec_id", "embedding", "label", KNN_K_E)
+        pred.groupBy(col("true_label"), col("predicted_label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("true_label") === col("predicted_label"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .withColumn("acc_bp", expr("n_correct * 10000 div n"))
+      },
+      Some(s"""
+        WITH prep AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        nrm AS (
+          SELECT vec_id, label, v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+                   (acc, x) -> acc + x)) AS nv
+          FROM prep),
+        topk AS (
+          SELECT query_id, nlabel FROM (
+            SELECT q.vec_id AS query_id, c.label AS nlabel,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(generate_series(1, len(q.v)),
+                         i -> q.v[i] * c.v[i])), (acc, x) -> acc + x)
+                       / (q.nv * c.nv) DESC, c.vec_id ASC) AS rank
+            FROM nrm q JOIN nrm c
+              ON q.vec_id < $NQ_E AND c.vec_id >= $NQ_E)
+          WHERE rank <= $KNN_K_E),
+        votes AS (
+          SELECT query_id, nlabel, CAST(count(*) AS BIGINT) AS votes
+          FROM topk GROUP BY 1, 2),
+        pred AS (
+          SELECT query_id, nlabel AS predicted_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY votes DESC, nlabel ASC) AS rk
+            FROM votes)
+          WHERE rk = 1)
+        SELECT q.label AS true_label, p.predicted_label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN q.label = p.predicted_label
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN q.label = p.predicted_label
+                 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS acc_bp
+        FROM pred p JOIN nrm q ON q.vec_id = p.query_id
+        GROUP BY 1, 2"""))
   )
 }

@@ -120,4 +120,38 @@ class ScaleSpec extends SparkSpec {
         sum(col("value").cast("decimal(12,2)")).as("sum_value"))
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
+
+  test("salted join == plain join, including under a planted hot key") {
+    import spark.implicits._
+    // 1000 rows of one hot key + a sprinkle of others; build side has
+    // every key — the shape AQE's sort-merge split would miss under a
+    // hash join
+    val probe = ((1 to 1000).map(i => (7L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5, 10000L + i)))
+      .toDF("k", "payload")
+    val build = (0L to 7L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val salted = Skew.saltedJoin(probe, build, "k",
+      graft.functions.Portable.pmd5(col("payload").cast("string")), 8)
+    val plain = probe.join(build, Seq("k"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the salt must actually reach the join keys: (k, __salt) —
+    // inspect the static plan (AQE wraps the adaptive one lazily)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val staticPlan =
+      try Skew.saltedJoin(probe, build, "k",
+        graft.functions.Portable.pmd5(col("payload").cast("string")), 8)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val keys = staticPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.length
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.length
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.length
+    }
+    assert(keys.nonEmpty && keys.forall(_ == 2),
+      "join must run on (key, salt), not key alone")
+  }
 }
