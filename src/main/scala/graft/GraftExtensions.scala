@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => Pmd5Hash60.build(children)))
     // size(array_intersect(array_sort(a), array_sort(b))) -> merge walk
     ext.injectOptimizerRule(_ => RewriteSortedIntersect)
+    // grouped top-k operator: partial/final bounded heaps, no sort
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

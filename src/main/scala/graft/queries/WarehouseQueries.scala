@@ -62,6 +62,9 @@ object WarehouseQueries {
   private val NQ_E = 8
   private val KNN_K_E = 10
 
+  /** q204: per-source winner count. */
+  private val TOPK_DOCS = 3
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -713,6 +716,36 @@ object WarehouseQueries {
                CAST(sum(CASE WHEN q.label = p.predicted_label
                  THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS acc_bp
         FROM pred p JOIN nrm q ON q.vec_id = p.query_id
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q204_topk_operator",
+      "Grouped top-k through the custom physical operator " +
+        "(plans.TopKPerKey): the 3 longest documents per source under " +
+        "the total order (n_chars desc, doc_id asc) — planned as " +
+        "PartialTopKPerKey -> hash exchange -> FinalTopKPerKey, " +
+        "bounded heaps instead of WindowExec's per-partition SORT. The " +
+        "map-side stage caps the shuffle at splits x keys x k rows " +
+        "(the aggregation-style partial pushdown row_number cannot " +
+        "have), and no SortExec appears anywhere in the plan " +
+        "(TopKPerKeySpec pins that). The oracle is the row_number " +
+        "window form — the hash match proves the operator selects " +
+        "exactly the window's winner set. The whole custom-Catalyst " +
+        "ladder is now exercised: expressions (SimHash60, SrpBuckets), " +
+        "an optimizer rule (RewriteSortedIntersect), and a logical " +
+        "node + strategy + two execs (this).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select("source", "doc_id", "n_chars")
+        graft.plans.TopKPerKey.topK(docs, Seq("source"),
+          Seq("n_chars" -> false, "doc_id" -> true), TOPK_DOCS)
+      },
+      Some(s"""
+        SELECT source, doc_id, n_chars
+        FROM (SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents)
+        WHERE rn <= $TOPK_DOCS"""))
   )
 }

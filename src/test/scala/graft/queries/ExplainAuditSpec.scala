@@ -146,7 +146,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q119_hard_negatives", // q31's shape: the held-out query set broadcasts, label filter post-join
     "q125_ann_pq",        // the per-query LUT maps broadcast: one row per held-out query
     "q130_jl_distortion", // bounded audit slice self-joins under an id inequality
-    "q196_knn_classify")  // q31's shape: the held-out query set broadcasts; vote runs on the k-row result
+    "q196_knn_classify",  // q31's shape: the held-out query set broadcasts; vote runs on the k-row result
+    "q203_knn_eval")      // q196's search reused; eval rolls up the k-row result
 
   test("registry sweep: nested-loop joins only broadcast provably tiny frames") {
     // A BroadcastNestedLoopJoin is safe iff its broadcast side cannot
