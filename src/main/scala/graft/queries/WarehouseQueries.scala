@@ -65,6 +65,13 @@ object WarehouseQueries {
   /** q204: per-source winner count. */
   private val TOPK_DOCS = 3
 
+  /** q205: KMV sketch size — well below the ~1600 user-day
+    * cardinalities so the estimator genuinely estimates. */
+  private val KMV_I = 256
+
+  /** q206: recency reference date (just past the last testdata order). */
+  private val RFM_REF = "2001-09-01"
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -746,6 +753,185 @@ object WarehouseQueries {
                      row_number() OVER (PARTITION BY source
                        ORDER BY n_chars DESC, doc_id ASC) AS rn
               FROM documents)
-        WHERE rn <= $TOPK_DOCS"""))
+        WHERE rn <= $TOPK_DOCS""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q205_kmv_intersection",
+      s"KMV sketch SET ALGEBRA — the distinct-count sketch family's " +
+        "union/intersection laws (q69 built the single-set estimator): " +
+        "active view user-days vs purchase user-days, their union " +
+        s"estimated from the $KMV_I smallest hashes of the merged " +
+        "sketches (valid because each sketch already holds its own k " +
+        "smallest), the intersection by the Jaccard-style matched " +
+        "fraction inside the union sketch, both audited against the " +
+        "exact answers (the q84 sketch-vs-truth pattern). The point at " +
+        "100 TB: two O(k) sketches answer the overlap question WITHOUT " +
+        "the distinct-pair join the exact path needs — sketches " +
+        "merge/ship in one broadcastable row each, and here " +
+        "cardinalities (~1600 each, 557 shared) genuinely exceed k, " +
+        "so the estimate is a real estimate, deterministically " +
+        "reproduced by both engines (pure hash order, no RNG).",
+      (s, dir) => {
+        val K = KMV_I
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_type"),
+            Portable.pmd5(concat(lit("kmv:"), col("user_id").cast("string"),
+              lit(":"), to_date(col("ts")).cast("string"))).as("h"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("h"))
+        val sk = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K).select("event_type", "h").persist()
+        val sa = sk.filter(col("event_type") === "view").select("h")
+        val sb = sk.filter(col("event_type") === "purchase").select("h")
+        val pool = sa.union(sb).distinct().orderBy(col("h")).limit(K)
+        val theta = pool.agg(max(col("h")).as("theta"))
+        val matched = pool
+          .join(sa, Seq("h"), "left_semi")
+          .join(sb, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("matched"))
+        val exactU = ev.select("h").distinct()
+          .agg(count(lit(1)).as("exact_union"))
+        val exactI = ev.filter(col("event_type") === "view").select("h")
+          .join(ev.filter(col("event_type") === "purchase").select("h"),
+            Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("exact_intersection"))
+        theta.join(broadcast(matched)).join(broadcast(exactU))
+          .join(broadcast(exactI))
+          .select(
+            expr(s"CAST((${K - 1}) * 1152921504606846976.0 / theta AS DOUBLE)")
+              .as("est_union"),
+            col("matched"),
+            expr(s"CAST(CAST(matched AS DOUBLE) * ((${K - 1}) * " +
+              s"1152921504606846976.0 / theta) / $K AS DOUBLE)")
+              .as("est_intersection"),
+            col("exact_union"), col("exact_intersection"))
+      },
+      Some(s"""
+        WITH ud AS (
+          SELECT DISTINCT event_type,
+                 ${Portable.pmd5Sql(
+                   "concat('kmv:', CAST(user_id AS VARCHAR), ':', CAST(CAST(ts AS DATE) AS VARCHAR))")}
+                   AS h
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        sk AS (
+          SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                     AS rn
+            FROM ud)
+          WHERE rn <= $KMV_I),
+        pool AS (
+          SELECT DISTINCT h FROM sk ORDER BY h LIMIT $KMV_I),
+        agg AS (
+          SELECT (SELECT max(h) FROM pool) AS theta,
+                 (SELECT count(*) FROM pool
+                  WHERE h IN (SELECT h FROM sk WHERE event_type = 'view')
+                    AND h IN (SELECT h FROM sk WHERE event_type = 'purchase'))
+                   AS matched,
+                 (SELECT count(DISTINCT h) FROM ud) AS exact_union,
+                 (SELECT count(*) FROM
+                   (SELECT h FROM ud WHERE event_type = 'view') v
+                  WHERE h IN (SELECT h FROM ud WHERE event_type = 'purchase'))
+                   AS exact_intersection)
+        SELECT CAST((${KMV_I - 1}) * 1152921504606846976.0 / theta AS DOUBLE)
+                 AS est_union,
+               CAST(matched AS BIGINT) AS matched,
+               CAST(CAST(matched AS DOUBLE) * ((${KMV_I - 1})
+                 * 1152921504606846976.0 / theta) / $KMV_I AS DOUBLE)
+                 AS est_intersection,
+               CAST(exact_union AS BIGINT) AS exact_union,
+               CAST(exact_intersection AS BIGINT) AS exact_intersection
+        FROM agg""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q206_rfm_segments",
+      "RFM customer segmentation — the classic warehouse scoring " +
+        s"workload: per customer, Recency (days from last order to " +
+        s"$RFM_REF), Frequency (order count) and Monetary (exact " +
+        "cents), each banded 1-4 by its GLOBAL quartiles, segments " +
+        "rolled up with population and total monetary. The quartile " +
+        "edges come from the one-pass mergeable KLL sketch (exact at " +
+        "this capacity — the q101 gate — with the same ~1% rank-error " +
+        "contract at 100 TB), NOT from a global ntile window: ntile " +
+        "over all customers is an unpartitioned sort of the whole " +
+        "frame, the q67 scale-killer class this registry bans. The 9 " +
+        "edge numbers return to the driver as planner metadata (the " +
+        "BPE/manifest precedent) and band as literal comparisons — a " +
+        "pure projection, no join; the rollup key space is at most " +
+        "4^3 segments.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.Kll
+        val base = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+            count(lit(1)).as("freq"),
+            sum(col("o_totalprice").cast(dec12)).as("mon"))
+          .select(col("o_custkey"),
+            datediff(lit(RFM_REF).cast("date"), col("last_d"))
+              .cast("long").as("recency"),
+            col("freq"),
+            (col("mon") * 100).cast("long").as("cents"))
+          .persist()
+        // quartile edges: one sketch pass per metric, 3 numbers each —
+        // collected as PLANNER METADATA (the BPE/manifest precedent: a
+        // bounded driver-side read that parameterizes the next plan),
+        // so banding compiles to literal comparisons, no join at all
+        def edges(c: String): Seq[Long] =
+          base.select(col(c)).as[Long]
+            .groupByKey(_ => 0)
+            .mapValues(identity)
+            .agg(new Kll.QuantileSketchLong(1 << 17, Seq(25, 50, 75)).toColumn)
+            .map(_._2).collect().head
+        def band(c: String, e: Seq[Long]): org.apache.spark.sql.Column =
+          lit(1) + (col(c) > e(0)).cast("int") +
+            (col(c) > e(1)).cast("int") + (col(c) > e(2)).cast("int")
+        val (er, ef, em) = (edges("recency"), edges("freq"), edges("cents"))
+        base
+          .select(band("recency", er).as("r_band"), band("freq", ef).as("f_band"),
+            band("cents", em).as("m_band"), col("cents"))
+          .groupBy(col("r_band"), col("f_band"), col("m_band"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("total_cents"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_custkey,
+                 date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   DATE '$RFM_REF') AS recency,
+                 count(*) AS freq,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                   AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        er AS (
+          SELECT max(CASE WHEN rn = greatest(1,(n*25+99)//100) THEN recency END) AS p25,
+                 max(CASE WHEN rn = greatest(1,(n*50+99)//100) THEN recency END) AS p50,
+                 max(CASE WHEN rn = greatest(1,(n*75+99)//100) THEN recency END) AS p75
+          FROM (SELECT recency, row_number() OVER (ORDER BY recency) AS rn,
+                       count(*) OVER () AS n FROM base)),
+        ef AS (
+          SELECT max(CASE WHEN rn = greatest(1,(n*25+99)//100) THEN freq END) AS p25,
+                 max(CASE WHEN rn = greatest(1,(n*50+99)//100) THEN freq END) AS p50,
+                 max(CASE WHEN rn = greatest(1,(n*75+99)//100) THEN freq END) AS p75
+          FROM (SELECT freq, row_number() OVER (ORDER BY freq) AS rn,
+                       count(*) OVER () AS n FROM base)),
+        em AS (
+          SELECT max(CASE WHEN rn = greatest(1,(n*25+99)//100) THEN cents END) AS p25,
+                 max(CASE WHEN rn = greatest(1,(n*50+99)//100) THEN cents END) AS p50,
+                 max(CASE WHEN rn = greatest(1,(n*75+99)//100) THEN cents END) AS p75
+          FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                       count(*) OVER () AS n FROM base))
+        SELECT CAST(1 + (recency > er.p25)::INT + (recency > er.p50)::INT
+                 + (recency > er.p75)::INT AS INTEGER) AS r_band,
+               CAST(1 + (freq > ef.p25)::INT + (freq > ef.p50)::INT
+                 + (freq > ef.p75)::INT AS INTEGER) AS f_band,
+               CAST(1 + (cents > em.p25)::INT + (cents > em.p50)::INT
+                 + (cents > em.p75)::INT AS INTEGER) AS m_band,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM base, er, ef, em
+        GROUP BY 1, 2, 3"""))
   )
 }
