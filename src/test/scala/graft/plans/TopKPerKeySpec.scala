@@ -48,6 +48,26 @@ class TopKPerKeySpec extends SparkSpec {
     assert(sameRows(got, windowTopK(docs, 3)))
   }
 
+  test("matches a driver-side reference on seeded random datasets") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 200 + rnd.nextInt(800)
+      val nKeys = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(4)
+      // heavy value collisions force the tie-break path; id is unique
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(20).toLong, i.toLong))
+      val df = rows.toDF("key", "v", "id").repartition(1 + rnd.nextInt(8))
+      val got = TopKPerKey.topK(df, Seq("key"),
+        Seq("v" -> false, "id" -> true), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(t => (-t._2, t._3)).take(k)
+      }.toSet
+      assert(got == want, s"trial $trial n=$n keys=$nKeys k=$k")
+    }
+  }
+
   test("partial stage bounds the exchange: shuffle reads <= keys x splits x k rows") {
     val nKeys = 10
     val df = (0 until 20000)
