@@ -932,6 +932,116 @@ object WarehouseQueries {
                CAST(count(*) AS BIGINT) AS n_customers,
                CAST(sum(cents) AS BIGINT) AS total_cents
         FROM base, er, ef, em
-        GROUP BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q207_sliding_distinct",
+      "Exact distinct users per 3-hour SLIDING window (1-hour step): " +
+        "each event self-assigns to the 3 overlapping windows that " +
+        "contain its hour (the time-window explode Spark's `window()` " +
+        "slide does internally, spelled out so the oracle can state " +
+        "it), then one aggregation computes events and EXACT distinct " +
+        "users per window. Window starts ride integer epoch-micros " +
+        "arithmetic — no interval types to disagree across engines. " +
+        "Scale: the explode is a bounded 3x of (16-byte) pairs and " +
+        "count(distinct) plans as the standard two-phase expand — the " +
+        "exact form; q132's HLL registers are the sketch path when " +
+        "3x distinct pairs is too much.",
+      (s, dir) => {
+        val HOUR_US = 3600000000L
+        val ev = t(s, dir, "events")
+          .select(unix_micros(date_trunc("hour", col("ts"))).as("h_us"),
+            col("user_id"))
+        ev.select(explode(array(lit(0L), lit(1L), lit(2L))).as("off"),
+            col("h_us"), col("user_id"))
+          .select(timestamp_micros(col("h_us") - col("off") * HOUR_US)
+            .as("win_start"), col("user_id"))
+          .groupBy(col("win_start"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT make_timestamp(epoch_us(date_trunc('hour', ts))
+                   - off * 3600000000) AS win_start,
+                 user_id
+          FROM events, (SELECT unnest([0, 1, 2]) AS off))
+        SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM ex GROUP BY win_start""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q208_top_supplier",
+      s"Top supplier by quarterly revenue (TPC-H Q15 shape): per-" +
+        s"supplier revenue over ${MONTH_LO.take(7)}'s quarter, keeping " +
+        "EVERY supplier tied at the maximum — the correlated " +
+        "max-subquery decorrelated into a 1-row broadcast max plus an " +
+        "EQUALITY join back (decimal equality is exact, so ties " +
+        "survive honestly where a float max would drop them; a " +
+        "limit(1) would also break ties arbitrarily — the tie-keeping " +
+        "is the point of Q15). The per-supplier aggregate shuffles " +
+        "(suppkey, partial sum) only; supplier names broadcast.",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+          .select(col("l_suppkey"),
+            (col("l_extendedprice").cast(dec12)
+              * (one - col("l_discount").cast(dec4))).as("rev"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("rev")).as("total"))
+        val mx = rev.agg(max(col("total")).as("mx"))
+        rev.join(broadcast(mx), col("total") === col("mx"))
+          .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total").cast(DoubleType).as("total_revenue"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                   AS total
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total = (SELECT max(total) FROM rev)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q209_supplier_variety",
+      "Supplier variety per (brand, size) (TPC-H Q16 shape): how many " +
+        "DISTINCT suppliers stock non-PROMO parts of the large sizes, " +
+        "excluding blacklisted suppliers (negative account balance — " +
+        "the NOT IN subquery planned as a broadcast LEFT ANTI join, " +
+        "never a per-row probe). The part slice broadcasts into the " +
+        "lineitem scan; count(distinct suppkey) per group is the " +
+        "standard two-phase expand over (brand, size, suppkey) " +
+        "triples — at warehouse scale the distinct pairs are the " +
+        "shuffle, everything else is dimension-bounded.",
+      (s, dir) => {
+        val slice = t(s, dir, "part")
+          .filter(col("p_type") =!= "PROMO" && col("p_size") >= SLICE_SIZE)
+          .select("p_partkey", "p_brand", "p_size")
+        val blacklist = t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some(s"""
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO' AND p_size >= $SLICE_SIZE
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size"""))
   )
 }
