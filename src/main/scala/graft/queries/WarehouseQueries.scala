@@ -1042,6 +1042,112 @@ object WarehouseQueries {
         WHERE p_type <> 'PROMO' AND p_size >= $SLICE_SIZE
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                 WHERE s_acctbal < 0)
-        GROUP BY p_brand, p_size"""))
+        GROUP BY p_brand, p_size""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q210_small_qty_revenue",
+      "Small-quantity order revenue (TPC-H Q17 shape): revenue from " +
+        "Brand#23 lineitems whose quantity is below 20% of their " +
+        "part's average quantity — the correlated AVG subquery, " +
+        "decorrelated into a per-part (sum, count) aggregate joined " +
+        "back, with the threshold as an exact CROSS-MULTIPLY " +
+        "(5 * qty * cnt < sum — no division, no float average, so " +
+        "both engines agree bit-for-bit; the q194 avg-avoidance rule " +
+        "applied to a correlated predicate). The brand slice " +
+        "broadcasts into BOTH the stats pass and the probe pass, so " +
+        "only that brand's rows ever aggregate or shuffle.",
+      (s, dir) => {
+        val slice = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey").as("pk"),
+            col("l_quantity").cast(dec12).as("qty"),
+            col("l_extendedprice").cast(dec12).as("price"))
+        val stats = li.groupBy(col("pk"))
+          .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+        li.join(stats, Seq("pk"))
+          .filter(col("qty") * col("cnt") * 5 < col("sum_qty"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("price")).cast(DoubleType).as("total_revenue"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT p_partkey AS pk,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'),
+        stats AS (
+          SELECT pk, sum(qty) AS sum_qty, count(*) AS cnt
+          FROM li GROUP BY pk)
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(price) AS DOUBLE) AS total_revenue
+        FROM li JOIN stats USING (pk)
+        WHERE qty * cnt * 5 < sum_qty""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q211_interpolated_quantiles",
+      "Type-7 INTERPOLATED quantiles (p50/p95) of event value per " +
+        "type — the linear-interpolation definition (numpy/R default) " +
+        "beside the registry's type-1 rank selection (q46/q85/q101): " +
+        "h = (n-1)p/100, answer = v_floor + frac * (v_ceil - v_floor). " +
+        "Neither engine's built-in quantile_cont is trusted — both " +
+        "state the formula explicitly over integer micro-values, with " +
+        "frac an exact integer-remainder/100 double, so the " +
+        "interpolation arithmetic is bit-identical. Ranks come from " +
+        "one per-type window (partitioned; type cardinality bounds " +
+        "nothing — the partition is the stratum, same class as q85); " +
+        "at corpus scale the KLL sketch takes over with its rank-error " +
+        "contract (interpolation then happens on the sketch's levels).",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 1000000).cast("long").as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("v"))
+        val r = d.withColumn("rn", row_number().over(w))
+          .withColumn("nt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+        def interp(p: Int, name: String) = {
+          // h = (n-1)*p/100; lo rank = floor(h)+1; frac = remainder/100
+          // (integer `div`, never Column./ which is double division);
+          // nt is group-constant and grouped, so it is legal here
+          val loRank = expr(s"(nt - 1) * $p div 100 + 1")
+          val frac = expr(s"CAST(((nt - 1) * $p) % 100 AS DOUBLE) / 100.0")
+          val vLo = max(when(col("rn") === loRank, col("v")))
+          val vHi = max(when(col("rn") === loRank + 1, col("v")))
+          (vLo.cast(DoubleType)
+            + frac * (coalesce(vHi, vLo).cast(DoubleType)
+              - vLo.cast(DoubleType))).as(name)
+        }
+        r.groupBy(col("event_type"), col("nt"))
+          .agg(interp(50, "p50_micro"), interp(95, "p95_micro"))
+          .select(col("event_type"), col("nt").as("n"),
+            col("p50_micro"), col("p95_micro"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
+          FROM events),
+        r AS (
+          SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nt
+          FROM d)
+        SELECT event_type, CAST(nt AS BIGINT) AS n,
+               CAST(max(CASE WHEN rn = (nt-1)*50//100 + 1 THEN v END) AS DOUBLE)
+                 + (CAST(((nt-1)*50) % 100 AS DOUBLE) / 100.0)
+                 * (CAST(coalesce(max(CASE WHEN rn = (nt-1)*50//100 + 2 THEN v END),
+                          max(CASE WHEN rn = (nt-1)*50//100 + 1 THEN v END)) AS DOUBLE)
+                    - CAST(max(CASE WHEN rn = (nt-1)*50//100 + 1 THEN v END) AS DOUBLE))
+                 AS p50_micro,
+               CAST(max(CASE WHEN rn = (nt-1)*95//100 + 1 THEN v END) AS DOUBLE)
+                 + (CAST(((nt-1)*95) % 100 AS DOUBLE) / 100.0)
+                 * (CAST(coalesce(max(CASE WHEN rn = (nt-1)*95//100 + 2 THEN v END),
+                          max(CASE WHEN rn = (nt-1)*95//100 + 1 THEN v END)) AS DOUBLE)
+                    - CAST(max(CASE WHEN rn = (nt-1)*95//100 + 1 THEN v END) AS DOUBLE))
+                 AS p95_micro
+        FROM r GROUP BY event_type, nt"""))
   )
 }
