@@ -187,6 +187,27 @@ object EventsStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Exact distinct users per sliding window — q207's incremental twin
+    * and the CHAINED-stateful-operator form Spark 3.4+ unlocked: two
+    * stateful stages in ONE query. Stage 1 deduplicates (window, user)
+    * pairs — the window struct carries event time, so dedup state for
+    * a pair evicts when the watermark passes its window's end; stage 2
+    * counts the survivors per window (the usual windowed-agg state).
+    * Batch count(distinct) plans a two-phase expand; this is its
+    * streaming analogue — state is one key per ACTIVE (window, user)
+    * pair plus one count per open window, both watermark-bounded.
+    * Running the same code on a batch frame reproduces q207's n_users
+    * exactly (the twin equality StreamingSpec pins). */
+  def slidingDistinctStream(events: DataFrame, windowLen: String = "3 hours",
+      slide: String = "1 hour", watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(window(col("ts"), windowLen, slide).as("win"), col("user_id"))
+      .dropDuplicates("win", "user_id")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("win.start").as("win_start"), col("n_users"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

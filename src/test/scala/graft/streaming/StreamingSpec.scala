@@ -107,6 +107,32 @@ class StreamingSpec extends SparkSpec {
     assert(n == distinct)
   }
 
+  test("chained stateful dedup + sliding agg matches q207's distinct counts") {
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.slidingDistinctStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sldist_out").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "sliding-distinct stream did not finish")
+    // the query must really run TWO stateful operators (dedup -> agg)
+    val opNames = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      .recentProgress.flatMap(_.stateOperators.map(_.operatorName)).distinct.sorted
+    assert(opNames.length >= 2, s"expected chained stateful ops, got ${opNames.mkString(",")}")
+    val got = spark.table("sldist_out")
+    val batch = graft.queries.WarehouseQueries.all
+      .find(_.name == "q207_sliding_distinct").get
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("win_start"), col("n_users"))
+    // append mode emits only watermark-closed windows; each must match
+    val joined = got.alias("s").join(batch.alias("b"), Seq("win_start"))
+    assert(got.count() > 0)
+    assert(joined.count() == got.count(), "emitted window missing from batch")
+    assert(joined.filter(col("s.n_users") =!= col("b.n_users")).isEmpty)
+    // batch mode of the SAME code reproduces q207's n_users exactly
+    val batchMode = EventsStream.slidingDistinctStream(
+      graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events"))
+    assert(batchMode.exceptAll(batch).isEmpty && batch.exceptAll(batchMode).isEmpty)
+  }
+
   test("stream-stream interval join emits the same pairs as the batch twin") {
     val stream = EventsStream.readStream(spark, dir)
     val q = EventsStream.intervalSelfJoin(stream)
