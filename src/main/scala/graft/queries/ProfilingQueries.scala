@@ -488,6 +488,13 @@ object ProfilingQueries {
           .select(col("id_a").as("a"), col("id_b").as("b"))
           .persist()
         val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+        // wedges via the und x und self-join on the center vertex —
+        // measured FASTER (4.5 s vs 41 s at sf0.1) than building
+        // per-center sorted adjacency arrays and exploding C(deg,2)
+        // pairs with higher-order transform/slice: the join stays in
+        // codegen'd UnsafeRow land and parallelizes across edges,
+        // where the array spelling materializes deg^2 boxed structs
+        // per center row in one task.
         val cand = und.select(col("a").as("v"), col("b").as("w1"))
           .join(und.select(col("a").as("v2"), col("b").as("w2")),
             col("v") === col("v2") && col("w1") < col("w2"))
