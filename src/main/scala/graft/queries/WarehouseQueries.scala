@@ -1148,6 +1148,45 @@ object WarehouseQueries {
                           max(CASE WHEN rn = (nt-1)*95//100 + 1 THEN v END)) AS DOUBLE)
                     - CAST(max(CASE WHEN rn = (nt-1)*95//100 + 1 THEN v END) AS DOUBLE))
                  AS p95_micro
-        FROM r GROUP BY event_type, nt"""))
+        FROM r GROUP BY event_type, nt""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q212_session_window",
+      "Native session_window() sessionization (5-minute gap): per-user " +
+        "sessions as ONE grouped aggregation — Spark's built-in " +
+        "merging-session operator, the declarative complement of " +
+        "q35's lag+running-sum spelling and of the " +
+        "flatMapGroupsWithState streaming form (all three state the " +
+        "same semantics: an event joins its predecessor's session iff " +
+        "it arrives strictly within gap; the oracle's islands " +
+        "formulation breaks on diff >= gap accordingly). The operator " +
+        "shuffles once on user_id and merges windows inside the " +
+        "aggregation — no window-function sort pass over the events; " +
+        "output is session-cardinality with exact micros bounds.",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+          .agg(max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_end"), col("n_events"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sden AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sden GROUP BY user_id, sid"""))
   )
 }
