@@ -72,6 +72,9 @@ object WarehouseQueries {
   /** q206: recency reference date (just past the last testdata order). */
   private val RFM_REF = "2001-09-01"
 
+  /** q213 division target: every customer ordering ALL of these. */
+  private val DIV_BRANDS = Seq("Brand#11", "Brand#12", "Brand#13")
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1187,6 +1190,89 @@ object WarehouseQueries {
           FROM o)
         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
-        FROM sden GROUP BY user_id, sid"""))
+        FROM sden GROUP BY user_id, sid""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q213_relational_division",
+      "Relational DIVISION (the 'bought ALL of them' query): customers " +
+        s"who ordered every one of the ${DIV_BRANDS.size} target " +
+        "brands — division spelled as the scalable " +
+        "count-distinct-equals-divisor aggregation, never the doubly " +
+        "nested NOT EXISTS (which plans a per-row correlated probe). " +
+        "The brand filter broadcasts into the fact scan so only target-" +
+        "brand rows survive; the (customer, brand) distinct pairs are " +
+        "the one shuffle; the HAVING compares against a plan-time " +
+        "constant divisor. Output carries the customer's total " +
+        "target-brand item count for context.",
+      (s, dir) => {
+        val target = t(s, dir, "part")
+          .filter(col("p_brand").isin(DIV_BRANDS: _*))
+          .select("p_partkey", "p_brand")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+          .join(broadcast(target), col("l_partkey") === col("p_partkey"))
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(countDistinct(col("p_brand")).as("n_brands"),
+            count(lit(1)).as("n_items"))
+          .filter(col("n_brands") === DIV_BRANDS.size)
+          .select(col("o_custkey"), col("n_items"))
+      },
+      Some(s"""
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_brand IN (${DIV_BRANDS.map("'" + _ + "'").mkString(", ")})
+        GROUP BY o_custkey
+        HAVING count(DISTINCT p_brand) = ${DIV_BRANDS.size}""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q214_bag_setops",
+      "Multiset EXCEPT ALL / INTERSECT ALL — bag semantics the " +
+        "distinct set ops (q37/q38) cannot express: per (priority, " +
+        "status) multiplicities of two order snapshots (hash-halves " +
+        "of orders), where EXCEPT ALL keeps max(0, a - b) copies and " +
+        "INTERSECT ALL min(a, b). Spark plans both as counted " +
+        "aggregates (generate replicated rows), so the comparison " +
+        "rolls the outputs back to (row, multiplicity) — proving the " +
+        "multiplicity arithmetic itself, which is where bag and set " +
+        "semantics diverge. One shuffle per side on the tiny value " +
+        "domain; at any scale the op is count-algebra, never row " +
+        "materialization.",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("half",
+            Portable.pmd5(concat(lit("o:"), col("o_orderkey").cast("string"))) % 2)
+          .select(col("half"), col("o_orderpriority"), col("o_orderstatus"))
+        val a = o.filter(col("half") === 0).drop("half")
+        val b = o.filter(col("half") === 1).drop("half")
+        val ex = a.exceptAll(b).groupBy(col("o_orderpriority"),
+          col("o_orderstatus")).agg(count(lit(1)).as("mult"))
+          .withColumn("op", lit("except_all"))
+        val in = a.intersectAll(b).groupBy(col("o_orderpriority"),
+          col("o_orderstatus")).agg(count(lit(1)).as("mult"))
+          .withColumn("op", lit("intersect_all"))
+        ex.unionByName(in)
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT ${Portable.pmd5Sql("concat('o:', CAST(o_orderkey AS VARCHAR))")} % 2
+                   AS half,
+                 o_orderpriority, o_orderstatus
+          FROM orders),
+        a AS (SELECT o_orderpriority, o_orderstatus FROM o WHERE half = 0),
+        b AS (SELECT o_orderpriority, o_orderstatus FROM o WHERE half = 1),
+        ex AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS mult, 'except_all' AS op
+          FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+          GROUP BY 1, 2),
+        inx AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS mult, 'intersect_all' AS op
+          FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+          GROUP BY 1, 2)
+        SELECT * FROM ex UNION ALL SELECT * FROM inx"""))
   )
 }

@@ -187,6 +187,23 @@ object EventsStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Native session windows on a stream — q212's incremental twin:
+    * the same session_window(gap) aggregation under a watermark.
+    * Spark keeps one OPEN session per (user, session) in the state
+    * store, MERGES sessions when a late-but-in-watermark event
+    * bridges two of them, and emits a session only once the watermark
+    * passes its end — so closed rows are final (no session can still
+    * grow) and match the batch answer exactly. State is bounded by
+    * active users x open sessions inside the watermark horizon. */
+  def sessionWindowStream(events: DataFrame, gap: String = "5 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(max(col("ts")).as("session_end"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"))
+
   /** Exact distinct users per sliding window — q207's incremental twin
     * and the CHAINED-stateful-operator form Spark 3.4+ unlocked: two
     * stateful stages in ONE query. Stage 1 deduplicates (window, user)

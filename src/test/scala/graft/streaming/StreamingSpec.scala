@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpec {
     assert(n == distinct)
   }
 
+  test("streaming session_window closes the same sessions as batch q212") {
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.sessionWindowStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sesswin_out").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "session-window stream did not finish")
+    val got = spark.table("sesswin_out")
+    val batch = graft.queries.WarehouseQueries.all
+      .find(_.name == "q212_session_window").get
+      .run(spark, "/root/testdata/sf0.001")
+    // every closed session must exist in batch with identical bounds/count
+    val joined = got.alias("s").join(batch.alias("b"),
+      Seq("user_id", "session_start"))
+    assert(got.count() > 0)
+    assert(joined.count() == got.count(), "closed session missing from batch")
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
+      col("s.session_end") =!= col("b.session_end")).isEmpty)
+  }
+
   test("chained stateful dedup + sliding agg matches q207's distinct counts") {
     val stream = EventsStream.readStream(spark, dir)
     val q = EventsStream.slidingDistinctStream(stream)
