@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); read as long, see Tables.t
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // AQE's per-stage materialization barriers cost ~25% wall on these
       // sub-second local queries; at real data sizes the runtime re-plan
       // pays for itself — keep it ON in cluster deployments

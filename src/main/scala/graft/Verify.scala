@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); read as long, see Tables.t
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the cluster deployment path: native functions + the top-k
+      // strategy activate through the extension point, exactly as a
+      // consuming app would configure them (operators also self-
+      // register per session as a fallback, so this is belt+braces)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
