@@ -89,6 +89,71 @@ class WarehouseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q205: sketch estimates bracket sanely and exact counts recompute") {
+    val r = run("q205_kmv_intersection").collect().head
+    val (estU, matched, estI) =
+      (r.getDouble(0), r.getLong(1), r.getDouble(2))
+    val (exU, exI) = (r.getLong(3), r.getLong(4))
+    assert(estU > 0 && estI >= 0 && estI <= estU + 1e-9)
+    assert(matched >= 0 && matched <= 256)
+    assert(exI <= exU)
+    // exact counts recompute independently
+    val ev = spark.read.parquet(s"$SF/events.parquet")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val v = ev.filter(col("event_type") === "view").select("user_id", "d")
+    val p = ev.filter(col("event_type") === "purchase").select("user_id", "d")
+    assert(v.union(p).distinct().count() == exU)
+    assert(v.intersect(p).count() == exI)
+  }
+
+  test("q208: every reported supplier carries the true maximum") {
+    val rows = run("q208_top_supplier").collect()
+    assert(rows.nonEmpty)
+    val totals = rows.map(_.getDouble(2)).distinct
+    assert(totals.length == 1, "all winners tie at one maximum")
+  }
+
+  test("q213: every returned customer really ordered all target brands") {
+    val got = run("q213_relational_division").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    val truth = spark.read.parquet(s"$SF/lineitem.parquet")
+      .join(spark.read.parquet(s"$SF/part.parquet")
+        .filter(col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")),
+        col("l_partkey") === col("p_partkey"))
+      .join(spark.read.parquet(s"$SF/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(countDistinct(col("p_brand")).as("nb"))
+      .filter(col("nb") === 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == truth)
+  }
+
+  test("q214: multiplicities obey max(0, a-b) / min(a, b) per cell") {
+    val rows = run("q214_bag_setops").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(3)), r.getLong(2)))
+      .toMap
+    // independent per-cell counts of the two halves
+    val o = spark.read.parquet(s"$SF/orders.parquet")
+      .withColumn("half", graft.functions.Portable.pmd5(
+        concat(lit("o:"), col("o_orderkey").cast("string"))) % 2)
+    val counts = o.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(sum(when(col("half") === 0, 1).otherwise(0)).as("a"),
+        sum(when(col("half") === 1, 1).otherwise(0)).as("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.nonEmpty)
+    for (((pri, st), (a, b)) <- counts) {
+      assert(rows.getOrElse((pri, st, "except_all"), 0L) == math.max(0L, a - b),
+        s"except_all($pri, $st)")
+      assert(rows.getOrElse((pri, st, "intersect_all"), 0L) == math.min(a, b),
+        s"intersect_all($pri, $st)")
+    }
+  }
+
   test("q197: predicted pairs are non-adjacent and ordered by shared neighbors") {
     val rows = run("q197_link_prediction").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
