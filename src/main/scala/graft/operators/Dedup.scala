@@ -101,6 +101,37 @@ object Dedup {
       .distinct()
   }
 
+  /** [[lshCandidates]] with a per-bucket population CAP — the
+    * robustness valve for DEGENERATE corpora. A band bucket holding b
+    * docs contributes C(b, 2) pairs; on a healthy corpus b stays small
+    * (that is the whole LSH bet), but a saturated one (boilerplate
+    * floods, near-constant fields, tiny effective alphabets — the
+    * measured ARCHITECTURE.md stress case that spilled past 79 GB)
+    * grows buckets to corpus size and the join goes quadratic. Rather
+    * than dying, this drops every (band, key) bucket whose population
+    * exceeds `maxBucket` BEFORE the self-join — a bounded-work
+    * guarantee at an explicit recall cost: members of a dropped bucket
+    * can still pair through their other (nBands - 1) bands, and a
+    * bucket that big is a template cluster the pipeline should route
+    * to q104's skew profiler / q215's pre-flight anyway, not pairwise
+    * verification. Default OFF in every oracled query (exact
+    * semantics); turn on for unvetted corpora. */
+  def lshCandidatesCapped(banded: DataFrame, idCol: String, nBands: Int,
+      maxBucket: Int): DataFrame = {
+    val exploded = bandExplode(banded, idCol, idCol, nBands).persist()
+    val keep = exploded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__pop"))
+      .filter(col("__pop") <= maxBucket)
+      .select("band", "key")
+    val bounded = exploded.join(keep, Seq("band", "key"))
+    val l = bounded.as("l")
+    val r = bounded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
   /** Cross-table LSH candidates: pairs (left id, right id) sharing at
     * least one band key ACROSS two banded frames — the decontamination
     * shape (training corpus × held-out eval set), where the self-join's

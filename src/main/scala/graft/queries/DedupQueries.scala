@@ -1063,6 +1063,69 @@ object DedupQueries {
         SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs,
                n_docs * 10000 // (SELECT n FROM n0) AS retained_bp
         FROM stages ORDER BY stage"""
-      })
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q215_bucket_preflight",
+      "LSH bucket-population PRE-FLIGHT — the diagnostic that predicts " +
+        "a quadratic candidate blowup BEFORE anyone pays for it: for " +
+        "q30's exact banding config, the 10 heaviest (band, key) " +
+        "buckets with their populations and implied pair work " +
+        "C(pop, 2), plus corpus-wide bucket count and total pair work " +
+        "on every row (a 1-row broadcast). A healthy corpus shows " +
+        "single-digit bucket populations; a saturated one (template " +
+        "floods, tiny effective alphabets — the measured " +
+        "ARCHITECTURE.md stress case that spilled past 79 GB) shows " +
+        "corpus-scale buckets here for the cost of ONE keyed count, " +
+        "and the pipeline routes to Dedup.lshCandidatesCapped or " +
+        "upstream cleanup instead of the pair join. Same cost class " +
+        "as q104's key-skew profile, applied to the similarity index.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val withSet = docs.select(col("doc_id"),
+          array_sort(Dedup.charNgramHashes(col("text"), 3)).as("gs"))
+          .withColumn("sz", size(col("gs")))
+        val banded = Dedup.bandKeys(
+          Dedup.minhashFromHashes(
+            withSet.filter(col("sz") > 0).select("doc_id", "gs"), "gs", K),
+          K, RPB)
+        val bk = banded.select(col("doc_id"),
+          expr(s"stack($NB, ${(0 until NB).map(b => s"$b, b$b").mkString(", ")})")
+            .as(Seq("band", "key")))
+        val pops = bk.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("pop"))
+          .withColumn("pair_work", expr("pop * (pop - 1) div 2"))
+        val totals = pops.agg(count(lit(1)).as("n_buckets"),
+          sum(col("pair_work")).as("total_pair_work"))
+        pops.orderBy(col("pair_work").desc, col("band"), col("key"))
+          .limit(10)
+          .join(broadcast(totals))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id, gs, len(gs) AS sz
+          FROM (SELECT doc_id,
+                 ${graft.operators.Dedup.charNgramHashesSql("text", 3)} AS gs
+                FROM documents)),
+        sig AS (
+          SELECT doc_id, ${minhashColsSql("gs")}
+          FROM g WHERE sz > 0),
+        banded AS (
+          SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
+          FROM sig),
+        bk AS (
+          ${(0 until NB).map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+            .mkString("\n          UNION ALL ")}),
+        pops AS (
+          SELECT band, key, CAST(count(*) AS BIGINT) AS pop,
+                 CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_work
+          FROM bk GROUP BY 1, 2),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(pair_work) AS BIGINT) AS total_pair_work
+          FROM pops)
+        SELECT band, key, pop, pair_work, n_buckets, total_pair_work
+        FROM (SELECT * FROM pops
+              ORDER BY pair_work DESC, band, key LIMIT 10), t"""))
   )
 }

@@ -121,6 +121,33 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("capped LSH candidates: identical on a healthy corpus, bounded on a saturated one") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def banded(docs: org.apache.spark.sql.DataFrame) = Dedup.bandKeys(
+      Dedup.minhashSignature(docs, "text", 16, 3), 16, 4)
+    // healthy: the real testdata corpus — a generous cap changes nothing
+    val real = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val b1 = banded(real)
+    val uncapped = Dedup.lshCandidates(b1, "doc_id", 4)
+    val capped = Dedup.lshCandidatesCapped(b1, "doc_id", 4, maxBucket = 10000)
+    assert(uncapped.exceptAll(capped).isEmpty && capped.exceptAll(uncapped).isEmpty)
+    spark.catalog.clearCache()
+    // saturated: 300 docs over a 5-word vocabulary — every shingle set
+    // collides, buckets approach corpus size, pair work ~ C(300, 2)
+    val sat = (0 until 300).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i * 31 + j) % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b2 = banded(sat)
+    val full = Dedup.lshCandidates(b2, "doc_id", 4).count()
+    val bounded = Dedup.lshCandidatesCapped(b2, "doc_id", 4, maxBucket = 10).count()
+    spark.catalog.clearCache()
+    assert(full > 10000, s"saturated corpus must show quadratic candidates, got $full")
+    assert(bounded < full / 10,
+      s"cap must bound the blowup: capped=$bounded full=$full")
+  }
+
   test("salted join == plain join, including under a planted hot key") {
     import spark.implicits._
     // 1000 rows of one hot key + a sprinkle of others; build side has
