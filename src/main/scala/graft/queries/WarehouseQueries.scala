@@ -1273,6 +1273,89 @@ object WarehouseQueries {
                  CAST(count(*) AS BIGINT) AS mult, 'intersect_all' AS op
           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
           GROUP BY 1, 2)
-        SELECT * FROM ex UNION ALL SELECT * FROM inx"""))
+        SELECT * FROM ex UNION ALL SELECT * FROM inx""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q216_grouping_sets",
+      "Explicit GROUPING SETS — the arbitrary-subset lattice walk " +
+        "between q36's single rollup path and q111's full cube: order " +
+        "counts and decimal revenue for exactly ((priority, status), " +
+        "(priority), (status)) in ONE grouping-id expand pass (three " +
+        "separate aggregations would scan three times). The grouping " +
+        "id is computed as grouping(a)*2 + grouping(b) in both engines " +
+        "(no reliance on either engine's grouping_id numbering), and " +
+        "grouped-out columns sentinel to '(all)' so the cross-engine " +
+        "compare never meets an ambiguous NULL (the q36/q111 rule).",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+              Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(
+            (grouping(col("o_orderpriority")) * 2
+              + grouping(col("o_orderstatus"))).as("gid"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec12)).cast(DoubleType)
+              .as("revenue"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+            coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            col("gid"), col("n_orders"), col("revenue"))
+      },
+      Some("""
+        SELECT coalesce(o_orderpriority, '(all)') AS priority,
+               coalesce(o_orderstatus, '(all)') AS status,
+               CAST(grouping(o_orderpriority) * 2
+                 + grouping(o_orderstatus) AS INTEGER) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q217_window_frames",
+      "Window FRAME semantics made visible (users < 10, per-user event " +
+        "order): first_value under the default frame, last_value under " +
+        "the DEFAULT frame — which is RANGE UNBOUNDED PRECEDING .. " +
+        "CURRENT ROW, so it returns the CURRENT row's value, the " +
+        "classic silent bug — last_value under an explicit full frame " +
+        "(the true last), and nth_value(3) over the full frame (null " +
+        "for users with fewer events — honest, not an error). Both " +
+        "engines share these frame defaults; stating all four side by " +
+        "side pins that the engine reproduces the standard's " +
+        "sometimes-surprising semantics exactly. One user_id shuffle " +
+        "serves every window.",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wFull = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        t(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            first(col("event_type")).over(w).as("et_first"),
+            last(col("event_type")).over(w).as("et_last_default"),
+            last(col("event_type")).over(wFull).as("et_last_full"),
+            nth_value(col("event_type"), 3).over(wFull).as("et_third"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               first_value(event_type) OVER w AS et_first,
+               last_value(event_type) OVER w AS et_last_default,
+               last_value(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS et_last_full,
+               nth_value(event_type, 3) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS et_third
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
   )
 }
