@@ -48,6 +48,28 @@ class TopKPerKeySpec extends SparkSpec {
     assert(sameRows(got, windowTopK(docs, 3)))
   }
 
+  test("null keys and null sort values agree with the window form") {
+    // null key is its own group; desc sort puts nulls LAST in both the
+    // window form and the operator (SortOrder's default null ordering
+    // drives LazilyGeneratedOrdering) — pin that they agree
+    val rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Long)] = Seq(
+      (1L, 5L, 1L), (1L, null, 2L), (1L, 9L, 3L), (1L, null, 4L),
+      (null, 7L, 5L), (null, 3L, 6L), (null, null, 7L),
+      (2L, null, 8L), (2L, null, 9L), (2L, null, 10L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)), 3),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val got = TopKPerKey.topK(df, Seq("key"), Seq("v" -> false, "id" -> true), 2)
+    assert(sameRows(got, windowTopK(df, 2)))
+  }
+
   test("matches a driver-side reference on seeded random datasets") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 8) {
