@@ -1094,7 +1094,12 @@ object DedupQueries {
             .as(Seq("band", "key")))
         val pops = bk.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("pop"))
-          .withColumn("pair_work", expr("pop * (pop - 1) div 2"))
+          // C(pop, 2) through DECIMAL(38,0): pop * (pop - 1) on Long
+          // wraps silently past pop ~ 4.3e9 (Spark non-ANSI) where
+          // DuckDB's BIGINT raises — exactly the q104 overflow class;
+          // the decimal product is exact and `div` is integral
+          .withColumn("pair_work",
+            expr("CAST(CAST(pop AS DECIMAL(38,0)) * (pop - 1) div 2 AS BIGINT)"))
         val totals = pops.agg(count(lit(1)).as("n_buckets"),
           sum(col("pair_work")).as("total_pair_work"))
         pops.orderBy(col("pair_work").desc, col("band"), col("key"))
@@ -1118,7 +1123,8 @@ object DedupQueries {
             .mkString("\n          UNION ALL ")}),
         pops AS (
           SELECT band, key, CAST(count(*) AS BIGINT) AS pop,
-                 CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_work
+                 CAST(CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
+                   AS BIGINT) AS pair_work
           FROM bk GROUP BY 1, 2),
         t AS (
           SELECT CAST(count(*) AS BIGINT) AS n_buckets,
