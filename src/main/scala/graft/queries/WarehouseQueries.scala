@@ -613,7 +613,12 @@ object WarehouseQueries {
             sum(when(col("exposed") === 1, col("converted"))).as("converted"))
           .select(col("variant"), col("assigned"), col("exposed"),
             col("converted"),
-            expr("converted * 10000 div exposed").as("cvr_bp"))
+            // zero-exposure guard: Spark's div would null silently
+            // where DuckDB's // raises — state the NULL explicitly in
+            // both engines so a dead variant reads as unknown, not as
+            // an engine-dependent outcome
+            when(col("exposed") > 0,
+              expr("converted * 10000 div exposed")).as("cvr_bp"))
       },
       Some(s"""
         WITH pu AS (
@@ -629,8 +634,9 @@ object WarehouseQueries {
                CAST(sum(exposed) AS BIGINT) AS exposed,
                CAST(sum(CASE WHEN exposed = 1 THEN converted END) AS BIGINT)
                  AS converted,
-               CAST(sum(CASE WHEN exposed = 1 THEN converted END) * 10000
-                 // sum(exposed) AS BIGINT) AS cvr_bp
+               CAST(CASE WHEN sum(exposed) > 0 THEN
+                 sum(CASE WHEN exposed = 1 THEN converted END) * 10000
+                   // sum(exposed) END AS BIGINT) AS cvr_bp
         FROM pu GROUP BY variant""")),
     // ----------------------------------------------------------------
     Q(
