@@ -18,6 +18,20 @@ class EngineSpec extends SparkSpec {
     // events view carries the normalized timestamp type
     assert(spark.table("events").schema("ts").dataType.typeName == "timestamp")
   }
+
+  test("registry invariants: oracle per query, unique qNN bench keys, docs present") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.size >= 215)
+    // the driver contract: every registered query carries a DuckDB oracle
+    val missing = names.filterNot(SparkEntry.oracleSql.contains)
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+    // Bench compresses names to their qNN prefix for the stdout JSON —
+    // a duplicate prefix would silently drop a query from the record
+    val prefixes = names.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.length == prefixes.length,
+      "qNN bench keys must stay unique")
+    assert(SparkEntry.catalog.forall(_._2.nonEmpty), "every query documents itself")
+  }
 }
 
 /** Scale-citizenship proof: partition pruning reaches the scan. */
