@@ -75,6 +75,9 @@ object WarehouseQueries {
   /** q213 division target: every customer ordering ALL of these. */
   private val DIV_BRANDS = Seq("Brand#11", "Brand#12", "Brand#13")
 
+  /** q219: map_filter keep-threshold. */
+  private val MAP_MIN = 2
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1362,6 +1365,98 @@ object WarehouseQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                  AS et_third
         FROM events WHERE user_id < 10
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q218_schema_drift_union",
+      "Schema-evolution union: an old-snapshot half of orders that " +
+        "never had o_orderpriority combined with the current half via " +
+        "unionByName(allowMissingColumns) — the missing column reads " +
+        "as NULL for old rows (never a positional mis-bind, which a " +
+        "plain UNION would silently commit on reordered columns), " +
+        "then one aggregation over the coalesced value. The " +
+        "ingestion-era split is the portable hash (q214's halves); " +
+        "'(unknown)' sentinels the evolved column so the compare " +
+        "never meets NULL. This is the append-only table-evolution " +
+        "story every long-lived warehouse needs: new columns arrive, " +
+        "old files stay valid, one name-keyed union serves both.",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("half",
+            Portable.pmd5(concat(lit("o:"), col("o_orderkey").cast("string"))) % 2)
+        val legacy = o.filter(col("half") === 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val current = o.filter(col("half") === 1)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority")
+        legacy.unionByName(current, allowMissingColumns = true)
+          .groupBy(col("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("(unknown)")).as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec12)).cast(DoubleType)
+              .as("revenue"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT ${Portable.pmd5Sql("concat('o:', CAST(o_orderkey AS VARCHAR))")} % 2
+                   AS half, o_orderkey, o_orderstatus, o_totalprice,
+                 o_orderpriority
+          FROM orders),
+        u AS (
+          SELECT o_orderstatus, o_totalprice,
+                 CAST(NULL AS VARCHAR) AS o_orderpriority
+          FROM o WHERE half = 0
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice, o_orderpriority
+          FROM o WHERE half = 1)
+        SELECT o_orderstatus,
+               coalesce(o_orderpriority, '(unknown)') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+        FROM u GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q219_map_functions",
+      "MAP-typed column pipeline: per source, the 5 most frequent " +
+        "tokens fold into a map<token, count> (map_from_entries over " +
+        "the collected top-k — the k-bounded collect is legal because " +
+        "a grouped top-k ran first), the map filters to counts >= " +
+        "MAP_MIN via map_filter, and explode(map) unrolls the " +
+        "survivors back to rows — exercising the map construct / " +
+        "transform / explode family the registry's array-heavy " +
+        "pipelines never touch. The heavy lifting is the (source, " +
+        "token) count agg; everything map-typed operates on <= 5 " +
+        "entries per source. The oracle states the equivalent " +
+        "row-level semantics (DuckDB's MAP ordering differs — the " +
+        "exploded rows are the engine-neutral form).",
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("cnt"))
+        val topk = counts
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+              .orderBy(col("cnt").desc, col("token"))))
+          .filter(col("rk") <= 5)
+        topk.groupBy(col("source"))
+          .agg(map_from_entries(
+            collect_list(struct(col("token"), col("cnt")))).as("m"))
+          .select(col("source"),
+            explode(map_filter(col("m"), (_, v) => v >= MAP_MIN)))
+          .select(col("source"), col("key").as("token"),
+            col("value").as("cnt"))
+      },
+      Some(s"""
+        SELECT source, token, cnt FROM (
+          SELECT source, token, CAST(count(*) AS BIGINT) AS cnt,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY count(*) DESC, token) AS rk
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY source, token)
+        WHERE rk <= 5 AND cnt >= $MAP_MIN"""))
   )
 }
