@@ -1457,6 +1457,102 @@ object WarehouseQueries {
           FROM (SELECT source, unnest(string_split(text, ' ')) AS token
                 FROM documents)
           GROUP BY source, token)
-        WHERE rk <= 5 AND cnt >= $MAP_MIN"""))
+        WHERE rk <= 5 AND cnt >= $MAP_MIN""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q220_forecast_revenue",
+      s"Forecast revenue change (TPC-H Q6 shape) for ${YEAR_LO.take(4)}: " +
+        "revenue that would have been earned without discounts in the " +
+        "5-7% band on small quantities — the canonical PUSHDOWN " +
+        "microbenchmark: three conjunctive predicates and a 1-row " +
+        "aggregate, no join at all, so the entire query is a scan " +
+        "whose filters must reach the parquet reader (ExplainAudit's " +
+        "pushed-filter discipline) and whose aggregation is map-side " +
+        "combined to one partial per split. extendedprice * discount " +
+        "in exact decimals; discount-band bounds compared in decimal " +
+        "so 0.05/0.07 are exact, not float-approximate.",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit(YEAR_LO)) &&
+            col("l_shipdate") < to_timestamp(lit(YEAR_HI)) &&
+            col("l_discount").cast(dec4).between(
+              lit("0.05").cast(dec4), lit("0.07").cast(dec4)) &&
+            col("l_quantity") < 24)
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(dec12)
+              * col("l_discount").cast(dec4)).cast(DoubleType)
+              .as("revenue_delta"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 AS revenue_delta
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '$YEAR_LO 00:00:00'
+          AND l_shipdate < TIMESTAMP '$YEAR_HI 00:00:00'
+          AND CAST(l_discount AS DECIMAL(4,2))
+                BETWEEN CAST('0.05' AS DECIMAL(4,2))
+                    AND CAST('0.07' AS DECIMAL(4,2))
+          AND l_quantity < 24""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q221_blocking_supplier",
+      "Suppliers who single-handedly held up multi-supplier orders " +
+        "(TPC-H Q21 shape, lateness = shipped more than 90 days after " +
+        "order date): supplier S is blamed for order O when S shipped " +
+        "late into O, O has at least one OTHER supplier, and NO other " +
+        "supplier shipped late into O — the double EXISTS / NOT " +
+        "EXISTS, DECORRELATED: one (order, supplier) aggregate " +
+        "derives each supplier's late flag, one order-level rollup " +
+        "counts suppliers and late suppliers, and the blame condition " +
+        "becomes a pure filter (late AND n_supp >= 2 AND n_late = 1) " +
+        "— no per-row correlated probe anywhere; the oracle states " +
+        "the literal EXISTS spelling, so the hash match PROVES the " +
+        "decorrelation. Top-10 blamed suppliers by count, " +
+        "per-partition heaps.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+              .as("late"))
+        val perSupp = li.groupBy(col("ok"), col("sk"))
+          .agg(max(when(col("late"), 1).otherwise(0)).as("supp_late"))
+        val perOrder = perSupp.groupBy(col("ok"))
+          .agg(count(lit(1)).as("n_supp"),
+            sum(col("supp_late")).as("n_late"))
+        perSupp
+          .join(perOrder, Seq("ok"))
+          .filter(col("supp_late") === 1 && col("n_supp") >= 2 &&
+            col("n_late") === 1)
+          .groupBy(col("sk"))
+          .agg(count(lit(1)).as("blocked_orders"))
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("sk") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("blocked_orders"))
+          .orderBy(col("blocked_orders").desc, col("s_suppkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT s_suppkey, s_name,
+               CAST(count(DISTINCT l1.l_orderkey) AS BIGINT)
+                 AS blocked_orders
+        FROM lineitem l1
+        JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_suppkey, s_name
+        ORDER BY blocked_orders DESC, s_suppkey LIMIT 10"""))
   )
 }
