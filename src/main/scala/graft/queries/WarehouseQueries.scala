@@ -78,6 +78,11 @@ object WarehouseQueries {
   /** q219: map_filter keep-threshold. */
   private val MAP_MIN = 2
 
+  /** q222: importance threshold in parts-per-million of total supplied
+    * value (~2000 parts at sf0.01 -> uniform share is 500 ppm; 750
+    * selects the ~p99 upper tail). */
+  private val SHARE_PPM = 750
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1553,6 +1558,101 @@ object WarehouseQueries {
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         GROUP BY s_suppkey, s_name
-        ORDER BY blocked_orders DESC, s_suppkey LIMIT 10"""))
+        ORDER BY blocked_orders DESC, s_suppkey LIMIT 10""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q222_important_parts",
+      "Parts carrying an outsized share of supplied value (TPC-H Q11 " +
+        "shape, supply ledger derived from lineitem): parts whose " +
+        "total extended value exceeds SHARE_PPM parts-per-million of " +
+        "the corpus total — the HAVING-against-a-global-scalar " +
+        "pattern. The global total arrives as a 1-row broadcast and " +
+        "the threshold compares by CROSS-MULTIPLY in decimals " +
+        "(part_value * 1e6 > total * ppm — exact, no division, the " +
+        "q194/q210 rule), so the filter is a projection over the " +
+        "per-part aggregate; one partkey shuffle total. Top-20 by " +
+        "value under a total order.",
+      (s, dir) => {
+        val perPart = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            col("l_extendedprice").cast(dec12).as("v"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("v")).as("part_value"))
+        val total = perPart.agg(sum(col("part_value")).as("total_value"))
+        perPart.join(broadcast(total))
+          .filter(col("part_value") * 1000000 >
+            col("total_value") * SHARE_PPM)
+          .select(col("l_partkey"),
+            col("part_value").cast(DoubleType).as("part_value"))
+          .orderBy(col("part_value").desc, col("l_partkey"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH pp AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+          FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT sum(part_value) AS total_value FROM pp)
+        SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+        FROM pp, t
+        WHERE part_value * 1000000 > total_value * $SHARE_PPM
+        ORDER BY part_value DESC, l_partkey LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q223_excess_suppliers",
+      "Suppliers dominating a brand's supply (TPC-H Q20 shape): " +
+        "suppliers who shipped over 12% of some Brand#21 part's " +
+        "total shipped quantity (5x+ the uniform supplier share — the "
+        + "data spreads supply thin, so literal majority never occurs) "
+        + "— Q20's nested IN chains decorrelated " +
+        "into aggregates: per (part, supplier) quantities, per-part " +
+        "totals joined back on the part key, the majority test as an " +
+        "exact decimal cross-multiply (2 * supp_qty > part_total), " +
+        "and the final supplier list via ONE more aggregation (count " +
+        "of dominated parts) instead of DISTINCT-IN. The brand slice " +
+        "broadcasts into the fact scan; everything after is keyed on " +
+        "partkey then suppkey. Nation enrich broadcasts.",
+      (s, dir) => {
+        val slice = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#21").select("p_partkey")
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast(dec12).as("q"))
+          .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("l_suppkey"))
+          .agg(sum(col("q")).as("supp_qty"))
+        val totals = ps.groupBy(col("p_partkey"))
+          .agg(sum(col("supp_qty")).as("part_total"))
+        ps.join(totals, Seq("p_partkey"))
+          .filter(col("supp_qty") * 100 > col("part_total") * 12)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("dominated_parts"))
+          .join(broadcast(t(s, dir, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+            .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            col("dominated_parts"))
+      },
+      Some("""
+        WITH ps AS (
+          SELECT p_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#21'
+          GROUP BY p_partkey, l_suppkey),
+        t AS (
+          SELECT p_partkey, sum(supp_qty) AS part_total
+          FROM ps GROUP BY p_partkey)
+        SELECT s_suppkey, s_name, n_name,
+               CAST(count(*) AS BIGINT) AS dominated_parts
+        FROM ps
+        JOIN t USING (p_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE supp_qty * 100 > part_total * 12
+        GROUP BY s_suppkey, s_name, n_name"""))
   )
 }
