@@ -154,6 +154,57 @@ class WarehouseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q211: interpolated quantiles are ordered and inside the value range") {
+    val rows = run("q211_interpolated_quantiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p50, p95) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 0 && p50 <= p95, s"${r.getString(0)}: p50 <= p95")
+    }
+  }
+
+  test("q212: sessions partition the events exactly, bounds sane, gaps respected") {
+    val s = run("q212_session_window").collect()
+    val total = spark.read.parquet(s"$SF/events.parquet").count()
+    assert(s.map(_.getLong(3)).sum == total,
+      "every event lands in exactly one session")
+    s.foreach(r => assert(!r.getTimestamp(2).before(r.getTimestamp(1)),
+      "session_end >= session_start"))
+    // adjacent sessions of one user are >= 5 minutes apart
+    s.groupBy(_.getLong(0)).values.foreach { ss =>
+      val sorted = ss.sortBy(_.getTimestamp(1).getTime)
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(b.getTimestamp(1).getTime - a.getTimestamp(2).getTime
+          >= 5 * 60 * 1000L, "gap between sessions >= the session gap")
+      }
+    }
+  }
+
+  test("q216: every grouping set partitions the same order mass") {
+    val rows = run("q216_grouping_sets").collect()
+      .map(r => (r.getInt(2), r.getLong(3)))
+    val byGid = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sum }
+    assert(byGid.keySet == Set(0, 1, 2))
+    assert(byGid.values.toSet.size == 1,
+      s"each lattice level must sum to the full order count: $byGid")
+  }
+
+  test("q218: the evolved union loses no orders") {
+    val n = run("q218_schema_drift_union").collect().map(_.getLong(2)).sum
+    assert(n == spark.read.parquet(s"$SF/orders.parquet").count())
+  }
+
+  test("q222: every reported part clears the ppm threshold against the recomputed total") {
+    val rows = run("q222_important_parts").collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$SF/lineitem.parquet")
+    val total = li.agg(sum("l_extendedprice")).collect().head.getDouble(0)
+    rows.foreach { r =>
+      assert(r.getDouble(1) * 1e6 > total * 750 * 0.999,
+        s"part ${r.getLong(0)} under threshold") // 0.999: double recompute slack
+    }
+  }
+
   test("q197: predicted pairs are non-adjacent and ordered by shared neighbors") {
     val rows = run("q197_link_prediction").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
