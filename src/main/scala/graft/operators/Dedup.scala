@@ -115,7 +115,14 @@ object Dedup {
     * bucket that big is a template cluster the pipeline should route
     * to q104's skew profiler / q215's pre-flight anyway, not pairwise
     * verification. Default OFF in every oracled query (exact
-    * semantics); turn on for unvetted corpora. */
+    * semantics); turn on for unvetted corpora.
+    *
+    * @note persists an internal self-joined projection (the exploded
+    *       band table feeds both the population count and the capped
+    *       join); call `spark.catalog.clearCache()` (or unpersist)
+    *       after the terminal action — same cache contract as
+    *       [[lshCandidates]] / prefixFilterPairs /
+    *       simhashHammingPairs. */
   def lshCandidatesCapped(banded: DataFrame, idCol: String, nBands: Int,
       maxBucket: Int): DataFrame = {
     val exploded = bandExplode(banded, idCol, idCol, nBands).persist()
@@ -283,6 +290,51 @@ object Dedup {
       // filter BEFORE distinct: multi-band matches collapse after the
       // cheap popcount gate, shrinking the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** ONE pass of sorted-neighborhood candidate generation: rows sort by
+    * (`sortCol`, `idCol`) inside `blockCols` blocks and each row pairs
+    * with its next `window - 1` sort neighbors via lead windows — cost
+    * is exactly (window-1) comparisons per row regardless of key skew
+    * (the classic complement to LSH blocking; Hernández & Stolfo's
+    * merge/purge). Pairs come back NORMALIZED (id_a < id_b), so passes
+    * under different keys union and `distinct` cleanly.
+    *
+    * A single pass is blind to true pairs whose sort keys land in
+    * different blocks (or > window-1 apart) — that is the documented
+    * trade. [[snmMultiPassPairs]] runs the standard fix: several passes
+    * under ROTATED keys, unioned. */
+  def snmPairs(keyed: DataFrame, idCol: String, blockCols: Seq[String],
+      sortCol: String, window: Int): DataFrame = {
+    require(window >= 2, "sorted-neighborhood needs window >= 2")
+    val w = Window.partitionBy(blockCols.map(col): _*)
+      .orderBy(col(sortCol), col(idCol))
+    val withLeads = keyed.select(col(idCol) +:
+      (1 until window).map(k => lead(col(idCol), k).over(w).as(s"__n$k")): _*)
+    (1 until window).map(k =>
+        withLeads.select(col(idCol).as("__a"), col(s"__n$k").as("__b"))
+          .where(col("__b").isNotNull))
+      .reduce(_ unionByName _)
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"))
+  }
+
+  /** MULTI-PASS sorted neighborhood: one [[snmPairs]] pass per (block,
+    * sort-key) derivation, unioned and de-duplicated. Each `passes`
+    * entry maps the input to a keyed frame exposing (`idCol`,
+    * block columns, sort column) — the canonical second pass rotates
+    * the key (e.g. pass 1 sorts by a normalized text PREFIX, pass 2 by
+    * the REVERSED text, i.e. suffix blocks), so a pair straddling a
+    * pass-1 block boundary meets inside a pass-2 block. Scale: each
+    * pass is its own window shuffle over (block-key, sortkey, id)
+    * triples — never the text — and the union's `distinct` runs over
+    * at most passes x (window-1) x n 16-byte pairs. */
+  def snmMultiPassPairs(passes: Seq[DataFrame], idCol: String,
+      blockCols: Seq[String], sortCol: String, window: Int): DataFrame = {
+    require(passes.nonEmpty, "need at least one pass")
+    passes.map(snmPairs(_, idCol, blockCols, sortCol, window))
+      .reduce(_ unionByName _)
       .distinct()
   }
 

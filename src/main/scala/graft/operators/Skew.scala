@@ -56,10 +56,19 @@ object Skew {
     * inside an otherwise-balanced hash join, or a broadcast-disabled
     * medium build side, still wants the explicit salt. Cost: the build
     * side shuffles `buckets` x its size — use only when build is the
-    * small side (yet too big or too dynamic to broadcast). */
+    * small side (yet too big or too dynamic to broadcast).
+    *
+    * NULL safety: `saltFrom` is coalesced to 0 before the pmod — a
+    * NULL salt expression would otherwise make the derived `__salt`
+    * NULL and the equi-join silently DROP that probe row (breaking the
+    * row-identical contract above). Which bucket a row lands in is
+    * arbitrary for correctness (every build row exists in every
+    * bucket); 0 just pins nulls deterministically — note that if the
+    * null-salt rows are themselves the hot set, a constant bucket
+    * re-concentrates them, so prefer a rarely-null salt column. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltFrom: Column, buckets: Int): DataFrame = {
-    val p = probe.withColumn("__salt", pmod(saltFrom, lit(buckets)))
+    val p = probe.withColumn("__salt", pmod(coalesce(saltFrom, lit(0)), lit(buckets)))
     val b = build.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     p.join(b, Seq(key, "__salt")).drop("__salt")

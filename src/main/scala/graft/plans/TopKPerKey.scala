@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.DataType
 
@@ -40,10 +41,16 @@ import org.apache.spark.sql.types.DataType
   *                              the same heap pass is exact
   *
   * Memory: one k-row heap per distinct key per partition — the hash-
-  * aggregation state class, without sort spill files. For per-partition
-  * key cardinalities where even that state cannot fit, fall back to the
-  * window form (which spills); the operator targets the common
-  * selection shape (k and per-partition distinct keys both modest).
+  * aggregation state class. The PARTIAL stage bounds it the same way
+  * Spark's partial HashAggregate does: when the heap map exceeds
+  * `graft.topk.partial.maxKeys` distinct keys (default 262144), the
+  * current heaps are FLUSHED downstream and the map reset. Correctness
+  * is unaffected — the partial contract allows multiple <=k emissions
+  * per key (they land in the same reduce partition and the Final stage
+  * re-reduces); what's lost under pathological key cardinality is only
+  * some shuffle reduction, never boundedness. The FINAL stage holds one
+  * heap per key it owns — k rows per key, the exact output — and never
+  * flushes.
   *
   * Determinism: callers must pass a TOTAL order (tie-break on a unique
   * column) — same contract every `limit` in the registry already obeys.
@@ -56,6 +63,10 @@ case class TopKPerKeyNode(
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "top-k needs k > 0")
+  // keys may be empty (global top-k): the Final stage then requires
+  // AllTuples, so EnsureRequirements plants a single-partition exchange
+  // and the answer is the exact global k (the Partial stage has already
+  // cut each input split to k rows, so the gather moves splits x k rows).
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
@@ -64,43 +75,94 @@ case class TopKPerKeyNode(
 object TopKPerKeyExec {
   /** One pass of bounded per-key heaps over a partition. Rows are
     * normalized to UnsafeRow and copied ONLY when they enter a heap
-    * (<= keys x k copies per partition, not per row). */
+    * (<= keys x k copies held at once, not per row).
+    *
+    * `maxHeldKeys` bounds the number of distinct keys resident in the
+    * heap map (Partial-stage memory safety valve). When adding a NEW
+    * key would exceed it, every current heap is flushed to the output
+    * iterator LAZILY (rows stream to the consumer — typically the
+    * shuffle writer — rather than buffering) and the map resets. A
+    * flushed key seen again later emits a second <=k batch; exactness
+    * therefore requires a downstream re-reduce, which is why only the
+    * Partial stage passes a finite bound (the Final stage, whose output
+    * IS the answer, passes Int.MaxValue and holds exactly k rows per
+    * key it owns). */
   def partitionTopK(
       iter: Iterator[InternalRow],
       schema: Array[DataType],
       boundKeys: Seq[Expression],
       ord: LazilyGeneratedOrdering,
-      k: Int): Iterator[InternalRow] = {
+      k: Int,
+      maxHeldKeys: Int = Int.MaxValue): Iterator[InternalRow] = {
     val toUnsafe = UnsafeProjection.create(schema)
     val keyProj = UnsafeProjection.create(boundKeys)
     val rowOrd = new Ordering[UnsafeRow] {
       override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(a, b)
     }
     val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-    while (iter.hasNext) {
-      val u = toUnsafe(iter.next()) // reused buffer — copy only on keep
-      heaps.get(keyProj(u)) match {
-        case Some(pq) =>
-          if (pq.size < k) pq.enqueue(u.copy())
-          else if (ord.lt(u, pq.head)) { pq.dequeue(); pq.enqueue(u.copy()) }
-        case None =>
-          val pq = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
-          pq.enqueue(u.copy())
-          heaps.put(keyProj(u).copy(), pq)
+    new Iterator[InternalRow] {
+      private var pending: Iterator[InternalRow] = Iterator.empty
+      private var inputDone = false
+      private def drainHeaps(): Iterator[InternalRow] = {
+        // snapshot the queues, then reset the map; the snapshot iterator
+        // owns the (already-copied) rows so draining is safe post-reset
+        val qs = heaps.values.toArray
+        heaps.clear()
+        qs.iterator.flatMap(_.iterator)
+      }
+      private def advance(): Unit = {
+        while (pending.isEmpty && iter.hasNext) {
+          val u = toUnsafe(iter.next()) // reused buffer — copy only on keep
+          heaps.get(keyProj(u)) match {
+            case Some(pq) =>
+              if (pq.size < k) pq.enqueue(u.copy())
+              else if (ord.lt(u, pq.head)) { pq.dequeue(); pq.enqueue(u.copy()) }
+            case None =>
+              if (heaps.size >= maxHeldKeys) {
+                // flush BEFORE admitting the new key: puts current state
+                // on the wire and keeps residency <= maxHeldKeys
+                val key = keyProj(u).copy()
+                val row = u.copy()
+                pending = drainHeaps()
+                val pq = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
+                pq.enqueue(row)
+                heaps.put(key, pq)
+              } else {
+                val pq = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
+                pq.enqueue(u.copy())
+                heaps.put(keyProj(u).copy(), pq)
+              }
+          }
+        }
+        if (pending.isEmpty && !iter.hasNext && !inputDone) {
+          inputDone = true
+          pending = drainHeaps()
+        }
+      }
+      override def hasNext: Boolean = {
+        if (pending.isEmpty) advance()
+        pending.hasNext
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException("empty iterator")
+        pending.next()
       }
     }
-    heaps.valuesIterator.flatMap(_.iterator)
   }
 }
 
 /** Map-side stage: per-(input split, key) top-k. No distribution
   * requirement — runs where the data already is; emitting <= k rows per
-  * local key is what shrinks the shuffle. */
+  * local key is what shrinks the shuffle. `maxHeldKeys` caps resident
+  * heap-map entries (flush-and-reset beyond it — see
+  * [[TopKPerKeyExec.partitionTopK]]). */
 case class PartialTopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxHeldKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
+  require(maxHeldKeys > 0, "partial top-k needs maxHeldKeys > 0")
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
@@ -111,15 +173,20 @@ case class PartialTopKPerKeyExec(
     val ord = new LazilyGeneratedOrdering(
       order.map(BindReferences.bindReference(_, child.output)))
     val kk = k
+    val bound = maxHeldKeys
     child.execute().mapPartitions(
-      TopKPerKeyExec.partitionTopK(_, schema, boundKeys, ord, kk),
+      TopKPerKeyExec.partitionTopK(_, schema, boundKeys, ord, kk, bound),
       preservesPartitioning = true)
   }
 }
 
 /** Reduce-side stage: requires co-location by key (EnsureRequirements
   * plants the hash exchange), after which the same heap pass is the
-  * exact global answer per key. */
+  * exact global answer per key. Empty keys = GLOBAL top-k: the
+  * requirement is then AllTuples (single partition), never
+  * Unspecified — without the gather, each of the P reduce partitions
+  * would emit its own k rows and the "global" answer would be up to
+  * P x k rows (silently wrong). */
 case class FinalTopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -128,7 +195,7 @@ case class FinalTopKPerKeyExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
   override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKPerKeyExec =
     copy(child = newChild)
@@ -144,12 +211,20 @@ case class FinalTopKPerKeyExec(
   }
 }
 
-/** Plans [[TopKPerKeyNode]] as partial -> (exchange) -> final. */
+/** Plans [[TopKPerKeyNode]] as partial -> (exchange) -> final. The
+  * partial stage's resident-key bound comes from the session conf at
+  * planning time (`graft.topk.partial.maxKeys`, default 262144 ≈
+  * 256k heaps — at k=10 and 100-byte rows that is ~256 MB worst-case
+  * state, inside a normal executor's task budget; tune down for wide
+  * rows or large k). */
 object TopKPerKeyStrategy extends SparkStrategy {
+  val MaxKeysConf = "graft.topk.partial.maxKeys"
+  val MaxKeysDefault = 262144
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
+      val maxKeys = SQLConf.get.getConfString(MaxKeysConf, MaxKeysDefault.toString).toInt
       FinalTopKPerKeyExec(keys, order, k,
-        PartialTopKPerKeyExec(keys, order, k, planLater(child))) :: Nil
+        PartialTopKPerKeyExec(keys, order, k, maxKeys, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -157,10 +232,12 @@ object TopKPerKeyStrategy extends SparkStrategy {
 object TopKPerKey {
 
   /** First `k` rows per key group under `orderSpec` (column name ->
-    * ascending?), as a new DataFrame. The order MUST be total (include
-    * a unique tie-break column) for deterministic output. Project the
-    * input down to needed columns first — a custom node is opaque to
-    * Catalyst's column pruning. */
+    * ascending?), as a new DataFrame. Empty `keyCols` = GLOBAL top-k
+    * (partial stages cut each split to k, then a single-partition
+    * gather finishes — TakeOrderedAndProject's shape). The order MUST
+    * be total (include a unique tie-break column) for deterministic
+    * output. Project the input down to needed columns first — a custom
+    * node is opaque to Catalyst's column pruning. */
   def topK(df: DataFrame, keyCols: Seq[String],
       orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark: SparkSession = df.sparkSession

@@ -957,10 +957,17 @@ object AdvancedQueries {
         "percent_rank, cume_dist and ntile(4) over each order " +
         "priority, ranked by (o_totalprice, o_orderkey) — a TOTAL " +
         "order, so every rank, quantile boundary and tile assignment " +
-        "is engine-deterministic, and both distribution ranks are ONE " +
-        "division of exact integers (no accumulated float state). " +
+        "is engine-deterministic. The distribution ranks are emitted " +
+        "EXACTLY: rank and partition size as BIGINT plus the two " +
+        "ratios as integer basis points ((rnk-1)*10000 div " +
+        "(n_part-1), rnk*10000 div n_part) — mathematically the " +
+        "floor of percent_rank/cume_dist scaled by 10^4, computed in " +
+        "pure integer arithmetic in BOTH engines, so no " +
+        "division-produced double ever reaches the output (the " +
+        "registry's float-free gate convention; round 7's only hash " +
+        "mismatch was this query's raw-DOUBLE form). " +
         "The slice filter (o_orderkey % 20 = 0) is pushed to the " +
-        "scan; one shuffle on the partition key serves all three " +
+        "scan; one shuffle on the partition key serves all " +
         "functions. A full-partition rank sort is dashboard-scale by " +
         "nature — the corpus-scale rank path is q95's two-pass " +
         "histogram refine; this is the per-partition analytic form.",
@@ -968,22 +975,36 @@ object AdvancedQueries {
         val o = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
         val w = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val wAll = Window.partitionBy(col("o_orderpriority"))
         o.select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cume"),
+          rank().over(w).cast(LongType).as("rnk"),
+          count(lit(1)).over(wAll).as("n_part"),
           ntile(4).over(w).cast(LongType).as("quartile"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+            col("rnk"), col("n_part"),
+            when(col("n_part") > 1,
+              expr("(rnk - 1) * 10000 div (n_part - 1)")).as("pct_rank_bp"),
+            expr("rnk * 10000 div n_part").as("cume_bp"),
+            col("quartile"))
       },
       Some("""
-        SELECT o_orderkey, o_orderpriority,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-               percent_rank() OVER w AS pct_rank,
-               cume_dist() OVER w AS cume,
-               CAST(ntile(4) OVER w AS BIGINT) AS quartile
-        FROM orders
-        WHERE o_orderkey % 20 = 0
-        WINDOW w AS (PARTITION BY o_orderpriority
-                     ORDER BY o_totalprice ASC, o_orderkey ASC)""")),
+        SELECT o_orderkey, o_orderpriority, price, rnk, n_part,
+               CASE WHEN n_part > 1
+                    THEN (rnk - 1) * 10000 // (n_part - 1) END AS pct_rank_bp,
+               rnk * 10000 // n_part AS cume_bp,
+               quartile
+        FROM (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 CAST(rank() OVER w AS BIGINT) AS rnk,
+                 CAST(count(*) OVER wp AS BIGINT) AS n_part,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          FROM orders
+          WHERE o_orderkey % 20 = 0
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice ASC, o_orderkey ASC),
+                 wp AS (PARTITION BY o_orderpriority))""")),
     // ----------------------------------------------------------------
     Q(
       "q142_scd2_intervals",

@@ -526,6 +526,100 @@ object MiningQueries {
         WHERE jaccard >= $SNM_JACCARD""")),
     // ----------------------------------------------------------------
     Q(
+      "q224_snm_multipass",
+      "MULTI-PASS sorted-neighborhood dedup — the textbook completion " +
+        "of q168's single pass, whose documented blind spot is a true " +
+        "pair whose sort keys straddle a block boundary (e.g. texts " +
+        "differing in their FIRST character land in different " +
+        "prefix-4 blocks and are never compared). Pass 1 sorts by the " +
+        "normalized-text PREFIX inside (lang, prefix-4) blocks " +
+        "exactly as q168; pass 2 ROTATES the key — the REVERSED " +
+        "normalized text, i.e. suffix blocks — so a pair split by " +
+        "pass 1 meets inside a pass-2 block (operators.Dedup." +
+        "snmMultiPassPairs; the boundary-recovery property is " +
+        "spec-planted in SnmMultiPassSpec). Candidate pairs normalize " +
+        "to id_a < id_b so the cross-pass union de-duplicates with " +
+        "one distinct over 16-byte pairs; verification is exact " +
+        "token-set Jaccard emitted FLOAT-FREE as integer basis " +
+        s"points, thresholded at $SNM_JACCARD via the cross-" +
+        "multiplied integer comparison 2*|intersect| >= |union| (no " +
+        "division reaches the filter or the output). Cost: each pass " +
+        "is (window-1) comparisons per row — skew-immune — and only " +
+        "(block, sortkey, id) cross the sort shuffles; text joins " +
+        "back by id for the <= 2 x 2N verify pairs.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val norm = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+        def keyed(key: org.apache.spark.sql.Column) = docs.select(col("doc_id"), col("lang"),
+          substring(key, 1, 12).as("sortkey"))
+          .withColumn("blk", substring(col("sortkey"), 1, 4))
+        val cands = graft.operators.Dedup.snmMultiPassPairs(
+          Seq(keyed(norm), keyed(reverse(norm))),
+          "doc_id", Seq("lang", "blk"), "sortkey", SNM_WINDOW)
+        val sets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ts"))
+        cands
+          .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType)
+              .as("inter"),
+            (size(col("ts_a")) + size(col("ts_b"))).cast(LongType).as("sz"))
+          .withColumn("uni", col("sz") - col("inter"))
+          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+          .select(col("id_a"), col("id_b"),
+            expr("inter * 10000 div uni").as("jaccard_bp"))
+      },
+      Some(s"""
+        WITH keyed AS (
+          SELECT doc_id, lang,
+                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+          FROM documents),
+        p1 AS (
+          SELECT doc_id, lang, substring(norm, 1, 12) AS sortkey,
+                 substring(norm, 1, 4) AS blk
+          FROM keyed),
+        p2 AS (
+          SELECT doc_id, lang, substring(reverse(norm), 1, 12) AS sortkey,
+                 substring(reverse(norm), 1, 4) AS blk
+          FROM keyed),
+        l1 AS (
+          SELECT doc_id,
+                 ${(1 until SNM_WINDOW).map(k =>
+                   s"lead(doc_id, $k) OVER (PARTITION BY lang, blk ORDER BY sortkey, doc_id) AS n$k")
+                   .mkString(", ")}
+          FROM p1),
+        l2 AS (
+          SELECT doc_id,
+                 ${(1 until SNM_WINDOW).map(k =>
+                   s"lead(doc_id, $k) OVER (PARTITION BY lang, blk ORDER BY sortkey, doc_id) AS n$k")
+                   .mkString(", ")}
+          FROM p2),
+        cand AS (
+          SELECT DISTINCT least(id_a, id_b) AS id_a,
+                          greatest(id_a, id_b) AS id_b
+          FROM (
+            ${(1 until SNM_WINDOW).map(k =>
+              s"SELECT doc_id AS id_a, n$k AS id_b FROM l1 WHERE n$k IS NOT NULL")
+              .mkString("\n            UNION ALL ")}
+            UNION ALL ${(1 until SNM_WINDOW).map(k =>
+              s"SELECT doc_id AS id_a, n$k AS id_b FROM l2 WHERE n$k IS NOT NULL")
+              .mkString("\n            UNION ALL ")})),
+        sets AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+          FROM documents),
+        verified AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+                 CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+                      AS BIGINT) AS uni
+          FROM cand JOIN sets a ON cand.id_a = a.doc_id
+                    JOIN sets b ON cand.id_b = b.doc_id)
+        SELECT id_a, id_b, inter * 10000 // uni AS jaccard_bp
+        FROM verified
+        WHERE uni > 0 AND 2 * inter >= uni""")),
+    // ----------------------------------------------------------------
+    Q(
       "q169_record_linkage",
       "Fellegi-Sunter-style probabilistic record linkage: candidate " +
         "pairs block on (lang, length bucket of 100 chars) — an " +

@@ -1191,15 +1191,19 @@ object WarehouseQueries {
       },
       Some("""
         WITH o AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
                       THEN 1 ELSE 0 END AS brk
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sden AS (
+          -- event_id in the running-sum ORDER BY keeps this window on
+          -- the SAME total order as brk's lag window above: with two
+          -- events at one ts, a ts-only ROWS frame has unspecified peer
+          -- order and the session assignment would be nondeterministic
           SELECT user_id, ts,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
           FROM o)
         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,

@@ -13,15 +13,40 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object GraftSqlBridge {
 
+  /** Diagnostic for a session that is not a classic (same-JVM) one —
+    * Spark 4's unified `SparkSession` type also covers Connect client
+    * sessions, whose plans live server-side where a client library
+    * cannot inject Catalyst nodes. Factored out so the message is
+    * directly testable without constructing a Connect session. */
+  def notClassicMessage(className: String): String =
+    s"graft custom operators need a classic (same-JVM) SparkSession " +
+      s"with direct Catalyst access, but this session is $className " +
+      "(a Spark Connect client session plans on the server, where a " +
+      "client-side library cannot inject logical plan nodes or " +
+      "strategies). Run the engine in a classic session — " +
+      "SparkSession.builder.master(...) in the same JVM — or use the " +
+      "pure-DataFrame fallback forms (e.g. the window spelling of " +
+      "grouped top-k), which work over Connect."
+
+  /** The classic/Connect split, made explicit: a typed match instead of
+    * a blind cast, so a Connect session fails with an actionable
+    * message rather than a ClassCastException. */
+  private def classicSession(spark: SparkSession): classic.SparkSession =
+    spark match {
+      case c: classic.SparkSession => c
+      case other => throw new UnsupportedOperationException(
+        notClassicMessage(other.getClass.getName))
+    }
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
-    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+    classic.Dataset.ofRows(classicSession(spark), plan)
 
   /** Idempotently add a planner strategy to this session (the runtime
     * path; cluster deployments get the same strategy via
     * `spark.sql.extensions=graft.GraftExtensions`). */
   def ensureStrategy(spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    val exp = classicSession(spark).experimental
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }

@@ -121,4 +121,46 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.count() == nKeys * 2L) // exact winners
     assert(partialRows < 20000, "the shuffle-volume bound must beat n")
   }
+
+  test("partial-stage flush bound: a 1-entry heap map still equals the window form") {
+    // graft.topk.partial.maxKeys=1 forces a flush on EVERY key change in
+    // every partial task — the worst case for the spill valve. The memory
+    // model: the partial stage may emit a key's <=k batch multiple times
+    // (once per residency window); the Final stage re-reduces, so the
+    // result must be bit-identical to the unbounded run and the window form.
+    val df = (0 until 2000)
+      .map(i => (i % 40L, (i * 7) % 13L, i.toLong))
+      .toDF("key", "v", "id")
+      .repartition(16)
+    spark.conf.set(TopKPerKeyStrategy.MaxKeysConf, "1")
+    try {
+      val got = TopKPerKey.topK(df, Seq("key"), Seq("v" -> false, "id" -> true), 3)
+      assert(sameRows(got, windowTopK(df, 3)))
+    } finally spark.conf.unset(TopKPerKeyStrategy.MaxKeysConf)
+  }
+
+  test("empty keys = exact GLOBAL top-k, not per-partition k") {
+    // round-7 advice: with UnspecifiedDistribution the final stage ran
+    // per-partition and an ungrouped top-k could return up to
+    // numPartitions*k rows. AllTuples plants the single-partition
+    // gather; the answer must be exactly k rows — the global winners.
+    val df = (0 until 5000)
+      .map(i => (i % 40L, (i * 31) % 1009L, i.toLong))
+      .toDF("key", "v", "id")
+      .repartition(16)
+    val got = TopKPerKey.topK(df, Seq.empty, Seq("v" -> false, "id" -> true), 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val want = (0 until 5000).map(i => ((i * 31L) % 1009L, i.toLong))
+      .sortBy(t => (-t._1, t._2)).take(5).toSet
+    assert(got == want)
+    assert(got.size == 5)
+  }
+
+  test("a non-classic session gets an actionable diagnostic, not a ClassCastException") {
+    val msg = org.apache.spark.sql.GraftSqlBridge
+      .notClassicMessage("org.apache.spark.sql.connect.SparkSession")
+    assert(msg.contains("classic"))
+    assert(msg.contains("Connect"))
+    assert(msg.contains("fallback"))
+  }
 }
