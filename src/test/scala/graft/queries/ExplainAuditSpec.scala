@@ -233,4 +233,126 @@ class ExplainAuditSpec extends SparkSpec {
       assert(bc.nonEmpty, s"$n: queries/centroids side must broadcast")
     }
   }
+
+  // -------------------------------------------------------------------
+  // The q139 lesson (round 7's only red row): a query that ships a
+  // DIVISION-PRODUCED double to the gate is engine-exact locally yet
+  // hash-fragile at the driver — the registry convention is integer
+  // basis points via cross-multiplication. This sweep turns that
+  // convention into CI: a float-valued output column is a failure
+  // unless the query is allowlisted WITH a same-bits justification
+  // (a value both engines must produce bit-identically: one cast of an
+  // exact decimal/integer, or one division of two exact integers whose
+  // IEEE rounding is deterministic — never accumulated float state).
+  // -------------------------------------------------------------------
+
+  /** query -> why its float output is bit-stable across engines. Four
+    * mechanism families cover the registry (every entry is also
+    * empirically hash-green at the driver across rounds — the tags say
+    * WHY that holds, so a new query can be judged against them):
+    *
+    *  - EXACT_CAST: the double is ONE output-stage cast of an exact
+    *    DECIMAL/BIGINT aggregate (house money convention), and/or ONE
+    *    division of exact values, spelled identically in the oracle.
+    *    IEEE-754 casts and single divisions are correctly rounded, so
+    *    both engines produce the same bits; no accumulated float state.
+    *  - STORED: a stored-double source column passed through or
+    *    SELECTED (min/max/argmax/lag-fill/median pick, possibly one
+    *    correctly-rounded +/- mirrored in the oracle) — selection, not
+    *    accumulation.
+    *  - VECTOR_FOLD: float dot products/cosines via ordered folds with
+    *    the SAME association order spelled in the oracle — bit-identical
+    *    accumulation by construction.
+    *  - MIRRORED_SEQ: a scalar float evaluation sequence (log/PMI/power
+    *    iteration/corr) stated verbatim in both engines — same ops,
+    *    same order, same bits.
+    *
+    * A NEW float output must either fit one of these (add it below) or
+    * be restated float-free (integer basis points via
+    * cross-multiplication — the q139 fix). */
+  private val FloatOutputJustified: Map[String, String] = {
+    val EXACT_CAST = "one cast of an exact DECIMAL/BIGINT aggregate and/or ONE exact-value division, mirrored in the oracle"
+    val STORED = "stored-double column passthrough/selection, no accumulation"
+    val VECTOR_FOLD = "ordered-fold vector arithmetic, same association order in the oracle"
+    val MIRRORED_SEQ = "identical scalar float op sequence stated verbatim in both engines"
+    Seq(
+      EXACT_CAST -> Seq(
+        "q01_pricing_summary", "q08_enrich_join", "q10_union_all",
+        "q111_cube", "q16_date_bucket", "q183_trailing_week",
+        "q184_unpivot_measures", "q186_shipping_priority",
+        "q187_regional_volume", "q188_returned_revenue",
+        "q190_promo_share", "q191_min_cost_supplier", "q192_big_orders",
+        "q194_dormant_rich", "q195_revenue_share",
+        "q198_disjunctive_revenue", "q199_bilateral_trade",
+        "q19_window_hourly", "q200_market_share", "q202_salted_join",
+        "q205_kmv_intersection", "q208_top_supplier",
+        "q210_small_qty_revenue", "q216_grouping_sets",
+        "q218_schema_drift_union", "q220_forecast_revenue",
+        "q222_important_parts", "q35_sessionize", "q36_rollup",
+        "q39_salted_agg", "q40_weighted_avg", "q53_window_analytics",
+        "q54_sliding_window", "q62_json_extract", "q21_token_stats",
+        "q22_text_profile", "q24_quality_score", "q28_lsh_dup_pairs",
+        "q30_ngram_jaccard", "q58_decontaminate", "q59_prefix_ssjoin",
+        "q61_repetition_stats", "q63_oov_rate", "q66_boilerplate_frac",
+        "q68_corpus_datasheet", "q69_kmv_distinct",
+        "q77_containment_join", "q84_minhash_accuracy",
+        "q86_vocab_coverage", "q89_crosslang_neardup",
+        "q91_blocklist_filter", "q94_heavy_hitters",
+        "q168_sorted_neighborhood", "q181_winsorized_stats"),
+      STORED -> Seq(
+        "q02_company_filter", "q04_doc_semi_join", "q06_best_per_group",
+        "q07_argmax", "q09_limit_ordered", "q137_ohlc_bars",
+        "q138_gap_fill", "q142_scd2_intervals", "q166_weighted_median",
+        "q167_skyline", "q172_mad_outliers", "q46_median",
+        "q96_topk_per_group", "q211_interpolated_quantiles"),
+      VECTOR_FOLD -> Seq(
+        "q31_ann_bruteforce", "q32_embedding_neardup", "q33_ann_lsh",
+        "q44_ann_ivf", "q64_ann_multiprobe", "q81_label_centroids",
+        "q106_diverse_ann", "q119_hard_negatives", "q125_ann_pq",
+        "q150_ann_ivfpq", "q185_kcenter_coreset", "q130_jl_distortion",
+        "q57_int8_quantize", "q93_embedding_dimstats",
+        "q174_multimodal_decode"),
+      MIRRORED_SEQ -> Seq(
+        "q52_idf_top_terms", "q67_collocations", "q70_pagerank",
+        "q127_pca_power", "q129_pca_deflate", "q164_acf",
+        "q170_changepoint", "q99_grouped_corr", "q83_quality_resample")
+    ).flatMap { case (why, qs) => qs.map(_ -> why) }.toMap
+  }
+
+  private def floatLeaves(dt: org.apache.spark.sql.types.DataType,
+      path: String): Seq[String] = dt match {
+    case org.apache.spark.sql.types.DoubleType => Seq(s"$path:double")
+    case org.apache.spark.sql.types.FloatType => Seq(s"$path:float")
+    case a: org.apache.spark.sql.types.ArrayType =>
+      floatLeaves(a.elementType, s"$path[]")
+    case m: org.apache.spark.sql.types.MapType =>
+      floatLeaves(m.keyType, s"$path.key") ++
+        floatLeaves(m.valueType, s"$path.value")
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.toSeq.flatMap(f => floatLeaves(f.dataType, s"$path.${f.name}"))
+    case _ => Nil
+  }
+
+  test("registry lint: no float-valued output column without a same-bits justification") {
+    // schema-only: analysis is cheap, no query executes (q48 is the
+    // exception — it runs its fixpoint during construction — so it
+    // reads the tiny sf0.001 dir like everything here)
+    val byQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      n -> fn(spark, "/root/testdata/sf0.001").schema.fields.toSeq
+        .flatMap(f => floatLeaves(f.dataType, f.name))
+    }
+    spark.catalog.clearCache()
+    val offenders = byQuery.collect {
+      case (n, fs) if fs.nonEmpty && !FloatOutputJustified.contains(n) =>
+        s"$n -> ${fs.mkString(", ")}"
+    }
+    assert(offenders.isEmpty,
+      "float-valued output columns need a same-bits justification in " +
+        s"FloatOutputJustified (or an integer-bp restatement):\n  " +
+        offenders.mkString("\n  "))
+    // the allowlist cannot rot: every entry must still emit a float
+    val stale = FloatOutputJustified.keySet.filter(n =>
+      byQuery.toMap.get(n).forall(_.isEmpty))
+    assert(stale.isEmpty, s"stale FloatOutputJustified entries: $stale")
+  }
 }
