@@ -1054,22 +1054,26 @@ object MiningQueries {
         "into a path string, ranked by frequency — the clickstream " +
         "mining report behind funnel design (q100 checks ONE " +
         "hypothesized path; this surfaces which paths exist). The " +
-        "ordered collect is BOUNDED before it aggregates: a " +
-        "row_number window keeps only each basket's first " +
-        s"$PATH_LEN events, so per-group state is $PATH_LEN rows " +
-        "however hot the user — the unbounded-collect trap this " +
-        "formulation dodges. Top 20 by (count desc, path) via " +
-        "global top-k (TakeOrderedAndProject), rank derived " +
-        "after the limit bounds the frame.",
+        "ordered collect is BOUNDED before it aggregates: the custom " +
+        "grouped-top-k physical operator (plans.TopKPerKey — " +
+        "Partial/Final heap execs, plan-pinned in ExplainAuditSpec) " +
+        s"keeps each basket's first $PATH_LEN events by (ts, " +
+        "event_id) WITHOUT the window form's full partition sort: " +
+        s"per-group state is a $PATH_LEN-row heap however hot the " +
+        "user, the map-side partial cuts the shuffle to splits x " +
+        s"baskets x $PATH_LEN rows, and the oracle still states the " +
+        "row_number spelling (the two forms are row-identical, " +
+        "TopKPerKeySpec; migration measured 1.2x vs the window form " +
+        "at sf0.1 warm). Top 20 by (count desc, path) via global " +
+        "top-k (TakeOrderedAndProject), rank derived after the limit " +
+        "bounds the frame.",
       (s, dir) => {
         val ev = t(s, dir, "events").select(col("user_id"),
           expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day"),
           unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
-        val firstN = ev
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("user_id"), col("day"))
-              .orderBy(col("us"), col("event_id"))))
-          .where(col("rn") <= PATH_LEN)
+        val firstN = graft.plans.TopKPerKey.topK(ev,
+          Seq("user_id", "day"), Seq("us" -> true, "event_id" -> true),
+          PATH_LEN)
         val paths = firstN
           .groupBy(col("user_id"), col("day"))
           .agg(array_join(

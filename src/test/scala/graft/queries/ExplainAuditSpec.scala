@@ -224,6 +224,25 @@ class ExplainAuditSpec extends SparkSpec {
         joinSideShuffles.map(_.simpleStringWithNodeId()).mkString("; "))
   }
 
+  test("q176 routes its per-basket selection through the custom grouped top-k operator") {
+    // round-7 ask: the row_number()<=N spelling re-implemented what
+    // plans.TopKPerKey does natively (and pays a full partition sort
+    // for it). Pin the migrated plan: Partial+Final heap execs present,
+    // and no WindowExec left (the oracle keeps the window SPELLING;
+    // the engine must not keep the window PLAN).
+    val p = planMap("q176_session_paths")
+    assert(p.exists { case _: graft.plans.PartialTopKPerKeyExec => true; case _ => false },
+      s"expected PartialTopKPerKeyExec in:\n$p")
+    assert(p.exists { case _: graft.plans.FinalTopKPerKeyExec => true; case _ => false },
+      s"expected FinalTopKPerKeyExec in:\n$p")
+    // the ONLY window left is the rank over the 20-row post-limit frame
+    // (bounded by construction); the per-basket selection itself must
+    // not contribute one
+    val windows = p.collect { case w: WindowExec => w }
+    assert(windows.size <= 1,
+      s"only the post-limit rank window may remain, found ${windows.size}")
+  }
+
   test("ANN queries broadcast the small side, never a cartesian") {
     for (n <- Seq("q31_ann_bruteforce", "q44_ann_ivf")) {
       val bc = planMap(n).collect {
