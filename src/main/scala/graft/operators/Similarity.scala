@@ -473,12 +473,83 @@ object Similarity {
     val spark = corpus.sparkSession
     trainIvfCentroids(corpus, idCol, vecCol, nCells, trainIters, dim, seed)
       .write.mode("overwrite").saveAsTable(centTable)
-    nearestCells(prep(corpus, idCol, "neighbor_id", vecCol),
-        spark.table(centTable), "neighbor_id", 1)
-      .select(col("neighbor_id"), col("v"), col("nv"), col("cell"))
+    assignToFrozenCells(spark, centTable, corpus, idCol, vecCol, gen = 0L)
       .write.bucketBy(nBuckets, "cell").sortBy("cell")
       .mode("overwrite").saveAsTable(assignTable)
   }
+
+  /** Cell assignments for `batch` against the FROZEN centroid table —
+    * the shared projection behind build, append and rebuild. Reads ONLY
+    * the batch and the (tiny) centroid table; `gen` tags which write
+    * generation the rows belong to (0 = trained-on rows, >0 =
+    * post-training appends) so [[ivfIndexStaleness]] can report drift
+    * without any side channel. */
+  def assignToFrozenCells(spark: SparkSession, centTable: String,
+      batch: DataFrame, idCol: String, vecCol: String, gen: Long): DataFrame =
+    nearestCells(prep(batch, idCol, "neighbor_id", vecCol),
+        spark.table(centTable), "neighbor_id", 1)
+      .select(col("neighbor_id"), col("v"), col("nv"), col("cell"),
+        lit(gen).as("gen"))
+
+  /** INCREMENTAL index maintenance: append a batch of new vectors to a
+    * persisted IVF index without retraining and — critically — without
+    * rescanning the existing corpus (the round-7 gap: the only way to
+    * admit new docs was a full rebuild). The batch is assigned to the
+    * FROZEN centroids (so append and probe can never disagree about
+    * cells) and appended to the bucketed assignment table — Spark
+    * writes the new rows as additional per-bucket files under the SAME
+    * bucket spec, so the probe-side property (assignment scan joins in
+    * place, only probes exchange) is preserved; IvfIndexSpec pins both.
+    *
+    * `gen` is the caller's batch generation (e.g. a streaming batch id
+    * or ingest epoch), REQUIRED rather than looked up so the append
+    * job's only reads are the batch itself and the centroid table —
+    * a max(gen) lookup would rescan a column of the whole index per
+    * append.
+    *
+    * What appends can NOT do is adapt the centroids: as appended mass
+    * grows, cell populations skew away from what training balanced —
+    * monitor [[ivfIndexStaleness]] and retrain (full [[buildIvfIndex]])
+    * past a threshold; per-batch file growth is the same story as any
+    * streamed table and routes to Maintenance.compactTable. */
+  def appendIvfIndex(spark: SparkSession, centTable: String,
+      assignTable: String, batch: DataFrame, idCol: String, vecCol: String,
+      gen: Long, nBuckets: Int = 8): Unit = {
+    require(gen > 0, "append generations start at 1 (0 = the trained build)")
+    assignToFrozenCells(spark, centTable, batch, idCol, vecCol, gen)
+      .write.bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("append").saveAsTable(assignTable)
+  }
+
+  /** Frozen-centroid REBUILD of the assignment table: one assignment
+    * pass over the full corpus against the existing centroid table
+    * (gen resets to 0). This is what an append sequence must converge
+    * to — IvfIndexSpec asserts probe(build + N appends) ==
+    * probe(rebuild over the union corpus) — and the cheap half of
+    * index hygiene (no k-means iterations; retraining centroids is
+    * [[buildIvfIndex]]). */
+  def rebuildIvfAssignments(spark: SparkSession, centTable: String,
+      assignTable: String, corpus: DataFrame, idCol: String, vecCol: String,
+      nBuckets: Int = 8): Unit =
+    assignToFrozenCells(spark, centTable, corpus, idCol, vecCol, gen = 0L)
+      .write.bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(assignTable)
+
+  /** Staleness of a persisted IVF index: how much of it was appended
+    * AFTER the centroids froze. One aggregate over the assignment
+    * table's two narrow columns; all-integer output (basis points, the
+    * registry convention). Retrain when staleness_bp crosses the
+    * deployment's drift budget — appended vectors still probe exactly,
+    * but they were not seen by k-means, so cell balance (and with it
+    * nProbe recall-per-cost) degrades as the appended share grows. */
+  def ivfIndexStaleness(spark: SparkSession, assignTable: String): DataFrame =
+    spark.table(assignTable)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("gen") > 0, 1L).otherwise(0L)).as("n_appended"),
+        max(col("gen")).as("latest_gen"))
+      .select(col("n_total"), col("n_appended"), col("latest_gen"),
+        when(col("n_total") > 0, expr("n_appended * 10000 div n_total"))
+          .as("staleness_bp"))
 
   /** Probe a [[buildIvfIndex]] index. `broadcastProbes = true` is the
     * interactive path (a handful of queries ships to every assignment
