@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.DataType
 
 /** Grouped top-k as a first-class physical operator — the whole-operator
@@ -93,7 +94,9 @@ object TopKPerKeyExec {
       boundKeys: Seq[Expression],
       ord: LazilyGeneratedOrdering,
       k: Int,
-      maxHeldKeys: Int = Int.MaxValue): Iterator[InternalRow] = {
+      maxHeldKeys: Int = Int.MaxValue,
+      numOutputRows: Option[SQLMetric] = None,
+      numFlushes: Option[SQLMetric] = None): Iterator[InternalRow] = {
     val toUnsafe = UnsafeProjection.create(schema)
     val keyProj = UnsafeProjection.create(boundKeys)
     val rowOrd = new Ordering[UnsafeRow] {
@@ -103,9 +106,10 @@ object TopKPerKeyExec {
     new Iterator[InternalRow] {
       private var pending: Iterator[InternalRow] = Iterator.empty
       private var inputDone = false
-      private def drainHeaps(): Iterator[InternalRow] = {
+      private def drainHeaps(midStream: Boolean): Iterator[InternalRow] = {
         // snapshot the queues, then reset the map; the snapshot iterator
         // owns the (already-copied) rows so draining is safe post-reset
+        if (midStream) numFlushes.foreach(_.add(1))
         val qs = heaps.values.toArray
         heaps.clear()
         qs.iterator.flatMap(_.iterator)
@@ -123,7 +127,7 @@ object TopKPerKeyExec {
                 // on the wire and keeps residency <= maxHeldKeys
                 val key = keyProj(u).copy()
                 val row = u.copy()
-                pending = drainHeaps()
+                pending = drainHeaps(midStream = true)
                 val pq = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
                 pq.enqueue(row)
                 heaps.put(key, pq)
@@ -136,7 +140,7 @@ object TopKPerKeyExec {
         }
         if (pending.isEmpty && !iter.hasNext && !inputDone) {
           inputDone = true
-          pending = drainHeaps()
+          pending = drainHeaps(midStream = false)
         }
       }
       override def hasNext: Boolean = {
@@ -145,6 +149,7 @@ object TopKPerKeyExec {
       }
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException("empty iterator")
+        numOutputRows.foreach(_.add(1))
         pending.next()
       }
     }
@@ -165,6 +170,13 @@ case class PartialTopKPerKeyExec(
   require(maxHeldKeys > 0, "partial top-k needs maxHeldKeys > 0")
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  // observability: shuffle-reduction (output rows vs input) and how
+  // often the memory valve fired — a sustained numFlushes signals the
+  // key cardinality outgrew graft.topk.partial.maxKeys and the window
+  // form (or a larger bound) may price better
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "heap-map flushes (memory bound hit)"))
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
     copy(child = newChild)
   override protected def doExecute(): RDD[InternalRow] = {
@@ -174,8 +186,11 @@ case class PartialTopKPerKeyExec(
       order.map(BindReferences.bindReference(_, child.output)))
     val kk = k
     val bound = maxHeldKeys
+    val rows = longMetric("numOutputRows")
+    val flushes = longMetric("numFlushes")
     child.execute().mapPartitions(
-      TopKPerKeyExec.partitionTopK(_, schema, boundKeys, ord, kk, bound),
+      TopKPerKeyExec.partitionTopK(_, schema, boundKeys, ord, kk, bound,
+        Some(rows), Some(flushes)),
       preservesPartitioning = true)
   }
 }
@@ -197,6 +212,8 @@ case class FinalTopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
   override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKPerKeyExec =
     copy(child = newChild)
   override protected def doExecute(): RDD[InternalRow] = {
@@ -205,8 +222,10 @@ case class FinalTopKPerKeyExec(
     val ord = new LazilyGeneratedOrdering(
       order.map(BindReferences.bindReference(_, child.output)))
     val kk = k
+    val rows = longMetric("numOutputRows")
     child.execute().mapPartitions(
-      TopKPerKeyExec.partitionTopK(_, schema, boundKeys, ord, kk),
+      TopKPerKeyExec.partitionTopK(_, schema, boundKeys, ord, kk,
+        numOutputRows = Some(rows)),
       preservesPartitioning = true)
   }
 }

@@ -794,6 +794,127 @@ object PipelineQueries {
         SELECT g.doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_eval_grams
         FROM g JOIN eg USING (gram)
         WHERE g.doc_id >= $EVAL_MAX
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q226_temporal_split",
+      "Leakage-safe TEMPORAL train/val/test split with embargo gaps — " +
+        "the time-series counterpart of q123's component-keyed split: " +
+        "when samples are autocorrelated in time, a random split leaks " +
+        "(a validation event's near-simultaneous neighbors sit in " +
+        "train), so the cuts are strictly chronological and an EMBARGO " +
+        "band of 1% of the observed range is DROPPED after each cut " +
+        "(train <= t60 | gap | val <= t80 | gap | test), the purged " +
+        "split of the financial-ML literature. Cut points derive from " +
+        "one (min, max) aggregate — a 1-row broadcast — in pure " +
+        "integer micros arithmetic; classification is then a single " +
+        "stateless scan, so the split of a 100 TB event log is one " +
+        "pass + one tiny agg. Output: per-split row count and exact " +
+        "micros bounds, from which the no-overlap law (min of val > " +
+        "max of train + embargo) is checkable in the report itself.",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        e.crossJoin(broadcast(bounds))
+          .select(col("event_id"), col("us"),
+            expr("lo + (hi - lo) * 60 div 100").as("t60"),
+            expr("lo + (hi - lo) * 80 div 100").as("t80"),
+            expr("(hi - lo) div 100").as("gap"))
+          .select(col("event_id"), col("us"),
+            when(col("us") <= col("t60"), "train")
+              .when(col("us") > col("t60") + col("gap")
+                && col("us") <= col("t80"), "val")
+              .when(col("us") > col("t80") + col("gap"), "test")
+              .otherwise("embargo").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      },
+      Some("""
+        WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+        m AS (
+          SELECT event_id, us,
+                 lo + (hi - lo) * 60 // 100 AS t60,
+                 lo + (hi - lo) * 80 // 100 AS t80,
+                 (hi - lo) // 100 AS gap
+          FROM e, b),
+        s AS (
+          SELECT event_id, us,
+                 CASE WHEN us <= t60 THEN 'train'
+                      WHEN us > t60 + gap AND us <= t80 THEN 'val'
+                      WHEN us > t80 + gap THEN 'test'
+                      ELSE 'embargo' END AS split
+          FROM m)
+        SELECT split, CAST(count(*) AS BIGINT) AS n,
+               min(us) AS min_us, max(us) AS max_us
+        FROM s GROUP BY split""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q227_mix_temperature",
+      "Temperature-scaled mixture sampling (the mT5/CC multilingual " +
+        "recipe, alpha = 0.5): per-source sampling mass is " +
+        "n_docs^alpha — here floor(sqrt(n_docs)), EXACT in both " +
+        "engines because IEEE-754 sqrt is correctly rounded and the " +
+        "floor lands on the same integer — so small sources are " +
+        "up-weighted relative to their share and the head source " +
+        "stops dominating the mix. Integer allocation per source is " +
+        "w * target div sum(w) (capped at the source's population); " +
+        "the CONCRETE sample is then the allocation-prefix of each " +
+        "source's docs under portable-hash order — deterministic, " +
+        "uniform within source, reproducible across engines — " +
+        "realized as a per-source rank window over (hash, doc_id). " +
+        "Scale: the weight/allocation table is sources-cardinality " +
+        "planner metadata (broadcast back); the rank pass shuffles " +
+        "(source, hash, id) triples only, never text; per-source " +
+        "rank state is one counter. Output binds the EXACT sample " +
+        "identity into the gate: per source, the allocation, the " +
+        "realized sample size and the sum of sampled doc_ids.",
+      (s, dir) => {
+        val target = 120L
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val counts = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", expr("CAST(floor(sqrt(n_docs)) AS BIGINT)"))
+        val tot = counts.agg(sum(col("w")).as("wsum"))
+        val alloc = counts.crossJoin(broadcast(tot))
+          .withColumn("alloc",
+            least(col("n_docs"), expr(s"w * $target div wsum")))
+        val ranked = d
+          .withColumn("h",
+            Portable.pmd5(concat(lit("mix:"), col("doc_id").cast("string"))))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("h"), col("doc_id"))))
+        ranked.join(broadcast(alloc.select(col("source"), col("n_docs"),
+            col("w"), col("alloc"))), "source")
+          .filter(col("rk") <= col("alloc"))
+          .groupBy(col("source"), col("n_docs"), col("w"), col("alloc"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("doc_id")).as("sum_sampled_ids"))
+      },
+      Some(s"""
+        WITH counts AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM counts),
+        alloc AS (
+          SELECT source, n_docs, w,
+                 least(n_docs, w * 120 // wsum) AS alloc
+          FROM counts, tot),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                   ${Portable.pmd5Sql("concat('mix:', CAST(doc_id AS VARCHAR))")},
+                   doc_id) AS rk
+          FROM documents)
+        SELECT a.source, a.n_docs, a.w, a.alloc,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(r.doc_id) AS BIGINT) AS sum_sampled_ids
+        FROM ranked r JOIN alloc a ON r.source = a.source
+        WHERE r.rk <= a.alloc
+        GROUP BY a.source, a.n_docs, a.w, a.alloc"""))
   )
 }

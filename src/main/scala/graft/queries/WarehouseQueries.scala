@@ -1657,6 +1657,76 @@ object WarehouseQueries {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         WHERE supp_qty * 100 > part_total * 12
-        GROUP BY s_suppkey, s_name, n_name"""))
+        GROUP BY s_suppkey, s_name, n_name""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q225_dq_audit",
+      "Data-quality constraint audit (the Deequ shape): five table " +
+        "constraints verified in ONE report — primary-key uniqueness " +
+        "(count vs count-distinct), completeness of o_custkey (null " +
+        "count), domain membership of o_orderstatus in {O,F,P}, range " +
+        "o_totalprice > 0, and referential integrity of o_custkey " +
+        "against customer (LEFT ANTI orphan count). The four scan " +
+        "constraints fold into a SINGLE map-side-combined aggregate " +
+        "pass over orders — adding a constraint adds a conditional " +
+        "sum, never a pass — and the FK check is the only join " +
+        "(key-only projections on both sides). The two 1-row results " +
+        "meet via broadcast and unpivot through stack() into the " +
+        "per-constraint report, so nothing is recomputed per row of " +
+        "the report. All counts BIGINT; passed is an integer 0/1. " +
+        "At 100 TB this is the nightly gate a warehouse runs before " +
+        "publishing a partition: one full scan, one key join, " +
+        "constant-size output.",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val agg = o.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("nd"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nullcust"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("badstatus"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("badprice"))
+        val orphans = o.select(col("o_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        agg.crossJoin(broadcast(orphans))
+          .selectExpr(
+            """stack(5,
+              'pk_unique_orderkey', n, n - nd,
+              'completeness_custkey', n, nullcust,
+              'domain_orderstatus', n, badstatus,
+              'range_totalprice_pos', n, badprice,
+              'fk_custkey_customer', n, orphans)
+              AS (check_name, n_checked, n_violations)""")
+          .withColumn("passed",
+            when(col("n_violations") === 0, 1L).otherwise(0L))
+      },
+      Some("""
+        WITH a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nullcust,
+                 CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS badstatus,
+                 CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS badprice
+          FROM orders),
+        f AS (
+          SELECT CAST(count(*) AS BIGINT) AS orphans
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL),
+        r AS (
+          SELECT 'pk_unique_orderkey' AS check_name, n AS n_checked,
+                 n - nd AS n_violations FROM a, f
+          UNION ALL SELECT 'completeness_custkey', n, nullcust FROM a, f
+          UNION ALL SELECT 'domain_orderstatus', n, badstatus FROM a, f
+          UNION ALL SELECT 'range_totalprice_pos', n, badprice FROM a, f
+          UNION ALL SELECT 'fk_custkey_customer', n, orphans FROM a, f)
+        SELECT check_name, n_checked, n_violations,
+               CASE WHEN n_violations = 0 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS passed
+        FROM r"""))
   )
 }

@@ -181,4 +181,19 @@ class ScaleSpec extends SparkSpec {
     assert(keys.nonEmpty && keys.forall(_ == 2),
       "join must run on (key, salt), not key alone")
   }
+
+  test("salted join keeps probe rows whose salt expression is NULL") {
+    import spark.implicits._
+    // round-7 advice: pmod(null, b) is null and the (key, __salt)
+    // equi-join silently dropped such probe rows, violating the
+    // row-identical contract. The salt is now coalesced to bucket 0.
+    val probe = Seq((1L, Some(10L)), (1L, None), (2L, None), (3L, Some(2L)))
+      .toDF("k", "saltcol")
+    val build = (0L to 3L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val salted = Skew.saltedJoin(probe, build, "k", col("saltcol"), 8)
+    val plain = probe.join(build, Seq("k"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "null-salt probe rows must survive exactly like the plain join")
+    assert(salted.count() == 4)
+  }
 }

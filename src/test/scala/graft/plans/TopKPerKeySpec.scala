@@ -156,6 +156,37 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("SQL metrics: partial stage reports shuffle reduction and flush count") {
+    val df = (0 until 2000)
+      .map(i => (i % 40L, (i * 7) % 13L, i.toLong))
+      .toDF("key", "v", "id")
+      .repartition(8)
+    def run(bound: Option[String]): (Long, Long) = {
+      bound.foreach(b => spark.conf.set(TopKPerKeyStrategy.MaxKeysConf, b))
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = TopKPerKey.topK(df, Seq("key"), Seq("v" -> false, "id" -> true), 3)
+        q.collect() // execute THIS plan instance (count() would plan its own)
+        val partial = q.queryExecution.executedPlan.collect {
+          case p: PartialTopKPerKeyExec => p
+        }.head
+        (partial.metrics("numOutputRows").value,
+          partial.metrics("numFlushes").value)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.unset(TopKPerKeyStrategy.MaxKeysConf)
+      }
+    }
+    val (rowsUnbounded, flushesUnbounded) = run(None)
+    // shuffle reduction: partial emits <= splits(8) x keys(40) x k(3)
+    assert(rowsUnbounded > 0 && rowsUnbounded <= 8L * 40 * 3,
+      s"partial emitted $rowsUnbounded rows")
+    assert(flushesUnbounded == 0, "no flushes without a tight bound")
+    val (_, flushesBounded) = run(Some("1"))
+    assert(flushesBounded > 0, "a 1-entry bound must record its flushes")
+  }
+
   test("a non-classic session gets an actionable diagnostic, not a ClassCastException") {
     val msg = org.apache.spark.sql.GraftSqlBridge
       .notClassicMessage("org.apache.spark.sql.connect.SparkSession")
