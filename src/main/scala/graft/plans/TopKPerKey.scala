@@ -5,9 +5,9 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, BindReferences, CurrentRow, Descending, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window => LogicalWindow}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -239,11 +239,76 @@ case class FinalTopKPerKeyExec(
 object TopKPerKeyStrategy extends SparkStrategy {
   val MaxKeysConf = "graft.topk.partial.maxKeys"
   val MaxKeysDefault = 262144
+
+  /** Auto-rewrite switch for the window-form pattern below. */
+  val RewriteConf = "graft.topk.rewrite.enabled"
+
+  private def plans(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+      child: LogicalPlan): SparkPlan = {
+    val maxKeys = SQLConf.get.getConfString(MaxKeysConf, MaxKeysDefault.toString).toInt
+    FinalTopKPerKeyExec(keys, order, k,
+      PartialTopKPerKeyExec(keys, order, k, maxKeys, planLater(child)))
+  }
+
+  /** Matches the ubiquitous window spelling of grouped top-k —
+    *
+    *   Project(cols without rn,
+    *     Filter(rn <= k | rn < k+1 | rn = 1,
+    *       Window([rn := row_number() over (partition K order O)], child)))
+    *
+    * — and extracts (keys, order, k, child, projectList). Fires only
+    * when the Window computes NOTHING but that one row_number (any
+    * second window function still needs WindowExec), the frame is
+    * row_number's default (rows unbounded-preceding..current), and the
+    * rn attribute is consumed by the filter alone (projected away) —
+    * if rn survives into the output the caller wants the rank itself,
+    * which the heap operator does not produce.
+    *
+    * Tie semantics: row_number under a NON-total order picks arbitrary
+    * winners, and so does the heap — both forms are deterministic only
+    * under a total order (the registry convention; same caveat Spark's
+    * own TakeOrderedAndProject carries). */
+  private object WindowTopK {
+    def unapply(plan: LogicalPlan)
+        : Option[(Seq[Expression], Seq[SortOrder], Int, LogicalPlan, Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])] =
+      plan match {
+        case Project(projectList, Filter(cond, w: LogicalWindow)) =>
+          w.windowExpressions match {
+            case Seq(a @ Alias(WindowExpression(_: RowNumber,
+                WindowSpecDefinition(part, ord,
+                  SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)) =>
+              val rn = a.toAttribute
+              val k = cond match {
+                case LessThanOrEqual(at: AttributeReference, IntegerLiteral(v))
+                  if at.exprId == rn.exprId => Some(v)
+                case LessThan(at: AttributeReference, IntegerLiteral(v))
+                  if at.exprId == rn.exprId => Some(v - 1)
+                case EqualTo(at: AttributeReference, IntegerLiteral(1))
+                  if at.exprId == rn.exprId => Some(1)
+                case _ => None
+              }
+              k match {
+                case Some(kk) if kk > 0 && ord.nonEmpty &&
+                    projectList.forall(!_.references.contains(rn)) =>
+                  Some((part, ord, kk, w.child, projectList))
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      val maxKeys = SQLConf.get.getConfString(MaxKeysConf, MaxKeysDefault.toString).toInt
-      FinalTopKPerKeyExec(keys, order, k,
-        PartialTopKPerKeyExec(keys, order, k, maxKeys, planLater(child))) :: Nil
+      plans(keys, order, k, child) :: Nil
+    case WindowTopK(keys, order, k, child, projectList)
+        if SQLConf.get.getConfString(RewriteConf, "true").toBoolean =>
+      // the window spelling plans as the heap operator: no partition
+      // sort, partial-stage shuffle reduction, AllTuples for the
+      // ungrouped (keys empty) form
+      org.apache.spark.sql.execution.ProjectExec(projectList,
+        plans(keys, order, k, child)) :: Nil
     case _ => Nil
   }
 }

@@ -187,6 +187,60 @@ class TopKPerKeySpec extends SparkSpec {
     assert(flushesBounded > 0, "a 1-entry bound must record its flushes")
   }
 
+  test("window-form auto-rewrite: row_number()<=k plans as the heap operator") {
+    // make sure the strategy is registered in this session
+    TopKPerKey.topK(Seq((1L, 1L, 1L)).toDF("key", "v", "id"),
+      Seq("key"), Seq("v" -> false, "id" -> true), 1).collect()
+    val df = (0 until 2000)
+      .map(i => (i % 40L, (i * 7) % 13L, i.toLong))
+      .toDF("key", "v", "id")
+      .repartition(16)
+    def windowForm = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 3).drop("rn")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = windowForm
+      val plan = q.queryExecution.executedPlan
+      assert(plan.exists { case _: FinalTopKPerKeyExec => true; case _ => false },
+        s"the window spelling must auto-plan as the heap operator:\n$plan")
+      assert(!plan.exists {
+        case _: org.apache.spark.sql.execution.window.WindowExec => true
+        case _ => false
+      }, "no WindowExec may remain after the rewrite")
+      // identical rows to the un-rewritten form
+      spark.conf.set(TopKPerKeyStrategy.RewriteConf, "false")
+      val off = windowForm
+      assert(off.queryExecution.executedPlan.exists {
+        case _: org.apache.spark.sql.execution.window.WindowExec => true
+        case _ => false
+      }, "conf off must restore the window plan")
+      assert(sameRows(q, off))
+      // rn = 1 (the argmax spelling) also fires
+      spark.conf.set(TopKPerKeyStrategy.RewriteConf, "true")
+      val arg = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") === 1).drop("rn")
+      assert(arg.queryExecution.executedPlan.exists {
+        case f: FinalTopKPerKeyExec => f.k == 1
+        case _ => false
+      }, "rn===1 must plan as k=1")
+      // a query that KEEPS rn must not rewrite (the heap has no rank)
+      val keeps = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= 3)
+      assert(!keeps.queryExecution.executedPlan.exists {
+        case _: FinalTopKPerKeyExec => true
+        case _ => false
+      }, "rn in the output needs the real window")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.unset(TopKPerKeyStrategy.RewriteConf)
+    }
+  }
+
   test("a non-classic session gets an actionable diagnostic, not a ClassCastException") {
     val msg = org.apache.spark.sql.GraftSqlBridge
       .notClassicMessage("org.apache.spark.sql.connect.SparkSession")
