@@ -22,6 +22,13 @@ object RunOne {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B timing aid: SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2" sets session
+    // confs (e.g. graft.topk.rewrite.enabled=false) before the run
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(ck, cv) = kv.split("=", 2)
+        spark.conf.set(ck, cv)
+      })
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     // two passes: cold (includes codegen + scan warmup) and warm

@@ -267,7 +267,15 @@ object TopKPerKeyStrategy extends SparkStrategy {
     * Tie semantics: row_number under a NON-total order picks arbitrary
     * winners, and so does the heap — both forms are deterministic only
     * under a total order (the registry convention; same caveat Spark's
-    * own TakeOrderedAndProject carries). */
+    * own TakeOrderedAndProject carries).
+    *
+    * Measured (sf0.1, local[32], warm pass, rewrite on/off): q204
+    * 0.38/0.66 s (1.7x), q133 0.92/1.34 s (1.45x), q11 0.69/0.79 s,
+    * q06 0.66/0.69 s — the gain tracks partition width (q06's ~10-row
+    * groups sort for almost nothing; wide partitions are where the
+    * O(n log n) sort vs O(n log k) heap asymmetry pays, which is
+    * exactly the 100 TB shape). Registry-verified 225/225 with the
+    * rewrite live. */
   private object WindowTopK {
     def unapply(plan: LogicalPlan)
         : Option[(Seq[Expression], Seq[SortOrder], Int, LogicalPlan, Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])] =

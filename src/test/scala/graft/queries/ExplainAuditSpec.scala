@@ -253,6 +253,23 @@ class ExplainAuditSpec extends SparkSpec {
     }
   }
 
+  test("window-form top-k auto-rewrite reaches its known registry queries") {
+    // documents the rewrite's reach and pins that it stays active in
+    // engine sessions: every query here spells grouped top-k (or argmax)
+    // as row_number()<=k / rn=1 and must now plan the heap operator
+    val rewritten = allPlans.collect {
+      case (n, p) if p.exists {
+        case _: graft.plans.FinalTopKPerKeyExec => true; case _ => false
+      } => n
+    }.toSet
+    // q176 calls the operator directly; the rest arrive via the rewrite
+    assert(rewritten.contains("q176_session_paths"))
+    assert(rewritten.contains("q204_topk_operator"),
+      s"q204's window spelling must rewrite; rewritten = $rewritten")
+    assert(rewritten.size >= 3,
+      s"expected the rewrite to reach several registry queries, got $rewritten")
+  }
+
   // -------------------------------------------------------------------
   // The q139 lesson (round 7's only red row): a query that ships a
   // DIVISION-PRODUCED double to the gate is engine-exact locally yet
