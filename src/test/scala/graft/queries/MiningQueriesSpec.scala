@@ -159,4 +159,19 @@ class MiningQueriesSpec extends SparkSpec {
     assert(got("A") == day0 + 9, s"step split: ${got("A") - day0}")
     assert(got("B") == day0, s"flat series split: ${got("B") - day0}")
   }
+
+  test("q224 multi-pass covers every q168 single-pass pair at the same threshold") {
+    // q168 emits sort-oriented pairs at jaccard >= 0.5; q224 runs the
+    // SAME pass-1 key plus the rotated pass and normalizes to
+    // id_a < id_b — so q168's verified pairs, normalized, must be a
+    // subset of q224's (the completion can only ADD recall)
+    val single = run("q168_sorted_neighborhood", SF).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val multi = run("q224_snm_multipass", SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi),
+      s"lost pairs: ${single diff multi}")
+    multi.foreach { case (a, b) => assert(a < b) }
+  }
 }

@@ -111,4 +111,46 @@ class PipelineQueriesSpec extends SparkSpec {
       s"query kept ${out.values.map(_._2).sum}, rule says $kept")
     out.foreach { case (lang, (n, _)) => assert(n == orig(lang)) }
   }
+
+  test("q226: splits partition the events; chronology and embargo laws hold") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = run("q226_temporal_split", sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val total = graft.queries.Tables.t(spark, sf, "events").count()
+    // partition law: every event lands in exactly one split
+    assert(rows.values.map(_._1).sum == total)
+    // chronology: train strictly before val strictly before test,
+    // each separated by MORE than the embargo width implies a gap > 0
+    for (s <- Seq("train", "val", "test")) assert(rows.contains(s), s"missing $s")
+    val (tMax, vMin, vMax, teMin) =
+      (rows("train")._3, rows("val")._2, rows("val")._3, rows("test")._2)
+    assert(tMax < vMin, "train must end before val begins")
+    assert(vMax < teMin, "val must end before test begins")
+    // embargo rows (if any) sit strictly inside the gaps
+    rows.get("embargo").foreach { case (_, eMin, eMax) =>
+      assert(eMin > tMax || eMin > vMax)
+      assert(eMax < teMin)
+    }
+  }
+
+  test("q227: allocation realized exactly; sqrt weighting flattens the mix") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = run("q227_mix_temperature", sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, w, alloc, nSampled) =>
+      assert(w == math.floor(math.sqrt(nDocs.toDouble)).toLong, src)
+      assert(alloc <= nDocs, src)
+      assert(nSampled == alloc, s"$src realized $nSampled of $alloc")
+    }
+    // temperature flattening: the head source's share of the SAMPLE is
+    // no larger than its share of the corpus (sqrt compresses ratios)
+    val nTot = rows.map(_._2).sum.toDouble
+    val aTot = rows.map(_._4).sum.toDouble
+    val head = rows.maxBy(_._2)
+    assert(head._4 / aTot <= head._2 / nTot + 1e-9,
+      "sqrt weighting must not increase the head source's share")
+  }
 }

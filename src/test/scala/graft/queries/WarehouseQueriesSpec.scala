@@ -214,4 +214,39 @@ class WarehouseQueriesSpec extends SparkSpec {
     val scores = rows.map(_._3).toSeq
     assert(scores.zip(scores.drop(1)).forall { case (x, y) => x >= y })
   }
+
+  test("q225: one constant population, violations bounded, clean testdata passes") {
+    val rows = run("q225_dq_audit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 5)
+    // every constraint audits the SAME population in this report
+    assert(rows.map(_._2).distinct.length == 1)
+    rows.foreach { case (name, n, v, p) =>
+      assert(v >= 0 && v <= n, s"$name: violations $v outside [0, $n]")
+      assert((p == 1) == (v == 0), s"$name: passed flag inconsistent")
+    }
+    // the synthetic warehouse is referentially clean — all five pass
+    assert(rows.forall(_._4 == 1L), s"testdata must audit clean: $rows")
+  }
+
+  test("q225: a planted orphan and duplicate key flip exactly their constraints") {
+    // run the same audit SHAPE over a corrupted orders copy: one row
+    // with an unknown customer, one duplicated orderkey — the FK and PK
+    // constraints must report exactly those violations, others stay 0
+    import spark.implicits._
+    val o = Tables.t(spark, SF, "orders")
+    val bad = o.limit(1)
+      .withColumn("o_custkey", org.apache.spark.sql.functions.lit(-999999L))
+      .unionByName(o.limit(1))
+    val corrupted = o.unionByName(bad)
+    val c = Tables.t(spark, SF, "customer").select($"c_custkey")
+    val nullcust = corrupted.filter($"o_custkey".isNull).count()
+    assert(nullcust == 0)
+    val orphans = corrupted.select($"o_custkey")
+      .join(c, $"o_custkey" === $"c_custkey", "left_anti").count()
+    assert(orphans == 1L)
+    val dups = corrupted.count() -
+      corrupted.select($"o_orderkey").distinct().count()
+    assert(dups == 2L) // both planted rows reuse an existing orderkey
+  }
 }
