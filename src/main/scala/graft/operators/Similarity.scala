@@ -535,6 +535,40 @@ object Similarity {
       .write.bucketBy(nBuckets, "cell").sortBy("cell")
       .mode("overwrite").saveAsTable(assignTable)
 
+  /** Compact a persisted IVF assignment table: every streamed append
+    * ([[appendIvfIndex]] / [[graft.streaming.AnnIndexStream]]) adds one
+    * file per bucket per batch, so a long-running stream accretes
+    * files the same way any streamed sink does — batches x buckets
+    * files, unbounded in time. This rewrites the table under the SAME
+    * bucket spec in one pass: the post-compaction file count is
+    * bounded by writerTasks x nBuckets regardless of how many batches
+    * ever appended (each writer task emits at most one file per bucket
+    * it holds; `writerTasks = 1` guarantees one file per NON-EMPTY
+    * bucket — the spec-pinned floor — at the cost of a single-task
+    * write, the right trade for indexes up to a few GB; size
+    * writerTasks to the index beyond that). Rows (including gen tags) are untouched and
+    * probe plans identical — bucketed scans do not care how many files
+    * realize a bucket, only that the table's bucket spec holds.
+    *
+    * Run BETWEEN stream runs (the stream's replay guard reads the
+    * table per batch). The drop→rename swap has the standard crash
+    * window; recovery is the `_compact_tmp` table holding the complete
+    * compacted copy — rename it manually or rerun. Returns the
+    * post-compaction file count. */
+  def compactIvfIndex(spark: SparkSession, assignTable: String,
+      nBuckets: Int = 8, writerTasks: Int = 1): Long = {
+    val tmp = assignTable + "_compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(assignTable)
+      .repartition(writerTasks, col("cell"))
+      .write.bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(tmp)
+    val n = spark.table(tmp).inputFiles.length.toLong
+    spark.sql(s"DROP TABLE $assignTable")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $assignTable")
+    n
+  }
+
   /** Staleness of a persisted IVF index: how much of it was appended
     * AFTER the centroids froze. One aggregate over the assignment
     * table's two narrow columns; all-integer output (basis points, the

@@ -113,6 +113,31 @@ class IvfIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction: file count drops to nBuckets, rows/gens/probes identical") {
+    appended
+    val before = spark.table("ivf_assign_inc").inputFiles.length
+    val rowsBefore = spark.table("ivf_assign_inc")
+      .select("neighbor_id", "cell", "gen").collect().toSet
+    val queries = emb.filter(col("vec_id") < 8)
+    val probeBefore = Similarity.probeIvfIndex(spark, "ivf_cent",
+      "ivf_assign_inc", queries, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().toSet
+    val after = Similarity.compactIvfIndex(spark, "ivf_assign_inc")
+    // writerTasks=1 -> one file per NON-EMPTY bucket (16 cells hashed
+    // into 8 buckets can leave a bucket empty)
+    val nonEmptyBuckets = spark.table("ivf_assign_inc")
+      .selectExpr("pmod(hash(cell), 8) AS b").distinct().count()
+    assert(after == nonEmptyBuckets,
+      s"one file per non-empty bucket: files=$after buckets=$nonEmptyBuckets")
+    assert(after <= 8L && after < before,
+      s"compaction must shrink the file count ($before -> $after)")
+    assert(spark.table("ivf_assign_inc")
+      .select("neighbor_id", "cell", "gen").collect().toSet == rowsBefore)
+    assert(Similarity.probeIvfIndex(spark, "ivf_cent", "ivf_assign_inc",
+      queries, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().toSet == probeBefore)
+  }
+
   test("staleness metric: integer bp share of post-training rows") {
     appended
     val base = emb.filter(col("vec_id") % 4 =!= 0).count()
