@@ -556,17 +556,103 @@ object Similarity {
     * compacted copy — rename it manually or rerun. Returns the
     * post-compaction file count. */
   def compactIvfIndex(spark: SparkSession, assignTable: String,
-      nBuckets: Int = 8, writerTasks: Int = 1): Long = {
-    val tmp = assignTable + "_compact_tmp"
+      nBuckets: Int = 8, writerTasks: Int = 1): Long =
+    compactBucketedTable(spark, assignTable, nBuckets, Seq("cell"), writerTasks)
+
+  /** The generic form of [[compactIvfIndex]]: one-pass rewrite of ANY
+    * bucketed index table under its own bucket spec ([[buildSrpIndex]]
+    * tables bucket on (t, bucket)). Same bounds, swap and recovery
+    * story as the IVF variant. Table properties survive the rename
+    * only on catalogs that move them with the table — re-stamp after
+    * compacting a properties-carrying table (probeSrpIndex validates,
+    * so a lost stamp fails loud, not wrong). */
+  def compactBucketedTable(spark: SparkSession, table: String,
+      nBuckets: Int, bucketCols: Seq[String], writerTasks: Int = 1): Long = {
+    val tmp = table + "_compact_tmp"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.table(assignTable)
-      .repartition(writerTasks, col("cell"))
-      .write.bucketBy(nBuckets, "cell").sortBy("cell")
+    spark.table(table)
+      .repartition(writerTasks, bucketCols.map(col): _*)
+      .write.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("overwrite").saveAsTable(tmp)
     val n = spark.table(tmp).inputFiles.length.toLong
-    spark.sql(s"DROP TABLE $assignTable")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $assignTable")
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     n
+  }
+
+  /** Persist an SRP-LSH ANN index: the corpus's (t, bucket)-signed rows
+    * as a table BUCKETED on the probe join key, the hash-family
+    * counterpart of [[buildIvfIndex]] — and the half of the index
+    * story that needs NO training: the hyperplanes are a pure
+    * deterministic function of (bits, tables, dim) (see
+    * [[planeComponent]]), so an appended batch signs itself with
+    * exactly the planes the original build used. Appends therefore can
+    * NEVER go stale — there is no model to drift from, no staleness
+    * metric, no retrain trigger; the trade against IVF is the usual
+    * LSH one (recall comes from tables/probes rather than learned cell
+    * boundaries).
+    *
+    * The signing parameters are stamped as table properties and
+    * validated on probe/append, so a mismatched caller fails loud
+    * instead of silently joining foreign bucket spaces. */
+  def buildSrpIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int, tables: Int, assignTable: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    srpBucketed(corpus, idCol, "neighbor_id", vecCol, bits, dim, tables)
+      .select(col("neighbor_id"), col("v"), col("nv"), col("t"), col("bucket"))
+      .write.bucketBy(nBuckets, "t", "bucket").sortBy("t", "bucket")
+      .mode("overwrite").saveAsTable(assignTable)
+    spark.sql(s"ALTER TABLE $assignTable SET TBLPROPERTIES(" +
+      s"'graft.srp.bits'='$bits','graft.srp.dim'='$dim'," +
+      s"'graft.srp.tables'='$tables')")
+  }
+
+  private def requireSrpParams(spark: SparkSession, assignTable: String,
+      bits: Int, dim: Int, tables: Int): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $assignTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((key, got) <- Seq("graft.srp.bits" -> bits, "graft.srp.dim" -> dim,
+        "graft.srp.tables" -> tables)) {
+      props.get(key).foreach(stored => require(stored == got.toString,
+        s"$assignTable was signed with $key=$stored, caller passed $got — " +
+          "mismatched SRP parameters join foreign bucket spaces"))
+    }
+  }
+
+  /** Append new vectors to a [[buildSrpIndex]] table. No training, no
+    * generations, no staleness — the planes are deterministic, so
+    * append-then-probe is IDENTICAL to rebuild-then-probe
+    * (SrpIndexSpec pins bit-equality). Exactly-once under replay is
+    * the caller's contract exactly as with [[appendIvfIndex]]'s gen
+    * guard — here an id-based anti-join against the batch's own ids
+    * if the source can replay. */
+  def appendSrpIndex(spark: SparkSession, assignTable: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int, tables: Int, nBuckets: Int = 8): Unit = {
+    requireSrpParams(spark, assignTable, bits, dim, tables)
+    srpBucketed(batch, idCol, "neighbor_id", vecCol, bits, dim, tables)
+      .select(col("neighbor_id"), col("v"), col("nv"), col("t"), col("bucket"))
+      .write.bucketBy(nBuckets, "t", "bucket").sortBy("t", "bucket")
+      .mode("append").saveAsTable(assignTable)
+  }
+
+  /** Probe a [[buildSrpIndex]] index: queries sign themselves with the
+    * same deterministic planes and equi-join the bucketed table on
+    * (t, bucket) — in place, like [[probeIvfIndex]]'s batch path. */
+  def probeSrpIndex(spark: SparkSession, assignTable: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      bits: Int, dim: Int, tables: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
+    requireSrpParams(spark, assignTable, bits, dim, tables)
+    val q0 = srpBucketed(queries, idCol, "query_id", vecCol, bits, dim, tables)
+      .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn")
+    val q = if (broadcastProbes) broadcast(q0) else q0.hint("shuffle_merge")
+    rankTopK(q.join(spark.table(assignTable), Seq("t", "bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv")).as("score"))
+      .distinct(), k)
   }
 
   /** Staleness of a persisted IVF index: how much of it was appended
