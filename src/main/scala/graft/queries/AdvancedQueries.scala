@@ -1734,6 +1734,72 @@ object AdvancedQueries {
                max(ge) - min(gs) AS span_us,
                CAST(sum(ge - gs) AS BIGINT) * 10000 // (max(ge) - min(gs))
                  AS coverage_bp
-        FROM iv GROUP BY user_id"""))
+        FROM iv GROUP BY user_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q228_twap",
+      "Time-WEIGHTED average value per event type over an IRREGULAR " +
+        "sample stream — the quant/telemetry aggregate a plain avg() " +
+        "gets wrong whenever sampling density correlates with value " +
+        "(bursts of cheap events would swamp a sparse expensive " +
+        "regime): each event's value holds until the next event of " +
+        "the SAME type (step interpolation), so the mean is " +
+        "sum(value x holding-micros) / sum(holding-micros). One lead " +
+        "window per type under the total order (ts, event_id) " +
+        "computes the holding interval — per-partition state is one " +
+        "row — and the aggregation is map-side combinable. " +
+        "Arithmetic is EXACT end to end: value enters as the q39 " +
+        "house DECIMAL(12,2), converts to integer cents, and the " +
+        "cents x micros products accumulate in DECIMAL(38,0) (a " +
+        "BIGINT accumulator would sit within ~30x of overflow at " +
+        "corpus scale); the reported TWAP is the integral-div floor " +
+        "in milli-value-units, plus the exact numerator/denominator " +
+        "so any consumer can re-derive at full precision. The last " +
+        "event of each type has no successor and contributes no " +
+        "interval — open-interval semantics stated identically in " +
+        "the oracle.",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          (col("value").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us").asc, col("event_id").asc)
+        e.withColumn("dt_us", lead(col("us"), 1).over(w) - col("us"))
+          .where(col("dt_us").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dt_us")).as("total_us"),
+            sum(col("cents").cast(DecimalType(38, 0)) * col("dt_us"))
+              .as("weighted_cents_us"))
+          .select(col("event_type"), col("n_intervals"), col("total_us"),
+            col("weighted_cents_us").cast(DecimalType(38, 0))
+              .as("weighted_cents_us"),
+            expr("CAST(weighted_cents_us * 10 div total_us AS BIGINT)")
+              .as("twap_milli"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        iv AS (
+          SELECT event_type, cents,
+                 lead(us) OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) - us AS dt_us
+          FROM e),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+                 CAST(sum(dt_us) AS BIGINT) AS total_us,
+                 CAST(sum(CAST(cents AS DECIMAL(38,0)) * dt_us)
+                      AS DECIMAL(38,0)) AS weighted_cents_us
+          FROM iv WHERE dt_us IS NOT NULL
+          GROUP BY event_type)
+        SELECT event_type, n_intervals, total_us, weighted_cents_us,
+               -- HUGEINT (int128) keeps the // integral-exact; DECIMAL //
+               -- routes through DOUBLE in DuckDB and can round the floor
+               CAST(CAST(weighted_cents_us AS HUGEINT) * 10 // total_us
+                    AS BIGINT) AS twap_milli
+        FROM a"""))
   )
 }

@@ -229,6 +229,30 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(rows.forall(_._4 == 1L), s"testdata must audit clean: $rows")
   }
 
+  test("q228: TWAP sits inside the value range; intervals tile first-to-last exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q228_twap").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val e = Tables.t(spark, SF, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("value")) * 1000).as("lo"), (max(col("value")) * 1000).as("hi"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    rows.foreach { case (ty, nIv, totalUs, twapMilli) =>
+      val (n, lo, hi, span) = e(ty)
+      // a weighted mean of step values cannot leave the value range
+      assert(twapMilli >= lo.floor.toLong - 1 && twapMilli <= hi.ceil.toLong,
+        s"$ty: twap $twapMilli outside [$lo, $hi]")
+      // holding intervals tile the type's observed span exactly, and
+      // every event except the last opens one
+      assert(totalUs == span, s"$ty: intervals must tile the span")
+      assert(nIv == n - 1, s"$ty: ${n - 1} intervals expected")
+    }
+  }
+
   test("q225: a planted orphan and duplicate key flip exactly their constraints") {
     // run the same audit SHAPE over a corrupted orders copy: one row
     // with an unknown customer, one duplicated orderkey — the FK and PK
