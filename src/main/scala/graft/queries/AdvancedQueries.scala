@@ -1757,15 +1757,40 @@ object AdvancedQueries {
         "so any consumer can re-derive at full precision. The last " +
         "event of each type has no successor and contributes no " +
         "interval — open-interval semantics stated identically in " +
-        "the oracle.",
+        "the oracle. SCALE SHAPE: a single per-type lead window would " +
+        "funnel the whole corpus through |types| tasks (the " +
+        "low-cardinality-partition trap the q149/q164 family dodges " +
+        "by pre-aggregating — not available here, TWAP needs every " +
+        "event), so the engine runs the TWO-PHASE decomposition: " +
+        "lead inside (type, day-bucket) partitions — full parallelism " +
+        "— then each bucket's LAST event takes its interval from the " +
+        "next non-empty bucket's first timestamp via a window over " +
+        "the types x buckets SUMMARY (tiny at any corpus size) joined " +
+        "back on the bucket key. The oracle deliberately states the " +
+        "naive single-window spelling, so the hash match PROVES the " +
+        "decomposition exact, boundary rows included.",
       (s, dir) => {
+        val BUCKET_US = 86400L * 1000000L // day buckets
         val e = t(s, dir, "events").select(col("event_type"),
           unix_micros(col("ts")).as("us"), col("event_id"),
           (col("value").cast(DecimalType(12, 2)) * 100)
             .cast(LongType).as("cents"))
-        val w = Window.partitionBy(col("event_type"))
+          .withColumn("bkt", expr(s"us div $BUCKET_US"))
+        // phase 1: lead inside (type, bucket) — parallelism = buckets
+        val wb = Window.partitionBy(col("event_type"), col("bkt"))
           .orderBy(col("us").asc, col("event_id").asc)
-        e.withColumn("dt_us", lead(col("us"), 1).over(w) - col("us"))
+        val local = e.withColumn("next_us", lead(col("us"), 1).over(wb))
+        // phase 2: types x non-empty-buckets summary; lead over it gives
+        // each bucket the FIRST timestamp of the type's next non-empty
+        // bucket (summary is tiny — the narrow-key window is fine HERE)
+        val ws = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+        val handoff = e.groupBy(col("event_type"), col("bkt"))
+          .agg(min(col("us")).as("first_us"))
+          .withColumn("next_bucket_first", lead(col("first_us"), 1).over(ws))
+          .select(col("event_type"), col("bkt"), col("next_bucket_first"))
+        local.join(handoff, Seq("event_type", "bkt"))
+          .withColumn("dt_us",
+            coalesce(col("next_us"), col("next_bucket_first")) - col("us"))
           .where(col("dt_us").isNotNull)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_intervals"),
