@@ -817,6 +817,81 @@ object CurationQueries {
           FROM g GROUP BY l),
         tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM h)
         SELECT l, n_groups, n_rows, n_rows * 10000 // total AS rows_bp
-        FROM h, tot ORDER BY l"""))
+        FROM h, tot ORDER BY l""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q229_coverage_select",
+      "Greedy maximum-coverage corpus selection — the facility-" +
+        "location data-selection recipe (pick the doc covering the " +
+        "most of the feature space, then repeatedly the doc adding " +
+        "the most NOT-yet-covered features): the submodular-greedy " +
+        "1-1/e approximation, here the first TWO rounds so every " +
+        "pick is SQL-expressible and oracled exactly (the k-round " +
+        "operator loop is the BPE/q90 shape — one 1-row argmax job " +
+        "per round, only the covered set carries between rounds). " +
+        "Features are distinct BIGRAMS (the q61 idiom) — the unigram " +
+        "vocabulary of this synthetic corpus is so small one doc " +
+        "covers it entirely, the q215-class saturation the bigram " +
+        "space (916 vs 95-per-doc at sf0.01) avoids, keeping round " +
+        "2's marginal-gain machinery genuinely exercised. Round 1 " +
+        "is an argmax over per-doc distinct-bigram counts; round 2 " +
+        "anti-joins each doc's bigrams against the winner's covered " +
+        "set (broadcast — one doc's features) and argmaxes the " +
+        "MARGINAL gain; ties break on doc_id so both engines pick " +
+        "identically. Scale: features shuffle as (doc, feature) " +
+        "pairs once per round, the covered set stays broadcast-size " +
+        "for small k, and nothing ever materializes pairwise doc " +
+        "overlaps. Output binds picks, marginal gains and the " +
+        "running covered-feature total into the gate.",
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        val sets = t(s, dir, "documents").select(col("doc_id"),
+          array_distinct(transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+            .as("ts"))
+        val p1 = sets.select(col("doc_id"),
+            size(col("ts")).cast(LongType).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+        val cov1 = sets
+          .join(broadcast(p1.select(col("doc_id"))), "doc_id")
+          .select(explode(col("ts")).as("tok"))
+        val p2 = sets.select(col("doc_id"), explode(col("ts")).as("tok"))
+          .join(broadcast(cov1), Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+        p1.select(lit(1L).as("pick_round"), col("doc_id"), col("gain"),
+            col("gain").as("covered_total"))
+          .unionByName(
+            p2.crossJoin(broadcast(p1.select(col("gain").as("g1"))))
+              .select(lit(2L).as("pick_round"), col("doc_id"), col("gain"),
+                (col("g1") + col("gain")).as("covered_total")))
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sets AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1]
+                                FOR i IN range(1, len(w))]) AS ts
+          FROM words),
+        p1 AS (
+          SELECT doc_id, CAST(len(ts) AS BIGINT) AS gain
+          FROM sets ORDER BY gain DESC, doc_id LIMIT 1),
+        cov1 AS (
+          SELECT DISTINCT unnest(s.ts) AS tok
+          FROM sets s JOIN p1 USING (doc_id)),
+        toks AS (SELECT doc_id, unnest(ts) AS tok FROM sets),
+        g2 AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+          FROM toks WHERE tok NOT IN (SELECT tok FROM cov1)
+          GROUP BY doc_id),
+        p2 AS (SELECT doc_id, gain FROM g2
+               ORDER BY gain DESC, doc_id LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS pick_round, doc_id, gain,
+               gain AS covered_total
+        FROM p1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), p2.doc_id, p2.gain, p1.gain + p2.gain
+        FROM p2, p1"""))
   )
 }

@@ -340,7 +340,7 @@ class ExplainAuditSpec extends SparkSpec {
         "q07_argmax", "q09_limit_ordered", "q137_ohlc_bars",
         "q138_gap_fill", "q142_scd2_intervals", "q166_weighted_median",
         "q167_skyline", "q172_mad_outliers", "q46_median",
-        "q96_topk_per_group", "q211_interpolated_quantiles"),
+        "q96_topk_per_group"),
       VECTOR_FOLD -> Seq(
         "q31_ann_bruteforce", "q32_embedding_neardup", "q33_ann_lsh",
         "q44_ann_ivf", "q64_ann_multiprobe", "q81_label_centroids",
@@ -351,7 +351,10 @@ class ExplainAuditSpec extends SparkSpec {
       MIRRORED_SEQ -> Seq(
         "q52_idf_top_terms", "q67_collocations", "q70_pagerank",
         "q127_pca_power", "q129_pca_deflate", "q164_acf",
-        "q170_changepoint", "q99_grouped_corr", "q83_quality_resample")
+        "q170_changepoint", "q99_grouped_corr", "q83_quality_resample",
+        // selected integer micro-values enter ONE mirrored lerp
+        // (vLo + frac*(vHi-vLo)) — a sequence, not a pure selection
+        "q211_interpolated_quantiles")
     ).flatMap { case (why, qs) => qs.map(_ -> why) }.toMap
   }
 
