@@ -554,6 +554,101 @@ object EventsStream {
       }
   }
 
+  case class TwapPending(us: Long, eventId: Long, cents: Long)
+  case class TwapBucket(hr: Timestamp, n: Long, totalUs: Long, weighted: Long)
+  case class TwapState(open: List[TwapBucket], buf: List[TwapPending],
+      lastUs: Option[Long], lastCents: Option[Long])
+  case class TwapOut(event_type: String, hr: Timestamp, n_intervals: Long,
+      total_us: Long, weighted_cents_us: Long, twap_milli: Long)
+
+  /** Streaming time-weighted average — the incremental twin of batch
+    * q228's step-interpolated TWAP, emitted per CLOSED hour (batch
+    * q228 reports the per-type total; summing this stream's rows per
+    * type reproduces it exactly — StreamingSpec pins that). Each
+    * consecutive-event interval [e_i, e_{i+1}) weighs e_i's value by
+    * the holding micros and attributes to the hour the interval STARTS
+    * in; an hour closes once the watermark passes its end AND a later
+    * event has been processed (the hour holding the type's latest
+    * event stays open — its last interval is still unbounded), so
+    * closes process in time order and any replay emits identical rows.
+    *
+    * Ordering is the q158-twin discipline: events buffer in state until
+    * the watermark proves nothing earlier can arrive, then process in
+    * exact (ts, event_id) order — the interval structure needs true
+    * adjacency, which per-batch arrival order cannot promise. State
+    * per type: open-hour aggregates (3 longs each) + the in-horizon
+    * buffer + ONE carried last event. Value cents enter via the q39
+    * DECIMAL(12,2) house cast upstream; per-hour weighted sums are
+    * cents x micros longs (bounded: one hour's attributed intervals
+    * start within it, and even a month-long holding gap at max cents
+    * stays under 2^57). Batch mode closes everything, the final
+    * carried event contributing no interval — exactly q228's
+    * open-interval drop. */
+  def twapStream(events: Dataset[Event], watermarkDelay: String = "2 hours")(
+      implicit outEnc: org.apache.spark.sql.Encoder[TwapOut],
+      stEnc: org.apache.spark.sql.Encoder[TwapState]): Dataset[TwapOut] = {
+    val streaming = events.isStreaming
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[TwapState, TwapOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[TwapState]) =>
+          val st = state.getOption.getOrElse(TwapState(Nil, Nil, None, None))
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          // cents via the same exact decimal path the batch query takes
+          val incoming = batch.map(e => TwapPending(micros(e.ts), e.event_id,
+            BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .*(100).toLongExact)).toList
+          val (ready, buf) = (st.buf ++ incoming)
+            .partition(_.us <= wmUs)
+          var lastUs = st.lastUs
+          var lastCents = st.lastCents
+          val deltas = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+          ready.sortBy(p => (p.us, p.eventId)).foreach { p =>
+            (lastUs, lastCents) match {
+              case (Some(lu), Some(lc)) =>
+                val dt = p.us - lu
+                val hr = Math.floorDiv(lu, HourUs) * HourUs
+                val (n, t, w) = deltas.getOrElse(hr, (0L, 0L, 0L))
+                deltas(hr) = (n + 1, t + dt, w + lc * dt)
+              case _ => ()
+            }
+            lastUs = Some(p.us); lastCents = Some(p.cents)
+          }
+          val merged = (st.open.map(b =>
+              micros(b.hr) -> (b.n, b.totalUs, b.weighted)) ++ deltas.toSeq)
+            .groupBy(_._1).view.mapValues(vs =>
+              (vs.map(_._2._1).sum, vs.map(_._2._2).sum, vs.map(_._2._3).sum))
+            .toMap
+          val lastHr = lastUs.map(u => Math.floorDiv(u, HourUs) * HourUs)
+            .getOrElse(Long.MinValue)
+          val (closed, open) = merged.partition { case (hrUs, _) =>
+            if (!streaming) true
+            else hrUs + HourUs <= wmUs && hrUs < lastHr
+          }
+          val outs = closed.toSeq.sortBy(_._1).map { case (hrUs, (n, t, w)) =>
+            // positives: Long / == the batch integral div; an hour whose
+            // every attributed interval is zero-length (identical
+            // timestamps) reports 0 rather than dividing by it
+            TwapOut(etype, new Timestamp(hrUs / 1000L), n, t, w,
+              if (t > 0) w * 10L / t else 0L)
+          }
+          state.update(TwapState(
+            open.toSeq.sortBy(_._1).map { case (u, (n, t, w)) =>
+              TwapBucket(new Timestamp(u / 1000L), n, t, w) }.toList,
+            buf, lastUs, lastCents))
+          if (streaming && (open.nonEmpty || buf.nonEmpty)) {
+            val nextCloseMs =
+              (open.keys ++ buf.map(_.us)).min / 1000L + HourUs / 1000L
+            state.setTimeoutTimestamp(
+              math.max(nextCloseMs, state.getCurrentWatermarkMs() + 1))
+          }
+          outs.iterator
+      }
+  }
+
   /** Streaming hour-over-hour distribution drift — the incremental twin
     * of batch q113: per event type, each CLOSED hour's 8-bin value
     * histogram is compared with the previous closed hour's (consecutive

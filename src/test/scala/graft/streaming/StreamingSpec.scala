@@ -306,6 +306,52 @@ class StreamingSpec extends SparkSpec {
       "streamed ewma must carry the batch fold's exact value")
   }
 
+  test("streaming TWAP: emitted hours are a subset of batch mode, values exact") {
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val q = EventsStream.twapStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("twap_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "twap stream did not finish in 120 s")
+    val got = spark.table("twap_out")
+    assert(got.count() > 0)
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val batchRows = EventsStream.twapStream(events).toDF()
+    val joined = got.alias("s").join(batchRows.alias("b"), Seq("event_type", "hr"))
+    assert(joined.count() == got.count(), "emitted hour missing from batch mode")
+    assert(joined.filter(
+      col("s.n_intervals") =!= col("b.n_intervals")
+        || col("s.total_us") =!= col("b.total_us")
+        || col("s.weighted_cents_us") =!= col("b.weighted_cents_us")
+        || col("s.twap_milli") =!= col("b.twap_milli")).isEmpty,
+      "streamed hour must carry the batch-mode exact values")
+  }
+
+  test("streaming TWAP: batch-mode rows aggregate exactly to q228") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val got = EventsStream.twapStream(events).collect()
+      .groupBy(_.event_type).view.mapValues(os =>
+        (os.map(_.n_intervals).sum, os.map(_.total_us).sum,
+          BigDecimal(os.map(o => BigInt(o.weighted_cents_us)).sum)))
+      .toMap
+    val want = graft.queries.AdvancedQueries.all
+      .find(_.name == "q228_twap").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("total_us"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("weighted_cents_us"))))
+      .toMap
+    assert(got == want,
+      s"per-type stream sums must equal the batch TWAP aggregates")
+  }
+
   test("streaming integer EWMA: batch mode reproduces q149 exactly") {
     import spark.implicits._
     val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
