@@ -1825,6 +1825,90 @@ object AdvancedQueries {
                -- routes through DOUBLE in DuckDB and can round the floor
                CAST(CAST(weighted_cents_us AS HUGEINT) * 10 // total_us
                     AS BIGINT) AS twap_milli
-        FROM a"""))
+        FROM a""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q231_touch_attribution",
+      "U-shaped (position-based) multi-touch attribution: every " +
+        "conversion (purchase) distributes exactly 10000 bp of credit " +
+        "across the touches since the user's previous purchase — 40% " +
+        "to the first touch, 40% to the last, 20% split over the " +
+        "middles (1 touch takes all, 2 split evenly); integer division " +
+        "hands the middle remainder to the earliest middles so every " +
+        "conversion's credits sum to EXACTLY 10000 (the invariant " +
+        "visible in the output: credit_bp_total == 10000 x the " +
+        "distinct conversions each type touches summed over types). " +
+        "Touch-to-conversion assignment is segmentation, not pairing: " +
+        "a reverse-prefix count of purchases per user keys each event " +
+        "to the next purchase at-or-after it, so the mapping costs ONE " +
+        "user-partitioned window pass — never the touches x " +
+        "conversions interval self-join that quadratically explodes " +
+        "on heavy users — and the position/credit pass is a second " +
+        "window over (user, conversion) segments. Both windows " +
+        "partition on high-cardinality keys; only 8-byte ids, the " +
+        "type tag and two small integers shuffle. Events after a " +
+        "user's last purchase have no conversion and are excluded, " +
+        "stated identically in both engines.",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        // k = purchases at-or-after this event (reverse prefix sum);
+        // (user_id, k>=1) identifies the event's conversion segment
+        val wrev = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val seg = e.withColumn("k",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(wrev))
+          .where(col("event_type") =!= "purchase" && col("k") >= 1)
+        val wseg = Window.partitionBy(col("user_id"), col("k"))
+        val pos = seg
+          .withColumn("pos", row_number().over(
+            wseg.orderBy(col("ts").asc, col("event_id").asc)))
+          .withColumn("n", count(lit(1)).over(wseg))
+          .withColumn("credit_bp", expr("""
+            CASE WHEN n = 1 THEN 10000L
+                 WHEN n = 2 THEN 5000L
+                 WHEN pos = 1 OR pos = n THEN 4000L
+                 ELSE 2000 div (n - 2)
+                      + CASE WHEN pos - 1 <= 2000 % (n - 2) THEN 1L ELSE 0L END
+            END"""))
+        pos.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_touches"),
+          sum(when(col("pos") === 1, 1L).otherwise(0L)).as("n_first"),
+          sum(when(col("pos") === col("n"), 1L).otherwise(0L)).as("n_last"),
+          countDistinct(concat(col("user_id").cast(StringType), lit("#"),
+            col("k").cast(StringType))).as("n_convs_touched"),
+          sum(col("credit_bp")).as("credit_bp_total"))
+      },
+      Some("""
+        WITH seg AS (
+          SELECT user_id, event_id, event_type, ts,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+          FROM events),
+        touches AS (
+          SELECT * FROM seg WHERE event_type <> 'purchase' AND k >= 1),
+        pos AS (
+          SELECT event_type, user_id, k,
+                 row_number() OVER (PARTITION BY user_id, k
+                                    ORDER BY ts ASC, event_id ASC) AS pos,
+                 count(*) OVER (PARTITION BY user_id, k) AS n
+          FROM touches)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+               CAST(sum(CASE WHEN pos = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+               CAST(count(DISTINCT concat(user_id, '#', k)) AS BIGINT) AS n_convs_touched,
+               CAST(sum(CASE WHEN n = 1 THEN 10000
+                             WHEN n = 2 THEN 5000
+                             WHEN pos = 1 OR pos = n THEN 4000
+                             ELSE 2000 // (n - 2)
+                                  + CASE WHEN pos - 1 <= 2000 % (n - 2)
+                                         THEN 1 ELSE 0 END
+                        END) AS BIGINT) AS credit_bp_total
+        FROM pos GROUP BY event_type"""))
   )
 }

@@ -537,6 +537,86 @@ object ProfilingQueries {
         FROM cand
         WHERE NOT EXISTS (SELECT 1 FROM e
                           WHERE e.a = cand.id_a AND e.b = cand.id_b)
-        ORDER BY common_neighbors DESC, id_a, id_b LIMIT 20"""))
+        ORDER BY common_neighbors DESC, id_a, id_b LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q230_rendezvous_shards",
+      "Rendezvous (highest-random-weight) sharding and its resharding " +
+        "churn law — the data-placement primitive that decides WHERE " +
+        "each of 100 TB of documents lives: every doc independently " +
+        "scores each shard with a keyed hash and lands on the argmax, " +
+        "so adding a 9th shard to an 8-shard fleet moves ONLY the docs " +
+        "whose new shard's score tops their old winner — an expected " +
+        "1/9 of the corpus, every move INTO the new shard — where " +
+        "naive hash-mod-N reassigns ~8/9 of everything. The query " +
+        "computes both assignments per doc and reports, per old HRW " +
+        "shard, the doc count and how many move under each scheme; " +
+        "hrw_moved == hrw_to_new row-for-row IS the stability law, " +
+        "and the two global churn columns (integer basis points) show " +
+        "~1111 bp vs ~8889 bp. SCALE SHAPE: assignment is 9 codegen'd " +
+        "hash projections evaluated scan-side per row — no ring state, " +
+        "no lookup table, no shuffle of anything wider than the 8-key " +
+        "group column; the aggregation map-side-combines to <=8 rows " +
+        "per task. Scores pack (hash mod 2^50)*16 + shard into one " +
+        "BIGINT (max 2^54, overflow-free) so the argmax is a plain " +
+        "greatest() and hash ties break deterministically toward the " +
+        "higher shard index in BOTH engines.",
+      (s, dir) => {
+        val P50 = 1125899906842624L // 2^50
+        def score(sh: Int) =
+          (graft.functions.Portable.pmd5(
+            concat(col("doc_id").cast(StringType), lit(s"#$sh")))
+            % P50) * 16 + sh
+        val base = graft.functions.Portable.pmd5(col("doc_id").cast(StringType))
+        val perDoc = t(s, dir, "documents").select(
+          greatest((0 until 8).map(score): _*).as("old16"),
+          greatest((0 until 9).map(score): _*).as("new16"),
+          (base % 8).as("m8"), (base % 9).as("m9"))
+          .select((col("old16") % 16).as("shard"),
+            (col("new16") % 16).as("shard_new"),
+            col("m8"), col("m9"))
+        val byShard = perDoc.groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("shard_new") =!= col("shard"), 1L).otherwise(0L))
+            .as("hrw_moved"),
+          sum(when(col("shard_new") === 8 && col("shard_new") =!= col("shard"),
+            1L).otherwise(0L)).as("hrw_to_new"),
+          sum(when(col("m8") =!= col("m9"), 1L).otherwise(0L)).as("mod_moved"))
+        val tot = byShard.agg(sum(col("n_docs")).as("total_docs"),
+          sum(col("hrw_moved")).as("hm"), sum(col("mod_moved")).as("mm"))
+        byShard.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("hrw_moved"),
+            col("hrw_to_new"), col("mod_moved"), col("total_docs"),
+            expr("hm * 10000 div total_docs").as("hrw_churn_bp"),
+            expr("mm * 10000 div total_docs").as("mod_churn_bp"))
+      },
+      Some {
+        def scoreSql(sh: Int) =
+          s"(${graft.functions.Portable.pmd5Sql(
+            s"concat(CAST(doc_id AS VARCHAR), '#$sh')")} % 1125899906842624) * 16 + $sh"
+        val baseSql = graft.functions.Portable.pmd5Sql("CAST(doc_id AS VARCHAR)")
+        s"""
+        WITH perdoc AS (
+          SELECT greatest(${(0 until 8).map(scoreSql).mkString(",\n                          ")}) % 16 AS shard,
+                 greatest(${(0 until 9).map(scoreSql).mkString(",\n                          ")}) % 16 AS shard_new,
+                 $baseSql % 8 AS m8,
+                 $baseSql % 9 AS m9
+          FROM documents),
+        byshard AS (
+          SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN shard_new <> shard THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+                 CAST(sum(CASE WHEN shard_new = 8 AND shard_new <> shard THEN 1 ELSE 0 END) AS BIGINT) AS hrw_to_new,
+                 CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+          FROM perdoc GROUP BY shard),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+                 CAST(sum(hrw_moved) AS BIGINT) AS hm,
+                 CAST(sum(mod_moved) AS BIGINT) AS mm
+          FROM byshard)
+        SELECT shard, n_docs, hrw_moved, hrw_to_new, mod_moved, total_docs,
+               hm * 10000 // total_docs AS hrw_churn_bp,
+               mm * 10000 // total_docs AS mod_churn_bp
+        FROM byshard CROSS JOIN tot"""
+      })
   )
 }

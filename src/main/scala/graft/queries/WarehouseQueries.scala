@@ -1727,6 +1727,68 @@ object WarehouseQueries {
         SELECT check_name, n_checked, n_violations,
                CASE WHEN n_violations = 0 THEN CAST(1 AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END AS passed
-        FROM r"""))
+        FROM r""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q232_correlated_sample",
+      "Correlated (universe) sampling for join-cardinality estimation " +
+        "— the AQP/join-synopsis primitive: sample customer AND orders " +
+        "with the SAME hash predicate on the JOIN KEY (keep custkey " +
+        "iff pmd5(key) mod 20 = 0), so a sampled order's customer is " +
+        "in the sample BY CONSTRUCTION and the joined sample is a " +
+        "full-fidelity 1/20 universe of the true join — scaling its " +
+        "per-segment counts by 20 estimates the full join, where " +
+        "INDEPENDENT Bernoulli samples of each side would survive " +
+        "jointly at p^2 = 1/400 and estimate from ~25x fewer pairs " +
+        "(the variance difference that makes correlated sampling the " +
+        "textbook choice for foreign-key joins). The query reports, " +
+        "per market segment, the sampled join count, the x20 " +
+        "estimate, the exact count, and the signed error in basis " +
+        "points — an accuracy DATASHEET the optimizer's cost model " +
+        "can read. SCALE SHAPE: the sampling predicate is a codegen'd " +
+        "hash filter evaluated scan-side on EACH table independently " +
+        "(no coordination, no pre-join, pushes below the exchange), " +
+        "so the synopsis build reads 100 TB but shuffles 5% of it; " +
+        "the exact branch exists only because the oracle must " +
+        "adjudicate the estimate at test scale.",
+      (s, dir) => {
+        val keep = (c: org.apache.spark.sql.Column) =>
+          Portable.pmd5(c.cast(StringType)) % 20 === 0
+        val cS = t(s, dir, "customer").where(keep(col("c_custkey")))
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val oS = t(s, dir, "orders").where(keep(col("o_custkey")))
+          .select(col("o_custkey"))
+        val est = cS.join(oS, col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("sample_cnt"))
+          .withColumn("est_cnt", col("sample_cnt") * 20)
+        val exact = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .join(t(s, dir, "orders").select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("exact_cnt"))
+        est.join(exact, Seq("c_mktsegment"))
+          .select(col("c_mktsegment"), col("sample_cnt"), col("est_cnt"),
+            col("exact_cnt"),
+            expr("(est_cnt - exact_cnt) * 10000 div exact_cnt").as("err_bp"))
+      },
+      Some(s"""
+        WITH cs AS (
+          SELECT c_custkey, c_mktsegment FROM customer
+          WHERE ${Portable.pmd5Sql("CAST(c_custkey AS VARCHAR)")} % 20 = 0),
+        os AS (
+          SELECT o_custkey FROM orders
+          WHERE ${Portable.pmd5Sql("CAST(o_custkey AS VARCHAR)")} % 20 = 0),
+        est AS (
+          SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS sample_cnt,
+                 CAST(count(*) * 20 AS BIGINT) AS est_cnt
+          FROM cs JOIN os ON c_custkey = o_custkey
+          GROUP BY c_mktsegment),
+        exact AS (
+          SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_mktsegment)
+        SELECT est.c_mktsegment, sample_cnt, est_cnt, exact_cnt,
+               (est_cnt - exact_cnt) * 10000 // exact_cnt AS err_bp
+        FROM est JOIN exact ON est.c_mktsegment = exact.c_mktsegment"""))
   )
 }
