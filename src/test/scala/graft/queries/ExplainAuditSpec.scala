@@ -170,6 +170,14 @@ class ExplainAuditSpec extends SparkSpec {
         case _: LocalTableScanExec => true
         // spark.range(k) with a plan-time-constant k (seed frames)
         case r: RangeExec => r.numElements <= 1024
+        // orderBy(...).limit(k) plans as TakeOrderedAndProject — the
+        // limit is a plan-time constant, so the frame is <= k rows by
+        // construction (q229's greedy argmax broadcasts a 1-row frame
+        // this way); same proof for the plain limit operators
+        case tk: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+          tk.limit <= 1024
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l.limit <= 1024
+        case l: org.apache.spark.sql.execution.CollectLimitExec => l.limit <= 1024
         // a reused broadcast is as tiny as the exchange it reuses —
         // ReusedExchangeExec is a leaf, so recurse into the original
         case r: ReusedExchangeExec => provablyTiny(r.child)
