@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{Pmd5Hash60, RewriteSortedIntersect, SimHash60, SortedIntersectSize}
+import graft.expressions.{HilbertIndex32, Pmd5Hash60, RewriteSortedIntersect, SimHash60, SortedIntersectSize}
 
 /** Session-extension entry point: makes the engine's native expressions
   * available as SQL functions in ANY session configured with
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert32"),
+      new ExpressionInfo(classOf[HilbertIndex32].getName, "hilbert32"),
+      (children: Seq[Expression]) => HilbertIndex32(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("pmd5_60"),
       new ExpressionInfo(classOf[Pmd5Hash60].getName, "pmd5_60"),

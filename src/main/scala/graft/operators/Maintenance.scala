@@ -146,32 +146,68 @@ object Maintenance {
   def zorderWrite(df: DataFrame, dimA: org.apache.spark.sql.Column,
       dimB: org.apache.spark.sql.Column, outDir: String, nFiles: Int): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val stats = df.agg(
-      min(dimA.cast("long")).as("__z_amin"), max(dimA.cast("long")).as("__z_amax"),
-      min(dimB.cast("long")).as("__z_bmin"), max(dimB.cast("long")).as("__z_bmax"))
-    // exact-integer bucket: ((v - lo) * 65535) div max(1, hi - lo),
-    // the product in DECIMAL(38,0) (never wraps; `div` on decimals is
-    // exact integral division, no rounded-double floor)
-    def scale16(vCol: String, lo: String, hi: String) =
-      expr(s"CAST(($vCol - $lo) AS DECIMAL(38,0)) * 65535" +
-        s" div greatest(CAST(1 AS BIGINT), $hi - $lo)")
-    val scaled = df.crossJoin(broadcast(stats))
-      .withColumn("__z_va", dimA.cast("long"))
-      .withColumn("__z_vb", dimB.cast("long"))
-      .withColumn("__z_a", scale16("__z_va", "__z_amin", "__z_amax"))
-      .withColumn("__z_b", scale16("__z_vb", "__z_bmin", "__z_bmax"))
+    val scaled = withScaled16(df, dimA, dimB)
     val z = (0 until 16).map { i =>
       shiftleft(shiftrightunsigned(col("__z_a"), i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(
           shiftleft(shiftrightunsigned(col("__z_b"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_.bitwiseOR(_))
-    scaled.withColumn("__z", z)
+    writeCurveOrdered(scaled, z, outDir, nFiles)
+  }
+
+  /** Hilbert-curve clustered rewrite — [[zorderWrite]]'s layout with the
+    * continuous curve: consecutive curve positions are always grid
+    * NEIGHBORS, so a run of positions (= one output file) has a compact
+    * bounding box, where the Z curve's power-of-two jumps stretch some
+    * files' min/max boxes across the domain and those files survive
+    * every manifest prune. Same exact-integer 16-bit scaling, same
+    * range-partitioned write; the curve index is the engine's native
+    * codegen expression ([[graft.expressions.HilbertIndex32]]), so the
+    * rewrite stays whole-stage-codegen'd scan-to-exchange. HilbertSpec
+    * measures the box-query file-skip win over the z-order layout; the
+    * same parquet stats caveat as zorderWrite applies (store timestamp
+    * dims as TZ micros or epoch longs). */
+  def hilbertWrite(df: DataFrame, dimA: org.apache.spark.sql.Column,
+      dimB: org.apache.spark.sql.Column, outDir: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val scaled = withScaled16(df, dimA, dimB)
+    val h = graft.expressions.HilbertIndex32(df.sparkSession,
+      col("__z_a").cast("long"), col("__z_b").cast("long"))
+    writeCurveOrdered(scaled, h, outDir, nFiles)
+  }
+
+  /** Scale two long-castable dims to [0, 65535] against their global
+    * min/max: exact-integer bucket ((v - lo) * 65535) div max(1, hi-lo),
+    * the product in DECIMAL(38,0) (never wraps; `div` on decimals is
+    * exact integral division, no rounded-double floor). The stats frame
+    * is ONE row, broadcast — planner metadata, not a data shuffle.
+    * Appends __z_a / __z_b plus the raw/stat scratch columns that
+    * [[writeCurveOrdered]] drops before writing. */
+  private def withScaled16(df: DataFrame, dimA: org.apache.spark.sql.Column,
+      dimB: org.apache.spark.sql.Column): DataFrame = {
+    val stats = df.agg(
+      min(dimA.cast("long")).as("__z_amin"), max(dimA.cast("long")).as("__z_amax"),
+      min(dimB.cast("long")).as("__z_bmin"), max(dimB.cast("long")).as("__z_bmax"))
+    def scale16(vCol: String, lo: String, hi: String) =
+      expr(s"CAST(($vCol - $lo) AS DECIMAL(38,0)) * 65535" +
+        s" div greatest(CAST(1 AS BIGINT), $hi - $lo)")
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z_va", dimA.cast("long"))
+      .withColumn("__z_vb", dimB.cast("long"))
+      .withColumn("__z_a", scale16("__z_va", "__z_amin", "__z_amax"))
+      .withColumn("__z_b", scale16("__z_vb", "__z_bmin", "__z_bmax"))
+  }
+
+  /** Range-partition on the curve index, sort within partitions, drop
+    * the scratch columns, write. One shuffle sized by nFiles. */
+  private def writeCurveOrdered(scaled: DataFrame,
+      curve: org.apache.spark.sql.Column, outDir: String, nFiles: Int): Unit =
+    scaled.withColumn("__z", curve)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z", "__z_a", "__z_b", "__z_va", "__z_vb",
         "__z_amin", "__z_amax", "__z_bmin", "__z_bmax")
       .write.mode(SaveMode.Overwrite).parquet(outDir)
-  }
 
   /** Per-file min/max manifest over long-valued columns — file-level
     * data skipping, the layer Spark itself does not provide: parquet

@@ -892,6 +892,97 @@ object CurationQueries {
         FROM p1
         UNION ALL
         SELECT CAST(2 AS BIGINT), p2.doc_id, p2.gain, p1.gain + p2.gain
-        FROM p2, p1"""))
+        FROM p2, p1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q233_hilbert_locality",
+      "Hilbert-curve clustering datasheet over orders' (custkey, " +
+        "order-day) plane: scale both dims to 16 bits against their " +
+        "global min/max (exact integer arithmetic, the q114 z-order " +
+        "scaling), map each order to its position on the order-16 " +
+        "Hilbert curve with the engine's native codegen expression, " +
+        "cut the curve into 256 equal position ranges (= the file " +
+        "boundaries a curve-ordered rewrite would draw), and report " +
+        "each range's row count and raw-dimension bounding box — the " +
+        "min/max manifest a curve-clustered layout ships, whose " +
+        "per-file tightness IS the data-skipping win (the curve's " +
+        "continuity keeps consecutive positions grid-adjacent, so " +
+        "boxes stay compact where the Z curve's power-of-two jumps " +
+        "stretch them; HilbertSpec measures the file-skip difference " +
+        "on the written layouts). SCALE SHAPE: one 1-row min/max " +
+        "broadcast, then the curve index is a scan-stage projection " +
+        "(one codegen'd expression node — the 16-round rotation loop " +
+        "cannot be composed Column arithmetic without 16 chained " +
+        "projections or an exponential expression tree) and the " +
+        "roll-up map-side-combines to <=256 rows per task. The oracle " +
+        "states the SAME rounds as 16 chained CTE steps, so the hash " +
+        "match proves the native expression against a from-first-" +
+        "principles SQL spelling of the public xy2d algorithm.",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey").as("xv"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast(LongType).as("yv"))
+        val st = o.agg(min(col("xv")).as("xmin"), max(col("xv")).as("xmax"),
+          min(col("yv")).as("ymin"), max(col("yv")).as("ymax"))
+        def scale(v: String, lo: String, hi: String) =
+          expr(s"CAST(CAST(($v - $lo) AS DECIMAL(38,0)) * 65535" +
+            s" div greatest(CAST(1 AS BIGINT), $hi - $lo) AS BIGINT)")
+        val h = o.crossJoin(broadcast(st))
+          .withColumn("sx", scale("xv", "xmin", "xmax"))
+          .withColumn("sy", scale("yv", "ymin", "ymax"))
+          .withColumn("h", graft.expressions.HilbertIndex32(s,
+            col("sx"), col("sy")))
+        h.withColumn("bucket", expr("h div 16777216"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("xv")).as("cust_min"), max(col("xv")).as("cust_max"),
+            min(col("yv")).as("day_min"), max(col("yv")).as("day_max"))
+      },
+      Some {
+        // the 16 xy2d rounds as chained CTE steps: each step reads the
+        // PREVIOUS step's (hx, hy, hd) — references inside one SELECT
+        // see the input row, so the rotation uses the pre-round values
+        // exactly as the native expression does
+        val rounds = (0 until 16).map { i =>
+          val sBit = 1L << (15 - i)
+          val prev = if (i == 0) "h0" else s"r${i - 1}"
+          s"""r$i AS (
+          SELECT xv, yv,
+                 CASE WHEN (hy & $sBit) != 0 THEN hx
+                      WHEN (hx & $sBit) != 0 THEN ${sBit - 1} - hy
+                      ELSE hy END AS hx,
+                 CASE WHEN (hy & $sBit) != 0 THEN hy
+                      WHEN (hx & $sBit) != 0 THEN ${sBit - 1} - hx
+                      ELSE hx END AS hy,
+                 hd + CAST(${sBit * sBit} AS BIGINT) * xor(
+                   CASE WHEN (hx & $sBit) != 0 THEN 3 ELSE 0 END,
+                   CASE WHEN (hy & $sBit) != 0 THEN 1 ELSE 0 END) AS hd
+          FROM $prev)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH o AS (
+          SELECT o_custkey AS xv,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS BIGINT) AS yv
+          FROM orders),
+        st AS (
+          SELECT min(xv) AS xmin, max(xv) AS xmax,
+                 min(yv) AS ymin, max(yv) AS ymax
+          FROM o),
+        h0 AS (
+          SELECT xv, yv,
+                 CAST(CAST((xv - xmin) AS HUGEINT) * 65535
+                      // greatest(1, xmax - xmin) AS BIGINT) AS hx,
+                 CAST(CAST((yv - ymin) AS HUGEINT) * 65535
+                      // greatest(1, ymax - ymin) AS BIGINT) AS hy,
+                 CAST(0 AS BIGINT) AS hd
+          FROM o CROSS JOIN st),
+        $rounds
+        SELECT hd // 16777216 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               min(xv) AS cust_min, max(xv) AS cust_max,
+               min(yv) AS day_min, max(yv) AS day_max
+        FROM r15 GROUP BY 1"""
+      })
   )
 }
