@@ -27,6 +27,15 @@ object TextQueries {
   private val stop = TA.EnMarkers
   private val stopListSql = s"[${stop.map(m => s"'$m'").mkString(", ")}]"
 
+  // q234 RAKE stoplist: the classic function words present in the
+  // synthetic vocabulary plus a few high-frequency content words so
+  // candidate runs break often enough to form phrase-sized units (the
+  // corpus is single-register word soup; a pure function-word list
+  // would leave near-document-length runs)
+  private val RAKE_STOP: Seq[String] =
+    TA.EnMarkers ++ Seq("join", "hash", "row", "batch", "scan")
+  private val RAKE_STOP_SQL = RAKE_STOP.map(w => s"'$w'").mkString(", ")
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -533,6 +542,88 @@ object TextQueries {
                  // count(*) AS nll2_milli
         FROM pr LEFT JOIN uni USING (w1) LEFT JOIN bi USING (w1, w2)
         WHERE half = 1
-        GROUP BY source"""))
+        GROUP BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q234_rake_keywords",
+      "RAKE keyword extraction (Rose et al. 2010): candidate phrases " +
+        "are the maximal token runs between stopwords, each word " +
+        "scores degree/frequency (degree = total length of phrases " +
+        "containing it, frequency = its occurrence count — both over " +
+        "the WHOLE corpus), and a phrase scores the sum of its member " +
+        "words' scores; output is the top-20 distinct phrases. Word " +
+        "scores are integer basis points (deg x 10000 div freq), so " +
+        "phrase scores are exact integer sums and the top-20 rides a " +
+        "total order (score, occurrences, phrase text). Phrase " +
+        "segmentation is the sessionization trick: a running count of " +
+        "stopwords keys each token to its run — one doc-partitioned " +
+        "window, no self-join; phrase text reassembles with the " +
+        "ordered-fold idiom (sort collected (idx, tok) structs — " +
+        "collect_list alone has no order contract). SCALE SHAPE: " +
+        "windows and groupBys key on (doc_id, run) — high cardinality " +
+        "— the word-score join moves only (word, 2 longs) pairs, and " +
+        "the final distinct-phrase roll-up shuffles phrase strings " +
+        "whose length the stopword density bounds.",
+      (s, dir) => {
+        val toks = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
+          .withColumn("is_stop", col("tok").isin(RAKE_STOP: _*))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("idx"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val runs = toks
+          .withColumn("run", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+          .where(!col("is_stop"))
+        val phrases = runs.groupBy(col("doc_id"), col("run"))
+          .agg(count(lit(1)).as("plen"),
+            array_join(transform(array_sort(collect_list(struct(col("idx"),
+              col("tok")))), x => x.getField("tok")), " ").as("phrase"))
+        val wordStats = runs.join(phrases, Seq("doc_id", "run"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+          .withColumn("wscore_bp", expr("deg * 10000 div freq"))
+        val scored = runs.join(wordStats.select(col("tok"), col("wscore_bp")), "tok")
+          .groupBy(col("doc_id"), col("run"))
+          .agg(sum(col("wscore_bp")).as("pscore"))
+        phrases.join(scored, Seq("doc_id", "run"))
+          .groupBy(col("phrase"))
+          .agg(count(lit(1)).as("n_occ"), max(col("pscore")).as("score_bp"))
+          .orderBy(col("score_bp").desc, col("n_occ").desc, col("phrase"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, i AS idx, arr[i] AS tok,
+                 CASE WHEN arr[i] IN ($RAKE_STOP_SQL) THEN 1 ELSE 0 END AS is_stop
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+               unnest(generate_series(1, len(arr))) u(i)),
+        runs AS (
+          SELECT doc_id, idx, tok,
+                 sum(is_stop) OVER (PARTITION BY doc_id ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM toks
+          QUALIFY is_stop = 0),
+        phrases AS (
+          SELECT doc_id, run, CAST(count(*) AS BIGINT) AS plen,
+                 string_agg(tok, ' ' ORDER BY idx) AS phrase
+          FROM runs GROUP BY doc_id, run),
+        wordstats AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(plen) AS BIGINT) AS deg
+          FROM runs JOIN phrases USING (doc_id, run)
+          GROUP BY tok),
+        scored AS (
+          SELECT doc_id, run,
+                 CAST(sum(deg * 10000 // freq) AS BIGINT) AS pscore
+          FROM runs JOIN wordstats USING (tok)
+          GROUP BY doc_id, run)
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(max(pscore) AS BIGINT) AS score_bp
+        FROM phrases JOIN scored USING (doc_id, run)
+        GROUP BY phrase
+        ORDER BY score_bp DESC, n_occ DESC, phrase
+        LIMIT 20"""))
   )
 }
