@@ -913,4 +913,87 @@ object EventsStream {
           }
       }
   }
+
+  case class AttrState(pending: List[PendEv], touches: List[PendEv])
+  case class AttrOut(user_id: Long, conv_event_id: Long, touch_event_id: Long,
+      touch_type: String, pos: Long, n_touches: Long, credit_bp: Long)
+
+  /** Streaming U-shaped multi-touch attribution — the incremental twin
+    * of batch q231: per user, non-purchase events buffer as the open
+    * conversion segment's touches, and the moment a purchase CLOSES
+    * (watermark-proven: nothing earlier can still arrive) it emits one
+    * row per buffered touch with the exact q231 credit split — 10000 bp
+    * for a lone touch, 5000/5000 for two, 40/20/40 with the integer
+    * remainder to the earliest middles otherwise — then resets the
+    * segment. Credits for a conversion therefore appear EXACTLY ONCE,
+    * in one batch, summing to 10000; replay order cannot change them
+    * because events process in (ts, event_id) order under the
+    * transitionStream watermark-buffer discipline. Touches after a
+    * user's final purchase are never emitted — q231's exclusion.
+    *
+    * State per user = the open segment's touches plus the watermark
+    * buffer. `attributionWindow` (an event-time duration, micros) is
+    * the production bound: touches older than purchase-time minus the
+    * window take no credit, and a buffered touch EXPIRES from state
+    * once the watermark proves every future purchase would ignore it —
+    * so state holds at most one window of touches per user however
+    * long the stream runs. The default (Long.MaxValue) disables the
+    * window for exact q231 equivalence, which attributes the whole
+    * segment; AttributionStreamSpec covers both modes. */
+  def attributionStream(events: Dataset[Event],
+      watermarkDelay: String = "2 hours",
+      attributionWindowUs: Long = Long.MaxValue)(
+      implicit outEnc: org.apache.spark.sql.Encoder[AttrOut],
+      stEnc: org.apache.spark.sql.Encoder[AttrState]): Dataset[AttrOut] = {
+    val streaming = events.isStreaming
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[AttrState]) =>
+          val st = state.getOption.getOrElse(AttrState(Nil, Nil))
+          val all = (st.pending ++
+            batch.map(e => PendEv(e.ts, e.event_id, e.event_type)))
+            .sortBy(e => (micros(e.ts), e.event_id))
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          val (closed, open) = all.partition(e => micros(e.ts) < wmUs)
+          var touches = st.touches
+          val outs = scala.collection.mutable.ListBuffer[AttrOut]()
+          closed.foreach { e =>
+            if (e.event_type != "purchase") touches = touches :+ e
+            else {
+              val cutoff =
+                if (attributionWindowUs == Long.MaxValue) Long.MinValue
+                else micros(e.ts) - attributionWindowUs
+              val credited = touches.filter(t => micros(t.ts) >= cutoff)
+              val n = credited.size.toLong
+              credited.zipWithIndex.foreach { case (t, i) =>
+                val pos = i + 1L
+                val bp =
+                  if (n == 1) 10000L
+                  else if (n == 2) 5000L
+                  else if (pos == 1 || pos == n) 4000L
+                  else 2000L / (n - 2) + (if (pos - 1 <= 2000L % (n - 2)) 1L else 0L)
+                outs += AttrOut(uid, e.event_id, t.event_id, t.event_type,
+                  pos, n, bp)
+              }
+              touches = Nil
+            }
+          }
+          // window expiry: once wm > touch_ts + window, every future
+          // purchase's cutoff already excludes the touch — drop it
+          val alive =
+            if (attributionWindowUs == Long.MaxValue || wmUs == Long.MaxValue)
+              touches
+            else touches.filter(t => micros(t.ts) + attributionWindowUs >= wmUs)
+          state.update(AttrState(open, alive))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(micros(open.head.ts) / 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+          outs.iterator
+      }
+  }
 }

@@ -823,4 +823,87 @@ class StreamingSpec extends SparkSpec {
       assert(b(k) == v, s"bar $k diverged: stream $v vs batch ${b(k)}")
     }
   }
+
+  test("streaming attribution: batch mode aggregates exactly to q231") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val outs = EventsStream.attributionStream(events).collect()
+    // per-conversion law: credits sum to exactly 10000
+    outs.groupBy(_.conv_event_id).foreach { case (c, rows) =>
+      assert(rows.map(_.credit_bp).sum == 10000L, s"conv $c credits != 10000")
+    }
+    val got = outs.groupBy(_.touch_type).view.mapValues { rows =>
+      (rows.size.toLong,
+        rows.count(_.pos == 1L).toLong,
+        rows.count(r => r.pos == r.n_touches).toLong,
+        rows.map(_.conv_event_id).distinct.size.toLong,
+        rows.map(_.credit_bp).sum)
+    }.toMap
+    val want = graft.queries.AdvancedQueries.all
+      .find(_.name == "q231_touch_attribution").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("n_first"),
+          r.getAs[Long]("n_last"), r.getAs[Long]("n_convs_touched"),
+          r.getAs[Long]("credit_bp_total"))).toMap
+    assert(got == want, "batch-mode stream must aggregate to the q231 rows")
+  }
+
+  test("streaming attribution: emitted conversions are complete and batch-identical") {
+    import spark.implicits._
+    val stream = EventsStream.readStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val q = EventsStream.attributionStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "attribution stream did not finish in 120 s")
+    val got = spark.table("attr_out").collect()
+      .map(r => (r.getAs[Long]("conv_event_id"), r.getAs[Long]("touch_event_id"),
+        r.getAs[Long]("pos"), r.getAs[Long]("n_touches"), r.getAs[Long]("credit_bp")))
+    assert(got.nonEmpty, "the watermark must close some conversions")
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val batch = EventsStream.attributionStream(events).collect()
+      .map(r => (r.conv_event_id, r.touch_event_id, r.pos, r.n_touches, r.credit_bp))
+      .toSet
+    assert(got.toSet.subsetOf(batch),
+      "every emitted credit row must be one batch mode produces")
+    // a conversion either emits ALL its rows or none — credits are atomic
+    got.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.map(_._5).sum == 10000L, s"conv $c emitted partial credits")
+    }
+  }
+
+  test("streaming attribution: the window caps credited touches and bounds state") {
+    import spark.implicits._
+    val events = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val windowUs = 3600000000L // 1 hour
+    val outs = EventsStream
+      .attributionStream(events, attributionWindowUs = windowUs).collect()
+    val convTs = events.filter(col("event_type") === "purchase")
+      .collect().map(e => e.event_id ->
+        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L))
+      .toMap
+    val touchTs = events.collect().map(e => e.event_id ->
+      (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L))
+      .toMap
+    assert(outs.nonEmpty)
+    outs.foreach { o =>
+      assert(convTs(o.conv_event_id) - touchTs(o.touch_event_id) <= windowUs,
+        s"credited touch ${o.touch_event_id} is outside the window")
+    }
+    // the law still holds over the surviving touches
+    outs.groupBy(_.conv_event_id).foreach { case (c, rows) =>
+      assert(rows.map(_.credit_bp).sum == 10000L, s"conv $c credits != 10000")
+    }
+    // unwindowed run credits at least as many touches
+    val unwindowed = EventsStream.attributionStream(events).collect()
+    assert(outs.length <= unwindowed.length)
+  }
 }
