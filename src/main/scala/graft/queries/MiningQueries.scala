@@ -20,6 +20,17 @@ import graft.queries.Tables.{spread, t}
   */
 object MiningQueries {
 
+  /** q236: bootstrap replicate count (columns, not rows — see doc). */
+  private val BOOT_B = 32
+
+  /** q236: cumulative Poisson(1) CDF in exact integer parts-per-1e6
+    * (floor of e^-1 * (1 + 1 + 1/2! + ...) * 1e6): a keyed-hash
+    * uniform u in [0, 1e6) maps to weight k = first index with
+    * u < cum[k], else 8. Literals, so both engines share the exact
+    * same inverse-CDF table — no transcendental evaluation per row. */
+  private val BOOT_CUM = Seq(367879L, 735758L, 919698L, 981011L,
+    996340L, 999405L, 999916L, 999989L)
+
   /** q162: BFS depth bound. Fixed at plan time — the loop unrolls into
     * a 3-deep dag, so no checkpoint machinery is needed (contrast the
     * data-dependent iteration in Dedup.connectedComponents, which
@@ -1106,6 +1117,162 @@ object MiningQueries {
           ORDER BY n DESC, path LIMIT 20)
         SELECT path, n,
                CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rank
-        FROM top"""))
+        FROM top""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q235_chi2_independence",
+      "Chi-square test of independence over the (lang, source) " +
+        "contingency table — the stratification audit that answers " +
+        "'is language balance the same across sources?' before a " +
+        "mixture recipe trusts per-source sampling: every cell " +
+        "(INCLUDING zero-observed combinations — omitting them " +
+        "understates the statistic, so the cell frame is the cross of " +
+        "the two margins) reports observed count, both margins and " +
+        "its scaled contribution ((O*N - R*C)^2 * 10000) div " +
+        "(N*R*C) — the classic (O-E)^2/E term cross-multiplied into " +
+        "exact integer arithmetic, products in DECIMAL(38,0), whose " +
+        "38 digits absorb the (O*N - R*C)^2 term to corpora of ~1e8 " +
+        "rows (it needs ~4*log10(N) digits; past that, compute on " +
+        "proportionally down-scaled margin counts) — plus the " +
+        "statistic as the " +
+        "sum of the floored terms (the deterministic integer " +
+        "rendition both engines state identically; floor-then-sum, " +
+        "NOT sum-then-floor). SCALE SHAPE: one count per margin and " +
+        "one per cell — three map-side-combined aggregations over the " +
+        "corpus — then all arithmetic runs on the margins-sized cell " +
+        "frame; the cell cross joins two bounded margin frames on a " +
+        "constant key (a broadcast HASH join, never a cartesian).",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val obs = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o_cnt"))
+        val rm = d.groupBy(col("lang")).agg(count(lit(1)).as("r_cnt"))
+          .withColumn("k", lit(1))
+        val cm = d.groupBy(col("source")).agg(count(lit(1)).as("c_cnt"))
+          .withColumn("k", lit(1))
+        val n = d.agg(count(lit(1)).as("n_tot"))
+        val cells = rm.join(cm, "k").drop("k")
+          .join(obs, Seq("lang", "source"), "left")
+          .na.fill(0L, Seq("o_cnt"))
+          .crossJoin(broadcast(n))
+          .withColumn("dv", expr(
+            "CAST(o_cnt AS DECIMAL(38,0)) * n_tot" +
+              " - CAST(r_cnt AS DECIMAL(38,0)) * c_cnt"))
+          .withColumn("term_e4", expr(
+            "CAST(dv * dv * 10000" +
+              " div (CAST(n_tot AS DECIMAL(38,0)) * r_cnt * c_cnt)" +
+              " AS BIGINT)"))
+          .drop("dv")
+        val tot = cells.agg(sum(col("term_e4")).as("chi2_e4"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("lang"), col("source"), col("o_cnt"), col("r_cnt"),
+            col("c_cnt"), col("n_tot"), col("term_e4"), col("chi2_e4"))
+      },
+      Some("""
+        WITH rm AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS r_cnt FROM documents GROUP BY 1),
+        cm AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS c_cnt FROM documents GROUP BY 1),
+        obs AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS o_cnt
+          FROM documents GROUP BY 1, 2),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+        cells AS (
+          SELECT rm.lang, cm.source, coalesce(o_cnt, 0) AS o_cnt,
+                 r_cnt, c_cnt, n_tot,
+                 CAST((CAST(coalesce(o_cnt, 0) AS HUGEINT) * n_tot
+                        - CAST(r_cnt AS HUGEINT) * c_cnt)
+                      * (CAST(coalesce(o_cnt, 0) AS HUGEINT) * n_tot
+                        - CAST(r_cnt AS HUGEINT) * c_cnt)
+                      * 10000 // (CAST(n_tot AS HUGEINT) * r_cnt * c_cnt)
+                      AS BIGINT) AS term_e4
+          FROM rm CROSS JOIN cm CROSS JOIN n
+          LEFT JOIN obs ON obs.lang = rm.lang AND obs.source = cm.source),
+        tot AS (SELECT CAST(sum(term_e4) AS BIGINT) AS chi2_e4 FROM cells)
+        SELECT lang, source, o_cnt, r_cnt, c_cnt, n_tot, term_e4, chi2_e4
+        FROM cells CROSS JOIN tot""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q236_poisson_bootstrap",
+      s"Poisson bootstrap of the per-priority mean order value — the " +
+        s"resampling scheme that works at 100 TB because classic " +
+        s"bootstrap (sample n WITH replacement) needs a global draw, " +
+        s"while Poisson(1) weights are PER-ROW independent: each of " +
+        s"$BOOT_B replicates weighs every order by an iid Poisson(1) " +
+        s"count, here drawn DETERMINISTICALLY by inverse-CDF lookup " +
+        s"of a keyed hash uniform (cumulative thresholds as exact " +
+        s"integer parts-per-1e6 literals, identical in both engines). " +
+        s"Replicates are COLUMNS, not rows: the scan computes all " +
+        s"$BOOT_B weights per row and one aggregation map-side-" +
+        s"combines 2x$BOOT_B running sums — the corpus is read once " +
+        s"and never multiplied, where the explode spelling pays " +
+        s"${BOOT_B}x shuffle. Output per priority: exact n and mean " +
+        s"(milli-cents, money as DECIMAL(12,2)->cents like q228), " +
+        s"and the replicate means' envelope (min/max/spread) — the " +
+        s"uncertainty band a mixture recipe reads before trusting a " +
+        s"stratum mean. A replicate's weight sum is floored at 1 " +
+        s"(P(sum=0) < e^-n — at any real stratum size it never " +
+        s"fires, but both engines must state the same total " +
+        s"function).",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderpriority"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"), col("o_orderkey"))
+        def w(b: Int): org.apache.spark.sql.Column = {
+          val u = graft.functions.Portable.pmd5(
+            concat(col("o_orderkey").cast(StringType), lit(s"#$b"))) % 1000000L
+          // reversed fold: the SMALLEST threshold must end up outermost
+          // so the first matching WHEN wins, as in the SQL CASE chain
+          BOOT_CUM.zipWithIndex.reverse.foldLeft(lit(BOOT_CUM.size.toLong)) {
+            case (acc, (thr, k)) => when(u < thr, k.toLong).otherwise(acc)
+          }
+        }
+        val aggs = (0 until BOOT_B).flatMap { b =>
+          Seq(sum(w(b) * col("cents")).as(s"swc_$b"),
+            sum(w(b)).as(s"sw_$b"))
+        } ++ Seq(count(lit(1)).as("n_orders"), sum(col("cents")).as("sc"))
+        val g = o.groupBy(col("o_orderpriority")).agg(aggs.head, aggs.tail: _*)
+        val means = (0 until BOOT_B).map(b =>
+          expr(s"swc_$b * 1000 div greatest(1L, sw_$b)"))
+        g.select(col("o_orderpriority"), col("n_orders"),
+          expr("sc * 1000 div n_orders").as("mean_milli"),
+          least(means: _*).as("boot_min_milli"),
+          greatest(means: _*).as("boot_max_milli"),
+          (greatest(means: _*) - least(means: _*)).as("boot_spread_milli"))
+      },
+      Some {
+        def wSql(b: Int) = {
+          val u = s"(${graft.functions.Portable.pmd5Sql(
+            s"concat(CAST(o_orderkey AS VARCHAR), '#$b')")} % 1000000)"
+          "CASE " + BOOT_CUM.zipWithIndex
+            .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }
+            .mkString(" ") + s" ELSE ${BOOT_CUM.size} END"
+        }
+        val aggSql = (0 until BOOT_B).map { b =>
+          s"CAST(sum((${wSql(b)}) * cents) AS BIGINT) AS swc_$b," +
+            s" CAST(sum(${wSql(b)}) AS BIGINT) AS sw_$b"
+        }.mkString(",\n                 ")
+        val meanSql = (0 until BOOT_B)
+          .map(b => s"swc_$b * 1000 // greatest(1, sw_$b)")
+        s"""
+        WITH o AS (
+          SELECT o_orderpriority,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                 o_orderkey
+          FROM orders),
+        g AS (
+          SELECT o_orderpriority,
+                 $aggSql,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS sc
+          FROM o GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n_orders,
+               sc * 1000 // n_orders AS mean_milli,
+               least(${meanSql.mkString(", ")}) AS boot_min_milli,
+               greatest(${meanSql.mkString(", ")}) AS boot_max_milli,
+               greatest(${meanSql.mkString(", ")})
+                 - least(${meanSql.mkString(", ")}) AS boot_spread_milli
+        FROM g"""
+      })
   )
 }
