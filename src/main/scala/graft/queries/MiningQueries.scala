@@ -1146,10 +1146,15 @@ object MiningQueries {
         val d = t(s, dir, "documents")
         val obs = d.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("o_cnt"))
+        // margin cross on a derived single-valued key: `cnt % 1` is
+        // always 0 but NOT foldable (the boundedRank rationale), so
+        // the planner keeps a broadcast HASH join over the bounded
+        // margin frames instead of folding the condition away into a
+        // nested-loop cross
         val rm = d.groupBy(col("lang")).agg(count(lit(1)).as("r_cnt"))
-          .withColumn("k", lit(1))
+          .withColumn("k", col("r_cnt") % 1)
         val cm = d.groupBy(col("source")).agg(count(lit(1)).as("c_cnt"))
-          .withColumn("k", lit(1))
+          .withColumn("k", col("c_cnt") % 1)
         val n = d.agg(count(lit(1)).as("n_tot"))
         val cells = rm.join(cm, "k").drop("k")
           .join(obs, Seq("lang", "source"), "left")
