@@ -1909,6 +1909,173 @@ object AdvancedQueries {
                                   + CASE WHEN pos - 1 <= 2000 % (n - 2)
                                          THEN 1 ELSE 0 END
                         END) AS BIGINT) AS credit_bp_total
-        FROM pos GROUP BY event_type"""))
+        FROM pos GROUP BY event_type""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q237_ols_trend",
+      "Per-type least-squares value trend over time — the exact OLS " +
+        "slope/intercept from the five classic sufficient statistics " +
+        "(n, Sx, Sy, Sxx, Sxy), which are ALL plain sums: one " +
+        "map-side-combined aggregation per event type and the closed " +
+        "form runs on the types-row frame. x is the DAY INDEX " +
+        "RELATIVE to the corpus start (one 1-row min broadcast) — " +
+        "keeping x small is both numerical conditioning and what " +
+        "lets the cross-multiplied integers fit: slope = (n*Sxy - " +
+        "Sx*Sy) / (n*Sxx - Sx^2) stays exact with the products in " +
+        "DECIMAL(38,0), reported as numerator/denominator plus the " +
+        "e6-scaled quotient (milli-cents per day x 1000), and the " +
+        "intercept closes as (Sy*den - num*Sx) div (n*den) in milli-" +
+        "cents — every reported column an exact integer, no " +
+        "per-row regression library anywhere.",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("value").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+        val d0 = e.agg(min(col("day")).as("day0"))
+        val st = e.crossJoin(broadcast(d0))
+          .withColumn("x", col("day") - col("day0"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("cents")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("cents")).as("sxy"))
+        st.withColumn("num", expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+          .withColumn("den", expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+          .select(col("event_type"), col("n"), col("sx"), col("sy"),
+            col("num").cast(DecimalType(38, 0)).as("num"),
+            col("den").cast(DecimalType(38, 0)).as("den"),
+            expr("CAST(num * 1000000 div den AS BIGINT)").as("slope_e6"),
+            expr("CAST((CAST(sy AS DECIMAL(38,0)) * den - num * sx) * 1000" +
+              " div (CAST(n AS DECIMAL(38,0)) * den) AS BIGINT)")
+              .as("intercept_milli"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        d0 AS (SELECT min(day) AS day0 FROM e),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(day - day0) AS BIGINT) AS sx,
+                 CAST(sum(cents) AS BIGINT) AS sy,
+                 CAST(sum((day - day0) * (day - day0)) AS BIGINT) AS sxx,
+                 CAST(sum((day - day0) * cents) AS BIGINT) AS sxy
+          FROM e CROSS JOIN d0 GROUP BY event_type),
+        f AS (
+          SELECT event_type, n, sx, sy,
+                 CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                 CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+          FROM st)
+        SELECT event_type, n, sx, sy,
+               CAST(num AS DECIMAL(38,0)) AS num,
+               CAST(den AS DECIMAL(38,0)) AS den,
+               CAST(num * 1000000 // den AS BIGINT) AS slope_e6,
+               CAST((CAST(sy AS HUGEINT) * den - num * sx) * 1000
+                    // (CAST(n AS HUGEINT) * den) AS BIGINT) AS intercept_milli
+        FROM f""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q239_seasonal_profile",
+      "Hour-of-day seasonal decomposition per event type: the " +
+        "seasonal component is each (type, hour-of-day) cell's mean " +
+        "value (exact milli-cents, the q228 money convention), and " +
+        "the residual roll-up — mean absolute deviation of each " +
+        "event from ITS cell's seasonal mean — quantifies how much " +
+        "signal the 24-slot profile explains, per cell. Two passes " +
+        "by necessity (the residual needs the mean), but pass 2 " +
+        "joins the events to a <=types x 24-row broadcast profile — " +
+        "never a window over the raw stream — and both passes are " +
+        "map-side-combined aggregations; everything shuffled is " +
+        "(type, hod, 3 longs). All arithmetic exact: floor-division " +
+        "means in milli-cents, absolute deviations of integer " +
+        "milli-values.",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type"),
+          hour(col("ts")).cast(LongType).as("hod"),
+          (col("value").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+        val prof = e.groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+          .withColumn("seasonal_milli", expr("sc * 1000 div n"))
+        e.join(broadcast(prof), Seq("event_type", "hod"))
+          .withColumn("ad", abs(col("cents") * 1000 - col("seasonal_milli")))
+          .groupBy(col("event_type"), col("hod"), col("n"),
+            col("seasonal_milli"))
+          .agg(sum(col("ad")).as("sad"))
+          .select(col("event_type"), col("hod"), col("n"),
+            col("seasonal_milli"),
+            expr("sad div n").as("mad_resid_milli"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        prof AS (
+          SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sc,
+                 CAST(sum(cents) AS BIGINT) * 1000
+                   // CAST(count(*) AS BIGINT) AS seasonal_milli
+          FROM e GROUP BY 1, 2)
+        SELECT e.event_type, e.hod, n, seasonal_milli,
+               CAST(sum(abs(cents * 1000 - seasonal_milli)) AS BIGINT)
+                 // n AS mad_resid_milli
+        FROM e JOIN prof ON e.event_type = prof.event_type AND e.hod = prof.hod
+        GROUP BY 1, 2, 3, 4""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q240_wilson_bound",
+      "Wilson-score lower confidence bound (z = 2) on each event " +
+        "type's high-value rate — the ranking statistic that, unlike " +
+        "the raw share, cannot put a 2-of-2 stratum above a " +
+        "950-of-1000 one: small n drags the bound down. Stated " +
+        "float-free as the floor-composed form both engines evaluate " +
+        "identically: inner = (s*(n-s)*1e6) div n + 1e6 (the " +
+        "variance term e6-scaled, product in DECIMAL(38,0)), r3 = " +
+        "floor(sqrt(inner)) — sqrt of an exact integer-valued double " +
+        "is IEEE correctly rounded, the q177 convention — and " +
+        "lb_bp = ((s+2)*10000 - 20*r3) div (n+4), clamped at 0. One " +
+        "map-side-combined count pass; the formula runs on the " +
+        "types-row frame.",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type"),
+          when(col("value").cast(DecimalType(12, 2)) >= 100, 1L)
+            .otherwise(0L).as("hit"))
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("hit")).as("s"))
+          .withColumn("share_bp", expr("s * 10000 div n"))
+          .withColumn("inner6", expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * (n - s) * 1000000 div n" +
+              " AS BIGINT) + 1000000"))
+          .withColumn("r3",
+            floor(sqrt(col("inner6").cast(DoubleType))).cast(LongType))
+          .select(col("event_type"), col("n"), col("s"), col("share_bp"),
+            expr("greatest(0L, ((s + 2) * 10000 - 20 * r3) div (n + 4))")
+              .as("wilson_lb_bp"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 CASE WHEN CAST(value AS DECIMAL(12,2)) >= 100
+                      THEN 1 ELSE 0 END AS hit
+          FROM events),
+        g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(hit) AS BIGINT) AS s
+          FROM e GROUP BY 1),
+        f AS (
+          SELECT event_type, n, s, s * 10000 // n AS share_bp,
+                 CAST(CAST(s AS HUGEINT) * (n - s) * 1000000 // n AS BIGINT)
+                   + 1000000 AS inner6
+          FROM g)
+        SELECT event_type, n, s, share_bp,
+               greatest(0, ((s + 2) * 10000
+                 - 20 * CAST(floor(sqrt(CAST(inner6 AS DOUBLE))) AS BIGINT))
+                 // (n + 4)) AS wilson_lb_bp
+        FROM f"""))
   )
 }

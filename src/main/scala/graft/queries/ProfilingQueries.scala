@@ -41,6 +41,12 @@ object ProfilingQueries {
   /** q180: result rows returned. */
   private val PHRASE_K = 20
 
+  /** q238: Benford expected first-digit shares, exact basis points
+    * (floor of log10(1 + 1/d) * 1e4 for d = 1..9) — literals, so both
+    * engines share the identical table with no transcendental calls. */
+  private val BENFORD_BP = Seq(3010L, 1760L, 1249L, 969L, 791L, 669L,
+    579L, 511L, 457L)
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -617,6 +623,67 @@ object ProfilingQueries {
                hm * 10000 // total_docs AS hrw_churn_bp,
                mm * 10000 // total_docs AS mod_churn_bp
         FROM byshard CROSS JOIN tot"""
-      })
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q238_benford_audit",
+      "Benford first-digit audit of order amounts — the forensic " +
+        "data-quality screen: naturally-occurring multi-magnitude " +
+        "amounts follow P(d) = log10(1 + 1/d), and a stratum that " +
+        "departs sharply (uniform first digits, spikes at 5/9) marks " +
+        "fabricated or unit-broken data before it poisons a corpus. " +
+        "Expected shares ship as exact basis-point LITERALS (floor of " +
+        "log10(1+1/d) x 1e4 — no per-row transcendentals), the first " +
+        "digit is substr of the decimal rendering of positive integer " +
+        "cents (identical in both engines — no float formatting), and " +
+        "each digit row reports observed count, observed bp, expected " +
+        "bp, absolute gap, plus the total L1 distance in bp repeated " +
+        "per row (one 1-row broadcast). One map-side-combined count " +
+        "over the scan; all arithmetic on the 9-row digit frame. The " +
+        "synthetic amounts are uniform-ish, so the BIG distance is " +
+        "the point — the audit flags them, and the hash gate proves " +
+        "both engines compute the identical verdict.",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "orders").select(
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+          .where(col("cents") > 0)
+          .select(substring(col("cents").cast(StringType), 1, 1).as("digit"))
+        val obs = d.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val tot = obs.agg(sum(col("n_obs")).as("n_tot"))
+        val exp = BENFORD_BP.zipWithIndex
+          .map { case (bp, i) => (s"${i + 1}", bp) }
+          .toDF("digit", "expected_bp")
+        val rows = obs.crossJoin(broadcast(tot))
+          .join(broadcast(exp), "digit")
+          .withColumn("obs_bp", expr("n_obs * 10000 div n_tot"))
+          .withColumn("gap_bp", abs(col("obs_bp") - col("expected_bp")))
+        val l1 = rows.agg(sum(col("gap_bp")).as("l1_bp"))
+        rows.crossJoin(broadcast(l1))
+          .select(col("digit"), col("n_obs"), col("n_tot"), col("obs_bp"),
+            col("expected_bp"), col("gap_bp"), col("l1_bp"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                   AS BIGINT) AS VARCHAR), 1, 1) AS digit
+          FROM orders
+          WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 0),
+        obs AS (
+          SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM obs),
+        exp AS (
+          ${BENFORD_BP.zipWithIndex.map { case (bp, i) =>
+            s"SELECT '${i + 1}' AS digit, CAST($bp AS BIGINT) AS expected_bp"
+          }.mkString("\n          UNION ALL ")}),
+        rows_ AS (
+          SELECT obs.digit, n_obs, n_tot,
+                 n_obs * 10000 // n_tot AS obs_bp, expected_bp,
+                 abs(n_obs * 10000 // n_tot - expected_bp) AS gap_bp
+          FROM obs CROSS JOIN tot JOIN exp ON exp.digit = obs.digit),
+        l1 AS (SELECT CAST(sum(gap_bp) AS BIGINT) AS l1_bp FROM rows_)
+        SELECT digit, n_obs, n_tot, obs_bp, expected_bp, gap_bp, l1_bp
+        FROM rows_ CROSS JOIN l1"""))
   )
 }
