@@ -2076,6 +2076,101 @@ object AdvancedQueries {
                greatest(0, ((s + 2) * 10000
                  - 20 * CAST(floor(sqrt(CAST(inner6 AS DOUBLE))) AS BIGINT))
                  // (n + 4)) AS wilson_lb_bp
-        FROM f"""))
+        FROM f""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q241_gains_table",
+      "Cumulative gains / lift table — the targeting datasheet: rank " +
+        "users by total spend, cut into ten deciles, and report how " +
+        "fast the purchasers concentrate (decile 1's lift_bp >> " +
+        "10000 means the top spenders capture purchasers far above " +
+        "their population share). The SCALE-SHAPED decile rule: " +
+        "never a global ntile sort — user scores discretize into " +
+        "dollar buckets (cardinality bounded by the spend RANGE, not " +
+        "the user count), the bucket HISTOGRAM gets a cumulative " +
+        "count (a window over the bounded bucket frame, single-" +
+        "valued-partitioned by the boundedRank rationale), and a " +
+        "whole bucket joins its decile = (users-above * 10) div " +
+        "n + 1 — rows never leave their bucket, so the boundary rule " +
+        "is deterministic and both engines state it identically " +
+        "(ntile would split a tied bucket arbitrarily). All shares " +
+        "integer bp; the lift cross-multiplies in DECIMAL(38,0).",
+      (s, dir) => {
+        val users = t(s, dir, "events")
+          .select(col("user_id"),
+            (col("value").cast(DecimalType(12, 2)) * 100)
+              .cast(LongType).as("cents"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("cents")).as("spend"), max(col("p")).as("resp"))
+          .withColumn("bucket", expr("spend div 10000"))
+        val hist = users.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_u"), sum(col("resp")).as("n_r"))
+        val tot = hist.agg(sum(col("n_u")).as("nt_u"), sum(col("n_r")).as("nt_r"))
+        val ht = hist.crossJoin(broadcast(tot))
+        val wAbove = Window.partitionBy(col("nt_u") % 1)
+          .orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dec = ht
+          .withColumn("above", coalesce(sum(col("n_u")).over(wAbove), lit(0L)))
+          .withColumn("decile", expr("above * 10 div nt_u + 1"))
+          .groupBy(col("decile"), col("nt_u"), col("nt_r"))
+          .agg(sum(col("n_u")).as("n_users"), sum(col("n_r")).as("n_resp"))
+        val wCum = Window.partitionBy(col("nt_u") % 1)
+          .orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dec
+          .withColumn("cum_u", sum(col("n_users")).over(wCum))
+          .withColumn("cum_r", sum(col("n_resp")).over(wCum))
+          .select(col("decile"), col("n_users"), col("n_resp"),
+            expr("n_resp * 10000 div n_users").as("resp_bp"),
+            expr("cum_u * 10000 div nt_u").as("cum_users_bp"),
+            expr("cum_r * 10000 div nt_r").as("cum_resp_bp"),
+            expr("CAST(CAST(cum_r AS DECIMAL(38,0)) * nt_u * 10000" +
+              " div (CAST(nt_r AS DECIMAL(38,0)) * cum_u) AS BIGINT)")
+              .as("lift_bp"))
+      },
+      Some("""
+        WITH users AS (
+          SELECT user_id,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                      AS BIGINT) AS spend,
+                 CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS resp
+          FROM events GROUP BY user_id),
+        hist AS (
+          SELECT spend // 10000 AS bucket, CAST(count(*) AS BIGINT) AS n_u,
+                 CAST(sum(resp) AS BIGINT) AS n_r
+          FROM users GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_u) AS BIGINT) AS nt_u,
+                 CAST(sum(n_r) AS BIGINT) AS nt_r
+          FROM hist),
+        dec AS (
+          SELECT coalesce(sum(n_u) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 10 // nt_u + 1 AS decile,
+                 n_u, n_r, nt_u, nt_r
+          FROM hist CROSS JOIN tot),
+        g AS (
+          SELECT decile, nt_u, nt_r, CAST(sum(n_u) AS BIGINT) AS n_users,
+                 CAST(sum(n_r) AS BIGINT) AS n_resp
+          FROM dec GROUP BY 1, 2, 3)
+        SELECT decile, n_users, n_resp,
+               n_resp * 10000 // n_users AS resp_bp,
+               sum(n_users) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 10000 // nt_u AS cum_users_bp,
+               sum(n_resp) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 10000 // nt_r AS cum_resp_bp,
+               CAST(CAST(sum(n_resp) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS HUGEINT) * nt_u * 10000
+                    // (CAST(nt_r AS HUGEINT) * sum(n_users) OVER (
+                        ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    AS BIGINT) AS lift_bp
+        FROM g"""))
   )
 }
