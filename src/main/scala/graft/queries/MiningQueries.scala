@@ -1278,6 +1278,54 @@ object MiningQueries {
                greatest(${meanSql.mkString(", ")})
                  - least(${meanSql.mkString(", ")}) AS boot_spread_milli
         FROM g"""
-      })
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q242_symspell_join",
+      "SymSpell deletion-neighborhood similarity join: every supplier-" +
+        "name pair within edit distance 1, found by EQUI-join instead " +
+        "of comparison. Each name generates itself plus its len " +
+        "single-deletion variants; two strings within one edit share " +
+        "a variant (substitution at i: both drop position i to the " +
+        "same string; insertion/deletion: the longer one's deletion " +
+        "IS the shorter), so sharing-a-variant is a COMPLETE candidate " +
+        "generator for d <= 1 and the exact levenshtein verify runs " +
+        "only on candidates — the hash match against the oracle's " +
+        "naive all-pairs spelling proves zero recall loss. False " +
+        "candidates exist (two different deletions can collide at " +
+        "distance 2) and the verify removes them. SCALE SHAPE: the " +
+        "blocking is a plain equi-join on a bounded-length variant " +
+        "string — len+1 index rows per name, never the O(n^2) cross " +
+        "the oracle states (n=100 here, but the oracle form is " +
+        "quadratic at ANY n while the engine's candidate count tracks " +
+        "true near-duplicates); candidates dedupe on the 16-byte pair " +
+        "before the verify. The q59/q168 family's blocking schemes " +
+        "(prefix filter, sorted neighborhood) trade recall windows " +
+        "for cost — deletion neighborhoods are exact for small d, " +
+        "the spell-correction regime.",
+      (s, dir) => {
+        val names = t(s, dir, "supplier").select(col("s_name")).distinct()
+        val variants = names.select(col("s_name"),
+          explode(array_union(array(col("s_name")), expr(
+            "transform(sequence(1, length(s_name))," +
+              " i -> concat(substring(s_name, 1, i - 1)," +
+              " substring(s_name, i + 1)))"))).as("v"))
+        val cand = variants.as("a")
+          .join(variants.as("b"), col("a.v") === col("b.v")
+            && col("a.s_name") < col("b.s_name"))
+          .select(col("a.s_name").as("name_a"), col("b.s_name").as("name_b"))
+          .distinct()
+        cand.where(levenshtein(col("name_a"), col("name_b")) <= 1)
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b"))
+              .cast(LongType).as("dist"))
+      },
+      Some("""
+        SELECT a.s_name AS name_a, b.s_name AS name_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        FROM (SELECT DISTINCT s_name FROM supplier) a
+        JOIN (SELECT DISTINCT s_name FROM supplier) b
+          ON a.s_name < b.s_name
+        WHERE levenshtein(a.s_name, b.s_name) <= 1"""))
   )
 }
