@@ -48,8 +48,9 @@ object Multimodal {
   }
 
   /** Deterministic fake: "dimensions" derived from payload length,
-    * "intensity" = mean unsigned byte. A real codec plugs in here —
-    * the ??? is the honest marker for the missing native decode. */
+    * "intensity" = mean unsigned byte. Kept for scale/plumbing tests —
+    * it decodes ANY bytes, so corpus-sized runs need no real media.
+    * The REAL decode path is [[JvmCodec]]. */
   object StubCodec extends Codec {
     override def decode(kind: String, payload: Array[Byte]): Option[Decoded] = {
       if (payload == null || payload.isEmpty) None
@@ -65,9 +66,99 @@ object Multimodal {
         Some(d)
       }
     }
-    /** Entry point a real native decoder would fill in. Deliberately
-      * unimplemented: calling it states loudly that no codec is wired. */
-    def nativeDecode(bytes: Array[Byte]): Decoded = ???
+  }
+
+  /** REAL native decode on the pure JDK — no external libraries:
+    *
+    *  - image: `javax.imageio.ImageIO` (PNG / JPEG / BMP / GIF ship
+    *    with the JRE). width/height/bands from the decoded raster;
+    *    meanIntensity = mean over EVERY sample of every band (exact
+    *    double sum over integer samples).
+    *  - audio: `javax.sound.sampled.AudioSystem` (WAV / AIFF / AU).
+    *    channels/frames from the stream; meanIntensity = mean
+    *    absolute amplitude normalized to [0, 1] (16-bit signed and
+    *    8-bit unsigned PCM; other encodings -> None rather than a
+    *    wrong number).
+    *  - video: None — the JDK ships no video codec; a JavaCV/ffmpeg
+    *    binding plugs into this SAME seam (the per-batch init hook in
+    *    [[extractFeatures]] exists to amortize exactly that load).
+    *
+    * Any parse failure returns None — the per-row error-isolation
+    * contract (a corrupt file must never kill the partition).
+    * `ImageIO.setUseCache(false)` keeps decoding in-memory: the
+    * default file cache would do temp-dir I/O per image per executor
+    * thread. MultimodalJvmSpec round-trips real encoded bytes
+    * (deterministic synthetic pixels/samples) through this codec
+    * inside the batched pipeline and checks the EXACT means. */
+  object JvmCodec extends Codec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    override def decode(kind: String, payload: Array[Byte]): Option[Decoded] = {
+      if (payload == null || payload.isEmpty) return None
+      try {
+        kind match {
+          case "image" => decodeImage(payload)
+          case "audio" => decodeAudio(payload)
+          case _ => None // video: no JDK codec — see scaladoc
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    private def decodeImage(payload: Array[Byte]): Option[Decoded] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None // ImageIO signals "no reader" with null, not an exception
+      else {
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h * bands
+        Some(Decoded(w, h, bands, 1, if (n == 0) 0.0 else sum / n))
+      }
+    }
+
+    private def decodeAudio(payload: Array[Byte]): Option[Decoded] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val mean: Option[Double] =
+          if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) {
+            var sum = 0.0; var i = 0
+            while (i + 1 < data.length) {
+              val s =
+                if (fmt.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
+                else (data(i + 1) << 8) | (data(i) & 0xff)
+              sum += math.abs(s.toShort.toInt); i += 2
+            }
+            val n = data.length / 2
+            Some(if (n == 0) 0.0 else sum / n / 32768.0)
+          } else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+              && bits == 8) {
+            var sum = 0.0; var i = 0
+            while (i < data.length) { sum += math.abs((data(i) & 0xff) - 128); i += 1 }
+            Some(if (data.isEmpty) 0.0 else sum / data.length / 128.0)
+          } else None // exotic encodings: refuse rather than mis-measure
+        val frames =
+          if (in.getFrameLength >= 0) in.getFrameLength
+          else if (fmt.getFrameSize > 0) data.length.toLong / fmt.getFrameSize
+          else 0L
+        mean.map(m => Decoded(0, 0, fmt.getChannels, frames.toInt, m))
+      } finally in.close()
+    }
   }
 
   val featureSchema: StructType = StructType(Seq(

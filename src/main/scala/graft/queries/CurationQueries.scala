@@ -845,10 +845,18 @@ object CurationQueries {
         "running covered-feature total into the gate.",
       (s, dir) => {
         val w = split(col("text"), " ")
+        // persisted: the per-doc bigram-set projection is the expensive
+        // stage and the plan references it from FIVE places (both
+        // argmaxes, the covered set, and the output union's branches) —
+        // unpersisted, each reference re-runs the concat+distinct over
+        // the whole corpus (measured 14.6 s -> the cache collapses the
+        // recomputes; same contract as q197's edge persist)
+        // @note persists an internal projection; call
+        // spark.catalog.clearCache() after the terminal action
         val sets = t(s, dir, "documents").select(col("doc_id"),
           array_distinct(transform(sequence(lit(1), size(w) - 1),
             i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-            .as("ts"))
+            .as("ts")).persist()
         val p1 = sets.select(col("doc_id"),
             size(col("ts")).cast(LongType).as("gain"))
           .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
