@@ -23,7 +23,9 @@ import graft.multimodal.Multimodal.{Decoded, JvmCodec}
 class MultimodalJvmSpec extends SparkSpec {
 
   // deterministic 8x6 3-band test image; sample (x, y, b) fixed by formula
-  private val (W, H, B) = (8, 6, 3)
+  private val W = 8
+  private val H = 6
+  private val B = 3
   private def sampleAt(x: Int, y: Int, b: Int): Int = (x * 31 + y * 7 + b * 13) % 256
 
   private def testImage(): BufferedImage = {
