@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from captured stdout.
+// sbt's default forked-run logger prefixes every forwarded line with
+// "[info] ", which breaks any {-anchored JSON extraction (BENCH_r08
+// recorded parsed:null with the line fully visible in the tail). Pipe
+// the forked JVM's streams straight through instead — Bench's JSON
+// reaches the driver as a bare line starting with '{'.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,6 +13,18 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
+  /** Ascending 1..hi index array, EMPTY when hi < 1 — the guarded form
+    * of the bigram/adjacency idiom `sequence(lit(1), size(w) - 1)`.
+    * Spark's `sequence` steps DOWNWARD when stop < start, so a 1-token
+    * document would yield [1, 0] and a consuming `element_at(w, 0)`
+    * throws at runtime, where the mirrored DuckDB `range(1, len(w))`
+    * yields the empty list — a crash-vs-empty engine/oracle divergence
+    * on degenerate inputs (no harness table contains one: min doc is
+    * 10 tokens / 44 chars — this guard is the contract for corpora
+    * that do). Every adjacency-window site routes through here. */
+  def indices1(hi: Column): Column =
+    when(hi >= 1, sequence(lit(1), hi)).otherwise(array().cast("array<int>"))
+
   /** Whitespace-token count (single-space corpus). */
   def tokenCount(text: Column): Column = size(split(text, " "))
 

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * frame-sample stages that run per-partition in bounded-size batches.
   *
   * The Spark-side mechanics (schema, batching, partition preservation,
-  * column pruning before the expensive stage) are real and tested. The
-  * codec itself is a STUB: this container ships no image/audio
-  * libraries, so [[StubCodec]] produces deterministic fake decodes with
-  * the same interface a real codec (JavaCV/TwelveMonkeys/ffmpeg) would
-  * have. Swap `Codec` implementations to go live; nothing else changes.
+  * column pruning before the expensive stage) are real and tested, and
+  * so is the default decode path: [[JvmCodec]] decodes images
+  * (ImageIO), PCM audio (AudioSystem) and MJPEG-in-AVI video (RIFF
+  * walk + per-frame ImageIO) on the pure JDK. [[StubCodec]] remains
+  * for scale/plumbing tests (it decodes ANY bytes deterministically);
+  * richer codecs (MP4/H.264, CLIP embeddings) swap in at the same
+  * `Codec` seam without touching the pipeline.
   */
 object Multimodal {
 
@@ -79,17 +81,27 @@ object Multimodal {
     *    absolute amplitude normalized to [0, 1] (16-bit signed and
     *    8-bit unsigned PCM; other encodings -> None rather than a
     *    wrong number).
-    *  - video: None — the JDK ships no video codec; a JavaCV/ffmpeg
-    *    binding plugs into this SAME seam (the per-batch init hook in
-    *    [[extractFeatures]] exists to amortize exactly that load).
+    *  - video: MJPEG-in-AVI on the pure JDK — the RIFF walker below
+    *    collects the `movi` list's per-frame video chunks (ids
+    *    `##dc`/`##db`: compressed/uncompressed frames of stream ##)
+    *    and decodes EACH frame with ImageIO (MJPEG frames are plain
+    *    JPEGs; `##db` DIB frames arrive as BMP-decodable bytes from
+    *    cooperating writers). width/height/channels come from the
+    *    first decoded frame, `frames` counts decoded frames, and
+    *    meanIntensity is the mean over every sample of every band of
+    *    every frame. Non-AVI bytes, foreign codecs (frames ImageIO
+    *    has no reader for) and truncated chunk trees all return
+    *    None. Other containers (MP4/H.264 et al.) still need a
+    *    JavaCV/ffmpeg binding at this SAME seam (the per-batch init
+    *    hook in [[extractFeatures]] exists to amortize that load).
     *
     * Any parse failure returns None — the per-row error-isolation
     * contract (a corrupt file must never kill the partition).
     * `ImageIO.setUseCache(false)` keeps decoding in-memory: the
     * default file cache would do temp-dir I/O per image per executor
     * thread. MultimodalJvmSpec round-trips real encoded bytes
-    * (deterministic synthetic pixels/samples) through this codec
-    * inside the batched pipeline and checks the EXACT means. */
+    * (deterministic synthetic pixels/samples/frames) through this
+    * codec inside the batched pipeline and checks the EXACT means. */
   object JvmCodec extends Codec {
     javax.imageio.ImageIO.setUseCache(false)
 
@@ -99,32 +111,92 @@ object Multimodal {
         kind match {
           case "image" => decodeImage(payload)
           case "audio" => decodeAudio(payload)
-          case _ => None // video: no JDK codec — see scaladoc
+          case "video" => decodeVideo(payload)
+          case _ => None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Sum of every raster sample plus the sample count — shared by the
+      * single-image and per-video-frame paths so both means obey the
+      * same bytes-in law. */
+    private def rasterSum(img: java.awt.image.BufferedImage): (Int, Int, Int, Double, Long) = {
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, bands, sum, w.toLong * h * bands)
     }
 
     private def decodeImage(payload: Array[Byte]): Option[Decoded] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None // ImageIO signals "no reader" with null, not an exception
       else {
-        val raster = img.getRaster
-        val bands = raster.getNumBands
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h * bands
+        val (w, h, bands, sum, n) = rasterSum(img)
         Some(Decoded(w, h, bands, 1, if (n == 0) 0.0 else sum / n))
       }
+    }
+
+    /** MJPEG-in-AVI: RIFF chunk walk -> per-frame ImageIO decode. The
+      * walker is iterative over a byte array (LISTs recurse at most a
+      * few levels; sizes are validated against the buffer before any
+      * slice, so truncated or hostile chunk trees fall out as None,
+      * never as an out-of-bounds throw). */
+    private def decodeVideo(payload: Array[Byte]): Option[Decoded] = {
+      if (payload.length < 12) return None
+      def fourcc(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def u32(off: Int): Long =
+        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+          ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      // a video data chunk id is <2-digit stream number>dc|db
+      def isFrameChunk(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db"))
+      val frames = Seq.newBuilder[(Int, Int)] // (dataOff, dataLen)
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = fourcc(off)
+          val size = u32(off + 4) // unsigned — cannot be negative
+          val end = off + 8 + size // Long: no overflow on hostile sizes
+          if (id == "LIST" || id == "RIFF") {
+            // a truncated LIST still yields its fully-present children:
+            // descend into the available prefix (keep-what-parsed)
+            if (size >= 4 && off + 12 <= to)
+              walk(off + 12, math.min(end, to.toLong).toInt)
+          } else if (isFrameChunk(id) && size > 0 && end <= to) {
+            frames += ((off + 8, size.toInt))
+          }
+          if (end > to) return // truncated tail: nothing more to parse
+          off = end.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, payload.length)
+      var w = 0; var h = 0; var bands = 0
+      var sum = 0.0; var n = 0L; var decoded = 0
+      for ((at, len) <- frames.result()) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, at, len))
+        if (img != null) { // foreign codec frames skip, same isolation rule
+          val (fw, fh, fb, fsum, fn) = rasterSum(img)
+          if (decoded == 0) { w = fw; h = fh; bands = fb }
+          sum += fsum; n += fn; decoded += 1
+        }
+      }
+      if (decoded == 0) None
+      else Some(Decoded(w, h, bands, decoded, if (n == 0) 0.0 else sum / n))
     }
 
     private def decodeAudio(payload: Array[Byte]): Option[Decoded] = {

@@ -562,12 +562,17 @@ object Similarity {
   /** The generic form of [[compactIvfIndex]]: one-pass rewrite of ANY
     * bucketed index table under its own bucket spec ([[buildSrpIndex]]
     * tables bucket on (t, bucket)). Same bounds, swap and recovery
-    * story as the IVF variant. Table properties survive the rename
-    * only on catalogs that move them with the table — re-stamp after
-    * compacting a properties-carrying table (probeSrpIndex validates,
-    * so a lost stamp fails loud, not wrong). */
+    * story as the IVF variant. `graft.*` table properties (the SRP
+    * signing stamp) are read BEFORE the rewrite and re-stamped onto
+    * the compacted table — the DROP/RENAME would otherwise lose them
+    * on catalogs that don't move properties with the table, and
+    * [[probeSrpIndex]]/[[appendSrpIndex]] refuse to touch an
+    * unstamped table (a lost stamp fails loud, not wrong). */
   def compactBucketedTable(spark: SparkSession, table: String,
       nBuckets: Int, bucketCols: Seq[String], writerTasks: Int = 1): Long = {
+    val stamps = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft."))
     val tmp = table + "_compact_tmp"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.table(table)
@@ -575,6 +580,13 @@ object Similarity {
       .write.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("overwrite").saveAsTable(tmp)
+    if (stamps.nonEmpty) {
+      // stamp the COMPLETE copy before the swap: if the crash window
+      // hits between DROP and RENAME, the recovery table already
+      // carries its signing parameters
+      val kv = stamps.map { case (k, v) => s"'$k'='$v'" }.mkString(",")
+      spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES($kv)")
+    }
     val n = spark.table(tmp).inputFiles.length.toLong
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
@@ -615,9 +627,20 @@ object Similarity {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     for ((key, got) <- Seq("graft.srp.bits" -> bits, "graft.srp.dim" -> dim,
         "graft.srp.tables" -> tables)) {
-      props.get(key).foreach(stored => require(stored == got.toString,
-        s"$assignTable was signed with $key=$stored, caller passed $got — " +
-          "mismatched SRP parameters join foreign bucket spaces"))
+      props.get(key) match {
+        case Some(stored) => require(stored == got.toString,
+          s"$assignTable was signed with $key=$stored, caller passed $got — " +
+            "mismatched SRP parameters join foreign bucket spaces")
+        // a MISSING stamp fails as loud as a mismatched one: the
+        // documented way to lose one is compactBucketedTable's
+        // DROP/RENAME (TBLPROPERTIES don't survive it), after which a
+        // silent pass would let any bits/dim/tables combination probe
+        // or append into this bucket space unchecked
+        case None => sys.error(
+          s"$assignTable has no $key stamp — re-stamp (ALTER TABLE ... SET " +
+            "TBLPROPERTIES) with the original signing parameters after " +
+            "compaction before probing or appending")
+      }
     }
   }
 

@@ -82,7 +82,7 @@ object AdvancedQueries {
       (s, dir) => {
         val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
         val p = Tables.t(s, dir, "orders")
-          .withColumn("y", year(col("o_orderdate")))
+          .withColumn("y", year(col("o_orderdate")).cast("long"))
           .groupBy("y")
           .pivot("o_orderpriority", prios)
           .agg(count(lit(1)))
@@ -176,7 +176,7 @@ object AdvancedQueries {
       (s, dir) =>
         t(s, dir, "documents").select(
           col("doc_id"),
-          octet_length(col("text")).as("n_bytes"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
           sha2(col("text"), 256).as("digest"),
           when(pmod(col("doc_id"), lit(3)) === 0, "image")
             .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
@@ -965,7 +965,12 @@ object AdvancedQueries {
         "pure integer arithmetic in BOTH engines, so no " +
         "division-produced double ever reaches the output (the " +
         "registry's float-free gate convention; round 7's only hash " +
-        "mismatch was this query's raw-DOUBLE form). " +
+        "mismatch was this query's raw-DOUBLE form). The price " +
+        "itself is emitted as BIGINT cents via the house " +
+        "DECIMAL(18,2)*100 convention — never as a DECIMAL column; " +
+        "the round-8 driver gate proved DECIMAL output types render " +
+        "divergently across its read paths even when values are " +
+        "bit-identical, so DECIMAL stays strictly internal. " +
         "The slice filter (o_orderkey % 20 = 0) is pushed to the " +
         "scan; one shuffle on the partition key serves all " +
         "functions. A full-partition rank sort is dashboard-scale by " +
@@ -977,26 +982,28 @@ object AdvancedQueries {
           .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
         val wAll = Window.partitionBy(col("o_orderpriority"))
         o.select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents"),
           rank().over(w).cast(LongType).as("rnk"),
           count(lit(1)).over(wAll).as("n_part"),
           ntile(4).over(w).cast(LongType).as("quartile"))
-          .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
-            col("rnk"), col("n_part"),
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("price_cents"), col("rnk"), col("n_part"),
             when(col("n_part") > 1,
               expr("(rnk - 1) * 10000 div (n_part - 1)")).as("pct_rank_bp"),
             expr("rnk * 10000 div n_part").as("cume_bp"),
             col("quartile"))
       },
       Some("""
-        SELECT o_orderkey, o_orderpriority, price, rnk, n_part,
+        SELECT o_orderkey, o_orderpriority, price_cents, rnk, n_part,
                CASE WHEN n_part > 1
                     THEN (rnk - 1) * 10000 // (n_part - 1) END AS pct_rank_bp,
                rnk * 10000 // n_part AS cume_bp,
                quartile
         FROM (
           SELECT o_orderkey, o_orderpriority,
-                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_cents,
                  CAST(rank() OVER w AS BIGINT) AS rnk,
                  CAST(count(*) OVER wp AS BIGINT) AS n_part,
                  CAST(ntile(4) OVER w AS BIGINT) AS quartile
@@ -1504,7 +1511,7 @@ object AdvancedQueries {
         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
         SELECT digit, n,
                n * 10000 // total AS obs_bp,
-               $exp AS exp_bp,
+               CAST($exp AS BIGINT) AS exp_bp,
                abs(n * 10000 // total - ($exp)) AS dev_bp
         FROM d, tot ORDER BY digit"""
       }),
@@ -1753,8 +1760,10 @@ object AdvancedQueries {
         "cents x micros products accumulate in DECIMAL(38,0) (a " +
         "BIGINT accumulator would sit within ~30x of overflow at " +
         "corpus scale); the reported TWAP is the integral-div floor " +
-        "in milli-value-units, plus the exact numerator/denominator " +
-        "so any consumer can re-derive at full precision. The last " +
+        "in milli-value-units, plus the exact numerator (as a hi/lo " +
+        "BIGINT split of the internal DECIMAL — the output surface " +
+        "is decimal-free by gate convention) and denominator so any " +
+        "consumer can re-derive at full precision. The last " +
         "event of each type has no successor and contributes no " +
         "interval — open-interval semantics stated identically in " +
         "the oracle. SCALE SHAPE: a single per-type lead window would " +
@@ -1798,8 +1807,17 @@ object AdvancedQueries {
             sum(col("cents").cast(DecimalType(38, 0)) * col("dt_us"))
               .as("weighted_cents_us"))
           .select(col("event_type"), col("n_intervals"), col("total_us"),
-            col("weighted_cents_us").cast(DecimalType(38, 0))
-              .as("weighted_cents_us"),
+            // DECIMAL(38,0) is INTERNAL only: the gate renders DECIMAL
+            // divergently across its read paths (round-8 verdict), so
+            // the exact numerator leaves as a hi/lo BIGINT split —
+            // value = wcu_hi * 10^15 + wcu_lo, both engines the same
+            // truncate-toward-zero div/mod (verified: DuckDB HUGEINT
+            // -7//2 = -3, %2 = -1, matching Spark div/%); cents >= 1
+            // here anyway so both legs are nonnegative.
+            expr("CAST(weighted_cents_us div 1000000000000000 AS BIGINT)")
+              .as("wcu_hi"),
+            expr("CAST(weighted_cents_us % 1000000000000000 AS BIGINT)")
+              .as("wcu_lo"),
             expr("CAST(weighted_cents_us * 10 div total_us AS BIGINT)")
               .as("twap_milli"))
       },
@@ -1820,7 +1838,11 @@ object AdvancedQueries {
                       AS DECIMAL(38,0)) AS weighted_cents_us
           FROM iv WHERE dt_us IS NOT NULL
           GROUP BY event_type)
-        SELECT event_type, n_intervals, total_us, weighted_cents_us,
+        SELECT event_type, n_intervals, total_us,
+               CAST(CAST(weighted_cents_us AS HUGEINT) // 1000000000000000
+                    AS BIGINT) AS wcu_hi,
+               CAST(CAST(weighted_cents_us AS HUGEINT) % 1000000000000000
+                    AS BIGINT) AS wcu_lo,
                -- HUGEINT (int128) keeps the // integral-exact; DECIMAL //
                -- routes through DOUBLE in DuckDB and can round the floor
                CAST(CAST(weighted_cents_us AS HUGEINT) * 10 // total_us
@@ -1922,7 +1944,10 @@ object AdvancedQueries {
         "keeping x small is both numerical conditioning and what " +
         "lets the cross-multiplied integers fit: slope = (n*Sxy - " +
         "Sx*Sy) / (n*Sxx - Sx^2) stays exact with the products in " +
-        "DECIMAL(38,0), reported as numerator/denominator plus the " +
+        "DECIMAL(38,0) — internal only, per the gate's no-DECIMAL-" +
+        "output convention — reported as hi/lo BIGINT splits of the " +
+        "numerator/denominator (value = hi * 10^15 + lo, identical " +
+        "truncate-toward-zero div/mod in both engines) plus the " +
         "e6-scaled quotient (milli-cents per day x 1000), and the " +
         "intercept closes as (Sy*den - num*Sx) div (n*den) in milli-" +
         "cents — every reported column an exact integer, no " +
@@ -1945,8 +1970,10 @@ object AdvancedQueries {
           .withColumn("den", expr(
             "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
           .select(col("event_type"), col("n"), col("sx"), col("sy"),
-            col("num").cast(DecimalType(38, 0)).as("num"),
-            col("den").cast(DecimalType(38, 0)).as("den"),
+            expr("CAST(num div 1000000000000000 AS BIGINT)").as("num_hi"),
+            expr("CAST(num % 1000000000000000 AS BIGINT)").as("num_lo"),
+            expr("CAST(den div 1000000000000000 AS BIGINT)").as("den_hi"),
+            expr("CAST(den % 1000000000000000 AS BIGINT)").as("den_lo"),
             expr("CAST(num * 1000000 div den AS BIGINT)").as("slope_e6"),
             expr("CAST((CAST(sy AS DECIMAL(38,0)) * den - num * sx) * 1000" +
               " div (CAST(n AS DECIMAL(38,0)) * den) AS BIGINT)")
@@ -1971,8 +1998,10 @@ object AdvancedQueries {
                  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
           FROM st)
         SELECT event_type, n, sx, sy,
-               CAST(num AS DECIMAL(38,0)) AS num,
-               CAST(den AS DECIMAL(38,0)) AS den,
+               CAST(num // 1000000000000000 AS BIGINT) AS num_hi,
+               CAST(num % 1000000000000000 AS BIGINT) AS num_lo,
+               CAST(den // 1000000000000000 AS BIGINT) AS den_hi,
+               CAST(den % 1000000000000000 AS BIGINT) AS den_lo,
                CAST(num * 1000000 // den AS BIGINT) AS slope_e6,
                CAST((CAST(sy AS HUGEINT) * den - num * sx) * 1000
                     // (CAST(n AS HUGEINT) * den) AS BIGINT) AS intercept_milli
@@ -2147,9 +2176,12 @@ object AdvancedQueries {
                  CAST(sum(n_r) AS BIGINT) AS nt_r
           FROM hist),
         dec AS (
-          SELECT coalesce(sum(n_u) OVER (ORDER BY bucket DESC
+          -- DuckDB sum(BIGINT) returns HUGEINT; every column that can
+          -- reach the output is cast back to BIGINT here and below —
+          -- the gate renders HUGEINT divergently (round-8 verdict)
+          SELECT CAST(coalesce(sum(n_u) OVER (ORDER BY bucket DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   * 10 // nt_u + 1 AS decile,
+                   * 10 // nt_u + 1 AS BIGINT) AS decile,
                  n_u, n_r, nt_u, nt_r
           FROM hist CROSS JOIN tot),
         g AS (
@@ -2158,12 +2190,12 @@ object AdvancedQueries {
           FROM dec GROUP BY 1, 2, 3)
         SELECT decile, n_users, n_resp,
                n_resp * 10000 // n_users AS resp_bp,
-               sum(n_users) OVER (ORDER BY decile
+               CAST(sum(n_users) OVER (ORDER BY decile
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 * 10000 // nt_u AS cum_users_bp,
-               sum(n_resp) OVER (ORDER BY decile
+                 * 10000 // nt_u AS BIGINT) AS cum_users_bp,
+               CAST(sum(n_resp) OVER (ORDER BY decile
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 * 10000 // nt_r AS cum_resp_bp,
+                 * 10000 // nt_r AS BIGINT) AS cum_resp_bp,
                CAST(CAST(sum(n_resp) OVER (ORDER BY decile
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS HUGEINT) * nt_u * 10000

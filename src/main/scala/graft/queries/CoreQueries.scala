@@ -272,7 +272,8 @@ object CoreQueries {
           .when(col("o_orderpriority") === "4-NOT SPECIFIED", -3)
           .otherwise(-4)
         t(s, dir, "orders")
-          .withColumn("actual_year", year(col("o_orderdate")) + offset)
+          .withColumn("actual_year",
+            (year(col("o_orderdate")) + offset).cast("long"))
           .groupBy(col("actual_year"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("actual_year"))
@@ -364,7 +365,7 @@ object CoreQueries {
           explode(sequence(
             to_date(lit("1995-01-01")), to_date(lit("1995-12-31")),
             expr("interval 1 day"))).as("d"))
-        days.groupBy(month(col("d")).as("m"))
+        days.groupBy(month(col("d")).cast("long").as("m"))
           .agg(count(lit(1)).as("n_days"), min(col("d")).as("first_day"),
             max(col("d")).as("last_day"))
           .orderBy(col("m"))

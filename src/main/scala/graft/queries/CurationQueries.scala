@@ -854,7 +854,10 @@ object CurationQueries {
         // @note persists an internal projection; call
         // spark.catalog.clearCache() after the terminal action
         val sets = t(s, dir, "documents").select(col("doc_id"),
-          array_distinct(transform(sequence(lit(1), size(w) - 1),
+          // indices1: empty (not [1,0] + element_at(w,0) crash) on a
+          // 1-token doc, matching the oracle's range(1, len(w))
+          array_distinct(transform(
+            graft.functions.TextAnalysis.indices1(size(w) - 1),
             i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
             .as("ts")).persist()
         val p1 = sets.select(col("doc_id"),

@@ -730,7 +730,8 @@ object MiningQueries {
           .withColumn("tot", sum(col("cnt")).over(byType))
         val scoredSplits = ordered.where(col("rn") < col("n_days"))
           .select(col("event_type"), col("day"), col("n_days"),
-            col("rn").as("left_days"), (col("n_days") - col("rn")).as("right_days"),
+            col("rn").cast(LongType).as("left_days"),
+            (col("n_days") - col("rn")).as("right_days"),
             expr("cum * 1000 div rn").as("left_mean_milli"),
             expr("(tot - cum) * 1000 div (n_days - rn)").as("right_mean_milli"),
             abs(col("cum").cast(DoubleType) / col("rn")

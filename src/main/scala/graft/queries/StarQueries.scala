@@ -169,6 +169,115 @@ object StarQueries {
           AND o_orderdate >= TIMESTAMP '$YEAR_LO 00:00:00'
           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY c_custkey, c_name, n_name
-        ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q243_product_profit",
+      "Product-line profit by supplier nation and order year (TPC-H " +
+        "Q9 shape — the last classic multi-join aggregation the " +
+        "registry lacked; its sibling shapes Q2/Q7/Q8/Q15/Q16/Q17/" +
+        "Q19/Q20/Q21/Q22 are q191/q199/q200/q208/q209/q210/q198/q223/" +
+        "q221/q194): profit from 'gear' parts = discounted revenue " +
+        "minus supply cost, where cost substitutes 10% of " +
+        "p_retailprice per unit since the testdata carries no " +
+        "partsupp ledger (same substitution q191 documents). Plan " +
+        "hierarchy: the name-sliced part table broadcasts into the " +
+        "lineitem scan FIRST (only gear rows survive to any " +
+        "exchange), the orders join shuffles on orderkey (fact-fact), " +
+        "supplier arrives keyed on suppkey and the nation name " +
+        "broadcasts last onto the already-aggregated frame's keys. " +
+        "Money stays decimal-exact through the revenue-minus-cost " +
+        "subtraction (scales 4 and 6 align exactly — no float enters " +
+        "the sum) and leaves through the house single EXACT_CAST to " +
+        "double, spelled identically in the oracle.",
+      (s, dir) => {
+        val gear = t(s, dir, "part")
+          .filter(col("p_name").like("%gear%"))
+          .select(col("p_partkey"),
+            col("p_retailprice").cast(dec12).as("retail"))
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast(dec12).as("qty"),
+          (col("l_extendedprice").cast(dec12)
+            * (one - col("l_discount").cast(dec4))).as("rev"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate"))
+            .cast(LongType).as("o_year"))
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+        li.join(broadcast(gear), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_year"))
+          .agg(sum(col("rev")
+            - col("qty") * col("retail") * lit("0.10").cast(DecimalType(3, 2)))
+            .cast(DoubleType).as("profit"))
+      },
+      Some("""
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                   - CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST('0.10' AS DECIMAL(3,2))) AS DOUBLE) AS profit
+        FROM lineitem, part, orders, supplier, nation
+        WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%gear%'
+        GROUP BY n_name, year(o_orderdate)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q244_delay_classes",
+      "Priority mix by shipping-delay class (TPC-H Q12 shape — with " +
+        "the mode column DERIVED: the testdata carries no l_shipmode/" +
+        "l_commitdate/l_receiptdate, so the class comes from the " +
+        "order-to-ship delay, preserving Q12's essence — an order-" +
+        "lineitem join, a ship-date year window, and CASE-conditional " +
+        "counts splitting critical priorities (1-URGENT/2-HIGH) from " +
+        "the rest per class): items shipped in 1996 bucket as " +
+        "PREBOOKED (<0 days — the synthetic generator draws dates " +
+        "independently), FAST (<30), NORMAL (<180) or SLOW (180+). " +
+        "Plan: the ship-year filter runs at the lineitem scan, the " +
+        "orderkey join is the only fact shuffle (each side projected " +
+        "to key + one column first), the CASE counts are map-side-" +
+        "combined conditional sums onto a 4-row frame — adding a " +
+        "priority split adds a sum, never a pass. All counts BIGINT.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit(YEAR_LO)) &&
+            col("l_shipdate") < to_timestamp(lit(YEAR_HI)))
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val d = datediff(col("l_shipdate"), col("o_orderdate"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            when(d < 0, "PREBOOKED").when(d < 30, "FAST")
+              .when(d < 180, "NORMAL").otherwise("SLOW").as("delay_class"),
+            col("o_orderpriority"))
+          .groupBy(col("delay_class"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+      },
+      Some(s"""
+        SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) < 0 THEN 'PREBOOKED'
+                    WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) < 30 THEN 'FAST'
+                    WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) < 180 THEN 'NORMAL'
+                    ELSE 'SLOW' END AS delay_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '$YEAR_LO 00:00:00'
+          AND l_shipdate < TIMESTAMP '$YEAR_HI 00:00:00'
+        GROUP BY 1"""))
   )
 }

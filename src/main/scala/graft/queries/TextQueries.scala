@@ -45,9 +45,9 @@ object TextQueries {
       (s, dir) =>
         t(s, dir, "documents").select(
           col("doc_id"),
-          TA.tokenCount(col("text")).as("n_tokens"),
-          TA.regexTokenCount(col("text")).as("n_tokens_regex"),
-          TA.distinctTokenCount(col("text")).as("n_distinct"),
+          TA.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TA.regexTokenCount(col("text")).cast(LongType).as("n_tokens_regex"),
+          TA.distinctTokenCount(col("text")).cast(LongType).as("n_distinct"),
           TA.meanTokenLen(col("text")).as("mean_token_len")),
       Some("""
         SELECT doc_id,

@@ -31,6 +31,17 @@ class EngineSpec extends SparkSpec {
     assert(prefixes.distinct.length == prefixes.length,
       "qNN bench keys must stay unique")
     assert(SparkEntry.catalog.forall(_._2.nonEmpty), "every query documents itself")
+    // the round-8 doc-drift guard: QUERIES.md is generated from this
+    // registry (sbt "runMain graft.Catalog"), so its row count must
+    // track the registry EXACTLY — a query landed without the catalog
+    // regen (and the README/COVERAGE count bumps that ride along) goes
+    // red here instead of shipping as a 239-vs-240 style drift
+    val catalogRows = scala.io.Source.fromFile("QUERIES.md")(scala.io.Codec.UTF8)
+      .getLines().count(_.startsWith("| `q"))
+    assert(catalogRows == names.size,
+      s"QUERIES.md lists $catalogRows queries, registry has ${names.size} — " +
+        "regenerate with `sbt \"runMain graft.Catalog\"` and bump the " +
+        "README.md / COVERAGE.md counts")
   }
 }
 

@@ -40,6 +40,28 @@ class CoverageSpec extends SparkSpec {
     assert(got == referenceGreedy(docs, 4), s"got $got")
   }
 
+  test("k=50 planted corpus: matches reference greedy; covered-plan " +
+      "depth stays O(1) in k; shuffle path (broadcast bound 0) agrees") {
+    // 60 docs, each one unique feature + one of 7 shared ones: greedy
+    // must run the full 50 rounds (unique features never exhaust).
+    val docs = (1L to 60L).map(i => (i, Set(s"u$i", s"shared${i % 7}")))
+    val df = docs.map { case (id, fs) => (id, fs.toSeq.sorted) }
+      .toDF("doc_id", "feats")
+    val got = Coverage.greedySelect(df, "doc_id", "feats", 50)
+    assert(got == referenceGreedy(docs, 50), s"got $got")
+    // the round-8 verdict task: covered lineage used to be a chained
+    // union().distinct() of depth O(k); after per-round truncation the
+    // analyzed plan of the final covered view is a small constant
+    val depth = Coverage.lastCoveredPlanDepth
+    assert(depth > 0 && depth <= 8,
+      s"covered plan depth $depth should not grow with k=50")
+    // broadcastMaxRows = 0 forces the no-hint shuffle anti-join from
+    // round 2 on; the picks are a pure function of the data
+    val shuffled = Coverage.greedySelect(df, "doc_id", "feats", 50,
+      broadcastMaxRows = 0L)
+    assert(shuffled == got, "hint choice must not change the selection")
+  }
+
   test("selection stops early once every feature is covered") {
     val df = Seq((1L, Seq("a", "b")), (2L, Seq("b")), (3L, Seq("a")))
       .toDF("doc_id", "feats")
@@ -52,7 +74,8 @@ class CoverageSpec extends SparkSpec {
     val sets = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(w) - 1),
+        array_distinct(transform(
+          graft.functions.TextAnalysis.indices1(size(w) - 1),
           i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
           .as("feats"))
     val ops = Coverage.greedySelect(sets, "doc_id", "feats", 2)

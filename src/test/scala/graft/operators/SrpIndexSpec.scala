@@ -75,15 +75,39 @@ class SrpIndexSpec extends SparkSpec {
     val filesBefore = spark.table("srp_assign_inc").inputFiles.length
     val n = Similarity.compactBucketedTable(spark, "srp_assign_inc", 8,
       Seq("t", "bucket"))
-    // properties survive on this catalog or the probe would throw; the
-    // compaction doc covers catalogs where they don't (re-stamp)
-    spark.sql("ALTER TABLE srp_assign_inc SET TBLPROPERTIES(" +
-      s"'graft.srp.bits'='$bits','graft.srp.dim'='$dim'," +
-      s"'graft.srp.tables'='$tables')")
+    // compaction re-stamps graft.* properties onto the rewritten table
+    // itself — no manual re-stamp, the probe below validates them
+    val props = spark.sql("SHOW TBLPROPERTIES srp_assign_inc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.srp.bits").contains(bits.toString) &&
+      props.get("graft.srp.dim").contains(dim.toString) &&
+      props.get("graft.srp.tables").contains(tables.toString),
+      s"compaction must carry the signing stamp; got $props")
     assert(n <= 8L && n < filesBefore,
       s"files must drop ($filesBefore -> $n)")
     val after = Similarity.probeSrpIndex(spark, "srp_assign_inc", queries,
       "vec_id", "embedding", k = 5, bits, dim, tables).collect().toSet
     assert(after == before)
+  }
+
+  test("an UNSTAMPED table refuses probe and append — missing is as loud as mismatched") {
+    // simulate the stamp-loss path (a catalog whose DROP/RENAME drops
+    // properties): build, then strip the graft.* stamp
+    Similarity.buildSrpIndex(emb.filter(col("vec_id") < 32),
+      "vec_id", "embedding", bits, dim, tables, "srp_assign_bare")
+    spark.sql("ALTER TABLE srp_assign_bare UNSET TBLPROPERTIES(" +
+      "'graft.srp.bits','graft.srp.dim','graft.srp.tables')")
+    val queries = emb.filter(col("vec_id") < 8)
+    val eProbe = intercept[RuntimeException] {
+      Similarity.probeSrpIndex(spark, "srp_assign_bare", queries,
+        "vec_id", "embedding", k = 5, bits, dim, tables)
+    }
+    assert(eProbe.getMessage.contains("no graft.srp.bits stamp"))
+    val eAppend = intercept[RuntimeException] {
+      Similarity.appendSrpIndex(spark, "srp_assign_bare",
+        emb.filter(col("vec_id") >= 32 && col("vec_id") < 40),
+        "vec_id", "embedding", bits, dim, tables)
+    }
+    assert(eAppend.getMessage.contains("re-stamp"))
   }
 }

@@ -251,6 +251,33 @@ class ExplainAuditSpec extends SparkSpec {
       s"only the post-limit rank window may remain, found ${windows.size}")
   }
 
+  test("q243 broadcasts the part slice and nation; facts join on their keys") {
+    // TPC-H Q9 shape: the name-sliced part table and the nation name
+    // are the broadcast dims; orders and supplier join shuffled on
+    // orderkey/suppkey. A plan that shuffles the gear slice (or worse,
+    // broadcasts a fact) regresses the 100 TB hierarchy.
+    val p = planMap("q243_product_profit")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2,
+      s"part slice + nation must broadcast, found ${bhj.size} broadcast joins")
+  }
+
+  test("q244 plans one fact-fact join and map-combined CASE counts — no window, no extra pass") {
+    val p = planMap("q244_delay_classes")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "Q12's CASE counts must be conditional aggregation, not windows")
+    // two join inputs + one 4-row aggregation exchange is the whole
+    // shuffle budget; a second aggregation pass or a repartition would
+    // show up as a fourth exchange
+    val s = shuffles(p)
+    assert(s.size <= 3, s"expected <= 3 exchanges, found ${s.size}: " +
+      s.map(_.simpleStringWithNodeId()).mkString("; "))
+    val aggs = p.collect { case h: HashAggregateExec => h }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      "the CASE counts must partial-aggregate map-side")
+  }
+
   test("ANN queries broadcast the small side, never a cartesian") {
     for (n <- Seq("q31_ann_bruteforce", "q44_ann_ivf")) {
       val bc = planMap(n).collect {
@@ -332,7 +359,8 @@ class ExplainAuditSpec extends SparkSpec {
         "q205_kmv_intersection", "q208_top_supplier",
         "q210_small_qty_revenue", "q216_grouping_sets",
         "q218_schema_drift_union", "q220_forecast_revenue",
-        "q222_important_parts", "q35_sessionize", "q36_rollup",
+        "q222_important_parts", "q243_product_profit",
+        "q35_sessionize", "q36_rollup",
         "q39_salted_agg", "q40_weighted_avg", "q53_window_analytics",
         "q54_sliding_window", "q62_json_extract", "q21_token_stats",
         "q22_text_profile", "q24_quality_score", "q28_lsh_dup_pairs",
@@ -401,5 +429,42 @@ class ExplainAuditSpec extends SparkSpec {
     val stale = FloatOutputJustified.keySet.filter(n =>
       byQuery.toMap.get(n).forall(_.isEmpty))
     assert(stale.isEmpty, s"stale FloatOutputJustified entries: $stale")
+  }
+
+  private def decimalLeaves(dt: org.apache.spark.sql.types.DataType,
+      path: String): Seq[String] = dt match {
+    case d: org.apache.spark.sql.types.DecimalType =>
+      Seq(s"$path:decimal(${d.precision},${d.scale})")
+    case a: org.apache.spark.sql.types.ArrayType =>
+      decimalLeaves(a.elementType, s"$path[]")
+    case m: org.apache.spark.sql.types.MapType =>
+      decimalLeaves(m.keyType, s"$path.key") ++
+        decimalLeaves(m.valueType, s"$path.value")
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.toSeq.flatMap(f => decimalLeaves(f.dataType, s"$path.${f.name}"))
+    case _ => Nil
+  }
+
+  test("registry lint: no DECIMAL-typed output column, ever") {
+    // Round-8 driver gate post-mortem: the ONLY 4 hash-red rows in
+    // CORRECTNESS_r08 were exactly the registry's 3 DECIMAL-output
+    // queries (q139/q228/q237) plus its one un-cast HUGEINT oracle
+    // (q241) — the driver renders DECIMAL divergently across its two
+    // read paths even on bit-identical values. DECIMAL is welcome as
+    // INTERNAL exact-arithmetic state (the money convention casts
+    // through DECIMAL(12,2)/DECIMAL(38,0) everywhere); at the OUTPUT
+    // boundary it must leave as BIGINT (or a hi/lo BIGINT split for
+    // >63-bit magnitudes, value = hi * 10^15 + lo). No allowlist: a
+    // justified case would still be driver-red, so there is none.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (n, fn) =>
+        val fs = fn(spark, "/root/testdata/sf0.001").schema.fields.toSeq
+          .flatMap(f => decimalLeaves(f.dataType, f.name))
+        if (fs.isEmpty) Nil else Seq(s"$n -> ${fs.mkString(", ")}")
+    }
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      "DECIMAL output columns are driver-divergent — emit BIGINT or a " +
+        s"hi/lo split instead:\n  ${offenders.mkString("\n  ")}")
   }
 }
