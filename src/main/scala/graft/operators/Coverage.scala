@@ -138,8 +138,10 @@ object Coverage {
     * deserializer whose unpersist would no-op), so without this the
     * predecessor rounds' blocks wait for the ContextCleaner's GC sweep —
     * unbounded executor storage on a long-lived driver. The internal
-    * handle is recoverable from the truncated plan's `LogicalRDD`. */
-  private def freeCheckpoint(df: DataFrame): () => Unit = {
+    * handle is recoverable from the truncated plan's `LogicalRDD`.
+    * Shared by every round-truncating iterative operator (greedy
+    * coverage here, [[SuffixArray]]'s doubling rounds). */
+  private[operators] def freeCheckpoint(df: DataFrame): () => Unit = {
     val rdds = df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }

@@ -624,6 +624,48 @@ object TextQueries {
         FROM phrases JOIN scored USING (doc_id, run)
         GROUP BY phrase
         ORDER BY score_bp DESC, n_occ DESC, phrase
-        LIMIT 20"""))
+        LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q245_suffix_ranks",
+      "Distributed suffix array by prefix doubling (Manber-Myers) " +
+        "over a document slice: the lexicographic dense rank of " +
+        "EVERY suffix of every document — the index structure behind " +
+        "exact-substring dedup, longest-repeated-substring " +
+        "memorization audits and corpus pattern counts. The oracle " +
+        "deliberately states the NAIVE spelling (materialize each " +
+        "suffix string, dense_rank over the sorted strings — " +
+        "quadratic bytes in document length), so the hash match " +
+        "PROVES the O(log maxDocLen)-round integer construction " +
+        "equal to it, sentinel semantics included (a suffix that is " +
+        "a prefix of another ranks first; duplicate documents keep " +
+        "all their suffix ranks tied, dense over DISTINCT suffixes). " +
+        "SCALE SHAPE: text is touched once (the per-position " +
+        "character projection); every doubling round shuffles only " +
+        "(doc, pos, rank) triples and re-ranks a distinct-pair frame " +
+        "via range-sort + zipWithIndex — never an unpartitioned " +
+        "window, never a suffix payload; rounds localCheckpoint-" +
+        "truncate with deterministic predecessor release (the " +
+        "operators.Coverage contract), so lineage stays O(1).",
+      (s, dir) => {
+        val slice = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(25)) === 0)
+          .select("doc_id", "text")
+        graft.operators.SuffixArray.suffixRanks(slice, "doc_id", "text")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+        s AS (
+          SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos
+          FROM d),
+        sfx AS (
+          SELECT s.doc_id, s.pos,
+                 substr(d.text, CAST(s.pos AS INT)) AS suf
+          FROM s JOIN d USING (doc_id))
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT)
+                 AS suffix_rank
+        FROM sfx"""))
   )
 }

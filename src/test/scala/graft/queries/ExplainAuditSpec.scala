@@ -60,8 +60,11 @@ class ExplainAuditSpec extends SparkSpec {
     * loop) — its per-round plans are q28's, audited individually.
     */
   private lazy val allPlans: Seq[(String, SparkPlan)] = withStaticPlans {
+    // q245 drives its doubling rounds eagerly during construction like
+    // q48's CC fixpoint; its per-round shapes are the audited join +
+    // range-sort primitives and SuffixArraySpec pins the construction
     SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_ == "q48_neardup_components")
+      .filterNot(Set("q48_neardup_components", "q245_suffix_ranks"))
       .map(n => n -> planOf(n))
   }
 
