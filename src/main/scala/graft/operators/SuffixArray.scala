@@ -100,6 +100,76 @@ object SuffixArray {
       col("__r").as("suffix_rank"))
   }
 
+  /** Repeated-substring candidates — the memorization/contamination
+    * audit built on [[suffixRanks]]: the longest repeated substring of
+    * a corpus is the maximum longest-common-prefix over suffixes that
+    * are ADJACENT in suffix order (the classic suffix-array reduction
+    * — non-adjacent pairs never beat the adjacent chain between them),
+    * so one pass over rank adjacency finds every repeat.
+    *
+    * Two pair families cover sorted adjacency exactly:
+    *  - intra-rank (equal suffixes — duplicate documents/tails): a
+    *    rank-partitioned lag window chains tie members in (doc, pos)
+    *    order; their common prefix is the WHOLE suffix, reported at
+    *    full length;
+    *  - cross-rank (rank r's last member vs rank r+1's first): LCP by
+    *    a bounded character fold over `cap`-char snippets — reported
+    *    LCP saturates at `cap`, which is the audit's point (a repeat
+    *    that long is flagged whatever its true extent).
+    *
+    * SCALE SHAPE: suffix STRINGS never materialize — each suffix
+    * carries one `cap`-char snippet (O(n x cap) bytes, linear where
+    * the naive sort is quadratic); the tie window partitions by rank
+    * (bounded groups), the boundary join is an equi-join on the rank
+    * key, and the LCP fold is a codegen'd higher-order function over
+    * a <= cap integer sequence.
+    *
+    * @return one row per adjacent pair: (d1, p1, d2, p2) witnesses,
+    *         `lcp_len` (BIGINT; full length for equal suffixes,
+    *         `cap`-saturated otherwise), `snippet` (the common prefix,
+    *         <= cap chars). */
+  def repeatedSubstrings(docs: DataFrame, idCol: String, textCol: String,
+      cap: Int = 80): DataFrame = {
+    require(cap >= 1)
+    val ranks = suffixRanks(docs, idCol, textCol)
+    val base = docs.select(col(idCol).cast(LongType).as("__id"),
+      col(textCol).as("__t"))
+    val snips = ranks.join(base, col(idCol) === col("__id"))
+      .select(col(idCol), col("pos"), col("suffix_rank").as("__r"),
+        expr(s"substring(__t, CAST(pos AS INT), $cap)").as("__snip"),
+        (length(col("__t")) - col("pos") + 1).as("__suf_len"))
+    // (a) equal suffixes: chain tie members; LCP = the full suffix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__r")).orderBy(col(idCol), col("pos"))
+    val intra = snips
+      .select(col(idCol), col("pos"), col("__snip"), col("__suf_len"),
+        lag(col(idCol), 1).over(w).as("d1"),
+        lag(col("pos"), 1).over(w).as("p1"))
+      .filter(col("d1").isNotNull)
+      .select(col("d1"), col("p1"), col(idCol).as("d2"), col("pos").as("p2"),
+        col("__suf_len").cast(LongType).as("lcp_len"), col("__snip").as("__s2"))
+    // (b) rank boundary: last of r meets first of r+1; LCP by snippet fold
+    val reps = snips.groupBy(col("__r")).agg(
+      min(struct(col(idCol), col("pos"), col("__snip"))).as("lo"),
+      max(struct(col(idCol), col("pos"), col("__snip"))).as("hi"))
+    val lcpExpr = "coalesce(array_min(filter(" +
+      "sequence(1, least(length(xs), length(ys))), " +
+      "i -> substr(xs, i, 1) <> substr(ys, i, 1))) - 1, " +
+      "least(length(xs), length(ys)))"
+    val cross = reps.select(col("__r"), col("hi")).alias("a")
+      .join(reps.select((col("__r") - 1).as("__r"), col("lo")).alias("b"),
+        Seq("__r"))
+      .select(col(s"hi.$idCol").as("d1"), col("hi.pos").as("p1"),
+        col(s"lo.$idCol").as("d2"), col("lo.pos").as("p2"),
+        col("hi.__snip").as("xs"), col("lo.__snip").as("ys"))
+      .select(col("d1"), col("p1"), col("d2"), col("p2"),
+        expr(lcpExpr).cast(LongType).as("lcp_len"), col("ys").as("__s2"))
+    intra.unionByName(cross)
+      .select(col("d1"), col("p1"), col("d2"), col("p2"), col("lcp_len"),
+        expr(s"substr(__s2, 1, CAST(least(lcp_len, $cap) AS INT))")
+          .as("snippet"))
+  }
+
   /** Global DENSE rank of an already-distinct key frame, without an
     * unpartitioned window: `orderBy` range-partitions and sorts (the
     * scalable total order), and `zipWithIndex` assigns each row its

@@ -666,6 +666,70 @@ object TextQueries {
         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
                CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT)
                  AS suffix_rank
-        FROM sfx"""))
+        FROM sfx""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q246_repeated_substrings",
+      "Longest repeated substrings — the memorization/contamination " +
+        "audit a training corpus runs before release (a substring " +
+        "repeated verbatim is what a model can regurgitate): the " +
+        "classic suffix-array reduction — every repeat is a longest-" +
+        "common-prefix of suffixes ADJACENT in suffix order, so rank " +
+        "adjacency from q245's prefix-doubling index finds them all " +
+        "in one pass. Equal suffixes (duplicate docs/tails) chain " +
+        "through a rank-partitioned lag window and report their FULL " +
+        "length; distinct neighbors (rank r's last member vs r+1's " +
+        "first) fold an 80-char-capped snippet comparison — a repeat " +
+        "that saturates the cap is flagged regardless of true extent. " +
+        "Top-20 under a total order with both (doc, pos) witnesses " +
+        "and the snippet. The oracle derives the SAME pairs from the " +
+        "naive direct suffix sort (lag over ORDER BY suffix string), " +
+        "so the hash match proves rank adjacency == sorted adjacency. " +
+        "SCALE SHAPE: suffix strings never materialize on the engine " +
+        "side — one cap-char snippet per suffix (linear bytes), tie " +
+        "windows partition by rank, the boundary join is an equi-join " +
+        "on the rank key, and the LCP fold is a codegen'd bounded " +
+        "sequence — where the oracle's spelling carries full O(n^2) " +
+        "suffix bytes through its sort.",
+      (s, dir) => {
+        val slice = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(25)) === 0)
+          .select("doc_id", "text")
+        graft.operators.SuffixArray.repeatedSubstrings(slice, "doc_id", "text")
+          .orderBy(col("lcp_len").desc, col("d1"), col("p1"),
+            col("d2"), col("p2"))
+          .limit(20)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+        s AS (
+          SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos
+          FROM d),
+        sfx AS (
+          SELECT s.doc_id, s.pos,
+                 substr(d.text, CAST(s.pos AS INT)) AS suf
+          FROM s JOIN d USING (doc_id)),
+        adj AS (
+          SELECT doc_id AS d2, pos AS p2, suf,
+                 lag(doc_id) OVER w AS d1, lag(pos) OVER w AS p1,
+                 lag(suf) OVER w AS prev
+          FROM sfx WINDOW w AS (ORDER BY suf, doc_id, pos)),
+        scored AS (
+          SELECT d1, CAST(p1 AS BIGINT) AS p1, d2, CAST(p2 AS BIGINT) AS p2,
+                 suf,
+                 CASE WHEN prev = suf THEN length(suf)
+                      ELSE coalesce(list_min(list_filter(
+                             range(1, least(length(substr(prev, 1, 80)),
+                                            length(substr(suf, 1, 80))) + 1),
+                             i -> substr(prev, CAST(i AS INT), 1)
+                                  <> substr(suf, CAST(i AS INT), 1))) - 1,
+                           least(length(substr(prev, 1, 80)),
+                                 length(substr(suf, 1, 80)))) END AS lcp
+          FROM adj WHERE d1 IS NOT NULL)
+        SELECT d1, p1, d2, p2, CAST(lcp AS BIGINT) AS lcp_len,
+               substr(suf, 1, CAST(least(lcp, 80) AS INT)) AS snippet
+        FROM scored
+        ORDER BY lcp_len DESC, d1, p1, d2, p2 LIMIT 20"""))
   )
 }

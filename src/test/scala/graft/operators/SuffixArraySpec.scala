@@ -62,4 +62,56 @@ class SuffixArraySpec extends SparkSpec {
     val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"))
     assert(run(docs) == brute(docs))
   }
+
+  // brute-force longest repeated substring: max common prefix over all
+  // DISTINCT suffix-instance pairs
+  private def bruteLrs(docs: Seq[(Long, String)]): (Long, String) = {
+    val sfx = for ((id, t) <- docs; p <- 1 to t.length)
+      yield ((id, p), t.substring(p - 1))
+    val best = (for {
+      (a, sa) <- sfx; (b, sb) <- sfx if a != b
+    } yield sa.zip(sb).takeWhile { case (x, y) => x == y }.length).max
+    val snippet = (for {
+      (a, sa) <- sfx; (b, sb) <- sfx if a != b
+      if sa.zip(sb).takeWhile { case (x, y) => x == y }.length == best
+    } yield sa.take(best)).min
+    (best.toLong, snippet)
+  }
+
+  test("repeatedSubstrings finds the planted longest repeat with exact length and snippet") {
+    // "abcdef" planted once per doc is the unique longest cross-doc
+    // repeat; everything else shares at most 1 char
+    val docs = Seq((1L, "xxabcdefyy"), (2L, "zzabcdefww"))
+    val got = SuffixArray
+      .repeatedSubstrings(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(4), r.getString(5)))
+    val (len, snip) = bruteLrs(docs)
+    assert(len == 6L && snip == "abcdef", s"planted expectation, got $len/$snip")
+    assert(got.map(_._1).max == len)
+    assert(got.filter(_._1 == len).map(_._2).toSet == Set(snip))
+  }
+
+  test("duplicate documents report the full duplicated text as the top repeat") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+    val rows = SuffixArray
+      .repeatedSubstrings(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    val top = rows.maxBy(_._5)
+    // the pos-1 suffixes of docs 1 and 2 are identical: full 11 chars
+    assert(top._5 == 11L && top._6 == "hello world")
+    assert(Set(top._1, top._3) == Set(1L, 2L) && top._2 == 1L && top._4 == 1L)
+  }
+
+  test("cap saturates: a 100-char shared prefix reports lcp_len == cap") {
+    val shared = "a" * 100 + "b"
+    val docs = Seq((1L, shared + "x"), (2L, shared + "y"))
+    val got = SuffixArray
+      .repeatedSubstrings(docs.toDF("doc_id", "text"), "doc_id", "text",
+        cap = 80)
+      .collect().map(r => r.getLong(4))
+    // the two pos-1 suffixes differ only after 101 chars — beyond the
+    // 80-char snippet, so the fold saturates at the cap
+    assert(got.max == 80L)
+  }
 }

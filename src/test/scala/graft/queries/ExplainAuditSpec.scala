@@ -64,7 +64,8 @@ class ExplainAuditSpec extends SparkSpec {
     // q48's CC fixpoint; its per-round shapes are the audited join +
     // range-sort primitives and SuffixArraySpec pins the construction
     SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(Set("q48_neardup_components", "q245_suffix_ranks"))
+      .filterNot(Set("q48_neardup_components", "q245_suffix_ranks",
+        "q246_repeated_substrings"))
       .map(n => n -> planOf(n))
   }
 
