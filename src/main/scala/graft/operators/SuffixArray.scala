@@ -1,103 +1,145 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Distributed suffix array by prefix doubling (Manber–Myers): the
-  * lexicographic rank of EVERY suffix of every document, built in
-  * O(log maxDocLen) rounds of pure integer work.
+/** Distributed suffix array by prefix doubling (Manber–Myers with the
+  * active-set refinement): the lexicographic rank of EVERY suffix of
+  * every document, in O(log maxDocLen) rounds of pure integer work.
   *
   * Suffix ranks are the index structure behind the exact-substring
   * family (longest repeated substring = memorization risk, exact
   * substring dedup, corpus-wide pattern counts). The naive spelling —
   * materialize each suffix string and sort — ships O(n * avgSuffixLen)
   * bytes, QUADRATIC in document length; that is the oracle's spelling,
-  * and the hash match proves the doubling construction equal to it.
+  * and the hash match proves this construction equal to it.
   *
-  * Round structure: rank_1 = dense rank of the single character at
-  * each position; the round at shift d extends each suffix's sort key
-  * from its first d characters to its first 2d by pairing
-  * (rank_d(pos), rank_d(pos + d)) — the second component via ONE
-  * equi-join on (doc, pos) against the same rank table shifted by d,
-  * missing tail = sentinel 0 (sorts below every real rank, which is
-  * exactly "shorter suffix first" when a suffix is a prefix of
-  * another). Re-ranking the pairs is [[denseRankOf]] on the DISTINCT
-  * pair set. Rounds stop when every rank is distinct or the covered
-  * prefix length reaches the longest document (remaining ties are
-  * true duplicate suffixes — e.g. duplicated documents — and stay
-  * tied, identical to the oracle's dense_rank over equal strings).
+  * The working representation is the INSTANCE-SPARSE rank: rank(s) =
+  * 1 + number of suffix instances strictly smaller than s. Sparse
+  * ranks leave exactly enough headroom inside a tie group that
+  * refining the group (sub-ordering its members) never moves any
+  * OTHER group's rank — which is what makes the active-set trick
+  * sound:
   *
-  * SCALE SHAPE: after the one character-projection pass, text never
-  * moves again — every round shuffles only (doc, pos, rank) triples
-  * (24-byte rows) and a distinct-pair frame of at most n skinny rows.
-  * Each round's output is localCheckpoint-truncated with the
-  * predecessor's blocks released deterministically (the
-  * [[Coverage.freeCheckpoint]] contract), so lineage and plan depth
-  * stay O(1) across rounds; round count is log2 of the LONGEST
+  *  - round 0 ranks every suffix by its first `initKey` characters:
+  *    one count-per-key aggregation, a global sort of the DISTINCT
+  *    key frame, and a per-partition cumulative count with
+  *    driver-side partition offsets ([[sparseBases]] — the offsets
+  *    array is one long per shuffle partition, never data-sized);
+  *  - each later round touches ONLY suffixes whose rank is still
+  *    tied (`__g > 1`): ties sub-order by the rank at `pos + d`
+  *    (sentinel 0 when the suffix ends first — "shorter sorts
+  *    first"), via `rank()` over a window PARTITIONED BY the tied
+  *    rank — group-local work, no global sort anywhere in the loop.
+  *    On real text the active set collapses to true duplicate tails
+  *    after round 0 (an `initKey`-char random prefix is almost
+  *    always unique), so rounds cost proportional to the DUPLICATED
+  *    portion of the corpus, not the corpus;
+  *  - one final [[denseRankOf]] pass converts sparse to dense ranks,
+  *    matching `dense_rank() OVER (ORDER BY suffix)`.
+  *
+  * SCALE SHAPE: text is touched once (the `initKey`-char key
+  * projection); rounds shuffle only (doc, pos, rank) triples of the
+  * ACTIVE set plus the probe into the rank table (whose settled
+  * slices are checkpointed ONCE each and never rewritten — with the
+  * active probe side small, AQE turns that join into a broadcast, so
+  * settled rows never re-shuffle). Every checkpointed slice's blocks
+  * are released deterministically when the result materializes (the
+  * [[Coverage.freeCheckpoint]] contract); plan depth is the settled-
+  * slice count, bounded by the round count = log2 of the LONGEST
   * DOCUMENT (documents bound suffix comparisons), not of the corpus.
   */
 object SuffixArray {
 
   /** Lexicographic dense rank of every suffix.
     *
+    * @param initKey characters in the round-0 sort key (longer = fewer
+    *                rounds and a smaller active set; the key column
+    *                costs O(n * initKey) bytes transiently)
     * @return one row per (document, 1-based position): (`idCol`,
     *         `pos` BIGINT, `suffix_rank` BIGINT) — rank 1 = smallest
     *         suffix; equal suffixes (across or within docs) share a
     *         rank and the rank space has no gaps (dense), matching
     *         `dense_rank() OVER (ORDER BY suffix)`.
     */
-  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+      initKey: Int = 8): DataFrame = {
+    require(initKey >= 1)
     val base = docs.select(col(idCol).cast(LongType).as("__id"),
       col(textCol).as("__t"))
-    // the ONLY pass that touches text: one char per position
-    val chars = base
+    // the ONLY pass that touches text: the round-0 key per position
+    val keys = base
       .select(col("__id"), col("__t"),
         explode(graft.functions.TextAnalysis.indices1(length(col("__t"))))
           .as("__pos"))
       .select(col("__id"), col("__pos"),
-        expr("substring(__t, __pos, 1)").as("__k"))
-    val (cm, freeCm) = denseRankOf(chars.select("__k").distinct(), Seq("__k"))
-    var ranks = chars.join(cm, Seq("__k"))
-      .select(col("__id"), col("__pos"), col("__gr").as("__r"))
-      .localCheckpoint(true)
-    var freeRanks = Coverage.freeCheckpoint(ranks)
-    freeCm()
-    // dense ranks => max == #distinct; NULL on an empty slice
-    def distinctRanks(): Long = ranks.agg(max(col("__r"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
+        expr(s"substring(__t, __pos, $initKey)").as("__k"))
+    val keyCounts = keys.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    val (bases, freeBases) = sparseBases(keyCounts, "__k", "__n")
+    def annotate(r: DataFrame): DataFrame =
+      r.withColumn("__g", count(lit(1)).over(Window.partitionBy(col("__r"))))
+    val frees = scala.collection.mutable.Buffer.empty[() => Unit]
+    def checkpoint(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      frees += Coverage.freeCheckpoint(cp)
+      cp
     }
-    val total = ranks.count()
-    var nDist = distinctRanks()
+    // state split: settled ranks are FINAL — each settled slice is
+    // checkpointed once and never rewritten; only the ACTIVE (tied)
+    // frame re-ranks per round, so round cost tracks the DUPLICATED
+    // portion of the corpus, not the corpus
+    val round0 = checkpoint(annotate(keys.join(bases, Seq("__k"))
+      .select(col("__id"), col("__pos"), col("__r"))))
+    freeBases()
+    val settled = scala.collection.mutable.Buffer.empty[DataFrame]
+    settled += round0.filter(col("__g") === 1)
+      .select(col("__id"), col("__pos"), col("__r"))
+    var active = round0.filter(col("__g") > 1)
+      .select(col("__id"), col("__pos"), col("__r"), col("__g"))
+    var tied = active.count()
     val maxLen = base.agg(max(length(col("__t")))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getInt(0).toLong
     }
-    var d = 1L // ranks currently order by the first d characters
-    while (nDist < total && d < maxLen) {
-      val shifted = ranks.select(col("__id"),
+    var d = initKey.toLong // ranks currently order by the first d chars
+    while (tied > 0 && d < maxLen) {
+      // rank at pos + d, looked up in the FULL table (a tied suffix's
+      // continuation may itself be settled) — a union of already-
+      // checkpointed leaves, so no recompute; the active probe side is
+      // small, which AQE turns into a broadcast join (no full shuffle)
+      val all = (settled :+ active.select(col("__id"), col("__pos"),
+        col("__r"))).reduce(_ unionByName _)
+      val shifted = all.select(col("__id"),
         (col("__pos") - d).cast("int").as("__pos"), col("__r").as("__r2"))
-      val pairs = ranks.join(shifted, Seq("__id", "__pos"), "left")
-        .select(col("__id"), col("__pos"), col("__r"),
-          coalesce(col("__r2"), lit(0L)).as("__r2"))
-      val (rm, freeRm) = denseRankOf(
-        pairs.select("__r", "__r2").distinct(), Seq("__r", "__r2"))
-      val next = pairs.join(rm, Seq("__r", "__r2"))
-        .select(col("__id"), col("__pos"), col("__gr").as("__r"))
-        .localCheckpoint(true)
-      val freeNext = Coverage.freeCheckpoint(next)
-      freeRm()
-      freeRanks()
-      ranks = next; freeRanks = freeNext
-      nDist = distinctRanks()
+      val w = Window.partitionBy(col("__r")).orderBy(col("__r2"))
+      val refined = checkpoint(annotate(
+        active.select(col("__id"), col("__pos"), col("__r"))
+          .join(shifted, Seq("__id", "__pos"), "left")
+          .select(col("__id"), col("__pos"), col("__r"),
+            coalesce(col("__r2"), lit(0L)).as("__r2"))
+          // sparse invariant: members below me in the group = rank()-1,
+          // so the new "1 + instances strictly less" = base + rank() - 1
+          .select(col("__id"), col("__pos"),
+            (col("__r") + rank().over(w) - 1).as("__r"))))
+      settled += refined.filter(col("__g") === 1)
+        .select(col("__id"), col("__pos"), col("__r"))
+      active = refined.filter(col("__g") > 1)
+      tied = active.count()
       d *= 2
     }
-    // the caller's terminal action reads the final checkpoint blocks;
-    // they are session-lived like any cached frame (harness clearCache
-    // does not reach RDD blocks — bounded: one 24-byte row per suffix)
-    ranks.select(col("__id").as(idCol), col("__pos").cast(LongType).as("pos"),
-      col("__r").as("suffix_rank"))
+    val ranks = (settled :+ active.select(col("__id"), col("__pos"),
+      col("__r"))).reduce(_ unionByName _)
+    // sparse -> dense: one global pass over the distinct final ranks
+    val (dm, freeDm) = denseRankOf(ranks.select("__r").distinct(), Seq("__r"))
+    frees += freeDm
+    val out = ranks.join(dm, Seq("__r"))
+      .select(col("__id").as(idCol), col("__pos").cast(LongType).as("pos"),
+        col("__gr").as("suffix_rank"))
+      .localCheckpoint(true)
+    frees.foreach(_.apply())
+    out
   }
 
   /** Repeated-substring candidates — the memorization/contamination
@@ -112,17 +154,17 @@ object SuffixArray {
     *    rank-partitioned lag window chains tie members in (doc, pos)
     *    order; their common prefix is the WHOLE suffix, reported at
     *    full length;
-    *  - cross-rank (rank r's last member vs rank r+1's first): LCP by
-    *    a bounded character fold over `cap`-char snippets — reported
-    *    LCP saturates at `cap`, which is the audit's point (a repeat
-    *    that long is flagged whatever its true extent).
+    *  - cross-rank (rank r's last member vs rank r+1's first): LCP via
+    *    the native [[graft.expressions.CommonPrefixLen]] byte walk
+    *    over `cap`-char snippets — reported LCP saturates at `cap`,
+    *    which is the audit's point (a repeat that long is flagged
+    *    whatever its true extent).
     *
     * SCALE SHAPE: suffix STRINGS never materialize — each suffix
     * carries one `cap`-char snippet (O(n x cap) bytes, linear where
     * the naive sort is quadratic); the tie window partitions by rank
     * (bounded groups), the boundary join is an equi-join on the rank
-    * key, and the LCP fold is a codegen'd higher-order function over
-    * a <= cap integer sequence.
+    * key, and the LCP walk is a codegen'd zero-allocation expression.
     *
     * @return one row per adjacent pair: (d1, p1, d2, p2) witnesses,
     *         `lcp_len` (BIGINT; full length for equal suffixes,
@@ -139,8 +181,7 @@ object SuffixArray {
         expr(s"substring(__t, CAST(pos AS INT), $cap)").as("__snip"),
         (length(col("__t")) - col("pos") + 1).as("__suf_len"))
     // (a) equal suffixes: chain tie members; LCP = the full suffix
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__r")).orderBy(col(idCol), col("pos"))
+    val w = Window.partitionBy(col("__r")).orderBy(col(idCol), col("pos"))
     val intra = snips
       .select(col(idCol), col("pos"), col("__snip"), col("__suf_len"),
         lag(col(idCol), 1).over(w).as("d1"),
@@ -148,14 +189,18 @@ object SuffixArray {
       .filter(col("d1").isNotNull)
       .select(col("d1"), col("p1"), col(idCol).as("d2"), col("pos").as("p2"),
         col("__suf_len").cast(LongType).as("lcp_len"), col("__snip").as("__s2"))
-    // (b) rank boundary: last of r meets first of r+1; LCP by snippet fold
+    // (b) rank boundary: last of r meets first of r+1; LCP via the
+    // native byte-walk expression (codegen, zero per-row allocation) —
+    // the composable fold spelling
+    //   array_min(filter(sequence(1, least(len, len)),
+    //                    i -> substr(xs,i,1) <> substr(ys,i,1))) - 1
+    // builds the index array plus two 1-char slices per position per
+    // pair; CommonPrefixLenSpec proves the expression equal to it on
+    // ASCII and multibyte UTF-8, and the q246 oracle (which states the
+    // fold) holds the equality end-to-end under the hash gate
     val reps = snips.groupBy(col("__r")).agg(
       min(struct(col(idCol), col("pos"), col("__snip"))).as("lo"),
       max(struct(col(idCol), col("pos"), col("__snip"))).as("hi"))
-    val lcpExpr = "coalesce(array_min(filter(" +
-      "sequence(1, least(length(xs), length(ys))), " +
-      "i -> substr(xs, i, 1) <> substr(ys, i, 1))) - 1, " +
-      "least(length(xs), length(ys)))"
     val cross = reps.select(col("__r"), col("hi")).alias("a")
       .join(reps.select((col("__r") - 1).as("__r"), col("lo")).alias("b"),
         Seq("__r"))
@@ -163,23 +208,54 @@ object SuffixArray {
         col(s"lo.$idCol").as("d2"), col("lo.pos").as("p2"),
         col("hi.__snip").as("xs"), col("lo.__snip").as("ys"))
       .select(col("d1"), col("p1"), col("d2"), col("p2"),
-        expr(lcpExpr).cast(LongType).as("lcp_len"), col("ys").as("__s2"))
+        graft.expressions.CommonPrefixLen(docs.sparkSession,
+          col("xs"), col("ys")).cast(LongType).as("lcp_len"),
+        col("ys").as("__s2"))
     intra.unionByName(cross)
       .select(col("d1"), col("p1"), col("d2"), col("p2"), col("lcp_len"),
         expr(s"substr(__s2, 1, CAST(least(lcp_len, $cap) AS INT))")
           .as("snippet"))
   }
 
+  /** Instance-sparse base rank per key: base(k) = 1 + sum of counts of
+    * all strictly-smaller keys. One global range-sort of the DISTINCT
+    * key frame, a per-partition count sum (P longs to the driver — P =
+    * shuffle partitions, never data-sized), then a cumulative walk per
+    * partition with its driver-computed offset. Deterministic: the
+    * sorted order of a distinct frame is unique, so partition
+    * boundaries (sampled by the range exchange) cannot change any
+    * base, only balance. */
+  private[operators] def sparseBases(keyCounts: DataFrame, keyCol: String,
+      cntCol: String): (DataFrame, () => Unit) = {
+    val spark = keyCounts.sparkSession
+    val sorted = keyCounts.select(col(keyCol), col(cntCol)).orderBy(col(keyCol))
+    val srdd = sorted.rdd.persist()
+    val perPart = srdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_.getLong(1)).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _) // offsets(i) = sum before part i
+    val schema = StructType(Seq(
+      sorted.schema.fields(0), StructField("__r", LongType)))
+    val out = spark.createDataFrame(
+      srdd.mapPartitionsWithIndex { (i, it) =>
+        var run = offsets(i)
+        it.map { r =>
+          val b = run + 1L
+          run += r.getLong(1)
+          Row(r.get(0), b)
+        }
+      }, schema)
+    (out, () => { srdd.unpersist(blocking = false); () })
+  }
+
   /** Global DENSE rank of an already-distinct key frame, without an
     * unpartitioned window: `orderBy` range-partitions and sorts (the
     * scalable total order), and `zipWithIndex` assigns each row its
     * global position — on distinct rows, row position IS the dense
-    * rank. Deterministic: the sorted order of a distinct frame is
-    * unique, so partition boundaries (sampled by the range exchange)
-    * cannot change any rank, only balance. Returns the frame plus
-    * `__gr` and a release handle for the sort's cache (zipWithIndex
-    * runs a per-partition count job first — uncached, the range sort
-    * would execute twice). */
+    * rank. Deterministic for the [[sparseBases]] reason. Returns the
+    * frame plus `__gr` and a release handle for the sort's cache
+    * (zipWithIndex runs a per-partition count job first — uncached,
+    * the range sort would execute twice). */
   private[operators] def denseRankOf(dist: DataFrame,
       keys: Seq[String]): (DataFrame, () => Unit) = {
     val spark = dist.sparkSession

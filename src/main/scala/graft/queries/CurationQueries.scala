@@ -994,6 +994,69 @@ object CurationQueries {
                min(xv) AS cust_min, max(xv) AS cust_max,
                min(yv) AS day_min, max(yv) AS day_max
         FROM r15 GROUP BY 1"""
-      })
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "q247_priority_sample",
+      "Weighted sample without replacement per source via PRIORITY " +
+        "SAMPLING (Duffield-Lund-Thorup): 5 docs per source drawn " +
+        "with probability increasing in weight (w = n_chars), plus " +
+        "the DLT subset-sum estimator est_w = max(w, tau) whose " +
+        "expectations are exactly the group weight totals — the " +
+        "data-mixing primitive for quality/length-weighted corpus " +
+        "subsetting with an unbiased token-count estimate riding " +
+        "along. Priority = w / u with u a deterministic keyed-hash " +
+        "uniform — spelled as ONE IEEE division of two exactly-" +
+        "representable integers (w x 2^30+1 < 2^53 over the hash+1), " +
+        "so both engines produce identical bits with NO ln() anywhere " +
+        "(the q52/q67 libm rule); tau is the (k+1)-th priority, NULL " +
+        "(-> est_w = w exactly) for groups at or under k. SCALE " +
+        "SHAPE: selection runs through the custom grouped top-k " +
+        "operator (plans.TopKPerKey — per-split bounded heaps, " +
+        "shuffle capped at splits x sources x (k+1) rows, no " +
+        "partition sort); the rank/tau split is a window over the " +
+        "ALREADY-REDUCED (k+1)-per-group survivor frame and tau " +
+        "joins back on the source key.",
+      (s, dir) => {
+        val K = 5
+        val prior = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"), col("doc_id"),
+            col("n_chars").cast(LongType).as("w"),
+            (Portable.pmd5(concat(lit("pri:"), col("doc_id").cast("string")))
+              % 1073741824L).as("h"))
+          .select(col("source"), col("doc_id"), col("w"),
+            ((col("w") * 1073741825L).cast(DoubleType) / (col("h") + 1))
+              .as("priority"))
+        val top = graft.plans.TopKPerKey.topK(prior, Seq("source"),
+          Seq(("priority", false), ("doc_id", true)), K + 1)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("priority").desc, col("doc_id").asc)
+        val ranked = top.withColumn("rn", row_number().over(w))
+        val tau = ranked.filter(col("rn") === K + 1)
+          .select(col("source"), col("priority").as("tau"))
+        ranked.filter(col("rn") <= K)
+          .join(tau, Seq("source"), "left")
+          .select(col("source"), col("doc_id"), col("w"),
+            col("priority"),
+            greatest(col("w").cast(DoubleType),
+              coalesce(col("tau"), lit(0.0))).as("est_w"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+                 CAST(CAST(n_chars AS BIGINT) * 1073741825 AS DOUBLE)
+                   / (${Portable.pmd5Sql("concat('pri:', CAST(doc_id AS VARCHAR))")}
+                      % 1073741824 + 1) AS priority
+          FROM documents),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY priority DESC, doc_id ASC) AS rn
+          FROM p),
+        tau AS (
+          SELECT source, priority AS tau FROM ranked WHERE rn = 6)
+        SELECT ranked.source, doc_id, w, priority,
+               greatest(CAST(w AS DOUBLE), coalesce(tau, 0.0)) AS est_w
+        FROM ranked LEFT JOIN tau ON ranked.source = tau.source
+        WHERE rn <= 5"""))
   )
 }

@@ -20,14 +20,28 @@ class SuffixArraySpec extends SparkSpec {
     sfx.map { case (k, s) => k -> rankOf(s) }.toMap
   }
 
-  private def run(docs: Seq[(Long, String)]): Map[(Long, Long), Long] =
-    SuffixArray.suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text")
+  private def run(docs: Seq[(Long, String)],
+      initKey: Int = 8): Map[(Long, Long), Long] =
+    SuffixArray.suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text",
+        initKey)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  /** Every corpus is checked on BOTH paths: initKey=1 forces the
+    * active-set refinement loop to run its full log2(len) rounds (the
+    * char-level classic construction), the default initKey=8 settles
+    * most suffixes in round 0 and exercises the settled/tied split. */
+  private def checkBoth(docs: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+    val expected = brute(docs)
+    val viaLoop = run(docs, initKey = 1)
+    assert(viaLoop == expected, "initKey=1 (full doubling loop) diverged")
+    val viaKey = run(docs)
+    assert(viaKey == expected, "initKey=8 (round-0 settle) diverged")
+    expected
+  }
 
   test("banana: the textbook suffix order") {
     val docs = Seq((7L, "banana"))
-    val got = run(docs)
-    assert(got == brute(docs))
+    val got = checkBoth(docs)
     // a(6) < ana(4) < anana(2) < banana(1) < na(5) < nana(3)
     assert(got == Map((7L, 6L) -> 1L, (7L, 4L) -> 2L, (7L, 2L) -> 3L,
       (7L, 1L) -> 4L, (7L, 5L) -> 5L, (7L, 3L) -> 6L))
@@ -36,31 +50,28 @@ class SuffixArraySpec extends SparkSpec {
   test("prefix suffixes rank before their extensions; ranks dense across docs") {
     // "ab" is a prefix of "abab"'s pos-1 suffix: the sentinel-0 tail
     // must sort it first, exactly like the string compare
-    val docs = Seq((1L, "abab"), (2L, "ab"), (3L, "ba"))
-    assert(run(docs) == brute(docs))
+    checkBoth(Seq((1L, "abab"), (2L, "ab"), (3L, "ba")))
   }
 
   test("duplicate documents tie every suffix rank, dense over DISTINCT suffixes") {
     val docs = Seq((1L, "banana"), (2L, "banana"), (3L, "band"))
-    val got = run(docs)
-    assert(got == brute(docs))
+    val got = checkBoth(docs)
     assert((1 to 6).forall(p => got((1L, p.toLong)) == got((2L, p.toLong))),
       "identical docs must share every rank")
     val maxRank = got.values.max
     assert(got.values.toSet == (1L to maxRank).toSet, "rank space must be dense")
   }
 
-  test("single-character runs force the full round count (deepest tie chains)") {
-    // every proper suffix of "aaaaaaaa" is a prefix of the longer ones:
-    // ties only resolve as the doubled span reaches each length
-    val docs = Seq((1L, "aaaaaaaa"), (2L, "aaab"))
-    assert(run(docs) == brute(docs))
+  test("single-character runs force the deepest tie chains") {
+    // every proper suffix of "aaaaaaaaaaaa" is a prefix of the longer
+    // ones: ties resolve only as the doubled span reaches each length —
+    // 12 chars also keeps the DEFAULT initKey=8 path in its loop
+    checkBoth(Seq((1L, "aaaaaaaaaaaa"), (2L, "aaab")))
   }
 
   test("degenerates: empty slice and 1-char docs") {
     assert(run(Seq.empty[(Long, String)]).isEmpty)
-    val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"))
-    assert(run(docs) == brute(docs))
+    checkBoth(Seq((1L, "x"), (2L, "y"), (3L, "x")))
   }
 
   // brute-force longest repeated substring: max common prefix over all

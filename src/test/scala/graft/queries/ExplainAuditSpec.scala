@@ -364,6 +364,9 @@ class ExplainAuditSpec extends SparkSpec {
         "q210_small_qty_revenue", "q216_grouping_sets",
         "q218_schema_drift_union", "q220_forecast_revenue",
         "q222_important_parts", "q243_product_profit",
+        // priority + est_w: ONE IEEE division of exactly-representable
+        // integers and a max over exact values — no ln() (libm rule)
+        "q247_priority_sample",
         "q35_sessionize", "q36_rollup",
         "q39_salted_agg", "q40_weighted_avg", "q53_window_analytics",
         "q54_sliding_window", "q62_json_extract", "q21_token_stats",
