@@ -23,5 +23,6 @@ object Engine {
     expressions.SimHash60.register(spark)
     expressions.SortedIntersectSize.register(spark)
     expressions.Pmd5Hash60.register(spark)
+    expressions.CommonPrefixLen.register(spark)
   }
 }

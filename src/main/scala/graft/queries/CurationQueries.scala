@@ -1018,28 +1018,14 @@ object CurationQueries {
         "ALREADY-REDUCED (k+1)-per-group survivor frame and tau " +
         "joins back on the source key.",
       (s, dir) => {
+        import graft.operators.PrioritySample
         val K = 5
-        val prior = spread(t(s, dir, "documents"), col("doc_id"))
-          .select(col("source"), col("doc_id"),
-            col("n_chars").cast(LongType).as("w"),
-            (Portable.pmd5(concat(lit("pri:"), col("doc_id").cast("string")))
-              % 1073741824L).as("h"))
-          .select(col("source"), col("doc_id"), col("w"),
-            ((col("w") * 1073741825L).cast(DoubleType) / (col("h") + 1))
-              .as("priority"))
-        val top = graft.plans.TopKPerKey.topK(prior, Seq("source"),
-          Seq(("priority", false), ("doc_id", true)), K + 1)
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("priority").desc, col("doc_id").asc)
-        val ranked = top.withColumn("rn", row_number().over(w))
-        val tau = ranked.filter(col("rn") === K + 1)
-          .select(col("source"), col("priority").as("tau"))
-        ranked.filter(col("rn") <= K)
-          .join(tau, Seq("source"), "left")
-          .select(col("source"), col("doc_id"), col("w"),
-            col("priority"),
-            greatest(col("w").cast(DoubleType),
-              coalesce(col("tau"), lit(0.0))).as("est_w"))
+        val prior = PrioritySample.withPriority(
+          spread(t(s, dir, "documents"), col("doc_id")),
+          "source", "doc_id", "n_chars")
+        PrioritySample.estimate(
+          PrioritySample.topSummary(prior, "source", "doc_id", K),
+          "source", "doc_id", K)
       },
       Some(s"""
         WITH p AS (
