@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ AdvancedQueries.all ++ CorpusQueries.all ++
       PipelineQueries.all ++ CurationQueries.all ++ MiningQueries.all ++
-      ProfilingQueries.all ++ StarQueries.all ++ WarehouseQueries.all
+      ProfilingQueries.all ++ StarQueries.all ++ WarehouseQueries.all ++
+      StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

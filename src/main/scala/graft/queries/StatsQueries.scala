@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.{spread, t}
+
+/** Exact nonparametric / drift statistics (q248+): the inferential
+  * layer a corpus pipeline runs to DECIDE whether two slices differ —
+  * rank correlation between quality signals, concentration of the
+  * length distribution, location shift between language strata, and
+  * distribution drift between event populations in both classic
+  * norms (KS sup-distance and Wasserstein-1 transport cost).
+  *
+  * Every statistic here is chosen BECAUSE its classical form is a
+  * rational number of integer moments: ranks, counts and cross-
+  * multiplied moments accumulate exactly (DECIMAL(38,0) across
+  * shuffles — HUGEINT on the oracle side), and the single final
+  * integer division lands on the bp/milli scale identically on both
+  * engines. No sqrt, no log, no float accumulation anywhere — the
+  * z-/p-value normalizations that would need them are deliberately
+  * left to the caller (the exact statistic is the portable part).
+  *
+  * Tie handling uses midranks spelled as integers: the average rank
+  * of a tie group, doubled to stay integral — `2*rank() + count(tie
+  * group) - 1` (avg of rank..rank+c-1, times 2). Both engines state
+  * the same window expression, so ties cannot drift.
+  *
+  * Numeric bounds (documented, not latent): with per-group row count
+  * n, doubled midranks reach 2n, the Pearson-on-ranks cross moments
+  * reach 4n^3-ish magnitudes and the q248 quotient squares them —
+  * DECIMAL(38,0)/HUGEINT holds exactly to n ~ 3*10^4 per group. The
+  * scale path beyond that is the q241 histogram rule: discretize the
+  * variable into bounded buckets FIRST — midranks of a bucketed
+  * histogram ARE the midranks of its ties, so bucketing is not an
+  * approximation of the rank statistics, it is a coarsening both
+  * engines state identically.
+  */
+object StatsQueries {
+
+  /** Doubled midrank of `value` within `part`: 2 * avg rank of the
+    * tie group, an exact integer. */
+  private def midrank2(part: Seq[String], value: String) =
+    (rank().over(Window.partitionBy(part.map(col): _*).orderBy(col(value)))
+      .cast(LongType) * 2
+      + count(lit(1)).over(Window.partitionBy((part :+ value).map(col): _*))
+      - 1)
+
+  private val dec38 = DecimalType(38, 0)
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q248_spearman_rank",
+      "Spearman rank correlation between document length (chars) and " +
+        "token count per source — the monotone-association audit " +
+        "between two quality signals (does one screen imply the " +
+        "other?). Pearson on doubled midranks, fully exact: the " +
+        "output is SIGNED rho^2 in bp (sign(num) * num^2*10000 div " +
+        "(d1*d2)) — algebraically determined by the integer moments, " +
+        "so NO sqrt ever runs (rho itself would need one; rho = " +
+        "sign * sqrt(rho2s_bp/10000) is caller math). Constant " +
+        "columns (zero rank variance) are filtered — rho is " +
+        "undefined there on both engines. Moments accumulate in " +
+        "DECIMAL(38,0) (HUGEINT oracle-side); see the object doc for " +
+        "the n ~ 3e4 per-group exactness bound and the histogram " +
+        "coarsening that extends it. SCALE SHAPE: two rank windows " +
+        "partitioned by source (+ a tie-count window each), then one " +
+        "map-side-combined moment aggregation; six numbers per " +
+        "source cross the final shuffle.",
+      (s, dir) => {
+        val b = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"), col("doc_id"),
+            col("n_chars").as("x"),
+            size(split(col("text"), " ")).cast(LongType).as("y"))
+        val r = b
+          .withColumn("rx2", midrank2(Seq("source"), "x"))
+          .withColumn("ry2", midrank2(Seq("source"), "y"))
+        val m = r.groupBy(col("source")).agg(
+          count(lit(1)).cast(dec38).as("n"),
+          sum(col("rx2").cast(dec38)).as("sx"),
+          sum(col("ry2").cast(dec38)).as("sy"),
+          sum((col("rx2") * col("ry2")).cast(dec38)).as("sxy"),
+          sum((col("rx2") * col("rx2")).cast(dec38)).as("sxx"),
+          sum((col("ry2") * col("ry2")).cast(dec38)).as("syy"))
+        m.select(col("source"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+          .filter(col("d1") > 0 && col("d2") > 0)
+          .select(col("source"), col("n").cast(LongType).as("n"),
+            (when(col("num") < 0, -1L).otherwise(1L)
+              * expr("num * num * 10000 div (d1 * d2)"))
+              .cast(LongType).as("rho2s_bp"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT source, doc_id, n_chars AS x,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+          FROM documents),
+        r AS (
+          SELECT source,
+                 2 * rank() OVER (PARTITION BY source ORDER BY x)
+                   + count(*) OVER (PARTITION BY source, x) - 1 AS rx2,
+                 2 * rank() OVER (PARTITION BY source ORDER BY y)
+                   + count(*) OVER (PARTITION BY source, y) - 1 AS ry2
+          FROM b),
+        m AS (
+          SELECT source, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(rx2) AS HUGEINT) AS sx,
+                 CAST(sum(ry2) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy
+          FROM r GROUP BY 1),
+        d AS (
+          SELECT source, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          FROM m)
+        SELECT source, CAST(n AS BIGINT) AS n,
+               CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((num * num * 10000) // (d1 * d2)) AS BIGINT) AS rho2s_bp
+        FROM d WHERE d1 > 0 AND d2 > 0"""),
+    ),
+    // ----------------------------------------------------------------
+    Q(
+      "q249_gini_length",
+      "Gini coefficient of the per-source document-length " +
+        "distribution — the concentration datasheet stat (gini_bp " +
+        "near 0: uniform lengths; near 10000: a few giant docs carry " +
+        "the source). Exact rational form on the ascending rank: " +
+        "gini = (2*sum(i*w) - (n+1)*sum(w)) / (n*sum(w)), floor-" +
+        "divided onto bp. The rank i orders by (w, doc_id) — tied " +
+        "weights contribute the same w at swapped positions, so the " +
+        "tiebreak provably cannot change sum(i*w) and the statistic " +
+        "is total-order-free. sum(i*w) accumulates in DECIMAL(38,0): " +
+        "it reaches n^2*w magnitudes (~10^22 at a 10^9-doc source) " +
+        "where a raw BIGINT sum would silently wrap. SCALE SHAPE: " +
+        "one rank window partitioned by source, one map-side-" +
+        "combined aggregation; three numbers per source shuffle.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("w"), col("doc_id"))
+        spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"), col("doc_id"), col("n_chars").as("w"))
+          .withColumn("i", row_number().over(w).cast(LongType))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("w").cast(dec38)).as("sw"),
+            sum((col("i") * col("w")).cast(dec38)).as("siw"))
+          .filter(col("sw") > 0)
+          .select(col("source"), col("n"),
+            col("sw").cast(LongType).as("total_chars"),
+            expr("CAST((2 * siw - (n + 1) * sw) * 10000" +
+              " div (n * sw) AS BIGINT)").as("gini_bp"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT source, n_chars AS w,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS BIGINT) AS i
+          FROM documents),
+        g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(w) AS HUGEINT) AS sw,
+                 CAST(sum(CAST(i AS HUGEINT) * w) AS HUGEINT) AS siw
+          FROM r GROUP BY 1)
+        SELECT source, n, CAST(sw AS BIGINT) AS total_chars,
+               CAST((2 * siw - (n + 1) * sw) * 10000
+                 // (n * sw) AS BIGINT) AS gini_bp
+        FROM g WHERE sw > 0"""),
+    ),
+    // ----------------------------------------------------------------
+    Q(
+      "q250_mannwhitney_u",
+      "Mann-Whitney U (Wilcoxon rank-sum) per source: does the " +
+        "English stratum run longer documents than the rest? The " +
+        "location-shift test that needs NO distributional assumption " +
+        "— exactly the comparison a mixed-language corpus cannot do " +
+        "with a t-test. Doubled midranks over the COMBINED group " +
+        "keep ties exact; u2_en = 2*U_en = sum(midrank2 | en) - " +
+        "n_en*(n_en+1) is an exact integer, and the effect size is " +
+        "the rank-biserial r in bp: 10000 - u2*10000 div " +
+        "(n_en*n_oth) (+10000: every English doc shorter than every " +
+        "other; -10000: the reverse; U's z-normalization is caller " +
+        "math — it needs a sqrt). Sources missing either stratum are " +
+        "filtered (the test is undefined). SCALE SHAPE: one rank " +
+        "window partitioned by source + the tie-count window, one " +
+        "map-side-combined aggregation; four numbers per source " +
+        "shuffle.",
+      (s, dir) => {
+        val b = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"), col("doc_id"),
+            col("n_chars").as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+        b.withColumn("m2", midrank2(Seq("source"), "x"))
+          .groupBy(col("source"))
+          .agg(sum(col("is_en")).as("n_en"),
+            sum(lit(1L) - col("is_en")).as("n_oth"),
+            sum((col("is_en") * col("m2")).cast(dec38)).as("r_en2"))
+          .filter(col("n_en") > 0 && col("n_oth") > 0)
+          .select(col("source"), col("n_en"), col("n_oth"),
+            expr("CAST(r_en2 - n_en * (n_en + 1) AS BIGINT)").as("u2_en"))
+          .select(col("source"), col("n_en"), col("n_oth"), col("u2_en"),
+            expr("10000 - CAST(CAST(u2_en AS DECIMAL(38,0)) * 10000" +
+              " div (n_en * n_oth) AS BIGINT)").as("effect_bp"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT source, doc_id, n_chars AS x,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+          FROM documents),
+        r AS (
+          SELECT source, is_en,
+                 2 * rank() OVER (PARTITION BY source ORDER BY x)
+                   + count(*) OVER (PARTITION BY source, x) - 1 AS m2
+          FROM b),
+        g AS (
+          SELECT source, CAST(sum(is_en) AS BIGINT) AS n_en,
+                 CAST(sum(1 - is_en) AS BIGINT) AS n_oth,
+                 CAST(sum(CAST(is_en AS HUGEINT) * m2) AS HUGEINT) AS r_en2
+          FROM r GROUP BY 1),
+        u AS (
+          SELECT source, n_en, n_oth,
+                 CAST(r_en2 - n_en * (n_en + 1) AS BIGINT) AS u2_en
+          FROM g WHERE n_en > 0 AND n_oth > 0)
+        SELECT source, n_en, n_oth, u2_en,
+               10000 - CAST(CAST(u2_en AS HUGEINT) * 10000
+                 // (n_en * n_oth) AS BIGINT) AS effect_bp
+        FROM u"""),
+    ),
+    // ----------------------------------------------------------------
+    Q(
+      "q251_w1_drift",
+      "Wasserstein-1 (earth-mover) distance between the purchase and " +
+        "click value distributions, per week — the drift MAGNITUDE in " +
+        "value units, complementing q252's KS sup-norm (KS says " +
+        "'they differ somewhere'; W1 says 'moving one distribution " +
+        "onto the other costs this many cents per unit mass'; a tiny " +
+        "uniform shift moves W1 but barely moves KS, a sharp local " +
+        "spike does the reverse — a drift monitor wants both norms). " +
+        "Exact via the 1-D closed form: W1 = integral |ecdfP - " +
+        "ecdfC| = sum over adjacent observed values of |cumP*nC - " +
+        "cumC*nP| * gap / (nP*nC) — cross-multiplied cumulative " +
+        "counts weighted by the support gap, one floor division onto " +
+        "millicents at the end. Unbinned: the support is the " +
+        "observed cents values themselves, not a histogram guess " +
+        "(q105's binned total-variation is the coarse cousin). " +
+        "SCALE SHAPE: identical to q252 — the (week, cents) " +
+        "aggregation bounds the frame by the value range, cumulative " +
+        "+ lead windows partition by week, one sum per week " +
+        "shuffles.",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(
+            expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
+              .as("week"),
+            (col("value").cast(DecimalType(12, 2)) * 100)
+              .cast(LongType).as("cents"),
+            when(col("event_type") === "purchase", 1L)
+              .otherwise(0L).as("is_p"))
+        val pc = e.groupBy(col("week"), col("cents"))
+          .agg(sum(col("is_p")).as("cp"),
+            sum(lit(1L) - col("is_p")).as("cc"))
+        val ow = Window.partitionBy(col("week")).orderBy(col("cents"))
+        val cw = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tw = Window.partitionBy(col("week"))
+        pc
+          .withColumn("cum_p", sum(col("cp")).over(cw))
+          .withColumn("cum_c", sum(col("cc")).over(cw))
+          .withColumn("gap", lead(col("cents"), 1).over(ow) - col("cents"))
+          .withColumn("n_p", sum(col("cp")).over(tw))
+          .withColumn("n_c", sum(col("cc")).over(tw))
+          .filter(col("n_p") > 0 && col("n_c") > 0 && col("gap").isNotNull)
+          .groupBy(col("week"), col("n_p"), col("n_c"))
+          .agg(sum(abs(col("cum_p").cast(dec38) * col("n_c")
+              - col("cum_c").cast(dec38) * col("n_p")) * col("gap"))
+            .as("num"))
+          .select(col("week"),
+            col("n_p").as("n_purchase"), col("n_c").as("n_click"),
+            expr("CAST(num * 1000 div (n_p * n_c) AS BIGINT)")
+              .as("w1_millicents"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   // 7 AS week,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_p
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        pc AS (
+          SELECT week, cents, CAST(sum(is_p) AS BIGINT) AS cp,
+                 CAST(sum(1 - is_p) AS BIGINT) AS cc
+          FROM e GROUP BY 1, 2),
+        c AS (
+          SELECT week, cents,
+                 sum(cp) OVER (PARTITION BY week ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_p,
+                 sum(cc) OVER (PARTITION BY week ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_c,
+                 lead(cents, 1) OVER (PARTITION BY week ORDER BY cents)
+                   - cents AS gap,
+                 sum(cp) OVER (PARTITION BY week) AS n_p,
+                 sum(cc) OVER (PARTITION BY week) AS n_c
+          FROM pc)
+        SELECT week, CAST(n_p AS BIGINT) AS n_purchase,
+               CAST(n_c AS BIGINT) AS n_click,
+               CAST(sum(abs(CAST(cum_p AS HUGEINT) * n_c
+                 - CAST(cum_c AS HUGEINT) * n_p) * gap) * 1000
+                 // (n_p * n_c) AS BIGINT) AS w1_millicents
+        FROM c WHERE n_p > 0 AND n_c > 0 AND gap IS NOT NULL
+        GROUP BY week, n_p, n_c"""),
+    ),
+    // ----------------------------------------------------------------
+    Q(
+      "q252_ks_drift",
+      "Two-sample Kolmogorov-Smirnov distance between the purchase " +
+        "and click value distributions, per week — the distribution-" +
+        "drift monitor (a ks_bp spike says the two populations " +
+        "stopped looking alike — THE check run between a corpus " +
+        "refresh and its predecessor, or treatment vs control). " +
+        "Exact: D = max |ecdfP - ecdfC| evaluated at every observed " +
+        "value is max |cumP*nC - cumC*nP| / (nP*nC) — an integer " +
+        "max over cross-multiplied cumulative counts, floor-divided " +
+        "onto bp. Values stay cents (DECIMAL(12,2)*100, the q241 " +
+        "rule): grouped and ordered, never float-accumulated, so the " +
+        "supremum is bit-identical on both engines. SCALE SHAPE: one " +
+        "(week, cents) aggregation bounds the frame by the VALUE " +
+        "RANGE (not the event count), cumulative windows partition " +
+        "by week, and one max per week shuffles; nothing global " +
+        "ever sorts.",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(
+            expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
+              .as("week"),
+            (col("value").cast(DecimalType(12, 2)) * 100)
+              .cast(LongType).as("cents"),
+            when(col("event_type") === "purchase", 1L)
+              .otherwise(0L).as("is_p"))
+        val pc = e.groupBy(col("week"), col("cents"))
+          .agg(sum(col("is_p")).as("cp"),
+            sum(lit(1L) - col("is_p")).as("cc"))
+        val cw = Window.partitionBy(col("week")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tw = Window.partitionBy(col("week"))
+        pc
+          .withColumn("cum_p", sum(col("cp")).over(cw))
+          .withColumn("cum_c", sum(col("cc")).over(cw))
+          .withColumn("n_p", sum(col("cp")).over(tw))
+          .withColumn("n_c", sum(col("cc")).over(tw))
+          .filter(col("n_p") > 0 && col("n_c") > 0)
+          .groupBy(col("week"), col("n_p"), col("n_c"))
+          .agg(max(abs(col("cum_p").cast(dec38) * col("n_c")
+            - col("cum_c").cast(dec38) * col("n_p"))).as("dmax"))
+          .select(col("week"),
+            col("n_p").as("n_purchase"), col("n_c").as("n_click"),
+            expr("CAST(dmax * 10000 div (n_p * n_c) AS BIGINT)")
+              .as("ks_bp"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   // 7 AS week,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_p
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        pc AS (
+          SELECT week, cents, CAST(sum(is_p) AS BIGINT) AS cp,
+                 CAST(sum(1 - is_p) AS BIGINT) AS cc
+          FROM e GROUP BY 1, 2),
+        c AS (
+          SELECT week,
+                 sum(cp) OVER (PARTITION BY week ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_p,
+                 sum(cc) OVER (PARTITION BY week ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_c,
+                 sum(cp) OVER (PARTITION BY week) AS n_p,
+                 sum(cc) OVER (PARTITION BY week) AS n_c
+          FROM pc)
+        SELECT week, CAST(n_p AS BIGINT) AS n_purchase,
+               CAST(n_c AS BIGINT) AS n_click,
+               CAST(max(abs(CAST(cum_p AS HUGEINT) * n_c
+                 - CAST(cum_c AS HUGEINT) * n_p)) * 10000
+                 // (n_p * n_c) AS BIGINT) AS ks_bp
+        FROM c WHERE n_p > 0 AND n_c > 0
+        GROUP BY week, n_p, n_c"""),
+    ),
+  )
+}
