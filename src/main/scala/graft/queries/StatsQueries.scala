@@ -399,5 +399,149 @@ object StatsQueries {
         FROM c WHERE n_p > 0 AND n_c > 0
         GROUP BY week, n_p, n_c"""),
     ),
+    // ----------------------------------------------------------------
+    Q(
+      "q253_kendall_tau",
+      "Kendall tau-b between document length and token count per " +
+        "source — the pairwise-concordance partner of q248's " +
+        "Spearman (tau counts ORDER AGREEMENTS; Spearman correlates " +
+        "RANKS — an outlier's rank moves Spearman far more, so a " +
+        "robust monotone-association audit wants both). The naive " +
+        "statistic is O(n^2) sign products; the engine DECOMPOSES by " +
+        "value buckets into three exactly-disjoint pair classes: " +
+        "(A) different x-bucket AND different y-bucket — the sign " +
+        "product is determined by BUCKET order alone, so these pairs " +
+        "fold into the (bx, by) CELL table and a cell-pair join " +
+        "bounded by the value RANGE, never the row count; (B) same " +
+        "x-bucket — resolved exactly by an equi-keyed self-join " +
+        "inside the bucket (frame bounded by bucket width); (C) same " +
+        "y-bucket with different x-buckets — x-sign from bucket " +
+        "order, y-sign exact inside the y-bucket. S = A + B + C is " +
+        "the exact Kendall S; ties feed the tau-b denominator " +
+        "(n0-n1)(n0-n2) from per-value tie counts. Output is signed " +
+        "tau^2 in bp (the q248 rule: no sqrt ever runs); magnitudes " +
+        "stay ~n^4, so DECIMAL(38,0) is exact to ~1e9 rows per group " +
+        "— four orders beyond Spearman's moment bound. All sign " +
+        "products are CASE comparisons — integer on both engines " +
+        "(signum would be a double). The oracle states the naive " +
+        "all-pairs double sum, so the hash match PROVES the " +
+        "decomposition exhaustive and disjoint, ties included.",
+      (s, dir) => {
+        val b = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"), col("doc_id"),
+            col("n_chars").as("x"),
+            size(split(col("text"), " ")).cast(LongType).as("y"))
+          .withColumn("bx", expr("x div 64"))
+          .withColumn("by", expr("y div 8"))
+        // (A) cross-bucket pairs: cell table joined to itself per
+        // source (hash equi-join on source), ordered bx1 < bx2 so each
+        // unordered pair counts once; contribution cnt1*cnt2*sign(by).
+        val cells = b.groupBy(col("source"), col("bx"), col("by"))
+          .agg(count(lit(1)).as("cnt"))
+        val a = cells.as("c1")
+          .join(cells.as("c2"), col("c1.source") === col("c2.source"))
+          .filter(col("c1.bx") < col("c2.bx") && col("c1.by") =!= col("c2.by"))
+          .groupBy(col("c1.source").as("source"))
+          .agg(sum((col("c1.cnt") * col("c2.cnt")).cast(dec38)
+            * when(col("c2.by") > col("c1.by"), 1L).otherwise(-1L))
+            .as("s_a"))
+        // (B) same x-bucket: exact sign products inside the bucket.
+        val l = b.select(col("source"), col("doc_id"), col("x"),
+          col("y"), col("bx"), col("by"))
+        val bPairs = l.as("p1")
+          .join(l.as("p2"), col("p1.source") === col("p2.source")
+            && col("p1.bx") === col("p2.bx")
+            && col("p1.doc_id") < col("p2.doc_id"))
+          .groupBy(col("p1.source").as("source"))
+          .agg(sum((
+            when(col("p2.x") > col("p1.x"), 1L)
+              .when(col("p2.x") < col("p1.x"), -1L).otherwise(0L)
+            * when(col("p2.y") > col("p1.y"), 1L)
+              .when(col("p2.y") < col("p1.y"), -1L).otherwise(0L))
+            .cast(dec38)).as("s_b"))
+        // (C) same y-bucket, different x-bucket: x-sign from bucket
+        // order, y-sign exact.
+        val cPairs = l.as("p1")
+          .join(l.as("p2"), col("p1.source") === col("p2.source")
+            && col("p1.by") === col("p2.by")
+            && col("p1.doc_id") < col("p2.doc_id"))
+          .filter(col("p1.bx") =!= col("p2.bx"))
+          .groupBy(col("p1.source").as("source"))
+          .agg(sum((
+            when(col("p2.bx") > col("p1.bx"), 1L).otherwise(-1L)
+            * when(col("p2.y") > col("p1.y"), 1L)
+              .when(col("p2.y") < col("p1.y"), -1L).otherwise(0L))
+            .cast(dec38)).as("s_c"))
+        // tie structure for the tau-b denominator
+        val n0 = b.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .select(col("source"), col("n"),
+            expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2").as("n0"))
+        val n1 = b.groupBy(col("source"), col("x"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("source"))
+          .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) div 2"))
+            .as("n1"))
+        val n2 = b.groupBy(col("source"), col("y"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("source"))
+          .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) div 2"))
+            .as("n2"))
+        n0.join(n1, "source").join(n2, "source")
+          .join(a, Seq("source"), "left")
+          .join(bPairs, Seq("source"), "left")
+          .join(cPairs, Seq("source"), "left")
+          .select(col("source"), col("n"),
+            (coalesce(col("s_a"), lit(0L)) + coalesce(col("s_b"), lit(0L))
+              + coalesce(col("s_c"), lit(0L))).as("s_stat"),
+            (col("n0") - col("n1")).as("d1"),
+            (col("n0") - col("n2")).as("d2"))
+          .filter(col("d1") > 0 && col("d2") > 0)
+          .select(col("source"), col("n"),
+            col("s_stat").cast(LongType).as("s_stat"),
+            (when(col("s_stat") < 0, -1L).otherwise(1L)
+              * expr("s_stat * s_stat * 10000 div (d1 * d2)"))
+              .cast(LongType).as("taub2s_bp"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT source, doc_id, n_chars AS x,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+          FROM documents),
+        s AS (
+          SELECT p1.source,
+                 CAST(sum(
+                   (CASE WHEN p2.x > p1.x THEN 1
+                         WHEN p2.x < p1.x THEN -1 ELSE 0 END)
+                   * (CASE WHEN p2.y > p1.y THEN 1
+                           WHEN p2.y < p1.y THEN -1 ELSE 0 END))
+                   AS HUGEINT) AS s_stat
+          FROM b p1 JOIN b p2
+            ON p1.source = p2.source AND p1.doc_id < p2.doc_id
+          GROUP BY 1),
+        n0 AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 AS n0
+          FROM b GROUP BY 1),
+        n1 AS (
+          SELECT source, CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2)
+                   AS HUGEINT) AS n1
+          FROM (SELECT source, x, count(*) AS t FROM b GROUP BY 1, 2)
+          GROUP BY 1),
+        n2 AS (
+          SELECT source, CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2)
+                   AS HUGEINT) AS n2
+          FROM (SELECT source, y, count(*) AS t FROM b GROUP BY 1, 2)
+          GROUP BY 1),
+        j AS (
+          SELECT n0.source, n0.n, coalesce(s.s_stat, 0) AS s_stat,
+                 n0.n0 - n1.n1 AS d1, n0.n0 - n2.n2 AS d2
+          FROM n0 JOIN n1 USING (source) JOIN n2 USING (source)
+          LEFT JOIN s USING (source))
+        SELECT source, n, CAST(s_stat AS BIGINT) AS s_stat,
+               CAST((CASE WHEN s_stat < 0 THEN -1 ELSE 1 END)
+                 * ((s_stat * s_stat * 10000) // (d1 * d2))
+                 AS BIGINT) AS taub2s_bp
+        FROM j WHERE d1 > 0 AND d2 > 0"""),
+    ),
   )
 }

@@ -139,6 +139,52 @@ class StatsPropertySpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 200000L, 2L -> 200000L))
   }
 
+  test("q253 endpoints + BigInt all-pairs reference, straddling bucket boundaries") {
+    // mono/anti reuse the q248 shapes — Kendall must agree at the
+    // endpoints: every pair concordant -> +10000, discordant -> -10000.
+    val mono = (1L to 8L).map(i =>
+      (i, Seq.fill(i.toInt)("w").mkString(" "), "en", "mono"))
+    val anti = (1L to 5L).map(i =>
+      (100 + i, Seq.fill(6 - i.toInt)("x" * math.pow(3, i.toDouble).toInt)
+        .mkString(" "), "en", "anti"))
+    // rnd: char counts span several x-buckets (div 64) and token
+    // counts several y-buckets (div 8), with ties in both — every
+    // decomposition class (cross-bucket, same-x-bucket, same-y-bucket)
+    // is populated, which is what the BigInt check must cover.
+    val rnd = {
+      val r = new scala.util.Random(7)
+      (1L to 50L).map { i =>
+        val ntok = 1 + r.nextInt(20)
+        val wide = 1 + r.nextInt(12)
+        (200 + i, Seq.fill(ntok)("z" * wide).mkString(" "), "en", s"r${i % 2}")
+      }
+    }
+    val got = run("q253_kendall_tau", stageDocs(mono ++ anti ++ rnd))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("mono")._3 == 10000L && got("anti")._3 == -10000L)
+
+    val ref = (mono ++ anti ++ rnd).groupBy(_._4).flatMap { case (src, ds) =>
+      val xs = ds.map(_._2.length.toLong)
+      val ys = ds.map(_._2.split(" ", -1).length.toLong)
+      val n = ds.size
+      var s = BigInt(0)
+      for (i <- 0 until n; j <- i + 1 until n)
+        s += xs(j).compare(xs(i)).sign * ys(j).compare(ys(i)).sign
+      val n0 = BigInt(n) * (n - 1) / 2
+      val n1 = xs.groupBy(identity).values
+        .map(g => BigInt(g.size) * (g.size - 1) / 2).sum
+      val n2 = ys.groupBy(identity).values
+        .map(g => BigInt(g.size) * (g.size - 1) / 2).sum
+      val (d1, d2) = (n0 - n1, n0 - n2)
+      if (d1 > 0 && d2 > 0)
+        Some(src -> (n.toLong, s.toLong,
+          (s.sign * (s * s * 10000 / (d1 * d2))).toLong))
+      else None
+    }
+    assert(got == ref)
+  }
+
   test("q252 endpoints: identical distributions -> 0, disjoint supports -> 10000") {
     // week 0: purchase and click values are the same multiset -> D = 0.
     val w0 = Seq(1.00, 2.50, 2.50, 7.25).zipWithIndex.flatMap { case (v, i) =>
