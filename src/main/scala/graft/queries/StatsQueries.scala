@@ -249,42 +249,20 @@ object StatsQueries {
         "millicents at the end. Unbinned: the support is the " +
         "observed cents values themselves, not a histogram guess " +
         "(q105's binned total-variation is the coarse cousin). " +
+        "Both norms share operators/DriftStat: the (week, cents) " +
+        "histogram is the sufficient statistic and MERGES BY " +
+        "ADDITION, which is what streaming/DriftStream exploits; a " +
+        "single-support week prices W1 = 0 (two point masses at one " +
+        "value), not an absent row. " +
         "SCALE SHAPE: identical to q252 — the (week, cents) " +
         "aggregation bounds the frame by the value range, cumulative " +
         "+ lead windows partition by week, one sum per week " +
         "shuffles.",
-      (s, dir) => {
-        val e = t(s, dir, "events")
-          .filter(col("event_type").isin("purchase", "click"))
-          .select(
-            expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
-              .as("week"),
-            (col("value").cast(DecimalType(12, 2)) * 100)
-              .cast(LongType).as("cents"),
-            when(col("event_type") === "purchase", 1L)
-              .otherwise(0L).as("is_p"))
-        val pc = e.groupBy(col("week"), col("cents"))
-          .agg(sum(col("is_p")).as("cp"),
-            sum(lit(1L) - col("is_p")).as("cc"))
-        val ow = Window.partitionBy(col("week")).orderBy(col("cents"))
-        val cw = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tw = Window.partitionBy(col("week"))
-        pc
-          .withColumn("cum_p", sum(col("cp")).over(cw))
-          .withColumn("cum_c", sum(col("cc")).over(cw))
-          .withColumn("gap", lead(col("cents"), 1).over(ow) - col("cents"))
-          .withColumn("n_p", sum(col("cp")).over(tw))
-          .withColumn("n_c", sum(col("cc")).over(tw))
-          .filter(col("n_p") > 0 && col("n_c") > 0 && col("gap").isNotNull)
-          .groupBy(col("week"), col("n_p"), col("n_c"))
-          .agg(sum(abs(col("cum_p").cast(dec38) * col("n_c")
-              - col("cum_c").cast(dec38) * col("n_p")) * col("gap"))
-            .as("num"))
-          .select(col("week"),
-            col("n_p").as("n_purchase"), col("n_c").as("n_click"),
-            expr("CAST(num * 1000 div (n_p * n_c) AS BIGINT)")
-              .as("w1_millicents"))
-      },
+      (s, dir) =>
+        graft.operators.DriftStat.stats(
+          graft.operators.DriftStat.histogram(t(s, dir, "events")))
+          .select(col("week"), col("n_purchase"), col("n_click"),
+            col("w1_millicents")),
       Some("""
         WITH e AS (
           SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -313,10 +291,14 @@ object StatsQueries {
           FROM pc)
         SELECT week, CAST(n_p AS BIGINT) AS n_purchase,
                CAST(n_c AS BIGINT) AS n_click,
-               CAST(sum(abs(CAST(cum_p AS HUGEINT) * n_c
-                 - CAST(cum_c AS HUGEINT) * n_p) * gap) * 1000
+               -- a single-support week has no gaps: W1 = 0 (two point
+               -- masses at the same value), NOT an absent row
+               CAST(sum(CASE WHEN gap IS NOT NULL
+                 THEN abs(CAST(cum_p AS HUGEINT) * n_c
+                   - CAST(cum_c AS HUGEINT) * n_p) * gap
+                 ELSE 0 END) * 1000
                  // (n_p * n_c) AS BIGINT) AS w1_millicents
-        FROM c WHERE n_p > 0 AND n_c > 0 AND gap IS NOT NULL
+        FROM c WHERE n_p > 0 AND n_c > 0
         GROUP BY week, n_p, n_c"""),
     ),
     // ----------------------------------------------------------------
@@ -337,36 +319,11 @@ object StatsQueries {
         "RANGE (not the event count), cumulative windows partition " +
         "by week, and one max per week shuffles; nothing global " +
         "ever sorts.",
-      (s, dir) => {
-        val e = t(s, dir, "events")
-          .filter(col("event_type").isin("purchase", "click"))
-          .select(
-            expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
-              .as("week"),
-            (col("value").cast(DecimalType(12, 2)) * 100)
-              .cast(LongType).as("cents"),
-            when(col("event_type") === "purchase", 1L)
-              .otherwise(0L).as("is_p"))
-        val pc = e.groupBy(col("week"), col("cents"))
-          .agg(sum(col("is_p")).as("cp"),
-            sum(lit(1L) - col("is_p")).as("cc"))
-        val cw = Window.partitionBy(col("week")).orderBy(col("cents"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tw = Window.partitionBy(col("week"))
-        pc
-          .withColumn("cum_p", sum(col("cp")).over(cw))
-          .withColumn("cum_c", sum(col("cc")).over(cw))
-          .withColumn("n_p", sum(col("cp")).over(tw))
-          .withColumn("n_c", sum(col("cc")).over(tw))
-          .filter(col("n_p") > 0 && col("n_c") > 0)
-          .groupBy(col("week"), col("n_p"), col("n_c"))
-          .agg(max(abs(col("cum_p").cast(dec38) * col("n_c")
-            - col("cum_c").cast(dec38) * col("n_p"))).as("dmax"))
-          .select(col("week"),
-            col("n_p").as("n_purchase"), col("n_c").as("n_click"),
-            expr("CAST(dmax * 10000 div (n_p * n_c) AS BIGINT)")
-              .as("ks_bp"))
-      },
+      (s, dir) =>
+        graft.operators.DriftStat.stats(
+          graft.operators.DriftStat.histogram(t(s, dir, "events")))
+          .select(col("week"), col("n_purchase"), col("n_click"),
+            col("ks_bp")),
       Some("""
         WITH e AS (
           SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
