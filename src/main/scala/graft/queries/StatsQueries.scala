@@ -500,5 +500,56 @@ object StatsQueries {
                  AS BIGINT) AS taub2s_bp
         FROM j WHERE d1 > 0 AND d2 > 0"""),
     ),
+    // ----------------------------------------------------------------
+    Q(
+      "q254_theilsen_slope",
+      "Theil-Sen slope of token count against document length per " +
+        "source — the ROBUST trend partner of q237's OLS (the median " +
+        "pairwise slope tolerates up to ~29% wild outliers before it " +
+        "moves; a least-squares fit moves with ONE). Integerized " +
+        "first: each x-distinct pair contributes floor(1000*dy/dx) " +
+        "— milli-tokens per char — and the estimator is the lower " +
+        "median of that integer multiset. The engine NEVER " +
+        "materializes a pair: operators/TheilSen pins the median by " +
+        "parametric search — count(slope <= t) becomes an INVERSION " +
+        "count of z = 1000*y - (t+1)*x against x-order (no division " +
+        "anywhere engine-side), counted by q253's bucket " +
+        "decomposition, with fifteen probes per round shrinking every " +
+        "source's candidate interval 16x simultaneously (~6 rounds " +
+        "over the full +/-2^21 range; search state stays a " +
+        "localCheckpoint-truncated DataFrame, nothing per-group on " +
+        "the driver). The oracle states the naive O(n^2) pair " +
+        "median (offset +2^21 so DuckDB's floor-// agrees on " +
+        "negative dy) — the hash match proves the whole search " +
+        "exact: probe algebra, inversion decomposition, and median " +
+        "index, ties included.",
+      (s, dir) =>
+        graft.operators.TheilSen.slopeMilli(
+          spread(t(s, dir, "documents"), col("doc_id"))
+            .select(col("source"), col("n_chars"),
+              size(split(col("text"), " ")).cast(LongType).as("ntok")),
+          "source", "n_chars", "ntok")
+          .select(col("g").as("source"), col("n_pairs"),
+            col("theilsen_milli")),
+      Some("""
+        WITH b AS (
+          SELECT source, n_chars AS x,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+          FROM documents),
+        p AS (
+          SELECT b1.source AS source,
+                 CAST((1000 * (b2.y - b1.y) + 2097152 * (b2.x - b1.x))
+                   // (b2.x - b1.x) - 2097152 AS BIGINT) AS s
+          FROM b b1 JOIN b b2
+            ON b1.source = b2.source AND b1.x < b2.x),
+        r AS (
+          SELECT source, s,
+                 row_number() OVER (PARTITION BY source ORDER BY s) AS rn,
+                 count(*) OVER (PARTITION BY source) AS np
+          FROM p)
+        SELECT source, CAST(np AS BIGINT) AS n_pairs,
+               s AS theilsen_milli
+        FROM r WHERE rn = (np + 1) // 2"""),
+    ),
   )
 }

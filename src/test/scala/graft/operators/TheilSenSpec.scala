@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Theil-Sen parametric search vs a from-first-principles all-pairs
+  * reference: exact-line corpora, the robustness-to-outliers claim,
+  * degenerate bucket widths (forcing every decomposition class), and
+  * the excluded no-sloped-pair group. */
+class TheilSenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteRef(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val slopes = for {
+        (_, x1, y1) <- rs
+        (_, x2, y2) <- rs
+        if x1 < x2
+      } yield Math.floorDiv(1000L * (y2 - y1), x2 - x1)
+      if (slopes.isEmpty) None
+      else {
+        val sorted = slopes.sorted
+        Some(g -> (slopes.size.toLong, sorted(((slopes.size + 1) / 2 - 1).toInt)))
+      }
+    }
+
+  private def run(rows: Seq[(String, Long, Long)], xw: Long = 64L,
+      zw: Long = 4096L): Map[String, (Long, Long)] =
+    TheilSen.slopeMilli(rows.toDF("g", "x", "y"), "g", "x", "y", xw, zw)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("exact line recovers the slope; all-x-tied group is excluded") {
+    val line = (1L to 30L).map(i => ("line", i * 7, 2 * (i * 7) + 5))
+    val flat = (1L to 6L).map(i => ("flat", 10L, i))
+    val got = run(line ++ flat)
+    assert(got == Map("line" -> (435L, 2000L)))
+  }
+
+  test("robustness: 20% wild outliers do not move the median slope (OLS would)") {
+    val clean = (1L to 40L).map(i => ("g", i * 3, 5 * (i * 3) + 11))
+    val wild = (1L to 10L).map(i => ("g", 200L + i, 1000000L + i * 99999))
+    val got = run(clean ++ wild)
+    assert(got("g")._2 == 5000L,
+      s"median slope should hold at 5000 milli under 20% outliers: $got")
+  }
+
+  test("== brute force on random tied data, default AND degenerate bucket widths") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 120).map { i =>
+      // negative and positive slopes, heavy x and y ties, several
+      // groups — and values straddling many buckets
+      (s"g${i % 3}", (rnd.nextInt(40) * 17 + 1).toLong,
+        (rnd.nextInt(50) - 25).toLong * (1 + rnd.nextInt(3)))
+    }
+    val ref = bruteRef(rows)
+    assert(run(rows) == ref, "default widths diverged")
+    // width 1: every pair is cross-bucket (class A/C only);
+    // huge widths: every pair is intra-bucket (class B only)
+    assert(run(rows, 1L, 1L) == ref, "width-1 buckets diverged")
+    assert(run(rows, 1000000L, 100000000L) == ref, "single-bucket diverged")
+  }
+
+  test("median index is the LOWER median and honors x-tie exclusion") {
+    // pairs: (1,0)-(2,10): 10000; (1,0)-(3,1): 500; (2,10)-(3,1):
+    // -9000; the two x=1 rows tie and add pairs only against x=2,3.
+    val rows = Seq(("g", 1L, 0L), ("g", 1L, 2L), ("g", 2L, 10L), ("g", 3L, 1L))
+    val got = run(rows)
+    assert(got("g") == bruteRef(rows)("g"))
+    assert(got("g")._1 == 5L, "x-tied pair must not count")
+  }
+}
