@@ -551,5 +551,107 @@ object StatsQueries {
                s AS theilsen_milli
         FROM r WHERE rn = (np + 1) // 2"""),
     ),
+    // ----------------------------------------------------------------
+    Q(
+      "q255_isotonic_calibration",
+      "Isotonic calibration curve — finished-order rate against " +
+        "price level per priority, smoothed to the best-fitting " +
+        "NON-DECREASING step function (the PAVA fit every " +
+        "probability-calibration pipeline runs before trusting a " +
+        "score as a rate). operators/Isotonic evaluates PAVA's " +
+        "closed minimax form fitted[i] = max_{j<=i} min_{k>=i} " +
+        "avg(y[j..k]) over level prefix sums — pure relational " +
+        "algebra, no sequential stack — with every mean comparison " +
+        "cross-multiplied in DECIMAL(38,0): the fit is EXACT " +
+        "rationals end to end, floored onto bp only at the output. " +
+        "The corpus is touched ONCE (the groupBy producing per-level " +
+        "(w, y) sufficient statistics); the minimax then costs " +
+        "O(B^3) rows per group for B price levels — constant once " +
+        "the binning is fixed, parallel across groups. The oracle " +
+        "states the same minimax as NOT-EXISTS argmin/argmax SQL, so " +
+        "the hash match proves the fold machinery; IsotonicSpec pins " +
+        "minimax == sequential PAVA against a BigInt stack " +
+        "reference. Pool ids count exact strict increases between " +
+        "neighboring fitted values — equal-value plateaus share a " +
+        "pool even when their unreduced representatives differ.",
+      (s, dir) => {
+        val cents = t(s, dir, "orders").select(
+          col("o_orderpriority").as("g"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 2000000").as("lvl"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+        val lv = cents.groupBy(col("g"), col("lvl"))
+          .agg(count(lit(1)).as("w"), sum(col("f")).as("y"))
+        graft.operators.Isotonic.fitLevels(lv, "g", "lvl", "w", "y")
+          .select(col("g").as("priority"), col("lvl"),
+            col("i").cast(LongType).as("i"), col("w"), col("y"),
+            expr("CAST(10000 * y div w AS BIGINT)").as("raw_bp"),
+            expr("CAST((10000 * CAST(fn AS DECIMAL(38,0))) div fd AS BIGINT)")
+              .as("fitted_bp"),
+            col("pool").cast(LongType).as("pool"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT o_orderpriority AS g,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 2000000 AS lvl,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+          FROM orders),
+        lv AS (
+          SELECT g, lvl, CAST(count(*) AS BIGINT) AS w,
+                 CAST(sum(f) AS BIGINT) AS y
+          FROM cents GROUP BY g, lvl),
+        pre AS (
+          SELECT g, lvl, w, y,
+                 CAST(row_number() OVER wl AS BIGINT) AS i,
+                 CAST(sum(y) OVER wl AS BIGINT) AS s,
+                 CAST(sum(w) OVER wl AS BIGINT) AS wc
+          FROM lv WINDOW wl AS (PARTITION BY g ORDER BY lvl)),
+        b0 AS (
+          SELECT g, i, s, wc FROM pre
+          UNION ALL SELECT DISTINCT g, 0, 0, 0 FROM pre),
+        pairs AS (
+          SELECT a.g, a.i + 1 AS j, b.i AS k,
+                 b.s - a.s AS n, b.wc - a.wc AS d
+          FROM b0 a JOIN pre b ON a.g = b.g AND a.i < b.i),
+        tri AS (
+          SELECT p.g, q.i, p.j, p.k, p.n, p.d
+          FROM pairs p
+          JOIN pre q ON p.g = q.g AND p.j <= q.i AND q.i <= p.k),
+        mins AS (
+          SELECT g, i, j, n, d FROM tri t
+          WHERE NOT EXISTS (SELECT 1 FROM tri u
+            WHERE u.g = t.g AND u.i = t.i AND u.j = t.j
+              AND (CAST(u.n AS HUGEINT) * t.d < CAST(t.n AS HUGEINT) * u.d
+                   OR (CAST(u.n AS HUGEINT) * t.d
+                         = CAST(t.n AS HUGEINT) * u.d
+                       AND u.k < t.k)))),
+        fit AS (
+          SELECT g, i, n, d FROM mins t
+          WHERE NOT EXISTS (SELECT 1 FROM mins u
+            WHERE u.g = t.g AND u.i = t.i
+              AND (CAST(u.n AS HUGEINT) * t.d > CAST(t.n AS HUGEINT) * u.d
+                   OR (CAST(u.n AS HUGEINT) * t.d
+                         = CAST(t.n AS HUGEINT) * u.d
+                       AND u.j < t.j)))),
+        step AS (
+          SELECT g, i, n, d,
+                 CASE WHEN lag(n) OVER wi IS NULL THEN 1
+                      WHEN CAST(lag(n) OVER wi AS HUGEINT) * d
+                             < CAST(n AS HUGEINT) * (lag(d) OVER wi) THEN 1
+                      ELSE 0 END AS st
+          FROM fit WINDOW wi AS (PARTITION BY g ORDER BY i)),
+        pool AS (
+          SELECT g, i, n, d,
+                 CAST(sum(st) OVER (PARTITION BY g ORDER BY i) AS BIGINT)
+                   AS pool
+          FROM step)
+        SELECT p.g AS priority, r.lvl, r.i, r.w, r.y,
+               CAST(10000 * CAST(r.y AS HUGEINT) // r.w AS BIGINT) AS raw_bp,
+               CAST(10000 * CAST(p.n AS HUGEINT) // p.d AS BIGINT)
+                 AS fitted_bp,
+               p.pool
+        FROM pool p JOIN pre r ON p.g = r.g AND p.i = r.i"""),
+    ),
   )
 }
