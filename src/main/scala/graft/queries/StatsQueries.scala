@@ -653,5 +653,153 @@ object StatsQueries {
                p.pool
         FROM pool p JOIN pre r ON p.g = r.g AND p.i = r.i"""),
     ),
+    // ----------------------------------------------------------------
+    Q(
+      "q256_cusum_changepoint",
+      "CUSUM changepoint per event-type series — WHERE did the level " +
+        "shift? The classic statistic argmax_tau |S_tau - " +
+        "(tau/n)*S_n| over the daily-revenue cumulative sum, " +
+        "multiplied through by n so the score is the exact integer " +
+        "|n*S_tau - tau*S_n| — no division, no float, ties broken " +
+        "toward the earliest day so both engines pick identically. " +
+        "One pass builds per-(type, day) cent sums (the only " +
+        "corpus-width stage), one window per type cumsums them, and " +
+        "the argmax is the house top-1 row_number shape — eligible " +
+        "for the TopKPerKey rewrite, and the per-type totals join " +
+        "broadcasts (5 rows). Day-level sufficient statistics are " +
+        "the scale move: the corpus never sorts globally, and series " +
+        "length bounds every window. Split means leave as exact " +
+        "milli-cents floors (values are nonnegative, so Spark's " +
+        "truncating div and DuckDB's flooring // agree).",
+      (s, dir) => {
+        val daily = t(s, dir, "events").select(
+            col("event_type").as("g"), to_date(col("ts")).as("day"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .groupBy(col("g"), col("day")).agg(sum(col("cents")).as("x"))
+        val w = Window.partitionBy(col("g")).orderBy(col("day"))
+        val pre = daily
+          .withColumn("tau", row_number().over(w).cast(LongType))
+          .withColumn("s", sum(col("x")).over(w))
+        val tot = pre.groupBy(col("g"))
+          .agg(max(col("tau")).as("n"), sum(col("x")).as("sn"))
+        val scored = pre.join(broadcast(tot), Seq("g"))
+          .filter(col("tau") < col("n"))
+          .withColumn("gap",
+            abs(col("n") * col("s") - col("tau") * col("sn")))
+        scored
+          .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
+            .orderBy(col("gap").desc, col("tau").asc)))
+          .filter(col("rn") === 1)
+          .select(col("g").as("event_type"), col("n"), col("tau"),
+            col("day").as("change_day"), col("gap"),
+            expr("CAST(1000 * s div tau AS BIGINT)")
+              .as("mean_before_milli"),
+            expr("CAST(1000 * (sn - s) div (n - tau) AS BIGINT)")
+              .as("mean_after_milli"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        pre AS (
+          SELECT g, day, x,
+                 CAST(row_number() OVER wd AS BIGINT) AS tau,
+                 CAST(sum(x) OVER wd AS BIGINT) AS s
+          FROM daily WINDOW wd AS (PARTITION BY g ORDER BY day)),
+        tot AS (
+          SELECT g, max(tau) AS n, CAST(sum(x) AS BIGINT) AS sn
+          FROM pre GROUP BY g),
+        scored AS (
+          SELECT p.g, p.day, p.tau, p.s, t.n, t.sn,
+                 abs(t.n * p.s - p.tau * t.sn) AS gap
+          FROM pre p JOIN tot t ON p.g = t.g WHERE p.tau < t.n),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY g
+                      ORDER BY gap DESC, tau ASC) AS rn
+          FROM scored)
+        SELECT g AS event_type, n, tau, day AS change_day, gap,
+               CAST(1000 * s // tau AS BIGINT) AS mean_before_milli,
+               CAST(1000 * (sn - s) // (n - tau) AS BIGINT)
+                 AS mean_after_milli
+        FROM best WHERE rn = 1"""),
+    ),
+    // ----------------------------------------------------------------
+    Q(
+      "q257_conformal_threshold",
+      "Split-conformal calibration thresholds per source at three " +
+        "miscoverage levels — the distribution-free abstention rule " +
+        "(Vovk): with n calibration scores, the level-alpha " +
+        "threshold is the ceil((n+1)(1-alpha))-th smallest score, " +
+        "and any future exchangeable score lands at-or-below it " +
+        "with probability >= 1-alpha. The index is exact integer " +
+        "arithmetic — k = ((n+1)*(10000-alpha_bp) + 9999) div 10000 " +
+        "— the selection is one per-source rank under the total " +
+        "order (score, doc_id), and k > n rows abstain (dropped, " +
+        "the standard small-sample conformal outcome). The second " +
+        "pass counts actual coverage on the calibration set " +
+        "(covered >= k always; strictly greater exactly when the " +
+        "threshold value ties past the rank) — ties make coverage a " +
+        "LAW the hash gate re-proves per run. Nonconformity here is " +
+        "document length; any integer score column plugs in. Scale: " +
+        "one rank window per source, thresholds broadcast back (a " +
+        "few rows), nothing global.",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"),
+          col("doc_id"), col("n_chars").cast(LongType).as("score"))
+        val ranked = d.withColumn("k",
+          row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("score").asc, col("doc_id").asc)).cast(LongType))
+        val ks = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .select(col("source"), col("n"),
+            explode(array(lit(100L), lit(500L), lit(1000L))).as("alpha_bp"))
+          .withColumn("k",
+            expr("((n + 1) * (10000 - alpha_bp) + 9999) div 10000"))
+          .filter(col("k") <= col("n"))
+        val thr = ks.join(ranked.select(col("source"), col("k"),
+            col("score").as("threshold")), Seq("source", "k"))
+        val cov = d.join(broadcast(thr), Seq("source"))
+          .filter(col("score") <= col("threshold"))
+          .groupBy(col("source"), col("alpha_bp"))
+          .agg(count(lit(1)).as("covered"))
+        thr.join(cov, Seq("source", "alpha_bp"))
+          .select(col("source"), col("alpha_bp"), col("n"), col("k"),
+            col("threshold"), col("covered"),
+            expr("CAST(10000 * covered div n AS BIGINT)").as("coverage_bp"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score
+          FROM documents),
+        ranked AS (
+          SELECT source, score,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY score ASC, doc_id ASC) AS BIGINT) AS k
+          FROM d),
+        ks AS (
+          SELECT source, n, alpha_bp,
+                 ((n + 1) * (10000 - alpha_bp) + 9999) // 10000 AS k
+          FROM (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM d GROUP BY source),
+               unnest([CAST(100 AS BIGINT), CAST(500 AS BIGINT),
+                       CAST(1000 AS BIGINT)]) AS u(alpha_bp)),
+        thr AS (
+          SELECT ks.source, ks.alpha_bp, ks.n, ks.k,
+                 r.score AS threshold
+          FROM ks JOIN ranked r ON ks.source = r.source AND ks.k = r.k
+          WHERE ks.k <= ks.n),
+        cov AS (
+          SELECT t.source, t.alpha_bp,
+                 CAST(count(*) AS BIGINT) AS covered
+          FROM d JOIN thr t
+            ON d.source = t.source AND d.score <= t.threshold
+          GROUP BY t.source, t.alpha_bp)
+        SELECT t.source, t.alpha_bp, t.n, t.k, t.threshold, c.covered,
+               CAST(10000 * c.covered // t.n AS BIGINT) AS coverage_bp
+        FROM thr t JOIN cov c
+          ON t.source = c.source AND t.alpha_bp = c.alpha_bp"""),
+    ),
   )
 }
