@@ -801,5 +801,87 @@ object StatsQueries {
         FROM thr t JOIN cov c
           ON t.source = c.source AND t.alpha_bp = c.alpha_bp"""),
     ),
+    // ----------------------------------------------------------------
+    Q(
+      "q258_robust_scale",
+      "Robust location/scale per event type — median, MAD and the " +
+        "5%-trimmed mean of the cent values, the outlier-tolerant " +
+        "triple a monitoring pipeline prefers over mean/stddev " +
+        "(one fat-fingered order moves a mean arbitrarily; it moves " +
+        "these not at all). All exact: the median is the lower-" +
+        "median order statistic (rank (n+1) div 2 under the total " +
+        "(cents, event_id) order), the MAD re-ranks the absolute " +
+        "deviations |x - median| in a second per-type window pass " +
+        "against the broadcast medians, and the trimmed mean drops " +
+        "exactly t = n*500 div 10000 rows at each rank tail and " +
+        "emits the remainder's mean as a milli floor (values " +
+        "nonnegative, so both engines floor identically). Two rank " +
+        "windows per type and two broadcast joins of 5-row frames — " +
+        "per-type series bound every sort; nothing global.",
+      (s, dir) => {
+        val d = t(s, dir, "events").select(
+          col("event_type").as("g"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("x"))
+        val w1 = Window.partitionBy(col("g"))
+          .orderBy(col("x").asc, col("event_id").asc)
+        val r1 = d.withColumn("r", row_number().over(w1).cast(LongType))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("g"))))
+        val med = r1.filter(col("r") === expr("(n + 1) div 2"))
+          .select(col("g"), col("n"), col("x").as("med"))
+        val dev = d.join(broadcast(med), Seq("g"))
+          .withColumn("ad", abs(col("x") - col("med")))
+        val w2 = Window.partitionBy(col("g"))
+          .orderBy(col("ad").asc, col("event_id").asc)
+        val mad = dev.withColumn("r2", row_number().over(w2).cast(LongType))
+          .filter(col("r2") === expr("(n + 1) div 2"))
+          .select(col("g"), col("ad").as("mad"))
+        val trim = r1
+          .withColumn("t", expr("n * 500 div 10000"))
+          .filter(col("r") > col("t") && col("r") <= col("n") - col("t"))
+          .groupBy(col("g"))
+          .agg(sum(col("x")).as("ts"), count(lit(1)).as("tn"),
+            min(col("t")).as("t"))
+        med.join(mad, Seq("g")).join(trim, Seq("g"))
+          .select(col("g").as("event_type"), col("n"),
+            col("med").as("median_cents"), col("mad").as("mad_cents"),
+            col("t").as("trim_each_side"), col("tn").as("trimmed_n"),
+            expr("CAST(1000 * ts div tn AS BIGINT)")
+              .as("trimmed_mean_milli"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type AS g, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+          FROM events),
+        r1 AS (
+          SELECT g, event_id, x,
+                 CAST(row_number() OVER (PARTITION BY g
+                   ORDER BY x ASC, event_id ASC) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM d),
+        med AS (
+          SELECT g, n, x AS med FROM r1 WHERE r = (n + 1) // 2),
+        mad AS (
+          SELECT g, ad AS mad FROM (
+            SELECT d.g, abs(d.x - m.med) AS ad, m.n,
+                   CAST(row_number() OVER (PARTITION BY d.g
+                     ORDER BY abs(d.x - m.med) ASC, d.event_id ASC)
+                     AS BIGINT) AS r2
+            FROM d JOIN med m ON d.g = m.g)
+          WHERE r2 = (n + 1) // 2),
+        trim AS (
+          SELECT g, CAST(sum(x) AS BIGINT) AS ts,
+                 CAST(count(*) AS BIGINT) AS tn,
+                 CAST(min(t) AS BIGINT) AS t
+          FROM (SELECT g, x, r, n, n * 500 // 10000 AS t FROM r1)
+          WHERE r > t AND r <= n - t GROUP BY g)
+        SELECT m.g AS event_type, m.n, m.med AS median_cents,
+               a.mad AS mad_cents, t.t AS trim_each_side,
+               t.tn AS trimmed_n,
+               CAST(1000 * t.ts // t.tn AS BIGINT) AS trimmed_mean_milli
+        FROM med m JOIN mad a ON m.g = a.g JOIN trim t ON m.g = t.g"""),
+    ),
   )
 }

@@ -231,8 +231,11 @@ class WarehouseQueriesSpec extends SparkSpec {
 
   test("q228: TWAP sits inside the value range; intervals tile first-to-last exactly") {
     import org.apache.spark.sql.functions._
+    // by NAME: the hi/lo numerator split sits between total_us and
+    // twap_milli in the gate schema
     val rows = run("q228_twap").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_intervals"),
+        r.getAs[Long]("total_us"), r.getAs[Long]("twap_milli")))
     assert(rows.nonEmpty)
     val e = Tables.t(spark, SF, "events")
       .groupBy(col("event_type"))

@@ -341,12 +341,15 @@ class StreamingSpec extends SparkSpec {
         (os.map(_.n_intervals).sum, os.map(_.total_us).sum,
           BigDecimal(os.map(o => BigInt(o.weighted_cents_us)).sum)))
       .toMap
+    // q228's gate output carries the exact numerator as a hi/lo BIGINT
+    // split (wcu_hi * 10^15 + wcu_lo) — reassemble it for the compare
     val want = graft.queries.AdvancedQueries.all
       .find(_.name == "q228_twap").get
       .run(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getAs[String]("event_type") ->
         (r.getAs[Long]("n_intervals"), r.getAs[Long]("total_us"),
-          BigDecimal(r.getAs[java.math.BigDecimal]("weighted_cents_us"))))
+          BigDecimal(BigInt(r.getAs[Long]("wcu_hi")) *
+            BigInt(10).pow(15) + BigInt(r.getAs[Long]("wcu_lo")))))
       .toMap
     assert(got == want,
       s"per-type stream sums must equal the batch TWAP aggregates")
