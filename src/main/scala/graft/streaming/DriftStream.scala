@@ -63,9 +63,30 @@ object DriftStream {
       .start()
   }
 
+  /** The log's schema — needed to answer reads that arrive BEFORE the
+    * first micro-batch commits (no parquet directory yet): the monitor
+    * is simply empty, not broken. */
+  private val logSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("week", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cp", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cc", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("__batch", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("__covers", org.apache.spark.sql.types.LongType)))
+
+  private def logExists(spark: SparkSession, outDir: String): Boolean = {
+    val dir = new Path(logDir(outDir))
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+  }
+
   /** The live slice of the log — max-covers snapshot (if any) plus
-    * raw deltas past it — collapsed against replays. */
+    * raw deltas past it — collapsed against replays. A monitor whose
+    * first batch has not committed yet reads as EMPTY (no log dir ->
+    * empty frame), not as an AnalysisException. */
   private def active(spark: SparkSession, outDir: String): DataFrame = {
+    if (!logExists(spark, outDir))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], logSchema)
     val log = spark.read.parquet(logDir(outDir)).distinct()
     // the single scalar the reader needs: how far snapshots reach
     val covers = log.agg(max(col("__covers"))).head() match {
@@ -87,21 +108,40 @@ object DriftStream {
         .groupBy(col("week"), col("cents"))
         .agg(sum(col("cp")).as("cp"), sum(col("cc")).as("cc")))
 
-  /** Fold the live slice into one snapshot, then garbage-collect the
-    * superseded files. Returns the number of files collected. */
+  /** Fold the fully-committed prefix of the live slice into one
+    * snapshot, then garbage-collect the superseded files. Returns the
+    * number of files collected (0 when there is nothing safe to fold).
+    *
+    * SAFE CONCURRENTLY WITH A RUNNING STREAM: the max observed raw
+    * batch N may be MID-COMMIT — some of its part files visible, some
+    * still landing — so folding it as covered would permanently hide
+    * the late files (their rows carry `__batch = N`, not `> N`). The
+    * snapshot therefore covers only `max(N - 1, max snapshot covers)`
+    * — every batch below the max observed is fully committed, because
+    * foreachBatch epochs commit in order — and batch N's visible rows
+    * are CARRIED FORWARD verbatim: late-landing files stay additive,
+    * and an at-least-once replay of batch N appends rows byte-equal
+    * to the carried copies, which [[active]]'s distinct collapses. */
   def compactLog(spark: SparkSession, outDir: String): Long = {
+    if (!logExists(spark, outDir)) return 0L
     val dir = new Path(logDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+    if (before.isEmpty) return 0L
     val live = active(spark, outDir)
-    // monotone: the largest batch (raw or already-snapshotted) folded in
-    val covers = live.agg(max(coalesce(col("__covers"), col("__batch"))))
-      .head().getLong(0)
-    live
+    val bounds = live.agg(max(col("__covers")),
+      max(when(col("__covers").isNull, col("__batch")))).head()
+    val snapC = if (bounds.isNullAt(0)) -1L else bounds.getLong(0)
+    val rawMax = if (bounds.isNullAt(1)) Long.MinValue else bounds.getLong(1)
+    val covers = math.max(snapC, rawMax - 1)
+    if (covers < 0) return 0L // nothing provably fully committed yet
+    val fold = live.filter(col("__covers").isNotNull || col("__batch") <= covers)
       .groupBy(col("week"), col("cents"))
       .agg(sum(col("cp")).as("cp"), sum(col("cc")).as("cc"))
       .withColumn("__batch", lit(covers))
       .withColumn("__covers", lit(covers))
+    val carry = live.filter(col("__covers").isNull && col("__batch") > covers)
+    fold.unionByName(carry)
       .coalesce(1)
       .write.mode("append").parquet(logDir(outDir))
     before.foreach(f => fs.delete(f.getPath, false))
