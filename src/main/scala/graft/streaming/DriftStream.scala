@@ -65,14 +65,21 @@ object DriftStream {
 
   /** The log's schema — needed to answer reads that arrive BEFORE the
     * first micro-batch commits (no parquet directory yet): the monitor
-    * is simply empty, not broken. */
-  private val logSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("week", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("cp", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("cc", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("__batch", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("__covers", org.apache.spark.sql.types.LongType)))
+    * is simply empty, not broken. Derived from [[DriftStat.histogram]]
+    * itself (plus the two tag columns [[start]] appends), so a
+    * histogram schema change cannot silently diverge empty-log reads
+    * from real-log reads. */
+  private def logSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+    DriftStat.histogram(emptyEvents).schema
+      .add(StructField("__batch", LongType))
+      .add(StructField("__covers", LongType))
+  }
 
   private def logExists(spark: SparkSession, outDir: String): Boolean = {
     val dir = new Path(logDir(outDir))
@@ -86,7 +93,7 @@ object DriftStream {
   private def active(spark: SparkSession, outDir: String): DataFrame = {
     if (!logExists(spark, outDir))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], logSchema)
+        spark.sparkContext.emptyRDD[Row], logSchema(spark))
     val log = spark.read.parquet(logDir(outDir)).distinct()
     // the single scalar the reader needs: how far snapshots reach
     val covers = log.agg(max(col("__covers"))).head() match {
@@ -132,8 +139,13 @@ object DriftStream {
     val bounds = live.agg(max(col("__covers")),
       max(when(col("__covers").isNull, col("__batch")))).head()
     val snapC = if (bounds.isNullAt(0)) -1L else bounds.getLong(0)
-    val rawMax = if (bounds.isNullAt(1)) Long.MinValue else bounds.getLong(1)
-    val covers = math.max(snapC, rawMax - 1)
+    // no raw rows (e.g. a freshly-compacted log holds only the
+    // snapshot): the snapshot's reach IS the fold bound — subtracting
+    // from a sentinel here would wrap to Long.MaxValue and poison
+    // __covers, permanently hiding every future micro-batch
+    val covers =
+      if (bounds.isNullAt(1)) snapC
+      else math.max(snapC, bounds.getLong(1) - 1L)
     if (covers < 0) return 0L // nothing provably fully committed yet
     val fold = live.filter(col("__covers").isNotNull || col("__batch") <= covers)
       .groupBy(col("week"), col("cents"))

@@ -39,6 +39,11 @@ object SampleStream {
     * `outDir`. */
   def logDir(outDir: String): String = outDir + "_prilog"
 
+  private def logExists(spark: SparkSession, outDir: String): Boolean = {
+    val dir = new Path(logDir(outDir))
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+  }
+
   /** Start the reservoir maintainer: per micro-batch, append the
     * batch-local top-(k+1) summary per group to the log. */
   def start(docs: DataFrame, groupCol: String, idCol: String,
@@ -63,6 +68,21 @@ object SampleStream {
     * batches x groups x (k+1) rows, never the corpus. */
   def sample(spark: SparkSession, outDir: String, groupCol: String,
       idCol: String, k: Int): DataFrame = {
+    // a reservoir whose first micro-batch has not committed yet is
+    // simply EMPTY, not broken (the DriftStream rule). The log types
+    // group/id from the caller's frame, so before any data exists the
+    // empty frame types them by convention: STRING group, BIGINT id —
+    // only visible to a reader interrogating the schema of a reservoir
+    // that has never held a row.
+    if (!logExists(spark, outDir)) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField(groupCol, StringType),
+          StructField(idCol, LongType), StructField("w", LongType),
+          StructField("priority", DoubleType),
+          StructField("est_w", DoubleType))))
+    }
     val log = spark.read.parquet(logDir(outDir))
       .select(col(groupCol), col(idCol), col("w"), col("priority"))
       // replay/crash guard: duplicate appends of the same member merge
@@ -80,11 +100,16 @@ object SampleStream {
     * tolerates. */
   def compactLog(spark: SparkSession, outDir: String, groupCol: String,
       idCol: String, k: Int): Long = {
+    if (!logExists(spark, outDir)) return 0L // nothing committed yet
     val dir = new Path(logDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+    if (before.isEmpty) return 0L
     val gen = spark.read.parquet(logDir(outDir))
-      .agg(max(col("__batch"))).head().getLong(0) + 1L
+      .agg(max(col("__batch"))).head() match {
+        case r if r.isNullAt(0) => 1L // a log of empty files: still generation-safe
+        case r => r.getLong(0) + 1L
+      }
     val merged = PrioritySample.topSummary(
       spark.read.parquet(logDir(outDir))
         .select(col(groupCol), col(idCol), col("w"), col("priority"))

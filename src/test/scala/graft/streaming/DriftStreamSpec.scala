@@ -138,5 +138,27 @@ class DriftStreamSpec extends SparkSpec {
     // still converges to the same statistics
     DriftStream.compactLog(spark, out)
     assert(streamed(out) == before, "compaction re-run diverged")
+
+    // the re-run left a SNAPSHOT-ONLY log (every raw delta folded) —
+    // the exact state where a covers computed from a raw-row sentinel
+    // would overflow to Long.MaxValue and hide every future batch.
+    // Stream one more batch and demand the stats absorb it.
+    val b2 = rows(150 until 300)
+    stage(root, "b", b2)
+    runOnce(root, out, cp)
+    assert(streamed(out) == batchTwin(b1 ++ b2),
+      "batch after a snapshot-only compaction vanished from the stats")
+    // ... and a further compaction of that mixed snapshot+delta log
+    // still folds, still preserves the statistics
+    DriftStream.compactLog(spark, out)
+    assert(streamed(out) == batchTwin(b1 ++ b2),
+      "post-overflow-state compaction changed the statistics")
+  }
+
+  test("read and compact before the first commit: empty stats, zero files, no throw") {
+    val root = Files.createTempDirectory("drift-empty")
+    val out = root.resolve("out").toString
+    assert(DriftStream.stats(spark, out).collect().isEmpty)
+    assert(DriftStream.compactLog(spark, out) == 0L)
   }
 }

@@ -105,6 +105,14 @@ class SampleStreamSpec extends SparkSpec {
     assert(streamed(out) == before, "replayed append changed the sample")
   }
 
+  test("read and compact before the first commit: empty sample, zero files, no throw") {
+    val root = Files.createTempDirectory("sample-empty")
+    val out = root.resolve("out").toString
+    assert(SampleStream.sample(spark, out, "grp", "doc_id", K)
+      .collect().isEmpty)
+    assert(SampleStream.compactLog(spark, out, "grp", "doc_id", K) == 0L)
+  }
+
   test("weighting is real: heavy items dominate the sample across groups") {
     // one group, two weight classes 100x apart: the top-K by priority
     // w/u with u uniform must be heavy-dominated (u spans only (0,1])
