@@ -178,6 +178,45 @@ object Graph {
     labels
   }
 
+  /** Common-neighbor counts over the symmetrized pair graph with a
+    * HARD per-vertex degree cap on wedge CENTERS — the bounded-work
+    * form of link prediction's wedge enumeration.
+    *
+    * Wedges enumerate deg^2 pairs through each center vertex, so one
+    * viral hub (a duplicate-template cluster at near-dup scale: deg
+    * 10^5 -> 10^10 wedge rows on ONE shuffle key) turns the self-join
+    * degenerate. Centers with deg > `degCap` are therefore EXCLUDED
+    * from enumeration — common_neighbors counts shared NON-HUB
+    * neighbors, a documented statistic both engines can state
+    * identically (the q197 oracle carries the same cap), not a silent
+    * truncation: the number of capped hubs is counted eagerly and
+    * logged, and a hub still appears as an ENDPOINT of pairs counted
+    * through its non-hub co-neighbors. Per-center work is thereby
+    * bounded by degCap^2 whatever the degree distribution.
+    *
+    * Output: (id_a, id_b, common_neighbors) for id_a < id_b,
+    * INCLUDING adjacent pairs — callers wanting the link-prediction
+    * shape anti-join their edge list. */
+  def cappedWedgeCounts(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", degCap: Long = 64L): DataFrame = {
+    require(degCap > 0)
+    val und = symmetrize(pairs, idA, idB)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val nHubs = deg.filter(col("__deg") > degCap).count()
+    if (nHubs > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"cappedWedgeCounts: $nHubs hub vertices (deg > $degCap) excluded " +
+          "from wedge enumeration — common_neighbors counts non-hub " +
+          "co-neighbors only")
+    val centers = und.join(deg.filter(col("__deg") <= degCap), Seq("src"))
+      .select(col("src").as("v"), col("dst").as("w"))
+    centers.as("n1")
+      .join(centers.as("n2"),
+        col("n1.v") === col("n2.v") && col("n1.w") < col("n2.w"))
+      .groupBy(col("n1.w").as("id_a"), col("n2.w").as("id_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+  }
+
   /** Both directions of an undirected pair list: (a,b) and (b,a) as
     * (src, dst) — the shared edge canonicalization for every graph
     * operator here (self-loops and duplicate pairs pass through; the

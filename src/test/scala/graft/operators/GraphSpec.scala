@@ -122,4 +122,32 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(truncated == got, "truncateEvery must never change labels")
   }
+
+  test("cappedWedgeCounts: hub centers excluded (and logged), endpoints kept, work bounded") {
+    import spark.implicits._
+    // hub 0 with 80 spokes (deg 80 > cap 64); spokes 1,2 also attach
+    // to 1000 (so the hub still shows up as an ENDPOINT of pairs
+    // counted through non-hub centers); plus a bounded 5-leaf star
+    val edges = ((1 to 80).map(i => (0L, i.toLong))
+      ++ Seq((1L, 1000L), (2L, 1000L))
+      ++ (2001 to 2005).map(i => (2000L, i.toLong))).toDF("id_a", "id_b")
+    val got = Graph.cappedWedgeCounts(edges, "id_a", "id_b", degCap = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val smallStarPairs = (for {
+      a <- 2001 to 2005; b <- 2001 to 2005 if a < b
+    } yield (a.toLong, b.toLong) -> 1L).toMap
+    // through center 1 and center 2: (0, 1000) twice; through center
+    // 1000: (1, 2); through center 2000: the 10 leaf pairs. NOTHING
+    // through the hub - its deg-80 fan-out is excluded wholesale.
+    assert(got == Map((0L, 1000L) -> 2L, (1L, 2L) -> 1L) ++ smallStarPairs,
+      s"capped wedge counts wrong: $got")
+    // raising the cap past the hub degree restores full enumeration:
+    // spoke pairs appear, and (1, 2) now also counts center 0
+    val full = Graph.cappedWedgeCounts(edges, "id_a", "id_b", degCap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full((3L, 4L)) == 1L && full((1L, 2L)) == 2L,
+      s"uncapped enumeration wrong: ${full.get((3L, 4L))}, ${full.get((1L, 2L))}")
+    assert(full.size == got.size - 1 + 80 * 79 / 2,
+      "uncapped pair universe must add exactly the hub wedges")
+  }
 }

@@ -25,9 +25,9 @@ class TheilSenSpec extends SparkSpec {
       }
     }
 
-  private def run(rows: Seq[(String, Long, Long)], xw: Long = 64L,
+  private def run(rows: Seq[(String, Long, Long)], xOcc: Long = 64L,
       zw: Long = 4096L): Map[String, (Long, Long)] =
-    TheilSen.slopeMilli(rows.toDF("g", "x", "y"), "g", "x", "y", xw, zw)
+    TheilSen.slopeMilli(rows.toDF("g", "x", "y"), "g", "x", "y", xOcc, zw)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
 
@@ -55,11 +55,47 @@ class TheilSenSpec extends SparkSpec {
         (rnd.nextInt(50) - 25).toLong * (1 + rnd.nextInt(3)))
     }
     val ref = bruteRef(rows)
-    assert(run(rows) == ref, "default widths diverged")
-    // width 1: every pair is cross-bucket (class A/C only);
-    // huge widths: every pair is intra-bucket (class B only)
-    assert(run(rows, 1L, 1L) == ref, "width-1 buckets diverged")
+    assert(run(rows) == ref, "default settings diverged")
+    // occupancy 1: every x value is "heavy" -> singleton buckets, so
+    // every x-distinct pair is cross-bucket (class A/C only); huge
+    // occupancy + z width: one bucket per group (class B only)
+    assert(run(rows, 1L, 1L) == ref, "occupancy-1 buckets diverged")
     assert(run(rows, 1000000L, 100000000L) == ref, "single-bucket diverged")
+  }
+
+  test("pathological x skew (3 distinct x over many rows) stays in the cell classes") {
+    // The fixed-width hazard corpus: every row lands in one x bucket,
+    // so a width-based decomposition materializes O(m^2) intra-bucket
+    // join rows per probe. Equi-depth bucketing makes each of the 3
+    // heavily-tied x values a SINGLETON bucket (zero intra-bucket
+    // rows), and the tie collapse bounds the z-side frames by the
+    // distinct (x, y) support — here 3 x * 40 y = 120 combos standing
+    // in for 30k rows. The brute reference is computed per distinct
+    // combo pair (weighted), so the expected value is exact.
+    val n = 30000
+    val rows = (0 until n).map { i =>
+      ("g", Seq(100L, 500L, 900L)(i % 3), (i % 40).toLong * 7 + (i % 3))
+    }
+    // weighted brute force over the 120 distinct combos
+    val combos = rows.groupBy(identity).map { case ((_, x, y), rs) =>
+      (x, y, rs.size.toLong)
+    }.toSeq
+    val weighted = for {
+      (x1, y1, c1) <- combos
+      (x2, y2, c2) <- combos
+      if x1 < x2
+    } yield (Math.floorDiv(1000L * (y2 - y1), x2 - x1), c1 * c2)
+    val npairs = weighted.map(_._2).sum
+    val k = (npairs + 1) / 2
+    val median = {
+      val bySlope = weighted.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var cum = 0L
+      bySlope.find { case (_, c) => cum += c; cum >= k }.get._1
+    }
+    val got = run(rows)
+    assert(got == Map("g" -> (npairs, median)),
+      s"pathological corpus diverged: $got vs ($npairs, $median)")
   }
 
   test("median index is the LOWER median and honors x-tie exclusion") {
