@@ -81,19 +81,26 @@ object Multimodal {
     *    absolute amplitude normalized to [0, 1] (16-bit signed and
     *    8-bit unsigned PCM; other encodings -> None rather than a
     *    wrong number).
-    *  - video: MJPEG-in-AVI on the pure JDK — the RIFF walker below
-    *    collects the `movi` list's per-frame video chunks (ids
+    *  - video: MJPEG/DIB-in-AVI on the pure JDK — the RIFF walker
+    *    below collects the `movi` list's per-frame video chunks (ids
     *    `##dc`/`##db`: compressed/uncompressed frames of stream ##)
-    *    and decodes EACH frame with ImageIO (MJPEG frames are plain
-    *    JPEGs; `##db` DIB frames arrive as BMP-decodable bytes from
-    *    cooperating writers). width/height/channels come from the
-    *    first decoded frame, `frames` counts decoded frames, and
-    *    meanIntensity is the mean over every sample of every band of
-    *    every frame. Non-AVI bytes, foreign codecs (frames ImageIO
-    *    has no reader for) and truncated chunk trees all return
-    *    None. Other containers (MP4/H.264 et al.) still need a
-    *    JavaCV/ffmpeg binding at this SAME seam (the per-batch init
-    *    hook in [[extractFeatures]] exists to amortize that load).
+    *    and decodes EACH frame with ImageIO. `##dc` MJPEG frames are
+    *    plain JPEGs; `##db` frames from STANDARD writers are
+    *    headerless DIB pixel data (no BITMAPFILEHEADER — ImageIO
+    *    alone returns null), so the walker also captures each video
+    *    stream's `strf` BITMAPINFOHEADER from the `hdrl` list and
+    *    synthesizes the 14-byte BITMAPFILEHEADER + strf prefix that
+    *    turns the raw payload into a decodable BMP (a `##db` payload
+    *    that is ALREADY a full BMP — some cooperating writers — still
+    *    decodes via the direct attempt first). width/height/channels
+    *    come from the first decoded frame, `frames` counts decoded
+    *    frames, and meanIntensity is the mean over every sample of
+    *    every band of every frame. Non-AVI bytes, foreign codecs
+    *    (frames ImageIO has no reader for even with the synthesized
+    *    header) and truncated chunk trees all return None. Other
+    *    containers (MP4/H.264 et al.) still need a JavaCV/ffmpeg
+    *    binding at this SAME seam (the per-batch init hook in
+    *    [[extractFeatures]] exists to amortize that load).
     *
     * Any parse failure returns None — the per-row error-isolation
     * contract (a corrupt file must never kill the partition).
@@ -147,11 +154,11 @@ object Multimodal {
       }
     }
 
-    /** MJPEG-in-AVI: RIFF chunk walk -> per-frame ImageIO decode. The
-      * walker is iterative over a byte array (LISTs recurse at most a
-      * few levels; sizes are validated against the buffer before any
-      * slice, so truncated or hostile chunk trees fall out as None,
-      * never as an out-of-bounds throw). */
+    /** MJPEG/DIB-in-AVI: RIFF chunk walk -> per-frame ImageIO decode.
+      * The walker is iterative over a byte array (LISTs recurse at
+      * most a few levels; sizes are validated against the buffer
+      * before any slice, so truncated or hostile chunk trees fall out
+      * as None, never as an out-of-bounds throw). */
     private def decodeVideo(payload: Array[Byte]): Option[Decoded] = {
       if (payload.length < 12) return None
       def fourcc(off: Int): String =
@@ -164,7 +171,10 @@ object Multimodal {
       def isFrameChunk(id: String): Boolean =
         id.length == 4 && id(0).isDigit && id(1).isDigit &&
           (id.endsWith("dc") || id.endsWith("db"))
-      val frames = Seq.newBuilder[(Int, Int)] // (dataOff, dataLen)
+      val frames = Seq.newBuilder[(Int, Int, Int)] // (stream#, dataOff, dataLen)
+      // hdrl stream headers in document order: stream i's strh fccType
+      // + its strf payload bounds (the BITMAPINFOHEADER for vids)
+      val streams = scala.collection.mutable.ArrayBuffer.empty[(String, Option[(Int, Int)])]
       def walk(from: Int, to: Int): Unit = {
         var off = from
         while (off + 8 <= to) {
@@ -176,19 +186,52 @@ object Multimodal {
             // descend into the available prefix (keep-what-parsed)
             if (size >= 4 && off + 12 <= to)
               walk(off + 12, math.min(end, to.toLong).toInt)
+          } else if (id == "strh" && size >= 4 && end <= to) {
+            streams += ((fourcc(off + 8), None))
+          } else if (id == "strf" && size > 0 && end <= to
+              && streams.nonEmpty && streams.last._2.isEmpty) {
+            streams(streams.length - 1) =
+              (streams.last._1, Some((off + 8, size.toInt)))
           } else if (isFrameChunk(id) && size > 0 && end <= to) {
-            frames += ((off + 8, size.toInt))
+            frames += ((id.substring(0, 2).toInt, off + 8, size.toInt))
           }
           if (end > to) return // truncated tail: nothing more to parse
           off = end.toInt + (size.toInt & 1) // chunks are word-aligned
         }
       }
       walk(12, payload.length)
+      // standard-writer `##db` frames are headerless DIB pixel data:
+      // synthesize BITMAPFILEHEADER(14) + strf(BITMAPINFOHEADER [+
+      // palette]) + pixels so ImageIO's BMP reader takes them
+      def asBmp(stream: Int, at: Int, len: Int): Option[Array[Byte]] =
+        streams.lift(stream).collect {
+          case ("vids", Some((so, sl))) if sl >= 40 =>
+            val fileSize = 14 + sl + len
+            val dataOff = 14 + sl
+            val out = new Array[Byte](fileSize)
+            out(0) = 'B'; out(1) = 'M'
+            def putU32(o: Int, v: Int): Unit = {
+              out(o) = (v & 0xff).toByte
+              out(o + 1) = ((v >> 8) & 0xff).toByte
+              out(o + 2) = ((v >> 16) & 0xff).toByte
+              out(o + 3) = ((v >> 24) & 0xff).toByte
+            }
+            putU32(2, fileSize); putU32(10, dataOff)
+            System.arraycopy(payload, so, out, 14, sl)
+            System.arraycopy(payload, at, out, 14 + sl, len)
+            out
+        }
       var w = 0; var h = 0; var bands = 0
       var sum = 0.0; var n = 0L; var decoded = 0
-      for ((at, len) <- frames.result()) {
-        val img = javax.imageio.ImageIO.read(
+      for ((stream, at, len) <- frames.result()) {
+        // direct attempt first (JPEG `##dc`; full-BMP `##db` from
+        // cooperating writers), then the synthesized-header DIB path
+        val direct = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload, at, len))
+        val img =
+          if (direct != null) direct
+          else asBmp(stream, at, len).map(b => javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b))).orNull
         if (img != null) { // foreign codec frames skip, same isolation rule
           val (fw, fh, fb, fsum, fn) = rasterSum(img)
           if (decoded == 0) { w = fw; h = fh; bands = fb }

@@ -75,6 +75,45 @@ class MultimodalJvmSpec extends SparkSpec {
       "AVI ".getBytes("US-ASCII") ++ body
   }
 
+  /** Minimal AVI with a REAL `hdrl` video stream declaration: avih +
+    * LIST strl [strh(vids) + strf(BITMAPINFOHEADER)] — what standard
+    * writers emit, and what the codec needs to reconstruct headerless
+    * `##db` DIB frames. */
+  private def aviWithVidsHeader(frameId: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val strl = list("strl",
+      chunk("strh", "vids".getBytes("US-ASCII") ++ new Array[Byte](52)) ++
+        chunk("strf", infoHeader()))
+    val body = list("hdrl", chunk("avih", new Array[Byte](56)) ++ strl) ++
+      list("movi", frames.flatMap(f => chunk(frameId, f)).toArray)
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length + 4) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+  }
+
+  private val dibRowSize = (W * 3 + 3) / 4 * 4
+
+  /** 40-byte BITMAPINFOHEADER: 24-bit, W x H, bottom-up. */
+  private def infoHeader(): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(40).putInt(W).putInt(H).putShort(1).putShort(24)
+      .putInt(0).putInt(dibRowSize * H).putInt(0).putInt(0)
+      .putInt(0).putInt(0)
+    b.array()
+  }
+
+  /** What a STANDARD writer puts in a `00db` chunk: headerless
+    * bottom-up BGR pixel rows, 4-byte-aligned — NOT a BMP file. */
+  private def dibPixels(k: Int): Array[Byte] = {
+    val out = new Array[Byte](dibRowSize * H)
+    for (y <- 0 until H; x <- 0 until W) {
+      val o = (H - 1 - y) * dibRowSize + x * 3
+      out(o) = sampleAt(x, y, 2, k).toByte // blue
+      out(o + 1) = sampleAt(x, y, 1, k).toByte // green
+      out(o + 2) = sampleAt(x, y, 0, k).toByte // red
+    }
+    out
+  }
+
   private val VID_FRAMES = 3
 
   private val expectedVideoMean: Double = {
@@ -136,6 +175,23 @@ class MultimodalJvmSpec extends SparkSpec {
     val avi = aviOf("00db", (0 until VID_FRAMES).map(k => encodeImage("bmp", k)))
     val Some(d) = JvmCodec.decode("video", avi)
     assert(d == Decoded(W, H, B, VID_FRAMES, expectedVideoMean))
+  }
+
+  test("headerless-DIB AVI (00db from standard writers): strf-synthesized header decodes EXACTLY") {
+    // raw pixel payloads ImageIO alone cannot read — the codec must
+    // rebuild BITMAPFILEHEADER + strf from the hdrl stream declaration;
+    // lossless, so all three frames and the multi-frame mean are exact
+    val avi = aviWithVidsHeader("00db", (0 until VID_FRAMES).map(dibPixels))
+    val Some(d) = JvmCodec.decode("video", avi)
+    assert(d == Decoded(W, H, B, VID_FRAMES, expectedVideoMean))
+  }
+
+  test("headerless-DIB frames with no vids strf are cleanly excluded, never mis-decoded") {
+    // an AVI whose hdrl declares no video stream: the raw payload has
+    // no reconstructable header -> zero decodable frames -> None (the
+    // old behavior silently miscounted such files' frames)
+    val avi = aviOf("00db", Seq(dibPixels(0)))
+    assert(JvmCodec.decode("video", avi).isEmpty)
   }
 
   test("MJPEG AVI (00dc JPEG frames): exact dims and frame count; mean within lossy tolerance") {
