@@ -735,37 +735,17 @@ object StatsQueries {
         "the argmax is the house top-1 row_number shape — eligible " +
         "for the TopKPerKey rewrite, and the per-type totals join " +
         "broadcasts (5 rows). Day-level sufficient statistics are " +
-        "the scale move: the corpus never sorts globally, and series " +
-        "length bounds every window. Split means leave as exact " +
-        "milli-cents floors (values are nonnegative, so Spark's " +
-        "truncating div and DuckDB's flooring // agree).",
-      (s, dir) => {
-        val daily = t(s, dir, "events").select(
-            col("event_type").as("g"), to_date(col("ts")).as("day"),
-            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
-              .as("cents"))
-          .groupBy(col("g"), col("day")).agg(sum(col("cents")).as("x"))
-        val w = Window.partitionBy(col("g")).orderBy(col("day"))
-        val pre = daily
-          .withColumn("tau", row_number().over(w).cast(LongType))
-          .withColumn("s", sum(col("x")).over(w))
-        val tot = pre.groupBy(col("g"))
-          .agg(max(col("tau")).as("n"), sum(col("x")).as("sn"))
-        val scored = pre.join(broadcast(tot), Seq("g"))
-          .filter(col("tau") < col("n"))
-          .withColumn("gap",
-            abs(col("n") * col("s") - col("tau") * col("sn")))
-        scored
-          .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
-            .orderBy(col("gap").desc, col("tau").asc)))
-          .filter(col("rn") === 1)
-          .select(col("g").as("event_type"), col("n"), col("tau"),
-            col("day").as("change_day"), col("gap"),
-            expr("CAST(1000 * s div tau AS BIGINT)")
-              .as("mean_before_milli"),
-            expr("CAST(1000 * (sn - s) div (n - tau) AS BIGINT)")
-              .as("mean_after_milli"))
-      },
+        "the scale move: the corpus never sorts globally, series " +
+        "length bounds every window, and the (type, day) table " +
+        "MERGES BY ADDITION — operators/Cusum is shared with " +
+        "streaming/CusumStream, whose log of per-batch day deltas " +
+        "recovers this exact statistic after any stream prefix. " +
+        "Split means leave as exact milli-cents floors (values are " +
+        "nonnegative, so Spark's truncating div and DuckDB's " +
+        "flooring // agree).",
+      (s, dir) =>
+        graft.operators.Cusum.changepoints(
+          graft.operators.Cusum.daily(t(s, dir, "events"))),
       Some("""
         WITH daily AS (
           SELECT event_type AS g, CAST(ts AS DATE) AS day,
