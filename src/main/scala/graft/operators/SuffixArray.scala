@@ -217,6 +217,52 @@ object SuffixArray {
           .as("snippet"))
   }
 
+  /** Exact-substring containment counts over the suffix index — the
+    * ZERO-false-negative decontamination lookup ([[suffixRanks]]'
+    * third consumer): for each fixed-length query string, the number
+    * of corpus positions where it occurs verbatim (overlapping
+    * occurrences, across documents). Complements the hash-based
+    * n-gram decontamination (q71), whose gram hashing admits
+    * collision false positives and whose tokenization misses
+    * sub-token matches — here the match is the string itself.
+    *
+    * The index is the RANK-DEDUPLICATED snippet table: equal suffixes
+    * (duplicate documents/tails — exactly what a contaminated corpus
+    * is full of) share a rank and therefore ONE index row carrying
+    * their multiplicity, so the probe joins against distinct
+    * suffixes, not positions. With every query the same `qLen`, the
+    * probe is a pure EQUI-join on the qLen-char snippet (the eval
+    * side is small and broadcasts); variable-length queries would
+    * range-scan the rank order per length class — the same index,
+    * one extra join per distinct length.
+    *
+    * @return one row per query: (`qIdCol`, `qCol`, n_hits BIGINT) —
+    *         n_hits = 0 rows kept (a decontamination report scores
+    *         every query). Queries whose string is not exactly `qLen`
+    *         chars are dropped (no fixed-length key exists for them).
+    */
+  def substringHits(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qCol: String,
+      qLen: Int): DataFrame = {
+    require(qLen >= 1)
+    val ranks = suffixRanks(docs, idCol, textCol)
+    val base = docs.select(col(idCol).cast(LongType).as("__id"),
+      col(textCol).as("__t"))
+    // one qLen-char snippet per DISTINCT suffix (rank members are
+    // equal strings, so any member's snippet represents the rank),
+    // weighted by the rank's position count
+    val idx = ranks.join(base, col(idCol) === col("__id"))
+      .select(col("suffix_rank").as("__r"),
+        expr(s"substring(__t, CAST(pos AS INT), $qLen)").as("__snip"))
+      .groupBy(col("__r"))
+      .agg(min(col("__snip")).as("__snip"), count(lit(1)).as("__cnt"))
+    queries.select(col(qIdCol), col(qCol))
+      .filter(length(col(qCol)) === qLen)
+      .join(idx, col(qCol) === col("__snip"), "left")
+      .groupBy(col(qIdCol), col(qCol))
+      .agg(sum(coalesce(col("__cnt"), lit(0L))).as("n_hits"))
+  }
+
   /** Instance-sparse base rank per key: base(k) = 1 + sum of counts of
     * all strictly-smaller keys. One global range-sort of the DISTINCT
     * key frame, a per-partition count sum (P longs to the driver — P =

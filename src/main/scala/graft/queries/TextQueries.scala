@@ -730,6 +730,56 @@ object TextQueries {
         SELECT d1, p1, d2, p2, CAST(lcp AS BIGINT) AS lcp_len,
                substr(suf, 1, CAST(least(lcp, 80) AS INT)) AS snippet
         FROM scored
-        ORDER BY lcp_len DESC, d1, p1, d2, p2 LIMIT 20"""))
+        ORDER BY lcp_len DESC, d1, p1, d2, p2 LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q260_exactsubstr_decontam",
+      "Exact-substring decontamination over the suffix index " +
+        "(SuffixArray.substringHits): 24-char verbatim excerpts of " +
+        "held-out eval docs (doc_id < 100, every other one) counted " +
+        "at every position they occur in a training slice — the " +
+        "ZERO-false-negative complement to q71's hash-based 13-gram " +
+        "decon (gram hashing admits collision false positives and " +
+        "tokenization misses sub-token matches; here the match is " +
+        "the string itself, and n_hits = 0 rows are kept so every " +
+        "query is scored). The index is the rank-DEDUPLICATED " +
+        "snippet table: equal suffixes — duplicate docs/tails, " +
+        "exactly what a contaminated corpus is full of — collapse to " +
+        "one weighted row, so the probe equi-joins the small " +
+        "broadcast eval side against DISTINCT suffixes, never " +
+        "positions. The oracle states the NAIVE quadratic scan " +
+        "(every training position enumerated, substr-compared), so " +
+        "the hash match proves the index lookup exact — overlapping " +
+        "occurrences, cross-document, multiplicities included. " +
+        "Training side sliced doc_id % 10 = 0 (the q245 " +
+        "harness-density knob, not an algorithmic limit).",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val train = docs
+          .filter(col("doc_id") >= 100 && pmod(col("doc_id"), lit(10)) === 0)
+          .select("doc_id", "text")
+        val evalq = docs
+          .filter(col("doc_id") < 100 && pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id").as("eval_id"),
+            expr("substring(text, CAST(1 + doc_id % 37 AS INT), 24)")
+              .as("q"))
+        graft.operators.SuffixArray.substringHits(
+          train, "doc_id", "text", evalq, "eval_id", "q", 24)
+      },
+      Some("""
+        WITH train AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 100 AND doc_id % 10 = 0),
+        q AS (
+          SELECT doc_id AS eval_id,
+                 substr(text, CAST(1 + doc_id % 37 AS INT), 24) AS q
+          FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0),
+        qv AS (SELECT eval_id, q FROM q WHERE len(q) = 24),
+        pos AS (
+          SELECT t.doc_id, CAST(u.i AS INT) AS i, t.text
+          FROM train t, UNNEST(range(1, len(t.text) - 24 + 2)) AS u(i))
+        SELECT qv.eval_id, qv.q, CAST(count(p.doc_id) AS BIGINT) AS n_hits
+        FROM qv LEFT JOIN pos p ON substr(p.text, p.i, 24) = qv.q
+        GROUP BY 1, 2"""))
   )
 }

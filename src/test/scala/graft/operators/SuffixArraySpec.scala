@@ -114,6 +114,29 @@ class SuffixArraySpec extends SparkSpec {
     assert(Set(top._1, top._3) == Set(1L, 2L) && top._2 == 1L && top._4 == 1L)
   }
 
+  test("substringHits: cross-document overlapping occurrence counts == naive scan; misses scored 0") {
+    // "anana" occurs nowhere; "ana" occurs at banana pos 2,4 (overlap!)
+    // and bandana pos 5 — cross-document, multiplicity-exact; the
+    // duplicate doc 3 doubles banana's contribution through the rank
+    // multiplicities (one index row, weight 2)
+    val corpus = Seq((1L, "banana"), (2L, "bandana"), (3L, "banana"))
+    val queries = Seq((10L, "ana"), (11L, "and"), (12L, "zzz"), (13L, "toolong"))
+    val got = SuffixArray.substringHits(
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      queries.toDF("eval_id", "q"), "eval_id", "q", qLen = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // naive reference: count every (doc, pos) with the query as prefix
+    def naive(q: String): Long = corpus.map { case (_, t) =>
+      (1 to t.length).count(p => t.substring(p - 1).startsWith(q)).toLong
+    }.sum
+    assert(got == Map((10L, "ana") -> naive("ana"), (11L, "and") -> naive("and"),
+      (12L, "zzz") -> 0L), s"substring hits diverged: $got")
+    assert(naive("ana") == 5L && naive("and") == 1L,
+      "fixture lost its overlap/cross-document structure")
+    assert(!got.contains((13L, "toolong")), "non-qLen queries must drop")
+  }
+
   test("cap saturates: a 100-char shared prefix reports lcp_len == cap") {
     val shared = "a" * 100 + "b"
     val docs = Seq((1L, shared + "x"), (2L, shared + "y"))
