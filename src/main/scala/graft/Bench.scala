@@ -57,14 +57,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${pt.mkString(",")}],"method":"per-query min of 3 in-JVM passes"}"""
     }
     // full-fidelity record (every query name, full precision) to a file
-    // for judge-side per-query analysis. Best-effort — an unwritable
-    // path must not also cost the stdout copy (NonFatal, not just
-    // IOException: Paths.get can throw InvalidPathException).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(benchOut),
-      java.util.Arrays.asList(fullJson))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] file record failed: ${e.getMessage}") }
+    // for judge-side per-query analysis — PLUS a repo-local copy
+    // (bench_local_latest.json in the launch cwd), because /tmp does
+    // not survive the sandbox and round-over-round per-query deltas
+    // were undiagnosable from the repo alone. Best-effort — an
+    // unwritable path must not also cost the stdout copy (NonFatal,
+    // not just IOException: Paths.get can throw InvalidPathException).
+    for (out <- Seq(benchOut, "bench_local_latest.json").distinct)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        java.util.Arrays.asList(fullJson))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] file record $out failed: ${e.getMessage}") }
     // The ONE stdout JSON line must survive the driver's tail capture,
     // which keeps only the LAST 2000 chars of mixed sbt output. A full
     // per-query map does NOT fit at 221+ queries (~3.1 KB even with

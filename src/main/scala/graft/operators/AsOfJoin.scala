@@ -51,7 +51,7 @@ object AsOfJoin {
     // left columns nulled on the right side
     val rAligned = leftCols.foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(l.columns.map(col): _*)
+      .select(l.columns.toIndexedSeq.map(col): _*)
 
     // rights sort before lefts at equal time (inclusive match); among
     // equal-time rights the LAST (max payload) wins the carry.

@@ -605,7 +605,7 @@ object Dedup {
         r => r.getField("__tk")), " ").as("__cut"))
     val rewritten = docs.join(cut, Seq(idCol)) // inner: fully-cut docs drop
       .withColumn(textCol, col("__cut"))
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
     untouched.unionByName(rewritten)
   }
 

@@ -57,7 +57,12 @@ object SuffixArray {
     *
     * @param initKey characters in the round-0 sort key (longer = fewer
     *                rounds and a smaller active set; the key column
-    *                costs O(n * initKey) bytes transiently)
+    *                costs O(n * initKey) bytes transiently). 0 =
+    *                ADAPTIVE: sized from the longest document so the
+    *                doubling loop runs ~5 rounds whatever the corpus
+    *                (key = maxLen/32 rounded to a power of two,
+    *                clamped to [8, 64] — the key frame stays <= 64
+    *                bytes/suffix).
     * @return one row per (document, 1-based position): (`idCol`,
     *         `pos` BIGINT, `suffix_rank` BIGINT) — rank 1 = smallest
     *         suffix; equal suffixes (across or within docs) share a
@@ -65,17 +70,25 @@ object SuffixArray {
     *         `dense_rank() OVER (ORDER BY suffix)`.
     */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
-      initKey: Int = 8): DataFrame = {
-    require(initKey >= 1)
+      initKey: Int = 0): DataFrame = {
+    require(initKey >= 0)
     val base = docs.select(col(idCol).cast(LongType).as("__id"),
       col(textCol).as("__t"))
+    val maxLen = base.agg(max(length(col("__t")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getInt(0).toLong
+    }
+    val effKey =
+      if (initKey > 0) initKey
+      else math.min(64, math.max(8,
+        Integer.highestOneBit(math.max(1, (maxLen / 32).toInt)) * 2))
     // the ONLY pass that touches text: the round-0 key per position
     val keys = base
       .select(col("__id"), col("__t"),
         explode(graft.functions.TextAnalysis.indices1(length(col("__t"))))
           .as("__pos"))
       .select(col("__id"), col("__pos"),
-        expr(s"substring(__t, __pos, $initKey)").as("__k"))
+        expr(s"substring(__t, __pos, $effKey)").as("__k"))
     val keyCounts = keys.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
     val (bases, freeBases) = sparseBases(keyCounts, "__k", "__n")
     def annotate(r: DataFrame): DataFrame =
@@ -99,11 +112,7 @@ object SuffixArray {
     var active = round0.filter(col("__g") > 1)
       .select(col("__id"), col("__pos"), col("__r"), col("__g"))
     var tied = active.count()
-    val maxLen = base.agg(max(length(col("__t")))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getInt(0).toLong
-    }
-    var d = initKey.toLong // ranks currently order by the first d chars
+    var d = effKey.toLong // ranks currently order by the first d chars
     while (tied > 0 && d < maxLen) {
       // rank at pos + d, looked up in the FULL table (a tied suffix's
       // continuation may itself be settled) — a union of already-
@@ -309,7 +318,7 @@ object SuffixArray {
     val schema = StructType(sorted.schema.fields :+ StructField("__gr", LongType))
     val srdd = sorted.rdd.persist()
     val out = spark.createDataFrame(
-      srdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      srdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
       schema)
     (out, () => { srdd.unpersist(blocking = false); () })
   }

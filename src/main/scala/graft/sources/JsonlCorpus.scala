@@ -35,7 +35,7 @@ object JsonlCorpus {
     * extension per file). Column order is normalized to the schema's. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(documentSchema).json(dir)
-      .select(documentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .select(documentSchema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
 
   /** Write a corpus frame as JSONL, optionally gzip'd per file. One
     * output file per partition of `df` — the parallel-scan-friendly

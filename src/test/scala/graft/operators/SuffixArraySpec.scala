@@ -36,6 +36,8 @@ class SuffixArraySpec extends SparkSpec {
     assert(viaLoop == expected, "initKey=1 (full doubling loop) diverged")
     val viaKey = run(docs)
     assert(viaKey == expected, "initKey=8 (round-0 settle) diverged")
+    val viaAuto = run(docs, initKey = 0)
+    assert(viaAuto == expected, "adaptive initKey diverged")
     expected
   }
 
