@@ -37,20 +37,24 @@ import org.apache.spark.sql.functions._
   */
 object Buckets {
 
-  /** Per distinct (g, v): (g, v, bkt, light) with `bkt` monotone in v
-    * within g, light buckets bounded by < 2*targetOcc rows, heavy
-    * (tie count >= targetOcc) values alone in their bucket.
-    * `rows` carries one row per DATA row (multiplicity = tie count). */
-  def equiDepth(rows: DataFrame, g: String, v: String,
-      targetOcc: Long): DataFrame = {
+  /** Per distinct (keys..., v): (keys..., v, bkt, light) with `bkt`
+    * monotone in v within each key group, light buckets bounded by
+    * < 2*targetOcc rows, heavy (tie mass >= targetOcc) values alone
+    * in their bucket. `rows` carries one row per DATA row
+    * (multiplicity = tie count) unless `weightCol` names a
+    * pre-aggregated count column (the tie-collapsed frames). */
+  def equiDepth(rows: DataFrame, keys: Seq[String], v: String,
+      targetOcc: Long, weightCol: Option[String] = None): DataFrame = {
     require(targetOcc > 0, "targetOcc must be positive")
-    val t = rows.groupBy(col(g), col(v)).agg(count(lit(1)).as("__t"))
-    val prev = Window.partitionBy(col(g)).orderBy(col(v))
+    require(keys.nonEmpty, "at least one group key")
+    val mass = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
+    val t = rows.groupBy((keys :+ v).map(col): _*).agg(mass.as("__t"))
+    val prev = Window.partitionBy(keys.map(col): _*).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("__cumb", coalesce(sum(col("__t")).over(prev), lit(0L)))
-      .select(col(g), col(v),
+      .select(keys.map(col) ++ Seq(col(v),
         (lit(2L) * expr(s"__cumb div ${targetOcc}L")
           + when(col("__t") >= targetOcc, 1L).otherwise(0L)).as("bkt"),
-        (col("__t") < targetOcc).as("light"))
+        (col("__t") < targetOcc).as("light")): _*)
   }
 }

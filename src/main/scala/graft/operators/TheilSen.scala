@@ -76,7 +76,7 @@ object TheilSen {
   /** Count, per (group, probe), the pairs with x_i < x_j and
     * z_j < z_i — the q253 three-class bucket decomposition over
     * WEIGHTED distinct combos. `zb` needs (g, pid, x, z, bx, xlight,
-    * bz, cnt), one row per distinct (g, pid, x, z). */
+    * bz, zlight, cnt), one row per distinct (g, pid, x, z). */
   private def inversions(zb: DataFrame): DataFrame = {
     val cells = zb.groupBy(col("g"), col("pid"), col("bx"), col("bz"))
       .agg(sum(col("cnt")).as("cnt"))
@@ -97,8 +97,12 @@ object TheilSen {
       .filter(col("p1.x") < col("p2.x") && col("p2.z") < col("p1.z"))
       .groupBy(col("p1.g").as("g"), col("p1.pid").as("pid"))
       .agg(sum(col("p1.cnt") * col("p2.cnt")).as("c"))
-    val cfr = zb.as("p1")
-      .join(zb.as("p2"), col("p1.g") === col("p2.g")
+    // intra-z-bucket pairs: same heavy-singleton rule as bfr — a
+    // heavy z value's bucket pairs all tie on z (z_j < z_i is false),
+    // so only LIGHT z-buckets join
+    val zlights = zb.filter(col("zlight"))
+    val cfr = zlights.as("p1")
+      .join(zlights.as("p2"), col("p1.g") === col("p2.g")
         && col("p1.pid") === col("p2.pid")
         && col("p1.bz") === col("p2.bz"))
       .filter(col("p1.bx") < col("p2.bx") && col("p2.z") < col("p1.z"))
@@ -110,20 +114,23 @@ object TheilSen {
 
   /** Lower-median pairwise milli-slope per group:
     * (g, n_pairs, theilsen_milli). Groups with no sloped pair (fewer
-    * than two distinct x) are absent. `xTargetOcc` sets the
-    * equi-depth x-bucket occupancy, `zBucketW` the fixed z width —
-    * any positive values are correct (the spec runs degenerate
-    * settings); they trade cross-bucket folding against intra-bucket
-    * exact work. */
+    * than two distinct x) are absent. `xTargetOcc`/`zTargetOcc` set
+    * the equi-depth bucket occupancies in the two dimensions — any
+    * positive values are correct (the spec runs degenerate settings);
+    * they trade cross-bucket folding against intra-bucket exact
+    * work. With BOTH dimensions equi-depth, no value distribution can
+    * make either intra-bucket class quadratic: light buckets hold
+    * < 2*occ rows by construction, heavy values sit in singleton
+    * buckets whose pairs tie and are skipped. */
   def slopeMilli(df: DataFrame, g: String, xCol: String, yCol: String,
-      xTargetOcc: Long = 64L, zBucketW: Long = 4096L,
+      xTargetOcc: Long = 64L, zTargetOcc: Long = 64L,
       probesPerRound: Int = 63): DataFrame = {
-    require(xTargetOcc > 0 && zBucketW > 0 && probesPerRound > 0)
+    require(xTargetOcc > 0 && zTargetOcc > 0 && probesPerRound > 0)
     val rows = df
       .select(col(g).as("g"), col(xCol).cast(LongType).as("x"),
         col(yCol).cast(LongType).as("y"))
-    val xb = Buckets.equiDepth(rows.select(col("g"), col("x")), "g", "x",
-        xTargetOcc)
+    val xb = Buckets.equiDepth(rows.select(col("g"), col("x")), Seq("g"),
+        "x", xTargetOcc)
       .withColumnRenamed("bkt", "bx").withColumnRenamed("light", "xlight")
     // referenced every search round — persist once, release at end
     val b = rows.join(xb, Seq("g", "x")).persist()
@@ -179,10 +186,12 @@ object TheilSen {
       // (n x P rows) against round count (log_{P+1}(span)): at bench
       // scale rounds are dominated by fixed per-round overhead, so the
       // default 63 (4 rounds over the full +/-2^21 envelope) measured
-      // 9.8 s warm at sf0.1 vs 20.1 s with 15/6-rounds — and vs the
-      // round-10 fixed-width implementation's 16.9-18.6 s, a ~45%
-      // cut. A cluster-scale corpus where the n x P frame dominates
-      // tunes P down.
+      // 12.1 s warm at sf0.1 (vs 20.1 s with 15 probes/6 rounds, and
+      // vs the round-10 fixed-width implementation's 16.9-18.6 s —
+      // ~30% cut WITH the two-sided occupancy guarantee; fixed-width
+      // z read 9.8 s but leaves the near-linear concentration hazard).
+      // A cluster-scale corpus where the n x P frame dominates tunes
+      // P down.
       val split = probesPerRound + 1
       val probes = search.filter(col("lo") < col("hi"))
         .select(col("g"), col("k"), col("lo"), col("hi"),
@@ -193,26 +202,43 @@ object TheilSen {
         .select(col("g"), col("t")).distinct()
       // ties in (x, y) collapse BEFORE any self-join: the frames below
       // carry one weighted row per distinct (g, probe, x, z). The
-      // collapsed frame feeds FOUR join branches (cells + three
-      // classes reference it six times), and unlike the raw projection
-      // it costs a shuffle — persist it for the round or every branch
-      // re-aggregates (measured 8x the round cost without the cache).
-      // On a tie-free corpus the raw projection recomputes from the
-      // cached b for free instead.
+      // frame feeds FOUR join branches (cells + three classes
+      // reference it six times) and its lineage holds shuffles (the
+      // collapse and/or the z-bucket join) — persist it for the round
+      // or every branch re-aggregates (measured 8x the round cost
+      // without the cache).
       val zb0 = b.join(broadcast(probes.withColumnRenamed("t", "__t")
           .withColumn("pid", col("__t"))), "g")
         .select(col("g"), col("pid"), col("x"),
           (lit(1000L) * col("y") - (col("pid") + 1L) * col("x")).as("z"),
           col("bx"), col("xlight"))
-      val zb =
+      val zb1 =
         if (collapse)
           zb0.groupBy(col("g"), col("pid"), col("x"), col("z"), col("bx"),
               col("xlight"))
             .agg(count(lit(1)).as("cnt"))
-            .withColumn("bz", expr(s"z div $zBucketW"))
-            .persist()
         else zb0.withColumn("cnt", lit(1L))
-          .withColumn("bz", expr(s"z div $zBucketW"))
+      // z-buckets are OCCUPANCY-AWARE too — z depends on the probe, so
+      // they are re-derived per round. A fixed width here was the
+      // symmetric skew hazard: near-linear data CONCENTRATES z around
+      // the answer as probes converge, piling the whole group into one
+      // slab and sending the intra-z-bucket join quadratic. The
+      // equi-depth ids come from ONE window pass with RANGE frames
+      // (ties share a frame exactly, so equal z always share a
+      // bucket): cumulative mass of strictly-smaller z + this value's
+      // tie mass give the same ids [[Buckets.equiDepth]] would — a
+      // groupBy + window + join spelling measured 3 extra stages per
+      // round (~2.5x wall) for identical output.
+      val wz = Window.partitionBy(col("g"), col("pid")).orderBy(col("z"))
+      val zb = zb1
+        .withColumn("__czb", coalesce(sum(col("cnt")).over(
+          wz.rangeBetween(Window.unboundedPreceding, -1L)), lit(0L)))
+        .withColumn("__tzm", sum(col("cnt")).over(wz.rangeBetween(0L, 0L)))
+        .withColumn("bz", lit(2L) * expr(s"__czb div ${zTargetOcc}L")
+          + when(col("__tzm") >= zTargetOcc, 1L).otherwise(0L))
+        .withColumn("zlight", col("__tzm") < zTargetOcc)
+        .drop("__czb", "__tzm")
+        .persist()
       // A probe below every pair's slope has ZERO inversions and so
       // no row in the class counts at all — left-join back onto the
       // probe grid and coalesce, or such probes would vanish from the
@@ -235,7 +261,7 @@ object TheilSen {
           greatest(col("lo"), coalesce(col("lo_c"), col("lo"))).as("lo"),
           least(col("hi"), coalesce(col("hi_c"), col("hi"))).as("hi"))
       search = next.localCheckpoint() // eager: zb consumed before the unpersist
-      if (collapse) zb.unpersist()
+      zb.unpersist()
     }
     val out = search.select(col("g"), col("np").as("n_pairs"),
       col("lo").as("theilsen_milli"))

@@ -418,11 +418,11 @@ object StatsQueries {
             col("n_chars").as("x"),
             size(split(col("text"), " ")).cast(LongType).as("y"))
         val xb = graft.operators.Buckets.equiDepth(
-            b.select(col("source"), col("x")), "source", "x", 64L)
+            b.select(col("source"), col("x")), Seq("source"), "x", 64L)
           .withColumnRenamed("bkt", "bx")
           .withColumnRenamed("light", "xlight")
         val yb = graft.operators.Buckets.equiDepth(
-            b.select(col("source"), col("y")), "source", "y", 64L)
+            b.select(col("source"), col("y")), Seq("source"), "y", 64L)
           .withColumnRenamed("bkt", "by")
           .withColumnRenamed("light", "ylight")
         // ties collapse to weighted combos BEFORE any self-join; a

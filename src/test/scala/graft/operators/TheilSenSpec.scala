@@ -56,9 +56,11 @@ class TheilSenSpec extends SparkSpec {
     }
     val ref = bruteRef(rows)
     assert(run(rows) == ref, "default settings diverged")
-    // occupancy 1: every x value is "heavy" -> singleton buckets, so
-    // every x-distinct pair is cross-bucket (class A/C only); huge
-    // occupancy + z width: one bucket per group (class B only)
+    // occupancy 1 in BOTH dimensions: every distinct value is "heavy"
+    // -> singleton buckets, so every counted pair is cross-bucket
+    // (class A carries everything; intra-bucket pairs all tie and
+    // contribute zero); huge occupancies: one light bucket per group
+    // and per probe (class B carries everything)
     assert(run(rows, 1L, 1L) == ref, "occupancy-1 buckets diverged")
     assert(run(rows, 1000000L, 100000000L) == ref, "single-bucket diverged")
   }
