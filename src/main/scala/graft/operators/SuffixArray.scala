@@ -272,6 +272,46 @@ object SuffixArray {
       .agg(sum(coalesce(col("__cnt"), lit(0L))).as("n_hits"))
   }
 
+  /** Variable-length form of [[substringHits]]: queries of ANY
+    * lengths, answered by one equi-join PER DISTINCT LENGTH class
+    * against the same rank-deduplicated snippet index (snippets sized
+    * to the longest query). The distinct-length list is collected —
+    * bounded by the LONGEST QUERY STRING's character count, never the
+    * query count or the corpus — and each class probes with the
+    * snippet truncated to its length, so every join stays a pure
+    * equi-join.
+    *
+    * @note persists the index (it feeds one join per length class)
+    *       and the query projection; call `spark.catalog.clearCache()`
+    *       after the terminal action — the Dedup/lshCandidates cache
+    *       contract. */
+  def substringHitsAnyLen(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qCol: String): DataFrame = {
+    val qs = queries.select(col(qIdCol), col(qCol))
+      .filter(length(col(qCol)) >= 1).persist()
+    val lens = qs.select(length(col(qCol)).as("__l")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (lens.isEmpty) // empty-queries frame with the right schema
+      return qs.groupBy(col(qIdCol), col(qCol))
+        .agg(sum(lit(0L)).as("n_hits"))
+    val maxQ = lens.last
+    val ranks = suffixRanks(docs, idCol, textCol)
+    val base = docs.select(col(idCol).cast(LongType).as("__id"),
+      col(textCol).as("__t"))
+    val idx = ranks.join(base, col(idCol) === col("__id"))
+      .select(col("suffix_rank").as("__r"),
+        expr(s"substring(__t, CAST(pos AS INT), $maxQ)").as("__snip"))
+      .groupBy(col("__r"))
+      .agg(min(col("__snip")).as("__snip"), count(lit(1)).as("__cnt"))
+      .persist()
+    lens.map { l =>
+      qs.filter(length(col(qCol)) === l)
+        .join(idx, expr(s"substring(__snip, 1, $l)") === col(qCol), "left")
+        .groupBy(col(qIdCol), col(qCol))
+        .agg(sum(coalesce(col("__cnt"), lit(0L))).as("n_hits"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Instance-sparse base rank per key: base(k) = 1 + sum of counts of
     * all strictly-smaller keys. One global range-sort of the DISTINCT
     * key frame, a per-partition count sum (P longs to the driver — P =

@@ -139,6 +139,24 @@ class SuffixArraySpec extends SparkSpec {
     assert(!got.contains((13L, "toolong")), "non-qLen queries must drop")
   }
 
+  test("substringHitsAnyLen: mixed-length queries answered per length class, same counts") {
+    val corpus = Seq((1L, "banana"), (2L, "bandana"))
+    val queries = Seq((10L, "ana"), (11L, "an"), (12L, "banda"), (13L, "zz"))
+    def naive(q: String): Long = corpus.map { case (_, t) =>
+      (1 to t.length).count(p => t.substring(p - 1).startsWith(q)).toLong
+    }.sum
+    val got = SuffixArray.substringHitsAnyLen(
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      queries.toDF("eval_id", "q"), "eval_id", "q")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    spark.catalog.clearCache()
+    assert(got == queries.map { case (id, q) => (id, q) -> naive(q) }.toMap,
+      s"variable-length hits diverged: $got")
+    assert(naive("an") == 4L && naive("banda") == 1L && naive("zz") == 0L,
+      "fixture lost its multi-length structure")
+  }
+
   test("cap saturates: a 100-char shared prefix reports lcp_len == cap") {
     val shared = "a" * 100 + "b"
     val docs = Seq((1L, shared + "x"), (2L, shared + "y"))

@@ -100,6 +100,27 @@ class TheilSenSpec extends SparkSpec {
       s"pathological corpus diverged: $got vs ($npairs, $median)")
   }
 
+  test("near-linear corpus (z concentrates as probes converge) stays bounded and exact") {
+    // 2000 points on y = 3x + (i % 5): as the search closes on 3000
+    // milli, the z = 1000y - (t+1)x support collapses to the residual
+    // band (five values, 400 rows each) — the corpus a FIXED z width
+    // piles into ONE slab (2000^2 intra-slab join rows per probe).
+    // Equi-depth z-buckets make each residual value a heavy singleton
+    // bucket the intra-z class skips. Reference computed leanly
+    // (primitive arrays): 2M pairs.
+    val n = 2000
+    val rows = (0 until n).map(i => ("g", i.toLong, 3L * i + i % 5))
+    val xs = rows.map(_._2).toArray
+    val ys = rows.map(_._3).toArray
+    val buf = Array.newBuilder[Long]
+    for (i <- 0 until n; j <- i + 1 until n) // xs strictly increasing
+      buf += Math.floorDiv(1000L * (ys(j) - ys(i)), xs(j) - xs(i))
+    val slopes = buf.result().sorted
+    val expected = ("g", (slopes.length.toLong,
+      slopes(((slopes.length + 1) / 2 - 1).toInt)))
+    assert(run(rows).toSeq == Seq(expected), "near-linear corpus diverged")
+  }
+
   test("median index is the LOWER median and honors x-tie exclusion") {
     // pairs: (1,0)-(2,10): 10000; (1,0)-(3,1): 500; (2,10)-(3,1):
     // -9000; the two x=1 rows tie and add pairs only against x=2,3.
