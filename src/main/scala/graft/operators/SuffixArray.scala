@@ -241,9 +241,14 @@ object SuffixArray {
     * their multiplicity, so the probe joins against distinct
     * suffixes, not positions. With every query the same `qLen`, the
     * probe is a pure EQUI-join on the qLen-char snippet (the eval
-    * side is small and broadcasts); variable-length queries would
-    * range-scan the rank order per length class — the same index,
-    * one extra join per distinct length.
+    * side is small and broadcasts); [[substringHitsAnyLen]] answers
+    * mixed lengths with one equi-join per length class over the same
+    * index. COST NOTE: the dominant cost is [[suffixRanks]] itself —
+    * at production scale the index is built ONCE (persisted, the
+    * AnnIndexStream pattern) and amortized across its consumers
+    * (q245's audit, q246's repeats, this lookup, every eval-set
+    * refresh); the bench convention (cache cleared between queries)
+    * charges each query a full rebuild.
     *
     * @return one row per query: (`qIdCol`, `qCol`, n_hits BIGINT) —
     *         n_hits = 0 rows kept (a decontamination report scores
