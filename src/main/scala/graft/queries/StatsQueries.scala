@@ -945,57 +945,19 @@ object StatsQueries {
         "2c+t+1), so the rank windows run over the bounded bucket " +
         "frame, never the row count — the corpus is touched exactly " +
         "once by the (source, xb, yb) cell aggregation, which is also " +
-        "MERGEABLE by addition (the DriftStream property: partitions " +
-        "or stream batches contribute cell deltas). Output is signed " +
+        "MERGEABLE by addition: streaming/SpearmanStream binds this " +
+        "exact operator (shared operators/SpearmanHist) to the " +
+        "AdditiveLog protocol, so a stream of per-batch cell deltas " +
+        "recovers this statistic after any prefix. Output is signed " +
         "rho^2 in bp via the same moment algebra as q248, with the " +
         "same ENFORCED n <= 3e4 DECIMAL(38,0) exactness guard. " +
         "SCALE SHAPE: one corpus-width aggregation, two windows over " +
         "bucket counts, one moments reduce; six numbers per source " +
         "cross the final shuffle.",
-      (s, dir) => {
-        val h = spread(t(s, dir, "documents"), col("doc_id"))
-          .select(col("source"),
-            expr("n_chars div 16").as("xb"),
-            expr("CAST(size(split(text, ' ')) AS BIGINT) div 4").as("yb"))
-          .groupBy(col("source"), col("xb"), col("yb"))
-          .agg(count(lit(1)).as("cnt"))
-        // doubled midrank of every row in bucket v: its rows hold ranks
-        // c+1..c+t (c = count below), averaging to c + (t+1)/2 —
-        // doubled: 2c + t + 1, one integer per BUCKET
-        def marg(bcol: String, out: String) = {
-          val m = h.groupBy(col("source"), col(bcol))
-            .agg(sum(col("cnt")).as("t"))
-          val prev = Window.partitionBy(col("source")).orderBy(col(bcol))
-            .rowsBetween(Window.unboundedPreceding, -1)
-          m.withColumn("c", coalesce(sum(col("t")).over(prev), lit(0L)))
-            .select(col("source"), col(bcol),
-              (lit(2L) * col("c") + col("t") + 1L).as(out))
-        }
-        val r = h.join(marg("xb", "mx2"), Seq("source", "xb"))
-          .join(marg("yb", "my2"), Seq("source", "yb"))
-        val m = r.groupBy(col("source")).agg(
-          sum(col("cnt").cast(dec38)).as("n"),
-          sum(col("cnt").cast(dec38) * col("mx2")).as("sx"),
-          sum(col("cnt").cast(dec38) * col("my2")).as("sy"),
-          sum(col("cnt").cast(dec38) * col("mx2") * col("my2")).as("sxy"),
-          sum(col("cnt").cast(dec38) * col("mx2") * col("mx2")).as("sxx"),
-          sum(col("cnt").cast(dec38) * col("my2") * col("my2")).as("syy"))
-        m.select(col("source"), col("n"),
-            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
-            (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
-            (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
-          .filter(col("d1") > 0 && col("d2") > 0)
-          .select(col("source"), col("n").cast(LongType).as("n"),
-            when(col("n") > 30000,
-              raise_error(concat(lit("q259_spearman_hist: group "),
-                col("source"),
-                lit(" exceeds the n<=30000 DECIMAL(38,0) exactness" +
-                  " bound; widen the histogram buckets")))
-                .cast(LongType))
-              .otherwise(when(col("num") < 0, -1L).otherwise(1L)
-                * expr("num * num * 10000 div (d1 * d2)"))
-              .cast(LongType).as("rho2s_bp"))
-      },
+      (s, dir) =>
+        graft.operators.SpearmanHist.rho(
+          graft.operators.SpearmanHist.cells(
+            spread(t(s, dir, "documents"), col("doc_id")))),
       Some("""
         WITH h AS (
           SELECT source, n_chars // 16 AS xb,
