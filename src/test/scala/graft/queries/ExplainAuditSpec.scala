@@ -129,6 +129,29 @@ class ExplainAuditSpec extends SparkSpec {
       s"unpartitioned window in: ${offenders.mkString("; ")}")
   }
 
+  test("filters push to the parquet scan; projections prune the read schema") {
+    val byName = allPlans.toMap
+    // classic pushable predicates: q186's segment + order-date bounds
+    // (TPC-H Q3 shape), q187's region-name equality (Q5 shape). A
+    // filter evaluated post-scan instead of inside the reader reads
+    // the whole table at 100 TB.
+    for (n <- Seq("q186_shipping_priority", "q187_regional_volume")) {
+      val scans = byName(n).collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"$n plans no file scan")
+      assert(scans.exists(_.metadata.get("PushedFilters")
+          .exists(v => v.startsWith("[") && v != "[]")),
+        s"$n: no scan carries a pushed filter — " +
+          scans.map(_.metadata.getOrElse("PushedFilters", "?")).mkString(", "))
+    }
+    // column pruning: the pricing summary touches 7 of lineitem's 16
+    // columns — a scan reading them all is a 2x+ IO regression
+    val q01Scans = byName("q01_pricing_summary")
+      .collect { case s: FileSourceScanExec => s }
+    assert(q01Scans.nonEmpty && q01Scans.forall(_.output.length <= 8),
+      s"q01 scan width ${q01Scans.map(_.output.length).mkString(",")} — " +
+        "column pruning regressed")
+  }
+
   test("registry sweep: no query plans a cartesian product") {
     val offenders = allPlans.flatMap { case (n, p) =>
       p.collect { case _: CartesianProductExec => n }
