@@ -159,7 +159,7 @@ object Dedup {
   def bandRows(banded: DataFrame, idCol: String, outId: String,
       nBands: Int): DataFrame = bandExplode(banded, idCol, outId, nBands)
 
-  private def bandExplode(banded: DataFrame, idCol: String, outId: String,
+  private[graft] def bandExplode(banded: DataFrame, idCol: String, outId: String,
       nBands: Int): DataFrame = {
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)

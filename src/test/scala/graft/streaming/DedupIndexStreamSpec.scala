@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Streaming LSH band index vs its batch twin: after any prefix of the
+  * stream, the index-recovered candidate pairs must equal batch
+  * lshCandidates over every document seen — intra-batch AND
+  * cross-batch pairs (the point of the index: a new batch dedups
+  * against everything seen without re-reading old text). Band rows
+  * are set facts, so duplicate appends must be absorbed, and
+  * compaction must not change the pair universe. */
+class DedupIndexStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // q28's published family, restated for the twin
+  private val K = 16
+  private val RPB = 4
+  private val NB = K / RPB
+  private val SHINGLE = 3
+
+  /** Docs 0..499 and 500..999: ids with base % 7 == 0 share a full
+    * template with their +500 partner (guaranteed near-dup across the
+    * batch split); everything else is unique noise. */
+  private def rows(ids: Range): Seq[(Long, String)] =
+    ids.map { i =>
+      val base = i % 500
+      val words =
+        if (base % 7 == 0) (0 until 12).map(w => s"tpl${base}w$w")
+        else (0 until 12).map(w => s"doc${i}w$w")
+      (i.toLong, words.mkString(" "))
+    }
+
+  private def toDf(rs: Seq[(Long, String)]): DataFrame =
+    rs.toDF("doc_id", "text")
+
+  private def stage(root: Path, name: String, rs: Seq[(Long, String)]): Unit = {
+    val scratch = root.resolve(s"scratch_$name")
+    toDf(rs).coalesce(1).write.parquet(scratch.toString)
+    val part = Files.list(scratch).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, root.resolve("in").resolve(s"$name.parquet"))
+  }
+
+  private def runOnce(root: Path, out: String, cp: String): Unit = {
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(root.resolve("in").toString)
+    val q = DedupIndexStream.start(stream, out, cp)
+    assert(q.awaitTermination(120000), "dedup index stream did not finish")
+  }
+
+  private def batchTwin(rs: Seq[(Long, String)]): Set[(Long, Long)] = {
+    val got = Dedup.lshCandidates(
+      Dedup.bandKeys(Dedup.minhashSignature(toDf(rs), "text", K, SHINGLE),
+        K, RPB), "doc_id", NB)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    got
+  }
+
+  private def streamed(out: String): Set[(Long, Long)] = {
+    val got = DedupIndexStream.candidates(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    got
+  }
+
+  test("index candidates == batch twin after each prefix; cross-batch dups surface; compaction and replay preserve them") {
+    val root = Files.createTempDirectory("dedup-index-stream")
+    Files.createDirectories(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val cp = root.resolve("cp").toString
+
+    // before the first commit: empty candidates, 0-file compaction
+    assert(DedupIndexStream.candidates(spark, out).collect().isEmpty)
+    assert(DedupIndexStream.compactLog(spark, out) == 0L)
+
+    val b1 = rows(0 until 500)
+    val b2 = rows(500 until 1000)
+
+    stage(root, "a", b1)
+    runOnce(root, out, cp)
+    assert(streamed(out) == batchTwin(b1), "prefix 1 diverged")
+
+    stage(root, "b", b2)
+    runOnce(root, out, cp)
+    val full = batchTwin(b1 ++ b2)
+    assert(streamed(out) == full, "full stream diverged")
+    // the planted CROSS-BATCH template pairs are found without any
+    // re-banding of batch 1's text
+    assert((0 until 500 by 7).forall(b => full.contains((b.toLong, (b + 500).toLong))),
+      "planted cross-batch near-dups missing from the twin")
+    assert(streamed(out).contains((0L, 500L)),
+      "index failed to pair a batch-1 doc with its batch-2 duplicate")
+
+    // duplicate append (at-least-once replay of epoch 0): set facts
+    // collapse under the reader's distinct
+    DedupIndexStream.bandRows(toDf(b1))
+      .withColumn("__batch", lit(0L))
+      .write.mode("append").parquet(DedupIndexStream.logDir(out))
+    assert(streamed(out) == full, "replayed epoch changed the pair universe")
+
+    // compaction rewrites to one generation; pairs unchanged; a batch
+    // after compaction still lands
+    val removed = DedupIndexStream.compactLog(spark, out)
+    assert(removed >= 2, s"expected multiple log files compacted, got $removed")
+    assert(streamed(out) == full, "compaction changed the pair universe")
+
+    val b3 = rows(1000 until 1100).map { case (id, t) => (id, t) }
+    stage(root, "c", b3)
+    runOnce(root, out, cp)
+    assert(streamed(out) == batchTwin(b1 ++ b2 ++ b3),
+      "post-compaction append diverged")
+  }
+}
