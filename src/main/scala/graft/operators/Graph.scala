@@ -189,10 +189,12 @@ object Graph {
     * from enumeration — common_neighbors counts shared NON-HUB
     * neighbors, a documented statistic both engines can state
     * identically (the q197 oracle carries the same cap), not a silent
-    * truncation: the number of capped hubs is counted eagerly and
-    * logged, and a hub still appears as an ENDPOINT of pairs counted
-    * through its non-hub co-neighbors. Per-center work is thereby
-    * bounded by degCap^2 whatever the degree distribution.
+    * truncation: the number of capped hubs rides the plan as an
+    * [[ObservedWarn]] metric (logged by the consuming action itself —
+    * no extra job, and building the frame stays action-free), and a
+    * hub still appears as an ENDPOINT of pairs counted through its
+    * non-hub co-neighbors. Per-center work is thereby bounded by
+    * degCap^2 whatever the degree distribution.
     *
     * Output: (id_a, id_b, common_neighbors) for id_a < id_b,
     * INCLUDING adjacent pairs — callers wanting the link-prediction
@@ -201,13 +203,13 @@ object Graph {
       idB: String = "id_b", degCap: Long = 64L): DataFrame = {
     require(degCap > 0)
     val und = symmetrize(pairs, idA, idB)
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val nHubs = deg.filter(col("__deg") > degCap).count()
-    if (nHubs > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"cappedWedgeCounts: $nHubs hub vertices (deg > $degCap) excluded " +
-          "from wedge enumeration — common_neighbors counts non-hub " +
-          "co-neighbors only")
+    val deg = ObservedWarn(
+      und.groupBy(col("src")).agg(count(lit(1)).as("__deg")),
+      "capped_wedge_hubs",
+      sum(when(col("__deg") > degCap, 1L).otherwise(0L)),
+      n => s"cappedWedgeCounts: $n hub vertices (deg > $degCap) excluded " +
+        "from wedge enumeration — common_neighbors counts non-hub " +
+        "co-neighbors only")
     val centers = und.join(deg.filter(col("__deg") <= degCap), Seq("src"))
       .select(col("src").as("v"), col("dst").as("w"))
     centers.as("n1")

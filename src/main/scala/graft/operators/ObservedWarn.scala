@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Action-time warning counters for capped operators — the
+  * no-silent-caps rule WITHOUT an eager driver job.
+  *
+  * Several operators bound their work by excluding degenerate keys
+  * (hub vertices in [[Graph.cappedWedgeCounts]], saturated LSH buckets
+  * in [[graft.streaming.DedupIndexStream]]) and must TELL the user how
+  * much was excluded. Counting that eagerly at DataFrame-construction
+  * time breaks the lazy-builder contract every operator here follows:
+  * plan-only consumers (the ExplainAuditSpec registry sweep, `explain`)
+  * would execute the full upstream pipeline just to build a plan, and
+  * the counted frame re-executes for the real join since nothing is
+  * persisted. Instead the count rides the plan as a
+  * `Dataset.observe` aggregate — zero extra jobs, computed by the SAME
+  * action that consumes the frame — and a once-per-session
+  * [[QueryExecutionListener]] turns any fired metric into the warning
+  * log line. Plan-only consumers never trigger it; every real action
+  * does.
+  *
+  * Metric names are made unique per call-site invocation (Spark
+  * rejects duplicate observation names inside one plan, and one query
+  * may embed the same operator twice); the listener matches on the
+  * stable prefix.
+  */
+object ObservedWarn {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val seq = new AtomicLong(0L)
+  // message renderers by full metric name; bounded: one entry per
+  // builder call, removed when the metric first fires
+  private val pending = new ConcurrentHashMap[String, Long => String]()
+  // last fired value by metric PREFIX — test hook (specs assert the
+  // cap actually fired with the expected count)
+  private val fired = new ConcurrentHashMap[String, Long]()
+  private val registered =
+    ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Attach a warn-on-nonzero observed metric to `df`. `metric` must
+    * be an aggregate expression yielding a LONG (e.g.
+    * `sum(when(cond, 1L).otherwise(0L))`). The warning `msg(n)` is
+    * logged when the observing action completes with n > 0. */
+  def apply(df: DataFrame, prefix: String, metric: Column,
+      msg: Long => String): DataFrame = {
+    ensureListener(df.sparkSession)
+    val name = s"$prefix#${seq.incrementAndGet()}"
+    pending.put(name, msg)
+    df.observe(name, metric.as("n"))
+  }
+
+  /** Test hook: the value the most recent fired metric with this
+    * prefix reported (None if no action has run one yet). */
+  private[graft] def lastFired(prefix: String): Option[Long] =
+    Option(fired.get(prefix))
+
+  private[graft] def clearFired(prefix: String): Unit = {
+    fired.remove(prefix); ()
+  }
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            val cut = name.lastIndexOf('#')
+            if (cut > 0 && (pending.containsKey(name) ||
+                fired.containsKey(name.substring(0, cut)))) {
+              val prefix = name.substring(0, cut)
+              val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+              fired.put(prefix, n)
+              val renderer = pending.remove(name)
+              if (n > 0L && renderer != null) log.warn(renderer(n))
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+}

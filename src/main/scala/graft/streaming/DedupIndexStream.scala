@@ -91,10 +91,28 @@ object DedupIndexStream {
     * text is never revisited. An index whose first micro-batch has
     * not committed reads as EMPTY.
     *
+    * `maxBucket` is the read-time HOT-BUCKET CAP — the same bounded-
+    * work valve as batch [[Dedup.lshCandidatesCapped]], which this
+    * index needs MOST: the streaming index is the training-ingest
+    * shape, where a template flood (one band key shared by ~all docs)
+    * makes the self-join quadratic on one shuffle key (the measured
+    * ARCHITECTURE.md saturation case spilled past 79 GB). With a cap,
+    * every (band, key) bucket whose population exceeds it is excluded
+    * BEFORE the join — per-bucket work bounded by maxBucket², members
+    * still pairable through their other bands — and the number of
+    * excluded buckets is reported via [[graft.operators.ObservedWarn]]
+    * (logged by the consuming action — no silent caps, no eager job).
+    * Default None = exact: stream result equals uncapped batch
+    * `lshCandidates` over every document seen; with Some(c) it equals
+    * capped-batch `lshCandidatesCapped(_, _, _, c)` over the same
+    * corpus (the spec's template-flood fixture proves both).
+    *
     * @note persists the distinct index projection (it feeds both join
-    *       sides); call `spark.catalog.clearCache()` after the
-    *       terminal action — the Dedup cache contract. */
-  def candidates(spark: SparkSession, outDir: String): DataFrame = {
+    *       sides and, when capped, the population count); call
+    *       `spark.catalog.clearCache()` after the terminal action —
+    *       the Dedup cache contract. */
+  def candidates(spark: SparkSession, outDir: String,
+      maxBucket: Option[Int] = None): DataFrame = {
     val idx =
       if (!logExists(spark, outDir))
         spark.createDataFrame(
@@ -105,19 +123,48 @@ object DedupIndexStream {
         // are deterministic functions of (doc_id, text)
         .distinct()
         .persist()
-    idx.as("l")
-      .join(idx.as("r"), col("l.band") === col("r.band")
+    val joinSide = maxBucket match {
+      case None => idx
+      case Some(cap) =>
+        require(cap > 0, s"maxBucket must be > 0, got $cap")
+        val pops = idx.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__pop"))
+        val keep = graft.operators.ObservedWarn(
+          pops, "dedup_index_hot_buckets",
+          sum(when(col("__pop") > cap, 1L).otherwise(0L)),
+          n => s"DedupIndexStream.candidates: $n hot (band, key) buckets " +
+            s"(population > $cap) excluded from the candidate join — " +
+            "members still pair through their other bands")
+          .filter(col("__pop") <= cap)
+          .select(col("band"), col("key"))
+        idx.join(keep, Seq("band", "key"))
+    }
+    joinSide.as("l")
+      .join(joinSide.as("r"), col("l.band") === col("r.band")
         && col("l.key") === col("r.key")
         && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
   }
 
-  /** Rewrite the accreted log back to one distinct generation.
-    * Crash-safe: the compacted rows land under a fresh `__batch`
-    * generation BEFORE the old files are removed; a crash between the
-    * two leaves duplicates [[candidates]]' distinct already
-    * tolerates. Returns the number of files collected. */
+  /** Bytes of compacted output one rewrite task should produce — the
+    * standard ~128 MB parquet target. The compacted file count scales
+    * with index size (the index is CORPUS-sized, nBands rows per
+    * document — unlike [[AdditiveLog]]'s key-support-bounded folds, a
+    * single-file rewrite would funnel the whole corpus through one
+    * task at 100 TB). */
+  private val CompactBytesPerFile = 128L << 20
+
+  /** Rewrite the accreted log back to one distinct generation,
+    * PARTITIONED: the rewrite repartitions by (band, key) into a file
+    * count scaled to the pre-compaction byte size (≥1 file per
+    * [[CompactBytesPerFile]] of input — known from the file listing,
+    * no extra count job), so compaction parallelism grows with the
+    * corpus instead of serializing through one task. Crash-safe: the
+    * compacted rows land under a fresh `__batch` generation BEFORE the
+    * old files are removed; a crash between the two leaves duplicates
+    * [[candidates]]' distinct already tolerates. Returns the number of
+    * files collected. */
   def compactLog(spark: SparkSession, outDir: String): Long = {
     if (!logExists(spark, outDir)) return 0L
     val dir = new Path(logDir(outDir))
@@ -129,11 +176,13 @@ object DedupIndexStream {
         case r if r.isNullAt(0) => 1L
         case r => r.getLong(0) + 1L
       }
+    val nFiles = math.max(1L,
+      before.map(_.getLen).sum / CompactBytesPerFile).toInt
     spark.read.parquet(logDir(outDir))
       .select(col("doc_id"), col("band"), col("key"))
       .distinct()
       .withColumn("__batch", lit(gen))
-      .coalesce(1)
+      .repartition(nFiles, col("band"), col("key"))
       .write.mode("append").parquet(logDir(outDir))
     before.foreach(f => fs.delete(f.getPath, false))
     before.length.toLong

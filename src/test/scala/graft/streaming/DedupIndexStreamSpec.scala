@@ -109,9 +109,16 @@ class DedupIndexStreamSpec extends SparkSpec {
     assert(streamed(out) == full, "replayed epoch changed the pair universe")
 
     // compaction rewrites to one generation; pairs unchanged; a batch
-    // after compaction still lands
+    // after compaction still lands. The rewrite is PARTITIONED — file
+    // count scales with pre-compaction byte size (max(1, bytes/128MB)),
+    // never a hardcoded single file (the index is corpus-sized).
+    val logPath = new java.io.File(DedupIndexStream.logDir(out))
+    def logFiles() = logPath.listFiles().filter(_.getName.endsWith(".parquet"))
+    val expectFiles = math.max(1L, logFiles().map(_.length).sum / (128L << 20))
     val removed = DedupIndexStream.compactLog(spark, out)
     assert(removed >= 2, s"expected multiple log files compacted, got $removed")
+    assert(logFiles().length == expectFiles,
+      s"compacted file count ${logFiles().length} != size-scaled $expectFiles")
     assert(streamed(out) == full, "compaction changed the pair universe")
 
     val b3 = rows(1000 until 1100).map { case (id, t) => (id, t) }
@@ -119,5 +126,70 @@ class DedupIndexStreamSpec extends SparkSpec {
     runOnce(root, out, cp)
     assert(streamed(out) == batchTwin(b1 ++ b2 ++ b3),
       "post-compaction append diverged")
+  }
+
+  test("template flood: capped read bounds the candidate join, equals the capped batch twin, and reports the excluded buckets") {
+    val root = Files.createTempDirectory("dedup-index-flood")
+    Files.createDirectories(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val cp = root.resolve("cp").toString
+
+    // 200 docs of ONE template (every band bucket they touch holds all
+    // 200 — the training-ingest saturation shape), 90 unique-noise
+    // docs, and 10 planted near-dup pairs that must SURVIVE the cap
+    val flood = (0 until 200).map(i =>
+      (i.toLong, (0 until 12).map(w => s"boilerplate$w").mkString(" ")))
+    val noise = (200 until 290).map(i =>
+      (i.toLong, (0 until 12).map(w => s"doc${i}w$w").mkString(" ")))
+    val planted = (300 until 310).flatMap { i =>
+      val t = (0 until 12).map(w => s"pair${i}w$w").mkString(" ")
+      Seq((i.toLong, t), ((i + 100).toLong, t))
+    }
+    val all = flood ++ noise ++ planted
+    stage(root, "flood", all)
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(root.resolve("in").toString)
+    val sq = DedupIndexStream.start(q, out, cp)
+    assert(sq.awaitTermination(120000), "flood index stream did not finish")
+
+    val cap = 50
+    // capped stream read == capped batch twin over the same corpus
+    val cappedBatch = Dedup.lshCandidatesCapped(
+      Dedup.bandKeys(Dedup.minhashSignature(toDf(all), "text", K, SHINGLE),
+        K, RPB), "doc_id", NB, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    graft.operators.ObservedWarn.clearFired("dedup_index_hot_buckets")
+    val cappedStream = DedupIndexStream.candidates(spark, out, Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(cappedStream == cappedBatch, "capped stream != capped batch twin")
+    // bounded: the 200-doc flood contributes NO pairs; planted pairs survive
+    assert(cappedStream.size < 200,
+      s"flood pairs leaked through the cap (${cappedStream.size})")
+    assert((300 until 310).forall(i =>
+      cappedStream.contains((i.toLong, (i + 100).toLong))),
+      "planted near-dup pairs lost to the cap")
+
+    // no silent caps: the excluded-bucket count fired via ObservedWarn
+    // with exactly the independently-counted hot-bucket population
+    val expectedHot = spark.read.parquet(DedupIndexStream.logDir(out))
+      .select(col("doc_id"), col("band"), col("key")).distinct()
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("p"))
+      .filter(col("p") > cap).count()
+    assert(expectedHot > 0, "fixture failed to saturate any bucket")
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var firedN = graft.operators.ObservedWarn.lastFired("dedup_index_hot_buckets")
+    while (firedN.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      firedN = graft.operators.ObservedWarn.lastFired("dedup_index_hot_buckets")
+    }
+    assert(firedN.contains(expectedHot),
+      s"hot-bucket metric fired $firedN, expected Some($expectedHot)")
+
+    // and the UNCAPPED read still equals the exact batch twin (the
+    // default stays exact; the cap is an explicit opt-in)
+    assert(streamed(out) == batchTwin(all), "uncapped flood read diverged")
   }
 }
