@@ -69,10 +69,14 @@ object StatsQueries {
         "sign * sqrt(rho2s_bp/10000) is caller math). Constant " +
         "columns (zero rank variance) are filtered — rho is " +
         "undefined there on both engines. Moments accumulate in " +
-        "DECIMAL(38,0) (HUGEINT oracle-side); the n ~ 3e4 per-group " +
-        "exactness bound is ENFORCED by a raise_error/error() guard " +
-        "that fails identically on both engines (q259's histogram " +
-        "coarsening is the sanctioned path past it). SCALE SHAPE: " +
+        "DECIMAL(38,0) (HUGEINT oracle-side); the per-group " +
+        "exactness bound n <= 20000 (derived: the quotient's " +
+        "intermediate num^2*10^4 <= 10^4*(n^2(n^2-1)/3)^2 clears " +
+        "10^38 past n ~ 23,400 — see SpearmanHist's object doc) is " +
+        "ENFORCED by a raise_error/error() guard " +
+        "that fails identically on both engines (q261's slope-" +
+        "product form is the sanctioned path past it, exact to " +
+        "n <= 1e9). SCALE SHAPE: " +
         "two rank windows " +
         "partitioned by source (+ a tie-count window each), then one " +
         "map-side-combined moment aggregation; six numbers per " +
@@ -98,15 +102,17 @@ object StatsQueries {
             (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
           .filter(col("d1") > 0 && col("d2") > 0)
           .select(col("source"), col("n").cast(LongType).as("n"),
-            // the exactness bound, enforced: past n = 3e4 the squared
-            // moment quotient can exceed DECIMAL(38,0), where Spark
-            // (non-ANSI) yields silent NULLs but DuckDB HUGEINT errors
-            // loudly — fail the same way on both engines instead
-            when(col("n") > 30000,
+            // the exactness bound, enforced: the quotient's intermediate
+            // num^2*10^4 <= 10^4*(n^2(n^2-1)/3)^2 clears DECIMAL(38,0)
+            // past n ~ 23,400 (and HUGEINT past n ~ 25,200) — under
+            // Spark 4's ANSI mode that is an ArithmeticException at a
+            // DIFFERENT |rho| than DuckDB's overflow, so a looser guard
+            // would NOT fail identically; 20000 is safely inside both
+            when(col("n") > 20000,
               raise_error(concat(lit("q248_spearman_rank: group "),
                 col("source"),
-                lit(" exceeds the n<=30000 DECIMAL(38,0) exactness" +
-                  " bound; use q259's histogram coarsening")))
+                lit(" exceeds the n<=20000 DECIMAL(38,0) exactness" +
+                  " bound; use q261_spearman_scaled (exact to n<=1e9)")))
                 .cast(LongType))
               .otherwise(when(col("num") < 0, -1L).otherwise(1L)
                 * expr("num * num * 10000 div (d1 * d2)"))
@@ -139,10 +145,11 @@ object StatsQueries {
                  n * syy - sy * sy AS d2
           FROM m)
         SELECT source, CAST(n AS BIGINT) AS n,
-               CASE WHEN n > 30000 THEN CAST(error(
+               CASE WHEN n > 20000 THEN CAST(error(
                  'q248_spearman_rank: group ' || source ||
-                 ' exceeds the n<=30000 DECIMAL(38,0) exactness' ||
-                 ' bound; use q259''s histogram coarsening') AS BIGINT)
+                 ' exceeds the n<=20000 DECIMAL(38,0) exactness' ||
+                 ' bound; use q261_spearman_scaled (exact to n<=1e9)')
+                 AS BIGINT)
                ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
                  * ((num * num * 10000) // (d1 * d2)) AS BIGINT)
                END AS rho2s_bp
@@ -512,7 +519,7 @@ object StatsQueries {
               raise_error(concat(lit("q253_kendall_tau: group "),
                 col("source"),
                 lit(" exceeds the n<=3e8 DECIMAL(38,0) exactness" +
-                  " bound; coarsen values first (q259 rule)")))
+                  " bound for the squared-S quotient")))
                 .cast(LongType))
               .otherwise(when(col("s_stat") < 0, -1L).otherwise(1L)
                 * expr("s_stat * s_stat * 10000 div (d1 * d2)"))
@@ -557,7 +564,7 @@ object StatsQueries {
                CASE WHEN n > 300000000 THEN CAST(error(
                  'q253_kendall_tau: group ' || source ||
                  ' exceeds the n<=3e8 DECIMAL(38,0) exactness' ||
-                 ' bound; coarsen values first (q259 rule)') AS BIGINT)
+                 ' bound for the squared-S quotient') AS BIGINT)
                ELSE CAST((CASE WHEN s_stat < 0 THEN -1 ELSE 1 END)
                  * ((s_stat * s_stat * 10000) // (d1 * d2))
                  AS BIGINT)
@@ -950,7 +957,11 @@ object StatsQueries {
         "AdditiveLog protocol, so a stream of per-batch cell deltas " +
         "recovers this statistic after any prefix. Output is signed " +
         "rho^2 in bp via the same moment algebra as q248, with the " +
-        "same ENFORCED n <= 3e4 DECIMAL(38,0) exactness guard. " +
+        "same ENFORCED n <= 20000 DECIMAL(38,0) exactness guard — " +
+        "coarsening bounds the WINDOW support, not the moment " +
+        "magnitudes (midranks scale with the row count n whatever " +
+        "the bucket width), so the path past the guard is q261's " +
+        "slope-product on these same cells, not wider buckets. " +
         "SCALE SHAPE: one corpus-width aggregation, two windows over " +
         "bucket counts, one moments reduce; six numbers per source " +
         "cross the final shuffle.",
@@ -996,12 +1007,94 @@ object StatsQueries {
                  n * syy - sy * sy AS d2
           FROM m)
         SELECT source, CAST(n AS BIGINT) AS n,
-               CASE WHEN n > 30000 THEN CAST(error(
+               CASE WHEN n > 20000 THEN CAST(error(
                  'q259_spearman_hist: group ' || source ||
-                 ' exceeds the n<=30000 DECIMAL(38,0) exactness' ||
-                 ' bound; widen the histogram buckets') AS BIGINT)
+                 ' exceeds the n<=20000 DECIMAL(38,0) exactness' ||
+                 ' bound; use q261_spearman_scaled (centi-rho' ||
+                 ' slope-product, exact to n<=1e9)') AS BIGINT)
                ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
                  * ((num * num * 10000) // (d1 * d2)) AS BIGINT)
+               END AS rho2s_bp
+        FROM d WHERE d1 > 0 AND d2 > 0"""),
+    ),
+    // ----------------------------------------------------------------
+    Q(
+      "q261_spearman_scaled",
+      "Large-n Spearman via the slope-product identity — the REAL " +
+        "scale path past q248/q259's n<=20000 exactness bound, " +
+        "proven PAST that bound in this very query: rho^2 = b_yx * " +
+        "b_xy, the product of the two rank-regression slopes, each " +
+        "floor-quantized to centi-rho ((|num|*100 div d1) * " +
+        "(|num|*100 div d2)) so NO squared moment ever forms — the " +
+        "largest intermediate is |num|*100 <= 100*n^4/3, inside " +
+        "DECIMAL(38,0)/HUGEINT to the enforced n <= 1e9 (a 50,000x " +
+        "raise; see SpearmanHist's object doc for the bound algebra " +
+        "and the d1 >= n^2(n-1) lemma that keeps each LONG quotient " +
+        "under 2e6). Rounding is STATED, deterministic, and " +
+        "identical on both engines (floor of non-negative integers): " +
+        "the bp output sits within ~(q1+q2+1) below exact " +
+        "rho^2*10^4 — centi-rho precision. The n > 20000 fixture is " +
+        "the 100000x-REPLICATED corpus: replication multiplies every " +
+        "histogram cell count by k (cells merge by addition — the " +
+        "q259/SpearmanStream protocol), so this computes, exactly, " +
+        "rho of a corpus of n = 100000 * count(documents) rows per " +
+        "source (2.5e6 at sf0.01) — millions of rows through the " +
+        "DECIMAL moment path the old guard claimed impossible. " +
+        "SCALE SHAPE: identical to q259 — one corpus-width cell " +
+        "aggregation, windows over the bounded bucket support, one " +
+        "moments reduce; six numbers per source cross the final " +
+        "shuffle.",
+      (s, dir) =>
+        graft.operators.SpearmanHist.rhoScaled(
+          graft.operators.SpearmanHist.cells(
+            spread(t(s, dir, "documents"), col("doc_id")))
+            .withColumn("cnt", col("cnt") * lit(100000L))),
+      Some("""
+        WITH h AS (
+          SELECT source, n_chars // 16 AS xb,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) // 4 AS yb,
+                 CAST(count(*) AS BIGINT) * 100000 AS cnt
+          FROM documents GROUP BY 1, 2, 3),
+        mx AS (
+          SELECT source, xb,
+                 2 * COALESCE(sum(t) OVER (PARTITION BY source ORDER BY xb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + t + 1 AS mx2
+          FROM (SELECT source, xb, CAST(sum(cnt) AS BIGINT) AS t
+                FROM h GROUP BY 1, 2)),
+        my AS (
+          SELECT source, yb,
+                 2 * COALESCE(sum(t) OVER (PARTITION BY source ORDER BY yb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + t + 1 AS my2
+          FROM (SELECT source, yb, CAST(sum(cnt) AS BIGINT) AS t
+                FROM h GROUP BY 1, 2)),
+        m AS (
+          SELECT h.source, CAST(sum(cnt) AS HUGEINT) AS n,
+                 CAST(sum(CAST(cnt AS HUGEINT) * mx2) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(cnt AS HUGEINT) * my2) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(cnt AS HUGEINT) * mx2 * my2) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(cnt AS HUGEINT) * mx2 * mx2) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(cnt AS HUGEINT) * my2 * my2) AS HUGEINT) AS syy
+          FROM h
+          JOIN mx ON h.source = mx.source AND h.xb = mx.xb
+          JOIN my ON h.source = my.source AND h.yb = my.yb
+          GROUP BY 1),
+        d AS (
+          SELECT source, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS d1,
+                 n * syy - sy * sy AS d2
+          FROM m)
+        SELECT source, CAST(n AS BIGINT) AS n,
+               CASE WHEN n > 1000000000 THEN CAST(error(
+                 'q261_spearman_scaled: group ' || source ||
+                 ' exceeds the n<=1e9 DECIMAL(38,0) slope-product' ||
+                 ' bound; shard the group (cells merge by addition)')
+                 AS BIGINT)
+               ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((abs(num) * 100 // d1) * (abs(num) * 100 // d2))
+                 AS BIGINT)
                END AS rho2s_bp
         FROM d WHERE d1 > 0 AND d2 > 0"""),
     ),
