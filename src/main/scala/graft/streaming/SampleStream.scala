@@ -65,23 +65,51 @@ object SampleStream {
 
   /** Current reservoir: merge every logged summary and finish with the
     * DLT rank/tau/estimator pass. Reads the log only — bounded by
-    * batches x groups x (k+1) rows, never the corpus. */
+    * batches x groups x (k+1) rows, never the corpus.
+    *
+    * `schemaFrom`: a (possibly non-empty) frame with the caller's
+    * (groupCol, idCol, weightCol) types — ONLY consulted when the
+    * reservoir has never committed, to derive the empty result's
+    * schema from the REAL pipeline ([[PrioritySample.withPriority]] →
+    * topSummary → estimate over zero rows of the caller's types): the
+    * one-source-of-truth rule the sibling streams follow, so an
+    * integer-grouped reservoir reads with the same schema before and
+    * after its first commit. Without it the empty frame falls back to
+    * the historical convention (STRING group, BIGINT id). */
   def sample(spark: SparkSession, outDir: String, groupCol: String,
-      idCol: String, k: Int): DataFrame = {
+      idCol: String, k: Int,
+      schemaFrom: Option[(DataFrame, String)] = None): DataFrame = {
     // a reservoir whose first micro-batch has not committed yet is
-    // simply EMPTY, not broken (the DriftStream rule). The log types
-    // group/id from the caller's frame, so before any data exists the
-    // empty frame types them by convention: STRING group, BIGINT id —
-    // only visible to a reader interrogating the schema of a reservoir
-    // that has never held a row.
+    // simply EMPTY, not broken (the DriftStream rule)
     if (!logExists(spark, outDir)) {
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField(groupCol, StringType),
-          StructField(idCol, LongType), StructField("w", LongType),
-          StructField("priority", DoubleType),
-          StructField("est_w", DoubleType))))
+      schemaFrom match {
+        case Some((docs, weightCol)) =>
+          // the committed path reads the LOG (parquet: every column
+          // nullable) and finishes with topSummary+estimate — mirror
+          // it exactly: derive the log row types from the caller's
+          // frame via withPriority, normalize to parquet nullability,
+          // then run the same finishing pass over zero rows
+          import org.apache.spark.sql.types.StructType
+          val logShaped = PrioritySample.withPriority(
+              docs.select(col(groupCol), col(idCol), col(weightCol))
+                .limit(0),
+              groupCol, idCol, weightCol)
+            .select(col(groupCol), col(idCol), col("w"), col("priority"))
+          val emptyLog = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            StructType(logShaped.schema.map(_.copy(nullable = true))))
+          return PrioritySample.estimate(
+            PrioritySample.topSummary(emptyLog, groupCol, idCol, k),
+            groupCol, idCol, k)
+        case None =>
+          import org.apache.spark.sql.types._
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField(groupCol, StringType),
+              StructField(idCol, LongType), StructField("w", LongType),
+              StructField("priority", DoubleType),
+              StructField("est_w", DoubleType))))
+      }
     }
     val log = spark.read.parquet(logDir(outDir))
       .select(col(groupCol), col(idCol), col("w"), col("priority"))

@@ -168,4 +168,54 @@ class SuffixArraySpec extends SparkSpec {
     // 80-char snippet, so the fold saturates at the cap
     assert(got.max == 80L)
   }
+
+  test("SuffixIndex: build once, reuse while fresh, rebuild on a stale stamp; consumers equal the rebuild forms") {
+    def tempView(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val a = Seq((1L, "banana"), (2L, "bandana"), (3L, "cabana"))
+
+    // first touch builds; the returned table equals a fresh compute
+    val idx1 = SuffixIndex.ranks(spark, "spec_idx", tempView(a), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(idx1 == brute(a), "persisted index diverged from reference")
+
+    // fresh corpus -> the SAME table files are reused (no rebuild):
+    // capture the table's location, touch again, location unchanged
+    def location(): String =
+      spark.sql("DESCRIBE TABLE EXTENDED graft_sufidx_spec_idx").collect()
+        .find(_.getString(0) == "Location").map(_.getString(1)).get
+    val loc1 = location()
+    SuffixIndex.ranks(spark, "spec_idx", tempView(a), "doc_id", "text").count()
+    assert(location() == loc1, "unchanged corpus must not rebuild the index")
+
+    // appended document -> stamp moves -> REBUILD (suffix ranks are
+    // global; the rebuild IS the increment), at a fresh path
+    val b = a :+ (4L, "banana")
+    val idx2 = SuffixIndex.ranks(spark, "spec_idx", tempView(b), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(idx2 == brute(b), "post-append rebuild diverged from reference")
+    assert(location() != loc1, "stale index must rebuild at a fresh path")
+
+    // the FromRanks consumer halves over the persisted index equal
+    // the self-building forms
+    val viaIdx = SuffixArray.repeatedSubstringsFromRanks(
+      SuffixIndex.ranks(spark, "spec_idx", tempView(b), "doc_id", "text"),
+      tempView(b), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    val direct = SuffixArray.repeatedSubstrings(tempView(b), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(viaIdx == direct, "index-backed repeats diverged from direct form")
+
+    val qs = Seq((10L, "ana"), (11L, "zzz"))
+    val hitsIdx = SuffixArray.substringHitsFromRanks(
+      SuffixIndex.ranks(spark, "spec_idx", tempView(b), "doc_id", "text"),
+      tempView(b), "doc_id", "text", qs.toDF("eval_id", "q"), "eval_id", "q", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hitsDirect = SuffixArray.substringHits(tempView(b), "doc_id", "text",
+      qs.toDF("eval_id", "q"), "eval_id", "q", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hitsIdx == hitsDirect, "index-backed hits diverged from direct form")
+    spark.sql("DROP TABLE IF EXISTS graft_sufidx_spec_idx")
+  }
 }

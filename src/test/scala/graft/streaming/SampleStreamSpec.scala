@@ -113,6 +113,34 @@ class SampleStreamSpec extends SparkSpec {
     assert(SampleStream.compactLog(spark, out, "grp", "doc_id", K) == 0L)
   }
 
+  test("schemaFrom: an integer-grouped reservoir reads the SAME schema before and after its first commit") {
+    val root = Files.createTempDirectory("sample-intgrp")
+    Files.createDirectories(root.resolve("in"))
+    val out = root.resolve("out").toString
+    // integer group column — the case the string-typed fallback would
+    // mistype; schemaFrom derives the empty schema from the real
+    // pipeline over zero rows of the caller's types
+    val docs = Seq((1L, 7, 5L), (2L, 7, 3L), (3L, 9, 8L))
+      .toDF("doc_id", "grp", "w_in")
+    val emptySchema = SampleStream.sample(spark, out, "grp", "doc_id", K,
+      schemaFrom = Some((docs, "w_in")))
+    assert(emptySchema.collect().isEmpty)
+
+    // commit a real batch with the INTEGER group column (the exact
+    // rows start() would append)
+    val pri = PrioritySample.withPriority(docs, "grp", "doc_id", "w_in")
+    PrioritySample.topSummary(pri, "grp", "doc_id", K)
+      .withColumn("__batch", lit(0L))
+      .write.mode("append").parquet(SampleStream.logDir(out))
+    val committed = SampleStream.sample(spark, out, "grp", "doc_id", K)
+    assert(emptySchema.schema == committed.schema,
+      s"empty ${emptySchema.schema.simpleString} != committed " +
+        committed.schema.simpleString)
+    // and unionByName — the downstream op the mismatch used to break —
+    // works between the two states
+    assert(committed.unionByName(emptySchema).count() == committed.count())
+  }
+
   test("weighting is real: heavy items dominate the sample across groups") {
     // one group, two weight classes 100x apart: the top-K by priority
     // w/u with u uniform must be heavy-dominated (u spans only (0,1])
