@@ -2,7 +2,8 @@ package graft.queries
 
 import scala.annotation.tailrec
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, BinaryComparison, Expression, In, Literal, StartsWith}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, RangeExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
@@ -127,6 +128,74 @@ class ExplainAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"unpartitioned window in: ${offenders.mkString("; ")}")
+  }
+
+  /** The file scan directly under `p`, looking through the codegen
+    * wrappers a post-pushdown filter sits above. */
+  @tailrec
+  private def scanUnder(p: SparkPlan): Option[FileSourceScanExec] = p match {
+    case w: WholeStageCodegenExec => scanUnder(w.child)
+    case i: InputAdapter => scanUnder(i.child)
+    case c: ColumnarToRowExec => scanUnder(c.child)
+    case s: FileSourceScanExec => Some(s)
+    case _ => None
+  }
+
+  /** Conjuncts of `cond` that the parquet reader could evaluate:
+    * a literal comparison / IN / prefix match on an atomic-typed
+    * column the scan itself outputs. Derived-expression predicates
+    * (pmod(id, k) = 0, length(text) > n, ...) are correctly NOT
+    * pushable and excluded. */
+  private def pushableConjuncts(cond: Expression,
+      scanOut: AttributeSet): Seq[Expression] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def scanAtomic(a: AttributeReference): Boolean =
+      scanOut.contains(a) && (a.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      })
+    split(cond).filter {
+      case bc: BinaryComparison => (bc.left, bc.right) match {
+        case (a: AttributeReference, _: Literal) => scanAtomic(a)
+        case (_: Literal, a: AttributeReference) => scanAtomic(a)
+        case _ => false
+      }
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        scanAtomic(a)
+      case StartsWith(a: AttributeReference, _: Literal) => scanAtomic(a)
+      case _ => false
+    }
+  }
+
+  test("registry sweep: every literal-comparison filter over a file scan reaches the reader as a pushed filter") {
+    // a predicate evaluated ONLY post-scan reads the whole table at
+    // 100 TB; when a filter with reader-evaluable conjuncts sits
+    // directly on a scan, the scan must advertise a non-empty
+    // PushedFilters. No allowlist needed today: every current query
+    // either pushes (flagged here if it regresses) or filters on a
+    // derived expression the classifier correctly skips.
+    val sites = allPlans.flatMap { case (n, p) =>
+      p.collect { case f: FilterExec => f }.flatMap { f =>
+        scanUnder(f.child).toSeq.flatMap { s =>
+          val pushable = pushableConjuncts(f.condition, s.outputSet)
+          if (pushable.isEmpty) Nil
+          else Seq((n, pushable, s.metadata.getOrElse("PushedFilters", "[]")))
+        }
+      }
+    }
+    val offenders = sites.collect { case (n, pushable, "[]") =>
+      s"$n: [${pushable.map(_.sql).mkString(" AND ")}] not pushed to its scan"
+    }
+    assert(offenders.isEmpty,
+      s"pushable predicates evaluated post-scan only:\n  ${offenders.mkString("\n  ")}")
+    // vacuity guard: the classifier must actually be finding the
+    // registry's filter-over-scan sites (dozens exist — the TPC-H
+    // shapes alone contribute many)
+    assert(sites.size >= 20,
+      s"pushdown sweep classified only ${sites.size} sites — classifier broke")
   }
 
   test("filters push to the parquet scan; projections prune the read schema") {
