@@ -50,8 +50,7 @@ object Dedup {
     val withHs = withTh
       .withColumn("__hs", Portable.shingleHashesFromTokens(col("__th")))
       .drop("__th")
-    val sig = (0 until k).map(i => Portable.minhash(i, col("__hs")).as(s"m$i"))
-    withHs.select(col("*") +: sig: _*).drop("__hs")
+    minhashFromHashes(withHs, "__hs", k).drop("__hs")
   }
 
   /** k-member minhash signature over an ALREADY-MATERIALIZED hash-array
@@ -59,8 +58,17 @@ object Dedup {
     * Jaccard): columns m0..m(k-1) appended. Lets LSH candidate
     * generation sketch exactly the set the verifier measures. */
   def minhashFromHashes(df: DataFrame, hashesCol: String, k: Int): DataFrame = {
-    val sig = (0 until k).map(i => Portable.minhash(i, col(hashesCol)).as(s"m$i"))
-    df.select(col("*") +: sig: _*)
+    // all k members in one native pass (expressions/MinhashAll) — the
+    // composed per-member HOF spelling walks and allocates the hash
+    // array k times per row, interpreted; exact same values, so every
+    // oracle's list_min(list_transform(...)) spelling stays valid. The
+    // m0..m(k-1) column contract is unchanged (bandKeys reads them);
+    // __mh is referenced k times, which CollapseProject treats as
+    // non-cheap, so the signature computes once per row
+    val withAll = df.withColumn("__mh",
+      graft.expressions.MinhashAll(df.sparkSession, col(hashesCol), k))
+    val sig = (0 until k).map(i => col("__mh").getItem(i).as(s"m$i"))
+    withAll.select(col("*") +: sig: _*).drop("__mh")
   }
 
   /** Band keys over a minhash signature: bands of `rowsPerBand` hashes,
@@ -379,6 +387,18 @@ object Dedup {
     * merge set members deterministically on BOTH engines, so oracle
     * equality holds. */
   def charNgramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      // one native byte-walk pass (expressions/CharNgramHashes60) —
+      // bit-identical to the composed form below, which allocates one
+      // substring per window inside an interpreted HOF
+      case Some(s) => graft.expressions.CharNgramHashes60(s, text, n)
+      case None => charNgramHashesComposed(text, n)
+    }
+
+  /** The portable composed form of [[charNgramHashes]] — what
+    * [[charNgramHashesSql]] mirrors and CharNgramSpec checks the
+    * native expression against. */
+  def charNgramHashesComposed(text: Column, n: Int): Column =
     array_distinct(
       when(length(text) < n, array().cast(ArrayType(LongType)))
         .otherwise(transform(
