@@ -147,6 +147,57 @@ object DedupIndexStream {
       .distinct()
   }
 
+  /** Cross-table candidates against the standing index — the streaming
+    * DECONTAMINATION shape: every (indexed training doc, eval doc)
+    * pair sharing at least one band key, with the eval set banded
+    * fresh (it is small and changes per release) and the training
+    * corpus never re-read — its band rows are already in the index.
+    * Equals batch [[Dedup.lshCandidatesAcross]] over (everything
+    * indexed, evalDocs); the self-join's `id < id` dedup does not
+    * apply, so ids are reported as (train_id, eval_id).
+    *
+    * `maxBucket` caps hot INDEX buckets exactly as [[candidates]]
+    * does (population counted over the index side only — the eval
+    * side is small by construction), with the excluded count
+    * reported via [[graft.operators.ObservedWarn]]. An index whose
+    * first micro-batch has not committed reads as EMPTY.
+    *
+    * @note persists the distinct index projection; call
+    *       `spark.catalog.clearCache()` after the terminal action —
+    *       the Dedup cache contract. */
+  def candidatesAcross(spark: SparkSession, outDir: String,
+      evalDocs: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val idx =
+      if (!logExists(spark, outDir))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], indexSchema(spark))
+      else spark.read.parquet(logDir(outDir))
+        .select(col("doc_id"), col("band"), col("key"))
+        .distinct()
+        .persist()
+    val trainSide = maxBucket match {
+      case None => idx
+      case Some(cap) =>
+        require(cap > 0, s"maxBucket must be > 0, got $cap")
+        val keep = graft.operators.ObservedWarn(
+          idx.groupBy(col("band"), col("key"))
+            .agg(count(lit(1)).as("__pop")),
+          "dedup_index_hot_buckets_across",
+          sum(when(col("__pop") > cap, 1L).otherwise(0L)),
+          n => s"DedupIndexStream.candidatesAcross: $n hot (band, key) " +
+            s"index buckets (population > $cap) excluded from the " +
+            "decontamination join")
+          .filter(col("__pop") <= cap)
+          .select(col("band"), col("key"))
+        idx.join(keep, Seq("band", "key"))
+    }
+    trainSide.as("l")
+      .join(bandRows(evalDocs).as("r"), col("l.band") === col("r.band")
+        && col("l.key") === col("r.key"))
+      .select(col("l.doc_id").as("train_id"), col("r.doc_id").as("eval_id"))
+      .distinct()
+  }
+
   /** Bytes of compacted output one rewrite task should produce — the
     * standard ~128 MB parquet target. The compacted file count scales
     * with index size (the index is CORPUS-sized, nBands rows per

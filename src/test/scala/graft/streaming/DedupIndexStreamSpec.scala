@@ -191,5 +191,51 @@ class DedupIndexStreamSpec extends SparkSpec {
     // and the UNCAPPED read still equals the exact batch twin (the
     // default stays exact; the cap is an explicit opt-in)
     assert(streamed(out) == batchTwin(all), "uncapped flood read diverged")
+
+    // cross-table decontamination read: an eval set (one planted-pair
+    // twin, one flood clone, one fresh doc) probed against the
+    // standing index — equals batch lshCandidatesAcross over
+    // (everything indexed, eval); the training text is never re-read
+    val evalRows = Seq(
+      (9000L, (0 until 12).map(w => s"pair300w$w").mkString(" ")),
+      (9001L, (0 until 12).map(w => s"boilerplate$w").mkString(" ")),
+      (9002L, (0 until 12).map(w => s"fresh${"x"}w$w").mkString(" ")))
+    def banded(rs: Seq[(Long, String)]) =
+      Dedup.bandKeys(Dedup.minhashSignature(toDf(rs), "text", K, SHINGLE),
+        K, RPB)
+    val acrossBatch = Dedup.lshCandidatesAcross(
+      banded(all), banded(evalRows), "doc_id", NB)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val acrossStream = DedupIndexStream.candidatesAcross(
+      spark, out, toDf(evalRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(acrossStream == acrossBatch, "cross-table read != batch twin")
+    assert(acrossStream.contains((300L, 9000L)) &&
+      acrossStream.contains((400L, 9000L)),
+      "eval twin must hit both planted training docs")
+    assert(!acrossStream.exists(_._2 == 9002L), "fresh eval doc must miss")
+
+    // capped: the flood buckets drop, the planted hit survives
+    graft.operators.ObservedWarn.clearFired("dedup_index_hot_buckets_across")
+    val acrossCapped = DedupIndexStream.candidatesAcross(
+      spark, out, toDf(evalRows), Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(acrossCapped.contains((300L, 9000L)),
+      "planted decon hit lost to the cap")
+    assert(!acrossCapped.exists(_._2 == 9001L),
+      "flood-clone eval doc must produce no pairs under the cap")
+    val deadline2 = System.nanoTime() + 10_000_000_000L
+    var fired2 = graft.operators.ObservedWarn
+      .lastFired("dedup_index_hot_buckets_across")
+    while (fired2.isEmpty && System.nanoTime() < deadline2) {
+      Thread.sleep(50)
+      fired2 = graft.operators.ObservedWarn
+        .lastFired("dedup_index_hot_buckets_across")
+    }
+    assert(fired2.contains(expectedHot),
+      s"across cap metric fired $fired2, expected Some($expectedHot)")
   }
 }
