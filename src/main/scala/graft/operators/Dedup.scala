@@ -122,8 +122,10 @@ object Dedup {
     * can still pair through their other (nBands - 1) bands, and a
     * bucket that big is a template cluster the pipeline should route
     * to q104's skew profiler / q215's pre-flight anyway, not pairwise
-    * verification. Default OFF in every oracled query (exact
-    * semantics); turn on for unvetted corpora.
+    * verification. The excluded-bucket count rides the plan as an
+    * [[ObservedWarn]] metric (logged by the consuming action — no
+    * silent caps, no eager jobs). Default OFF in every oracled query
+    * (exact semantics); turn on for unvetted corpora.
     *
     * @note persists an internal self-joined projection (the exploded
     *       band table feeds both the population count and the capped
@@ -134,8 +136,14 @@ object Dedup {
   def lshCandidatesCapped(banded: DataFrame, idCol: String, nBands: Int,
       maxBucket: Int): DataFrame = {
     val exploded = bandExplode(banded, idCol, idCol, nBands).persist()
-    val keep = exploded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__pop"))
+    val keep = ObservedWarn(
+      exploded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__pop")),
+      "lsh_capped_hot_buckets",
+      sum(when(col("__pop") > maxBucket, 1L).otherwise(0L)),
+      n => s"lshCandidatesCapped: $n hot (band, key) buckets " +
+        s"(population > $maxBucket) excluded from the candidate join — " +
+        "members still pair through their other bands")
       .filter(col("__pop") <= maxBucket)
       .select("band", "key")
     val bounded = exploded.join(keep, Seq("band", "key"))

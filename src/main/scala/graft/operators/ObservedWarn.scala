@@ -29,6 +29,20 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * rejects duplicate observation names inside one plan, and one query
   * may embed the same operator twice); the listener matches on the
   * stable prefix.
+  *
+  * CAVEAT (AQE empty-result pruning, verified empirically): when the
+  * query's RESULT is empty, adaptive execution can finish through an
+  * EmptyRelation node whose final physical plan no longer contains the
+  * CollectMetrics operator, so the metric is not reported even though
+  * its stage may have run (measured on the capped LSH self-join whose
+  * surviving buckets were all singletons — zero output pairs, final
+  * plan `ResultQueryStage <- EmptyRelation`, observed metrics empty;
+  * a manual AdaptiveSparkPlanHelper walk of the executed plan finds
+  * nothing either, because the pruned tree is logical). That is the
+  * TOTAL-truncation case, whose empty output is self-evidently
+  * degenerate; the warning's purpose is the PARTIAL silent truncation,
+  * where surviving rows keep the plan alive and the metric reports —
+  * the specs pin exactly that case.
   */
 object ObservedWarn {
 
@@ -70,16 +84,20 @@ object ObservedWarn {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            val cut = name.lastIndexOf('#')
-            if (cut > 0 && (pending.containsKey(name) ||
-                fired.containsKey(name.substring(0, cut)))) {
-              val prefix = name.substring(0, cut)
-              val n = if (row.isNullAt(0)) 0L else row.getLong(0)
-              fired.put(prefix, n)
-              val renderer = pending.remove(name)
-              if (n > 0L && renderer != null) log.warn(renderer(n))
+              val cut = name.lastIndexOf('#')
+              if (cut > 0 && (pending.containsKey(name) ||
+                  fired.containsKey(name.substring(0, cut)))) {
+                val prefix = name.substring(0, cut)
+                val n =
+                  if (row == null || row.isNullAt(0)) 0L else row.getLong(0)
+                // a self-join duplicates the node; an unexecuted copy
+                // reports 0 — keep the max so it cannot mask the
+                // executed copy's count
+                fired.merge(prefix, n, (a: Long, b: Long) => math.max(a, b))
+                val renderer = pending.remove(name)
+                if (n > 0L && renderer != null) log.warn(renderer(n))
+              }
             }
-          }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })

@@ -135,17 +135,36 @@ class ScaleSpec extends SparkSpec {
     assert(uncapped.exceptAll(capped).isEmpty && capped.exceptAll(uncapped).isEmpty)
     spark.catalog.clearCache()
     // saturated: 300 docs over a 5-word vocabulary — every shingle set
-    // collides, buckets approach corpus size, pair work ~ C(300, 2)
-    val sat = (0 until 300).map(i =>
+    // collides, buckets approach corpus size, pair work ~ C(300, 2) —
+    // plus five DUPLICATE PAIRS of unique docs, so the capped result is
+    // non-empty (the partial-truncation case the ObservedWarn
+    // guarantee covers: an all-excluded cap yields an empty result
+    // that AQE prunes to an EmptyRelation, metric included — the
+    // total-truncation caveat on ObservedWarn)
+    val sat = ((0 until 300).map(i =>
       (i.toLong, (0 until 30).map(j => s"w${(i * 31 + j) % 5}").mkString(" ")))
+      ++ (300 until 310).map(i =>
+        (i.toLong, (0 until 30).map(j => s"u${i - i % 2}j$j").mkString(" "))))
       .toDF("doc_id", "text")
     val b2 = banded(sat)
     val full = Dedup.lshCandidates(b2, "doc_id", 4).count()
-    val bounded = Dedup.lshCandidatesCapped(b2, "doc_id", 4, maxBucket = 10).count()
+    graft.operators.ObservedWarn.clearFired("lsh_capped_hot_buckets")
+    val bounded = Dedup.lshCandidatesCapped(b2, "doc_id", 4, maxBucket = 10)
+      .collect().length.toLong
     spark.catalog.clearCache()
     assert(full > 10000, s"saturated corpus must show quadratic candidates, got $full")
-    assert(bounded < full / 10,
-      s"cap must bound the blowup: capped=$bounded full=$full")
+    assert(bounded >= 5 && bounded < full / 10,
+      s"cap must keep the planted pairs and bound the blowup: " +
+        s"capped=$bounded full=$full")
+    // no silent caps: the excluded-bucket count fired with the action
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var fired = graft.operators.ObservedWarn.lastFired("lsh_capped_hot_buckets")
+    while (fired.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      fired = graft.operators.ObservedWarn.lastFired("lsh_capped_hot_buckets")
+    }
+    assert(fired.exists(_ > 0L),
+      s"capped run must report its excluded buckets, fired=$fired")
   }
 
   test("salted join == plain join, including under a planted hot key") {
