@@ -792,6 +792,92 @@ object TextQueries {
           FROM train t, UNNEST(range(1, len(t.text) - 24 + 2)) AS u(i))
         SELECT qv.eval_id, qv.q, CAST(count(p.doc_id) AS BIGINT) AS n_hits
         FROM qv LEFT JOIN pos p ON substr(p.text, p.i, 24) = qv.q
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q262_bigram_surprise",
+      "Per-DOCUMENT perplexity-proxy scoring — the grain q112/q147 " +
+        "stop short of: q147 reports per-SOURCE mean bits (a corpus " +
+        "health readout), but the CCNet/Gopher filter decision is " +
+        "per document, so this scores every doc by its total and " +
+        "per-bigram BITS OF SURPRISE under a Laplace-smoothed bigram " +
+        "LM trained on the corpus itself: for each adjacent pair, " +
+        "floor(-log2 p) with p = (c12+1)/(c1+V) — smoothing replaces " +
+        "q147's unseen-bigram penalty cases (self-trained, every " +
+        "bigram is seen >= once; the +1/+V keeps the estimator " +
+        "proper when the model is later applied to NEW batches). " +
+        "Boilerplate floods score near 0 bits/bigram (memorized), " +
+        "gibberish scores high — the keep/drop threshold column. " +
+        "The floor-log2 is a stated coarsening computed with NO " +
+        "floats anywhere: den >= num always (c12 <= c1, V >= 1), so " +
+        "floor(log2(den/num)) = bitlength(den div num) - 1 — pure " +
+        "integer arithmetic both engines state identically (bin() " +
+        "string length / printf('%b')), immune to libm log " +
+        "divergence at representability boundaries. Docs with fewer " +
+        "than 2 tokens have no bigrams and are dropped. SCALE " +
+        "SHAPE: the corpus is exploded once into bigram instances " +
+        "(persisted — it feeds the count tables and the scoring " +
+        "join); counts are token-keyed aggregations; scoring is two " +
+        "vocabulary-keyed equi-joins plus a 1-row broadcast V — " +
+        "never a text rescan, never a global sort; one bounded row " +
+        "per document crosses the final shuffle.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        // the q67 convention: bg feeds three consumers shuffling on
+        // different keys — persist keeps lineage; the harness frees it
+        // via clearCache
+        val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .persist()
+        val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+          .agg(countDistinct(col("tok")).as("v"))
+        bg.join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(v)) // one-row frame
+          .select(col("doc_id"),
+            // floor(log2((c1+V)/(c12+1))) as pure integer arithmetic
+            (length(bin(expr("(c1 + v) div (c12 + 1)"))) - 1)
+              .cast(LongType).as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("bits")).as("surprise_bits"))
+          .select(col("doc_id"), col("n_bigrams"), col("surprise_bits"),
+            expr("1000 * surprise_bits div n_bigrams")
+              .as("milli_bits_per_bigram"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bg AS (
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        c12 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bg GROUP BY 1, 2),
+        c1 AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        v AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)),
+        scored AS (
+          SELECT bg.doc_id,
+                 CAST(length(printf('%b', (c1.c1 + v.v) // (c12.c12 + 1)))
+                   - 1 AS BIGINT) AS bits
+          FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(bits) AS BIGINT) AS surprise_bits,
+               CAST(1000 * sum(bits) AS BIGINT) // count(*)
+                 AS milli_bits_per_bigram
+        FROM scored GROUP BY doc_id"""))
   )
 }
