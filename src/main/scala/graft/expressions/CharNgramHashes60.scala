@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -26,9 +26,15 @@ import graft.functions.Portable
   * the same 60-bit value by [[Pmd5Hash60.hash60]]'s digest math, mod
   * MinhashP; distinctness via an open-addressed long set, emission in
   * FIRST-OCCURRENCE order (array_distinct's order). Bit-identical to
-  * the composed form on any input incl. multibyte (CharNgramSpec
-  * property-checks it), so the DuckDB `charNgramHashesSql` oracles
-  * stay valid. Null text -> null; fewer than n chars -> empty array.
+  * the composed form on any input incl. multibyte and invalid lead
+  * bytes (CharNgramSpec property-checks it; char boundaries come from
+  * Spark's own UTF8String.numBytesForFirstByte, not a mirror), so the
+  * DuckDB `charNgramHashesSql` oracles stay valid. Null text -> null;
+  * fewer than n chars -> empty array. ONE documented divergence: a
+  * TRUNCATED trailing multibyte char is hashed over the string's real
+  * bytes (clamped), where UTF8String.substring walks past numBytes and
+  * copies row-padding garbage — an unsafe read, not reproducible
+  * behavior (CharNgramSpec pins the clamp).
   */
 case class CharNgramHashes60(child: Expression, n: Int)
     extends UnaryExpression {
@@ -60,17 +66,6 @@ object CharNgramHashes60 {
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-  /** Bytes consumed by the UTF-8 char starting at `b` — mirrors
-    * UTF8String.numBytesForFirstByte (continuation-safe: invalid
-    * leading bytes count 1, same as the substring walk would see). */
-  private def charLen(b: Byte): Int = {
-    val v = b & 0xff
-    if (v < 0x80) 1
-    else if (v < 0xe0) { if (v < 0xc0) 1 else 2 }
-    else if (v < 0xf0) 3
-    else 4
-  }
-
   /** One pass: distinct n-gram hashes in first-occurrence order.
     * Called from generated code (static forwarder). */
   def compute(s: UTF8String, n: Int): GenericArrayData = {
@@ -81,7 +76,14 @@ object CharNgramHashes60 {
     var c = 0
     while (b < bytes.length) {
       offs(c) = b
-      b += charLen(bytes(b))
+      // Spark's own lead-byte table (public static) — NOT a local
+      // mirror: its mapping of invalid lead bytes (0xC0/0xC1 and
+      // 0xF5–0xFF advance 1, continuation bytes advance 1) is exactly
+      // the walk numChars()/substr() use, so the native n-gram windows
+      // share char boundaries with the composed substr form even on
+      // malformed UTF-8 (a hand table that advanced 2/4 there broke
+      // the bit-identity claim).
+      b += UTF8String.numBytesForFirstByte(bytes(b))
       c += 1
     }
     offs(c) = bytes.length
@@ -123,12 +125,12 @@ object CharNgramHashes60 {
     new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
   }
 
-  def apply(spark: SparkSession, text: Column, n: Int): Column = {
-    val name = s"char_ngram_hashes_$n"
-    if (!spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => CharNgramHashes60(exprs.head, n), "scala_udf")
-    org.apache.spark.sql.functions.call_function(name, text)
-  }
+  /** Session-free Column builder: the expression is embedded in the
+    * Column directly (GraftSqlBridge.column), so ANY session can
+    * analyze the resulting frame — the earlier temp-function
+    * registration bound the column to whichever session was active at
+    * construction time and failed analysis everywhere else. */
+  def apply(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      CharNgramHashes60(org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 }

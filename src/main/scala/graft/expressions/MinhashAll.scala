@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -101,12 +101,11 @@ object MinhashAll {
     new GenericArrayData(out)
   }
 
-  def apply(spark: SparkSession, hashes: Column, k: Int): Column = {
-    val name = s"minhash_all_$k"
-    if (!spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => MinhashAll(exprs.head, k), "scala_udf")
-    org.apache.spark.sql.functions.call_function(name, hashes)
-  }
+  /** Session-free Column builder — see [[CharNgramHashes60.apply]]:
+    * embedding the expression (GraftSqlBridge.column) instead of
+    * registering a temp function means no dependence on which session
+    * analyzes the frame. */
+  def apply(hashes: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      MinhashAll(org.apache.spark.sql.GraftSqlBridge.expression(hashes), k))
 }

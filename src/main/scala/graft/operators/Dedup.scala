@@ -66,7 +66,7 @@ object Dedup {
     // __mh is referenced k times, which CollapseProject treats as
     // non-cheap, so the signature computes once per row
     val withAll = df.withColumn("__mh",
-      graft.expressions.MinhashAll(df.sparkSession, col(hashesCol), k))
+      graft.expressions.MinhashAll(col(hashesCol), k))
     val sig = (0 until k).map(i => col("__mh").getItem(i).as(s"m$i"))
     withAll.select(col("*") +: sig: _*).drop("__mh")
   }
@@ -395,13 +395,13 @@ object Dedup {
     * merge set members deterministically on BOTH engines, so oracle
     * equality holds. */
   def charNgramHashes(text: Column, n: Int): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      // one native byte-walk pass (expressions/CharNgramHashes60) —
-      // bit-identical to the composed form below, which allocates one
-      // substring per window inside an interpreted HOF
-      case Some(s) => graft.expressions.CharNgramHashes60(s, text, n)
-      case None => charNgramHashesComposed(text, n)
-    }
+    // one native byte-walk pass (expressions/CharNgramHashes60) —
+    // bit-identical to the composed form below, which allocates one
+    // substring per window inside an interpreted HOF. Session-free:
+    // the expression rides inside the Column (no temp-function
+    // registration), so no dependence on the active session at
+    // construction time vs the analyzing session later
+    graft.expressions.CharNgramHashes60(text, n)
 
   /** The portable composed form of [[charNgramHashes]] — what
     * [[charNgramHashesSql]] mirrors and CharNgramSpec checks the

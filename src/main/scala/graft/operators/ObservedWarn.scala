@@ -48,14 +48,31 @@ object ObservedWarn {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val seq = new AtomicLong(0L)
-  // message renderers by full metric name; bounded: one entry per
-  // builder call, removed when the metric first fires
-  private val pending = new ConcurrentHashMap[String, Long => String]()
+  // message renderers by full metric name. Bounded two ways: an entry
+  // leaves when its warning is actually LOGGED (n > 0 — an n == 0
+  // report keeps the renderer, so a frame whose first action observes
+  // zero excluded rows can still warn on a later action over moved
+  // data), and renderers for plan-only / never-executed frames fall
+  // off the FIFO end at MaxPending (insertion-ordered LinkedHashMap)
+  // instead of accumulating forever in a long-lived service
+  private val MaxPending = 4096
+  private val pending: java.util.Map[String, Long => String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Long => String](16, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Long => String]): Boolean =
+          size() > MaxPending
+      })
   // last fired value by metric PREFIX — test hook (specs assert the
   // cap actually fired with the expected count)
   private val fired = new ConcurrentHashMap[String, Long]()
-  private val registered =
-    ConcurrentHashMap.newKeySet[SparkSession]()
+  // WEAK keys: the set must not pin a stopped session in a JVM with
+  // session churn — a collected session simply re-registers nothing
+  // (its listener died with it)
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Attach a warn-on-nonzero observed metric to `df`. `metric` must
     * be an aggregate expression yielding a LONG (e.g.
@@ -78,6 +95,17 @@ object ObservedWarn {
     fired.remove(prefix); ()
   }
 
+  /** Test hooks for the bounded structures. */
+  private[graft] def pendingContains(prefix: String): Boolean =
+    pending.synchronized {
+      val it = pending.keySet().iterator()
+      var found = false
+      while (!found && it.hasNext) found = it.next().startsWith(prefix + "#")
+      found
+    }
+  private[graft] def pendingSize: Int = pending.size()
+  private[graft] def registeredCount: Int = registered.size()
+
   private def ensureListener(spark: SparkSession): Unit =
     if (registered.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
@@ -94,8 +122,13 @@ object ObservedWarn {
                 // reports 0 — keep the max so it cannot mask the
                 // executed copy's count
                 fired.merge(prefix, n, (a: Long, b: Long) => math.max(a, b))
-                val renderer = pending.remove(name)
-                if (n > 0L && renderer != null) log.warn(renderer(n))
+                // remove the renderer only when the warning is LOGGED:
+                // an n == 0 report keeps it armed for a later action
+                // (one-shot-per-name suppression = the removal itself)
+                if (n > 0L) {
+                  val renderer = pending.remove(name)
+                  if (renderer != null) log.warn(renderer(n))
+                }
               }
             }
         override def onFailure(funcName: String, qe: QueryExecution,

@@ -312,6 +312,24 @@ object SuffixArray {
     *       after the terminal action — the Dedup/lshCandidates cache
     *       contract. */
   def substringHitsAnyLen(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qCol: String): DataFrame =
+    anyLenImpl(() => suffixRanks(docs, idCol, textCol),
+      docs, idCol, textCol, queries, qIdCol, qCol)
+
+  /** [[substringHitsAnyLen]] over an EXISTING rank index
+    * ([[SuffixIndex.ranks]]) — the variable-length consumer half,
+    * completing the FromRanks family (`repeatedSubstringsFromRanks`,
+    * `substringHitsFromRanks`): no suffix consumer rebuilds the index
+    * internally anymore. `ranks` is a thunk only so the empty-queries
+    * early return never touches it (the persisted-table read is cheap,
+    * but a caller may pass a freshly-built frame). */
+  def substringHitsAnyLenFromRanks(ranks: => DataFrame, docs: DataFrame,
+      idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qCol: String): DataFrame =
+    anyLenImpl(() => ranks, docs, idCol, textCol, queries, qIdCol, qCol)
+
+  private def anyLenImpl(ranksThunk: () => DataFrame,
+      docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qCol: String): DataFrame = {
     val qs = queries.select(col(qIdCol), col(qCol))
       .filter(length(col(qCol)) >= 1).persist()
@@ -321,13 +339,15 @@ object SuffixArray {
       // empty-queries frame with the right schema; nothing was
       // computed, so release the persisted projection here instead of
       // leaking it on the contract path nobody will run (unpersist
-      // does not truncate lineage — the returned frame stays valid)
+      // does not truncate lineage — the returned frame stays valid).
+      // ranksThunk deliberately untouched: suffixRanks runs eager
+      // per-round jobs at build time
       qs.unpersist(blocking = false)
       return qs.groupBy(col(qIdCol), col(qCol))
         .agg(sum(lit(0L)).as("n_hits"))
     }
     val maxQ = lens.last
-    val ranks = suffixRanks(docs, idCol, textCol)
+    val ranks = ranksThunk()
     val base = docs.select(col(idCol).cast(LongType).as("__id"),
       col(textCol).as("__t"))
     val idx = ranks.join(base, col(idCol) === col("__id"))

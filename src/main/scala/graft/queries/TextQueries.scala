@@ -653,7 +653,10 @@ object TextQueries {
           .select("doc_id", "text")
         // the persisted index (SuffixIndex): built once per corpus
         // snapshot, shared with q246 (same m25 slice); stale-stamp
-        // detection rebuilds when the corpus moves
+        // detection rebuilds when the corpus moves. The stamp hashes
+        // (id, text length) only — a SAME-LENGTH in-place edit is
+        // stamp-invisible and requires bumping the tag (fold the
+        // ingest epoch in) to force the rebuild
         graft.operators.SuffixIndex.ranks(s, "m25", slice, "doc_id", "text")
       },
       Some("""
@@ -700,7 +703,8 @@ object TextQueries {
           .select("doc_id", "text")
         // consumer half over the q245-shared persisted index — the
         // prefix-doubling build runs once per corpus snapshot for the
-        // m25 slice, whichever of q245/q246 touches it first
+        // m25 slice, whichever of q245/q246 touches it first (tag-bump
+        // rule for stamp-invisible edits: see q245)
         graft.operators.SuffixArray.repeatedSubstringsFromRanks(
           graft.operators.SuffixIndex.ranks(s, "m25", slice, "doc_id", "text"),
           slice, "doc_id", "text")
@@ -773,7 +777,8 @@ object TextQueries {
               .as("q"))
         // consumer half over the persisted training-slice index (its
         // own tag — the m10 slice differs from q245/q246's m25): every
-        // eval-set refresh probes the standing index
+        // eval-set refresh probes the standing index (tag-bump rule
+        // for stamp-invisible edits: see q245)
         graft.operators.SuffixArray.substringHitsFromRanks(
           graft.operators.SuffixIndex.ranks(s, "m10", train, "doc_id", "text"),
           train, "doc_id", "text", evalq, "eval_id", "q", 24)

@@ -41,6 +41,22 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(classicSession(spark), plan)
 
+  /** Column wrapping a raw Catalyst expression. The engine's native
+    * expressions (graft.expressions.*) used to reach the plan via a
+    * temp-function registration in whichever session was ACTIVE at
+    * column-construction time — which breaks when a different session
+    * analyzes the frame (multi-session apps; cloned sessions do not
+    * inherit temp functions). Embedding the expression in the Column
+    * itself is session-free: any session can analyze it. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a (classic) Column — the inverse
+    * seam [[column]] needs to wrap a user column as a native
+    * expression's child. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Idempotently add a planner strategy to this session (the runtime
     * path; cluster deployments get the same strategy via
     * `spark.sql.extensions=graft.GraftExtensions`). */

@@ -24,7 +24,7 @@ class MinhashAllSpec extends SparkSpec {
     val composed = df.select(
       (0 until K).map(i => Portable.minhash(i, col("hs")).as(s"c$i")): _*)
       .collect().map(r => (0 until K).map(r.getLong))
-    val native = df.select(MinhashAll(spark, col("hs"), K).as("mh"))
+    val native = df.select(MinhashAll(col("hs"), K).as("mh"))
       .select((0 until K).map(i => col("mh").getItem(i).as(s"n$i")): _*)
       .collect().map(r => (0 until K).map(r.getLong))
     assert(composed.length == native.length)
@@ -35,7 +35,7 @@ class MinhashAllSpec extends SparkSpec {
 
   test("NULL input array yields MaxValue members (the composed coalesce)") {
     val df = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("hs")
-    val got = df.select(MinhashAll(spark, col("hs"), 4).as("mh"))
+    val got = df.select(MinhashAll(col("hs"), 4).as("mh"))
       .collect().head.getSeq[Long](0)
     assert(got == Seq.fill(4)(Long.MaxValue))
   }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The lazy cap-warning service's lifecycle guarantees: a zero report
+  * does not disarm the renderer, the pending map is bounded, and the
+  * session registry does not pin stopped/dropped sessions. */
+class ObservedWarnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def poll(deadlineMs: Long = 10000)(cond: => Boolean): Boolean = {
+    val end = System.nanoTime() + deadlineMs * 1000000L
+    var ok = cond
+    while (!ok && System.nanoTime() < end) { Thread.sleep(50); ok = cond }
+    ok
+  }
+
+  test("an n == 0 report keeps the renderer armed; an n > 0 report " +
+      "logs once and disarms") {
+    ObservedWarn.clearFired("ow_spec_zero")
+    // non-empty output (AQE keeps CollectMetrics) with a zero metric
+    val df0 = ObservedWarn(
+      Seq(1L, 2L, 3L).toDF("x"), "ow_spec_zero",
+      sum(when(col("x") > 100L, 1L).otherwise(0L)),
+      n => s"ow_spec_zero: $n")
+    assert(ObservedWarn.pendingContains("ow_spec_zero"))
+    df0.count()
+    assert(poll()(ObservedWarn.lastFired("ow_spec_zero").contains(0L)),
+      "zero metric must still report (listener is async)")
+    assert(ObservedWarn.pendingContains("ow_spec_zero"),
+      "a zero report must NOT consume the renderer")
+
+    ObservedWarn.clearFired("ow_spec_pos")
+    val df1 = ObservedWarn(
+      Seq(1L, 200L, 300L).toDF("x"), "ow_spec_pos",
+      sum(when(col("x") > 100L, 1L).otherwise(0L)),
+      n => s"ow_spec_pos: $n")
+    df1.count()
+    assert(poll()(ObservedWarn.lastFired("ow_spec_pos").contains(2L)))
+    assert(poll()(!ObservedWarn.pendingContains("ow_spec_pos")),
+      "a logged warning must disarm its renderer (one-shot per name)")
+  }
+
+  test("pending renderers for never-executed frames are FIFO-bounded") {
+    val df = Seq(1L).toDF("x")
+    // plan-only frames: nothing ever executes these observations
+    (1 to 4200).foreach { i =>
+      ObservedWarn(df, "ow_spec_flood", sum(col("x")), n => s"flood: $n")
+    }
+    assert(ObservedWarn.pendingSize <= 4096,
+      s"pending must stay bounded, saw ${ObservedWarn.pendingSize}")
+  }
+
+  test("the session registry holds sessions WEAKLY — a dropped cloned " +
+      "session becomes collectable") {
+    val before = ObservedWarn.registeredCount
+    // register a clone inside a method scope so no local ref survives
+    def registerClone(): Unit = {
+      val s2 = spark.newSession()
+      val df2 = s2.createDataFrame(Seq(Tuple1(1L))).toDF("x")
+      ObservedWarn(df2, "ow_spec_weak", sum(col("x")), n => s"weak: $n")
+      ()
+    }
+    registerClone()
+    assert(ObservedWarn.registeredCount >= before + 1,
+      "clone must register its own listener entry")
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val collected = poll(20000) {
+      System.gc()
+      ObservedWarn.registeredCount <= before
+    }
+    assert(collected,
+      "a dropped session must be collectable from the weak registry " +
+        s"(still ${ObservedWarn.registeredCount}, baseline $before)")
+  }
+}

@@ -155,6 +155,26 @@ class SuffixArraySpec extends SparkSpec {
       s"variable-length hits diverged: $got")
     assert(naive("an") == 4L && naive("banda") == 1L && naive("zz") == 0L,
       "fixture lost its multi-length structure")
+
+    // FromRanks variant over the PERSISTED index — equal counts, and
+    // the empty-queries early return never touches the index
+    val viaIdx = SuffixArray.substringHitsAnyLenFromRanks(
+      SuffixIndex.ranks(spark, "spec_anylen",
+        corpus.toDF("doc_id", "text"), "doc_id", "text"),
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      queries.toDF("eval_id", "q"), "eval_id", "q")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    spark.catalog.clearCache()
+    assert(viaIdx == got, "index-backed any-length hits diverged")
+    val empty = SuffixArray.substringHitsAnyLenFromRanks(
+      sys.error("empty-queries path must not build/read the index"),
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      queries.toDF("eval_id", "q")
+        .filter(org.apache.spark.sql.functions.col("eval_id") < 0),
+      "eval_id", "q")
+    assert(empty.collect().isEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_sufidx_spec_anylen")
   }
 
   test("cap saturates: a 100-char shared prefix reports lcp_len == cap") {
@@ -188,12 +208,13 @@ class SuffixArraySpec extends SparkSpec {
     assert(location() == loc1, "unchanged corpus must not rebuild the index")
 
     // appended document -> stamp moves -> REBUILD (suffix ranks are
-    // global; the rebuild IS the increment), at a fresh path
+    // global; the rebuild IS the increment). The managed table is
+    // dropped and rewritten — the warehouse path is stable, the DATA
+    // is fresh (proven by content, not path)
     val b = a :+ (4L, "banana")
     val idx2 = SuffixIndex.ranks(spark, "spec_idx", tempView(b), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(idx2 == brute(b), "post-append rebuild diverged from reference")
-    assert(location() != loc1, "stale index must rebuild at a fresh path")
 
     // the FromRanks consumer halves over the persisted index equal
     // the self-building forms
@@ -217,5 +238,65 @@ class SuffixArraySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(hitsIdx == hitsDirect, "index-backed hits diverged from direct form")
     spark.sql("DROP TABLE IF EXISTS graft_sufidx_spec_idx")
+  }
+
+  test("SuffixIndex durable root: a catalog reset re-registers the " +
+      "existing files (sidecar stamp), zero rebuild") {
+    def tempView(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val a = Seq((1L, "banana"), (2L, "bandana"), (3L, "cabana"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sufidx-root").toString
+    try {
+      val idx1 = SuffixIndex
+        .ranks(spark, "spec_root", tempView(a), "doc_id", "text", Some(root))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(idx1 == brute(a), "externally-rooted index diverged")
+
+      // snapshot the data files: a reuse must leave them untouched
+      def files(): Map[String, Long] = {
+        val d = new java.io.File(s"$root/spec_root/idx")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+      val before = files()
+      assert(before.nonEmpty, "fixture produced no parquet files")
+
+      // catalog reset: the table vanishes from the catalog (external
+      // DROP keeps the files) — a restarted session's view
+      spark.sql("DROP TABLE graft_sufidx_spec_root")
+      val idx2 = SuffixIndex
+        .ranks(spark, "spec_root", tempView(a), "doc_id", "text", Some(root))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(idx2 == brute(a), "re-registered index diverged")
+      assert(files() == before,
+        "catalog reset with a fresh sidecar stamp must NOT rebuild " +
+          "(same files, same mtimes)")
+
+      // stale stamp still rebuilds under a durable root
+      val b = a :+ (4L, "banana")
+      val idx3 = SuffixIndex
+        .ranks(spark, "spec_root", tempView(b), "doc_id", "text", Some(root))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(idx3 == brute(b), "post-append durable-root rebuild diverged")
+      assert(files() != before, "stale stamp must rewrite the data files")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sufidx_spec_root")
+    }
+  }
+
+  test("SuffixIndex stamp: an id swap between different-length docs " +
+      "moves the stamp (rebuild), not served stale") {
+    def tempView(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // same id SET, same total chars, same count — the old
+    // (count, chars, id-sum) stamp was blind to this reassignment
+    val a = Seq((1L, "banana"), (2L, "bandanaxy"), (3L, "cabana"))
+    val swapped = Seq((2L, "banana"), (1L, "bandanaxy"), (3L, "cabana"))
+    SuffixIndex.ranks(spark, "spec_swap", tempView(a), "doc_id", "text").count()
+    val got = SuffixIndex
+      .ranks(spark, "spec_swap", tempView(swapped), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == brute(swapped),
+      "id swap between different-length docs must rebuild the index")
+    spark.sql("DROP TABLE IF EXISTS graft_sufidx_spec_swap")
   }
 }
