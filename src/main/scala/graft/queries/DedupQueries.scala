@@ -71,11 +71,25 @@ object DedupQueries {
     // spread rows before the (expensive) signature projection so all
     // cores shingle+hash — on a real corpus the file count does this
     val docs = spread(t(s, dir, "documents"), col("doc_id"))
-    val banded = Dedup.bandKeys(
-      Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
+    lshVerifiedPairsFrom(bandedOf(docs), tokenSetsOf(docs))
+  }
+
+  /** The corpus-width minhash+banding pass — THE expensive text scan
+    * of the LSH family. Factored out so multi-stage queries (q160's
+    * funnel) compute it ONCE, persist, and feed every stage that needs
+    * band keys, instead of re-scanning the corpus per stage. */
+  private def bandedOf(docs: DataFrame): DataFrame =
+    Dedup.bandKeys(Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
+
+  /** Token-set projection for Jaccard verification — the second
+    * corpus-width text pass, shared the same way. */
+  private def tokenSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+
+  /** [[lshVerifiedPairs]] over ALREADY-COMPUTED band keys and token
+    * sets (possibly persisted by the caller). */
+  private def lshVerifiedPairsFrom(banded: DataFrame, sets: DataFrame): DataFrame = {
     val cands = Dedup.lshCandidates(banded, "doc_id", NB)
-    val sets = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("ts"))
     cands
       .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("ts", "ts_a"), "id_a")
       .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("ts", "ts_b"), "id_b")
@@ -961,20 +975,24 @@ object DedupQueries {
         val s2 = q1.select(col("doc_id"), Portable.pmd5(col("text")).as("h"))
           .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
-        val rp = lshVerifiedPairs(s, dir).select("id_a", "id_b")
+        // ONE corpus-width minhash/banding pass and ONE tokenization
+        // pass for the whole funnel: stage 3's verified pairs AND
+        // stage 4's decon banding read the same persisted frames —
+        // at 100 TB the second full text scan was the funnel's
+        // dominant avoidable cost (released by the Verify/Bench
+        // clearCache convention after the terminal action)
+        val banded = bandedOf(docs).persist()
+        val sets = tokenSetsOf(docs).persist()
+        val rp = lshVerifiedPairsFrom(banded, sets).select("id_a", "id_b")
           .join(s2.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
           .join(s2.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
         val nonrep = Dedup.connectedComponents(rp)
           .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
         val s3 = s2.join(nonrep, Seq("doc_id"), "left_anti")
-        val banded = Dedup.bandKeys(
-          Dedup.minhashSignature(docs, "text", K, SHINGLE), K, RPB)
         val cands = Dedup.lshCandidatesAcross(
           banded.filter(col("doc_id") >= 100),
           banded.filter(col("doc_id") < 100), "doc_id", NB)
           .select(col("id_l").as("train_id"), col("id_r").as("eval_id"))
-        val sets = docs.select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("ts"))
         val contaminated = cands
           .join(sets.select(col("doc_id").as("train_id"), col("ts").as("ts_t")),
             "train_id")
