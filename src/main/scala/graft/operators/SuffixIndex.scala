@@ -162,7 +162,15 @@ object SuffixIndex {
         case None =>
           // warehouse-managed (the buildIvfIndex convention): no
           // explicit path — the warehouse is the deployment's shared
-          // store, never a driver-local temp dir
+          // store, never a driver-local temp dir. An ORPHANED managed
+          // dir (a previous JVM wrote it; this catalog never heard of
+          // it) blocks saveAsTable and is exactly the q114/q171
+          // never-trusted leftover — remove it before the fresh build
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.defaultTablePath(
+              org.apache.spark.sql.catalyst.TableIdentifier(name)))
+          val f = fs(spark, loc)
+          if (f.exists(loc)) f.delete(loc, true)
           SuffixArray.suffixRanks(docs, idCol, textCol)
             .write.mode("overwrite").saveAsTable(name)
           spark.sql(

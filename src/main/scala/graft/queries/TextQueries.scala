@@ -883,6 +883,156 @@ object TextQueries {
                CAST(sum(bits) AS BIGINT) AS surprise_bits,
                CAST(1000 * sum(bits) AS BIGINT) // count(*)
                  AS milli_bits_per_bigram
-        FROM scored GROUP BY doc_id"""))
+        FROM scored GROUP BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q263_bigram_surprise_heldout",
+      "Cross-batch LM surprise — the deployment shape of q262 and " +
+        "the ORACLE for [[graft.streaming.LmStream]]'s smoothed " +
+        "path: the bigram model trains on the TRAINING split " +
+        "(doc_id >= 100) only, and scores the HELD-OUT batch " +
+        "(doc_id < 100) — the arriving-data quality gate, where " +
+        "q262's self-trained inner joins cannot go. Held-out " +
+        "bigrams the model never saw take the Laplace-smoothed " +
+        "path the +1/+V exists for: unseen (w1,w2) keeps the " +
+        "context's c1; an unseen CONTEXT WORD scores " +
+        "floor(log2(V)) — both spelled as LEFT joins with " +
+        "COALESCE(...,0), identical on both engines, and the same " +
+        "float-free floor-log2 (bitlength of the integer quotient, " +
+        "minus one) as q262. Held-out docs with fewer than 2 " +
+        "tokens have no bigrams and drop. SCALE SHAPE: the " +
+        "training corpus is exploded once into bigram instances " +
+        "(persisted — it feeds c12 AND c1); the eval side joins " +
+        "are vocabulary-keyed equi-joins against model tables " +
+        "bounded by training vocabulary, plus a 1-row broadcast V " +
+        "— scoring N arriving documents never rescans training " +
+        "text (the LmStream twin makes the same read incremental).",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        def bigrams(d: org.apache.spark.sql.DataFrame) = d
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val train = docs.filter(col("doc_id") >= 100)
+        // persisted: feeds the c12 AND c1 aggregations (q67 cache
+        // convention; the harness frees it via clearCache)
+        val tbg = bigrams(train).persist()
+        val c12 = tbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = tbg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = train.select(explode(split(col("text"), " ")).as("tok"))
+          .agg(countDistinct(col("tok")).as("v"))
+        bigrams(docs.filter(col("doc_id") < 100))
+          .join(c12, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(v)) // one-row frame
+          .select(col("doc_id"),
+            (length(bin(expr(
+              "(coalesce(c1, 0L) + v) div (coalesce(c12, 0L) + 1)"))) - 1)
+              .cast(LongType).as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("bits")).as("surprise_bits"))
+          .select(col("doc_id"), col("n_bigrams"), col("surprise_bits"),
+            expr("1000 * surprise_bits div n_bigrams")
+              .as("milli_bits_per_bigram"))
+      },
+      Some("""
+        WITH ttoks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id >= 100),
+        tbg AS (
+          SELECT ts[i] AS w1, ts[i + 1] AS w2
+          FROM ttoks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        c12 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM tbg GROUP BY 1, 2),
+        c1 AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tbg GROUP BY 1),
+        v AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id >= 100)),
+        etoks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id < 100),
+        ebg AS (
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM etoks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        scored AS (
+          SELECT ebg.doc_id,
+                 CAST(length(printf('%b',
+                   (COALESCE(c1.c1, 0) + v.v)
+                     // (COALESCE(c12.c12, 0) + 1))) - 1 AS BIGINT) AS bits
+          FROM ebg
+          LEFT JOIN c12 ON ebg.w1 = c12.w1 AND ebg.w2 = c12.w2
+          LEFT JOIN c1 ON ebg.w1 = c1.w1
+          CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(bits) AS BIGINT) AS surprise_bits,
+               CAST(1000 * sum(bits) AS BIGINT) // count(*)
+                 AS milli_bits_per_bigram
+        FROM scored GROUP BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q264_anylen_decontam",
+      "Variable-length exact-substring decontamination over the SAME " +
+        "persisted suffix index as q260: real leak probes come in " +
+        "MIXED lengths (a benchmark's answer strings are not all 24 " +
+        "chars), so the eval set here extracts 8-to-24-char snippets " +
+        "and the lookup answers every length class with one pure " +
+        "equi-join against the rank-deduplicated snippet table " +
+        "(snippets sized to the longest query, truncated per class) " +
+        "— `substringHitsAnyLenFromRanks`, the consumer that " +
+        "completes the FromRanks family (it used to rebuild the " +
+        "index internally; now it probes the q260-shared standing " +
+        "m10 index, one prefix-doubling build per corpus snapshot " +
+        "between them — tag-bump rule for stamp-invisible edits: " +
+        "see q245). The oracle states the NAIVE quadratic scan " +
+        "(every training position, substr-compared at each query's " +
+        "OWN length), so the hash match proves the per-length-class " +
+        "decomposition exact — overlapping occurrences, " +
+        "multiplicities, zero-hit queries kept. SCALE SHAPE: the " +
+        "length-class list is collected but bounded by the longest " +
+        "query STRING (17 classes here), never query count or " +
+        "corpus; each class is a broadcast-eval equi-join against " +
+        "DISTINCT suffixes, never positions.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val train = docs
+          .filter(col("doc_id") >= 100 && pmod(col("doc_id"), lit(10)) === 0)
+          .select("doc_id", "text")
+        val evalq = docs
+          .filter(col("doc_id") < 100 && pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id").as("eval_id"),
+            expr("substring(text, CAST(1 + doc_id % 29 AS INT), " +
+              "CAST(8 + doc_id % 17 AS INT))").as("q"))
+        graft.operators.SuffixArray.substringHitsAnyLenFromRanks(
+          graft.operators.SuffixIndex.ranks(s, "m10", train, "doc_id", "text"),
+          train, "doc_id", "text", evalq, "eval_id", "q")
+      },
+      Some("""
+        WITH train AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 100 AND doc_id % 10 = 0),
+        q AS (
+          SELECT doc_id AS eval_id,
+                 substr(text, CAST(1 + doc_id % 29 AS INT),
+                        CAST(8 + doc_id % 17 AS INT)) AS q
+          FROM documents WHERE doc_id < 100 AND doc_id % 2 = 1),
+        qv AS (SELECT eval_id, q FROM q WHERE len(q) >= 1),
+        pos AS (
+          SELECT t.doc_id, CAST(u.i AS INT) AS i, t.text
+          FROM train t, UNNEST(range(1, len(t.text) + 1)) AS u(i))
+        SELECT qv.eval_id, qv.q,
+               CAST(count(p.doc_id) AS BIGINT) AS n_hits
+        FROM qv LEFT JOIN pos p ON substr(p.text, p.i, len(qv.q)) = qv.q
+        GROUP BY 1, 2"""))
   )
 }

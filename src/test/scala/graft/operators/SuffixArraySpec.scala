@@ -284,6 +284,27 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("SuffixIndex managed build tolerates an ORPHANED warehouse dir " +
+      "(previous JVM's files, empty catalog) — the q264 regression") {
+    def tempView(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val a = Seq((1L, "banana"), (2L, "bandana"))
+    // fabricate the orphan: files at the managed location with NO
+    // catalog entry (what a prior session's exit leaves behind under
+    // an in-memory catalog)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val orphan = java.nio.file.Paths.get(warehouse, "graft_sufidx_spec_orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("stale.parquet"),
+      Array[Byte](1, 2, 3))
+    val got = SuffixIndex
+      .ranks(spark, "spec_orphan", tempView(a), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == brute(a),
+      "orphaned managed dir must be cleared, never trusted or fatal")
+    spark.sql("DROP TABLE IF EXISTS graft_sufidx_spec_orphan")
+  }
+
   test("SuffixIndex stamp: an id swap between different-length docs " +
       "moves the stamp (rebuild), not served stale") {
     def tempView(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
