@@ -1043,6 +1043,71 @@ object CurationQueries {
         SELECT ranked.source, doc_id, w, priority,
                greatest(CAST(w AS DOUBLE), coalesce(tau, 0.0)) AS est_w
         FROM ranked LEFT JOIN tau ON ranked.source = tau.source
-        WHERE rn <= 5"""))
+        WHERE rn <= 5""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q265_dsir_weights",
+      "DSIR importance weighting over hashed n-gram features (Xie et " +
+        "al. 2023) — the data-selection signal the curation stack was " +
+        "missing: every document scored by how much more likely its " +
+        "hashed unigram+bigram stream is under the TARGET " +
+        "distribution (lang = 'en', the quality-reference corpus) " +
+        "than under the RAW corpus it sits in. weight_bits = signed " +
+        "sum over feature instances of floor(log2(p_t(b)/p_r(b))) " +
+        "with Laplace-smoothed bucket probabilities p(b) = " +
+        "(c+1)/(T+B), B = 1024 portable-hash buckets — the ratio is " +
+        "a ratio of INTEGER products ((ct+1)(Tr+B))/((cr+1)(Tt+B)), " +
+        "so the signed floor-log2 extends q262's bitlength trick to " +
+        "ratios < 1: positive side bitlength(num div den) - 1, " +
+        "negative side -ceil(log2(den/num)) split by the exact-" +
+        "power-of-two test (den % num = 0 and q & (q-1) = 0) — NO " +
+        "floats anywhere, both engines state the arithmetic " +
+        "identically (exact while (Tt+1)(Tr+B) < 2^63, ~3e9 feature " +
+        "instances per side; the DECIMAL(38) restatement covers " +
+        "~1e18 — see operators.Dsir). Resampling mechanics ride " +
+        "q83/q136/q247; this is the weight those samplers consume. " +
+        "SCALE SHAPE: text explodes ONCE into hashed instances (an " +
+        "8-byte bucket travels, never the token; instance frame " +
+        "persisted — it feeds both count sides and the scoring agg); " +
+        "bucket counts are B-bounded aggs (map-side combine does " +
+        "nearly all the work); the <= B-row weight table BROADCASTS " +
+        "to the scoring join; one bounded row per document crosses " +
+        "the final shuffle.",
+      (s, dir) => {
+        import graft.operators.Dsir
+        Dsir.scoreSelf(spread(t(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", col("lang") === "en", Dsir.DefaultBuckets)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS ts
+          FROM documents),
+        uni AS (SELECT doc_id, tgt, unnest(ts) AS f FROM toks),
+        bi AS (
+          SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS f
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        feats AS (
+          SELECT doc_id, tgt, ${Portable.pmd5Sql("f")} % 1024 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        cr AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+          FROM feats GROUP BY 1),
+        ct AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+          FROM feats WHERE tgt GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS tr,
+                 CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tt
+          FROM feats),
+        w AS (
+          SELECT bucket,
+                 ${graft.operators.Dsir.flog2DuckSql(
+                   "(coalesce(ct, 0) + 1) * (tr + 1024)",
+                   "(cr + 1) * (tt + 1024)")} AS bits
+          FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot)
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(bits) AS BIGINT) AS weight_bits
+        FROM feats f JOIN w USING (bucket) GROUP BY 1"""))
   )
 }
