@@ -759,6 +759,55 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cross-table SEMANTIC decontamination read: for every query
+    * (eval-set) vector, the count of corpus (training) vectors with
+    * cosine >= `threshold`, plus the maximum matching cosine —
+    * zero-match queries kept with (0, null). The embedding-space
+    * complement of the exact/token-hash/bloom decon family
+    * (q260/q264/q266, q58/q71, q126): a paraphrased leak never matches
+    * a substring probe but still lands next to its source in embedding
+    * space.
+    *
+    * Candidates come from the same multi-table SRP-LSH bucket
+    * equi-join as [[srpCosinePairs]], CROSS-table: the corpus side is
+    * bucketed once (per-bucket population bounded by `bits`, the
+    * corpus-growth lever), the eval side is benchmark-sized and
+    * BROADCASTS — training vectors never shuffle. Exact cosine
+    * verifies survivors; recall is the stated `tables`-table LSH
+    * recall, same as every SRP consumer (the oracle states the SAME
+    * candidate generation, so the gate checks the decomposition, not
+    * a recall claim). */
+  def srpCosineMatchesAcross(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bits: Int, dim: Int, tables: Int): DataFrame = {
+    val session = corpus.sparkSession
+    val cp = prep(corpus, idCol, "__cid", vecCol).persist()
+    val qp = prep(queries, idCol, "__qid", vecCol).persist()
+    def slim(p: DataFrame, id: String) = p.select(col(id),
+      posexplode(graft.expressions.SrpBuckets(session, col("v"), bits, tables, dim)))
+      .select(col(id), col("pos").as("t"), col("col").as("bucket"))
+    val cands = slim(cp, "__cid")
+      .join(broadcast(slim(qp, "__qid")), Seq("t", "bucket"))
+      .select(col("__qid"), col("__cid"))
+      .distinct()
+    val matches = cands
+      .join(cp.select(col("__cid"), col("v").as("cv"), col("nv").as("cn")),
+        "__cid")
+      .join(broadcast(qp.select(col("__qid"), col("v").as("qv"),
+        col("nv").as("qn"))), "__qid")
+      .select(col("__qid"),
+        cosineFromPrepped(col("qv"), col("qn"), col("cv"), col("cn"))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("__qid"))
+      .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"))
+    qp.select(col("__qid").as(idCol))
+      .join(matches.withColumnRenamed("__qid", idCol), Seq(idCol), "left")
+      .select(col(idCol).as("eval_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_cos"))
+  }
+
   /** Int8 scalar quantization of an embedding column — the storage
     * path for billion-vector corpora (4x smaller than float32, ~1%
     * cosine error at these scales). Per vector: symmetric scale =

@@ -1139,6 +1139,63 @@ object SimilarityQueries {
           WHERE rk = 1)
         SELECT p.query_id, q.label AS true_label,
                p.nlabel AS predicted_label, p.votes
-        FROM pred p JOIN prep q ON q.vec_id = p.query_id"""))
+        FROM pred p JOIN prep q ON q.vec_id = p.query_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q267_semantic_decontam",
+      s"SEMANTIC decontamination — the embedding-space complement " +
+        "that completes the decon matrix (exact spans q260/q264/" +
+        "q266, token hashes q58/q71, bloom q126): a PARAPHRASED " +
+        "leak never matches a substring probe but still lands next " +
+        "to its source in embedding space, so every eval vector " +
+        s"(vec_id < 32) is scored against the training slice " +
+        s"(vec_id >= 32) by the count of training vectors with " +
+        s"cosine >= $COS_T plus the maximum matching cosine — " +
+        "zero-match evals kept with (0, null), the per-eval-item " +
+        "release-audit row. Candidates from the q32 SRP-LSH family, " +
+        s"CROSS-table ($ND_TABLES tables x $ND_BITS-bit buckets): " +
+        "the training side buckets once (per-bucket population " +
+        "bounded by the bits lever), the eval side BROADCASTS into " +
+        "the bucket equi-join and the verify join — training " +
+        "vectors never shuffle. The oracle states the SAME bucket " +
+        "generation and the same left-fold dot products, so the " +
+        "hash match checks the cross-table decomposition exactly " +
+        "(recall is the stated multi-table LSH recall, as in every " +
+        "SRP consumer). SCALE SHAPE: one corpus bucketing pass, " +
+        "broadcast probes, exact verification only on bucket " +
+        "collisions, one bounded row per eval vector out.",
+      (s, dir) => {
+        val e = spread(t(s, dir, "embeddings"), col("vec_id"))
+        Similarity.srpCosineMatchesAcross(
+          e.filter(col("vec_id") >= 32), e.filter(col("vec_id") < 32),
+          "vec_id", "embedding", COS_T,
+          bits = ND_BITS, dim = 64, tables = ND_TABLES)
+      },
+      Some(s"""
+        WITH ${prepCte()},
+        cp AS (SELECT * FROM prep WHERE vec_id >= 32),
+        qp AS (SELECT * FROM prep WHERE vec_id < 32),
+        cbk AS (
+          ${(0 until ND_TABLES).map(tb =>
+            s"SELECT vec_id, $tb AS t, ${srpSql("v", tb, ND_BITS)} AS bucket FROM cp")
+            .mkString("\n          UNION ALL ")}),
+        qbk AS (
+          ${(0 until ND_TABLES).map(tb =>
+            s"SELECT vec_id, $tb AS t, ${srpSql("v", tb, ND_BITS)} AS bucket FROM qp")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+          FROM qbk q JOIN cbk c ON q.t = c.t AND q.bucket = c.bucket),
+        m AS (
+          SELECT qid, CAST(count(*) AS BIGINT) AS n_matches,
+                 max(score) AS max_cos
+          FROM (SELECT cand.qid, ${scoreSql("q", "c")} AS score
+                FROM cand
+                JOIN qp q ON q.vec_id = cand.qid
+                JOIN cp c ON c.vec_id = cand.cid)
+          WHERE score >= $COS_T GROUP BY qid)
+        SELECT qp.vec_id AS eval_id,
+               coalesce(m.n_matches, 0) AS n_matches, m.max_cos
+        FROM qp LEFT JOIN m ON qp.vec_id = m.qid"""))
   )
 }

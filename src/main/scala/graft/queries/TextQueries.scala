@@ -1033,6 +1033,77 @@ object TextQueries {
         SELECT qv.eval_id, qv.q,
                CAST(count(p.doc_id) AS BIGINT) AS n_hits
         FROM qv LEFT JOIN pos p ON substr(p.text, p.i, len(qv.q)) = qv.q
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q266_longest_match",
+      "Longest contamination SPAN per eval document (cap 40) — the " +
+        "Lee et al. decontamination metric q260/q264 stop short of: " +
+        "not whether a fixed excerpt occurs, but the length of the " +
+        "LONGEST run of each eval doc appearing verbatim anywhere in " +
+        "the training slice, plus a deterministic witness (the " +
+        "lexicographically smallest span of that length). " +
+        "operators.LongestMatch runs a per-document K-ARY SEARCH " +
+        "(fanout 3 -> 3 rounds) over span lengths against the " +
+        "q260/q264-shared standing m10 suffix index: existence of a " +
+        "length-l match is monotone in l, every doc starts at the " +
+        "same [0, cap] interval and probes the lengths splitting its " +
+        "interval into near-equal quarters — the distinct probe-" +
+        "length list per round is bounded by the interval structure " +
+        "(~2*cap*fanout in total), never by eval count or corpus " +
+        "size. Each round is ONE broadcast equi-join on (length, " +
+        "prefix): the once-persisted rank-deduplicated snippet table " +
+        "explodes map-only by the round's class list and the eval " +
+        "probe frame BROADCASTS — the corpus-sized index never " +
+        "shuffles; eval text explodes to (position x fanout x " +
+        "rounds) query rows, linear in the SMALL side. The oracle " +
+        "states the naive all-lengths scan (every train position x " +
+        "every length up to the cap, hash-joined per length), so the " +
+        "hash match proves the search converges to the true maximum " +
+        "with the exact witness — cap saturation, zero-match docs " +
+        "(0/null) included. SCALE SHAPE: log4(cap) driver-sequenced " +
+        "rounds (round latency is the toy-scale cost; each round is " +
+        "one snippet-table scan regardless of scale), per-round " +
+        "state localCheckpoint'ed with deterministic predecessor " +
+        "release (the Coverage contract — lineage-kept persist " +
+        "would double the logical plan per round).",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val train = docs
+          .filter(col("doc_id") >= 100 && pmod(col("doc_id"), lit(10)) === 0)
+          .select("doc_id", "text")
+        val evalDocs = docs
+          .filter(col("doc_id") < 100 && pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id").as("eval_id"), col("text"))
+        graft.operators.LongestMatch.longestMatchFromRanks(
+          graft.operators.SuffixIndex.ranks(s, "m10", train, "doc_id", "text"),
+          train, "doc_id", "text", evalDocs, "eval_id", "text", 40)
+      },
+      Some("""
+        WITH train AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 100 AND doc_id % 10 = 0),
+        ev AS (
+          SELECT doc_id AS eval_id, text FROM documents
+          WHERE doc_id < 100 AND doc_id % 2 = 0),
+        lens AS (SELECT unnest(range(1, 41)) AS l),
+        tl AS (
+          SELECT DISTINCT l, substr(t.text, CAST(i AS INT), CAST(l AS INT)) AS s
+          FROM train t, UNNEST(range(1, len(t.text) + 1)) AS u(i), lens
+          WHERE i + l - 1 <= len(t.text)),
+        el AS (
+          SELECT eval_id, l, substr(e.text, CAST(i AS INT), CAST(l AS INT)) AS s
+          FROM ev e, UNNEST(range(1, len(e.text) + 1)) AS u(i), lens
+          WHERE i + l - 1 <= len(e.text)),
+        hit AS (SELECT eval_id, el.l, el.s FROM el JOIN tl USING (l, s)),
+        best AS (SELECT eval_id, max(l) AS ml FROM hit GROUP BY 1),
+        wit AS (
+          SELECT h.eval_id, min(h.s) AS witness
+          FROM hit h JOIN best b ON h.eval_id = b.eval_id AND h.l = b.ml
+          GROUP BY 1)
+        SELECT e.eval_id, CAST(coalesce(b.ml, 0) AS BIGINT) AS match_len,
+               w.witness
+        FROM ev e LEFT JOIN best b USING (eval_id)
+                  LEFT JOIN wit w USING (eval_id)"""))
   )
 }

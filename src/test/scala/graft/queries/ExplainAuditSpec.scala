@@ -477,6 +477,7 @@ class ExplainAuditSpec extends SparkSpec {
         "q167_skyline", "q172_mad_outliers", "q46_median",
         "q96_topk_per_group"),
       VECTOR_FOLD -> Seq(
+        "q267_semantic_decontam",
         "q31_ann_bruteforce", "q32_embedding_neardup", "q33_ann_lsh",
         "q44_ann_ivf", "q64_ann_multiprobe", "q81_label_centroids",
         "q106_diverse_ann", "q119_hard_negatives", "q125_ann_pq",
