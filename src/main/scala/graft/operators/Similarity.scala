@@ -678,6 +678,38 @@ object Similarity {
       .distinct(), k)
   }
 
+  /** The [[srpCosineMatchesAcross]] read against a STANDING SRP index
+    * table ([[buildSrpIndex]] + [[appendSrpIndex]]) — the INCREMENTAL
+    * semantic-decontamination gate: training embeddings land in the
+    * index as they arrive (each append proportional to its batch) and
+    * any eval set is scored against everything-so-far without
+    * re-reading training vectors, the embedding twin of
+    * DedupIndexStream.candidatesAcross. Same arithmetic as the batch
+    * form (bucket equi-join candidates, distinct pairs, exact cosine,
+    * threshold, zero-match evals kept), so append-then-read equals
+    * rebuild-then-read bit-for-bit (the planes are deterministic;
+    * SrpIndexDeconSpec pins it). */
+  def srpIndexMatchesAcross(spark: SparkSession, assignTable: String,
+      queries: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bits: Int, dim: Int, tables: Int): DataFrame = {
+    requireSrpParams(spark, assignTable, bits, dim, tables)
+    val qp = srpBucketed(queries, idCol, "__qid", vecCol, bits, dim, tables)
+      .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn")
+    val matches = broadcast(qp).join(spark.table(assignTable), Seq("t", "bucket"))
+      .select(col("__qid"), col("neighbor_id"),
+        cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv"))
+          .as("cos"))
+      .distinct() // a pair can collide in several tables
+      .filter(col("cos") >= threshold)
+      .groupBy(col("__qid"))
+      .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"))
+    queries.select(col(idCol))
+      .join(matches.withColumnRenamed("__qid", idCol), Seq(idCol), "left")
+      .select(col(idCol).as("eval_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_cos"))
+  }
+
   /** Staleness of a persisted IVF index: how much of it was appended
     * AFTER the centroids froze. One aggregate over the assignment
     * table's two narrow columns; all-integer output (basis points, the

@@ -1108,6 +1108,93 @@ object CurationQueries {
           FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot)
         SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
                CAST(sum(bits) AS BIGINT) AS weight_bits
-        FROM feats f JOIN w USING (bucket) GROUP BY 1"""))
+        FROM feats f JOIN w USING (bucket) GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q268_dsir_heldout",
+      "Cross-batch DSIR scoring — q265's deployment shape and the " +
+        "ORACLE for [[graft.streaming.DsirStream]]'s never-seen-" +
+        "bucket path (the q263-to-LmStream relationship, restated " +
+        "for the importance model): the bucket model trains on the " +
+        "TRAINING split (doc_id >= 100) only — raw counts from all " +
+        "training docs, target counts from its lang = 'en' subset — " +
+        "and scores the HELD-OUT batch (doc_id < 100), the arriving-" +
+        "data selection gate where q265's self-trained inner joins " +
+        "cannot go. Held-out feature instances whose hash bucket the " +
+        "model never saw take the fully smoothed ct = cr = 0 default " +
+        "flog2(Tr+B, Tt+B) — spelled as a LEFT join with COALESCE " +
+        "onto the default bits, identical on both engines, the same " +
+        "signed integer floor-log2 as q265. SCALE SHAPE: q265's — " +
+        "training text explodes once into 8-byte bucket ids, counts " +
+        "are B-bounded aggs, the <= B-row weight table plus the " +
+        "1-row totals broadcast into the eval-side scoring joins; " +
+        "scoring N arriving documents never rescans training text " +
+        "(DsirStream makes the same read incremental).",
+      (s, dir) => {
+        import graft.operators.Dsir
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val train = docs.filter(col("doc_id") >= 100)
+        // persisted: feeds the raw AND target count aggregations (q67
+        // cache convention; the harness frees it via clearCache)
+        val tf = Dsir.featureBuckets(
+          train.select(col("doc_id"), (col("lang") === "en").as("__tgt"),
+            col("text")),
+          "text", Dsir.DefaultBuckets, Seq("doc_id", "__tgt")).persist()
+        val cr = tf.groupBy("bucket").agg(count(lit(1)).as("cr"))
+        val ct = tf.filter(col("__tgt")).groupBy("bucket")
+          .agg(count(lit(1)).as("ct"))
+        Dsir.scoreInstances(
+          Dsir.featureBuckets(docs.filter(col("doc_id") < 100),
+            "text", Dsir.DefaultBuckets, Seq("doc_id")),
+          "doc_id", cr, ct, Dsir.DefaultBuckets)
+      },
+      Some(s"""
+        WITH ttoks AS (
+          SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS ts
+          FROM documents WHERE doc_id >= 100),
+        tuni AS (SELECT doc_id, tgt, unnest(ts) AS f FROM ttoks),
+        tbi AS (
+          SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS f
+          FROM ttoks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        tfeats AS (
+          SELECT doc_id, tgt, ${Portable.pmd5Sql("f")} % 1024 AS bucket
+          FROM (SELECT * FROM tuni UNION ALL SELECT * FROM tbi)),
+        cr AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+          FROM tfeats GROUP BY 1),
+        ct AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+          FROM tfeats WHERE tgt GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS tr,
+                 CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tt
+          FROM tfeats),
+        w AS (
+          SELECT bucket,
+                 ${graft.operators.Dsir.flog2DuckSql(
+                   "(coalesce(ct, 0) + 1) * (tr + 1024)",
+                   "(cr + 1) * (tt + 1024)")} AS bits
+          FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot),
+        etoks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id < 100),
+        euni AS (SELECT doc_id, unnest(ts) AS f FROM etoks),
+        ebi AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS f
+          FROM etoks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        efeats AS (
+          SELECT doc_id, ${Portable.pmd5Sql("f")} % 1024 AS bucket
+          FROM (SELECT * FROM euni UNION ALL SELECT * FROM ebi)),
+        scored AS (
+          SELECT e.doc_id,
+                 coalesce(w.bits,
+                   ${graft.operators.Dsir.flog2DuckSql(
+                     "tot.tr + 1024", "tot.tt + 1024")}) AS bits
+          FROM efeats e LEFT JOIN w USING (bucket) CROSS JOIN tot)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(bits) AS BIGINT) AS weight_bits
+        FROM scored GROUP BY 1"""))
   )
 }
