@@ -57,13 +57,19 @@ object LongestMatch {
     *                 the cap reports exactly `cap` — stated coarsening)
     * @param fanout   probes per document per round (fanout+1-ary
     *                 search); 1 = classic binary search
+    * @param broadcastMaxRows probe-frame row bound up to which the
+    *                 probe side broadcasts into the index join; past
+    *                 it the hint is DROPPED and the join shuffles both
+    *                 sides — an explicit broadcast() is never demoted
+    *                 by Spark, so a huge eval corpus would otherwise
+    *                 OOM the driver (the Coverage hint-dropping rule)
     * @return one row per eval document: (eIdCol, match_len, witness);
     *         match_len = 0 and witness = null when no character of the
     *         document occurs in training */
   def longestMatchFromRanks(ranks: => DataFrame, train: DataFrame,
       idCol: String, textCol: String, evalDocs: DataFrame,
       eIdCol: String, eTextCol: String, cap: Int,
-      fanout: Int = 3): DataFrame = {
+      fanout: Int = 3, broadcastMaxRows: Long = 1L << 20): DataFrame = {
     require(cap >= 1)
     require(fanout >= 1)
 
@@ -116,15 +122,13 @@ object LongestMatch {
           expr(s"substring(__snip, 1, $l)").as("__pfx"))): _*)).as("e"))
       .select(col("e.__l").as("__l"), col("e.__pfx").as("__pfx"))
 
-    // docs with >= 1 hit among `qf`'s queries: ONE broadcast equi-join
-    // on (length, prefix) covering every class of the round, ONE
-    // distinct — job and shuffle count per round is O(1), not O(classes)
-    def hitIds(qf: DataFrame, lens: Seq[Long]): DataFrame = {
-      val p = prefixes(lens)
-      p.join(broadcast(qf),
-        p("__l") === qf("__l") && p("__pfx") === qf("__q"))
-        .select(col(eIdCol)).distinct()
-    }
+    // probe-side broadcast gate: the hint applies only while the probe
+    // frame is small (rows counted on the already-persisted frame);
+    // past the bound it DROPS and the join shuffles both sides — an
+    // explicit broadcast() is never demoted, so a huge eval corpus
+    // would otherwise OOM the driver (the Coverage hint-dropping rule)
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
 
     // k-ary search: each active doc probes the `fanout` lengths that
     // split its interval into fanout+1 near-equal segments —
@@ -150,19 +154,22 @@ object LongestMatch {
         .collect().map(_.getLong(0)).sorted.toSeq // interval-structure-bounded
       if (lens.isEmpty) live = false
       else {
-        // persisted: the probe join and the hit aggregation read it
+        // persisted: the probe join and the hit aggregation read it;
+        // the materializing count also feeds the broadcast gate
         val qf = probes(active.withColumn("__l", explode(col("__ps"))),
           "__l").persist()
+        val qRows = qf.count()
         // per-doc MAX hit length among its probes (null = all missed)
         val p = prefixes(lens)
-        val hits = p.join(broadcast(qf),
+        val hits = p.join(gated(qf, qRows),
           p("__l") === qf("__l") && p("__pfx") === qf("__q"))
           .groupBy(col(eIdCol)).agg(max(qf("__l")).as("__mh"))
-        // hits is eval-bounded (one row per doc) — broadcast so the
-        // state update never shuffles. New interval: lo' = best hit
+        // hits is one row per probing doc (<= qRows, so the same gate
+        // applies) — broadcast keeps the state update shuffle-free
+        // while the eval side is small. New interval: lo' = best hit
         // (or lo); hi' = just below the smallest probe past lo' (all
         // probes, when everything missed), or hi when the top probe hit
-        val next = state.join(broadcast(hits), Seq(eIdCol), "left")
+        val next = state.join(gated(hits, qRows), Seq(eIdCol), "left")
           .withColumn("__ps", psExpr)
           .select(col(eIdCol), col("__et"),
             when(col("__lo") < col("__hi"),
@@ -193,8 +200,9 @@ object LongestMatch {
     // matched frame once so the witness schema has one source of truth
     val wLens = if (wLens0.isEmpty) Seq(1L) else wLens0
     val wp = prefixes(wLens)
-    val wq = probes(matched, "__lo")
-    val witnesses = wp.join(broadcast(wq),
+    val wq = probes(matched, "__lo").persist()
+    val wRows = wq.count() // materializes the cache + gates the hint
+    val witnesses = wp.join(gated(wq, wRows),
       wp("__l") === wq("__l") && wp("__pfx") === wq("__q"))
       .groupBy(col(eIdCol)).agg(min(col("__q")).as("witness"))
 
@@ -202,11 +210,12 @@ object LongestMatch {
     // snippet cache and the final state checkpoint can be released
     // deterministically NOW; the result's own (small) checkpoint
     // blocks go to the ContextCleaner when the caller drops the frame
-    val result = state.join(broadcast(witnesses), Seq(eIdCol), "left")
+    val result = state.join(gated(witnesses, wRows), Seq(eIdCol), "left")
       .select(col(eIdCol), col("__lo").as("match_len"),
         col("witness").cast(StringType).as("witness"))
       .localCheckpoint(true)
     stateFree()
+    wq.unpersist(blocking = false)
     snips.unpersist(blocking = false)
     result
   }

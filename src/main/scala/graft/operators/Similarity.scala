@@ -691,11 +691,13 @@ object Similarity {
     * SrpIndexDeconSpec pins it). */
   def srpIndexMatchesAcross(spark: SparkSession, assignTable: String,
       queries: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bits: Int, dim: Int, tables: Int): DataFrame = {
+      bits: Int, dim: Int, tables: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     requireSrpParams(spark, assignTable, bits, dim, tables)
-    val qp = srpBucketed(queries, idCol, "__qid", vecCol, bits, dim, tables)
+    val qp0 = srpBucketed(queries, idCol, "__qid", vecCol, bits, dim, tables)
       .withColumnRenamed("v", "qv").withColumnRenamed("nv", "qn")
-    val matches = broadcast(qp).join(spark.table(assignTable), Seq("t", "bucket"))
+    val qp = if (broadcastProbes) broadcast(qp0) else qp0.hint("shuffle_merge")
+    val matches = qp.join(spark.table(assignTable), Seq("t", "bucket"))
       .select(col("__qid"), col("neighbor_id"),
         cosineFromPrepped(col("qv"), col("qn"), col("v"), col("nv"))
           .as("cos"))
@@ -808,24 +810,37 @@ object Similarity {
     * verifies survivors; recall is the stated `tables`-table LSH
     * recall, same as every SRP consumer (the oracle states the SAME
     * candidate generation, so the gate checks the decomposition, not
-    * a recall claim). */
+    * a recall claim).
+    *
+    * @param broadcastProbes eval side broadcasts into the bucket and
+    *       verify joins (the benchmark-sized default); pass false for
+    *       a large eval corpus — the joins then shuffle-merge, exactly
+    *       as [[probeSrpIndex]] offers (an explicit broadcast() is
+    *       never demoted by Spark)
+    * @note persists both prepped projections (each feeds the bucket
+    *       join AND the verify join); call `spark.catalog.clearCache()`
+    *       after the terminal action — the [[srpCosinePairs]] cache
+    *       contract. */
   def srpCosineMatchesAcross(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      bits: Int, dim: Int, tables: Int): DataFrame = {
+      bits: Int, dim: Int, tables: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     val session = corpus.sparkSession
+    def probeSide(df: DataFrame): DataFrame =
+      if (broadcastProbes) broadcast(df) else df.hint("shuffle_merge")
     val cp = prep(corpus, idCol, "__cid", vecCol).persist()
     val qp = prep(queries, idCol, "__qid", vecCol).persist()
     def slim(p: DataFrame, id: String) = p.select(col(id),
       posexplode(graft.expressions.SrpBuckets(session, col("v"), bits, tables, dim)))
       .select(col(id), col("pos").as("t"), col("col").as("bucket"))
     val cands = slim(cp, "__cid")
-      .join(broadcast(slim(qp, "__qid")), Seq("t", "bucket"))
+      .join(probeSide(slim(qp, "__qid")), Seq("t", "bucket"))
       .select(col("__qid"), col("__cid"))
       .distinct()
     val matches = cands
       .join(cp.select(col("__cid"), col("v").as("cv"), col("nv").as("cn")),
         "__cid")
-      .join(broadcast(qp.select(col("__qid"), col("v").as("qv"),
+      .join(probeSide(qp.select(col("__qid"), col("v").as("qv"),
         col("nv").as("qn"))), "__qid")
       .select(col("__qid"),
         cosineFromPrepped(col("qv"), col("qn"), col("cv"), col("cn"))

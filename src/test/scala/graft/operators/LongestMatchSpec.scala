@@ -126,6 +126,22 @@ class LongestMatchSpec extends SparkSpec {
     }
   }
 
+  test("broadcastMaxRows = 0 (every probe join shuffles) changes " +
+      "nothing but the plan") {
+    val train = Seq((100L, "the quick brown fox"), (101L, "aaaa bbbb"))
+    val eval = Seq((1L, "a quick brown cat"), (2L, "&&&&"))
+    val trainDf = train.toDF("doc_id", "text")
+    val got = LongestMatch.longestMatchFromRanks(
+      SuffixArray.suffixRanks(trainDf, "doc_id", "text"),
+      trainDf, "doc_id", "text",
+      eval.toDF("eval_id", "text"), "eval_id", "text", 12,
+      broadcastMaxRows = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2)))).toMap
+    spark.catalog.clearCache()
+    assert(got == reference(train, eval, 12), s"got $got")
+  }
+
   test("empty eval frame returns the right empty schema") {
     val train = Seq((100L, "abc"))
     val out = LongestMatch.longestMatchFromRanks(

@@ -54,6 +54,18 @@ class SrpIndexDeconSpec extends SparkSpec {
       "post-append read diverged from the batch operator on the union")
     spark.catalog.clearCache()
 
+    // the shuffle-merge probe path (large eval corpora) is value-equal
+    val noBc = Similarity.srpIndexMatchesAcross(spark, "srp_decon",
+      queries, "vec_id", "embedding", threshold, bits, dim, tables,
+      broadcastProbes = false).collect().map(keyOf).toSet
+    assert(noBc == afterAppends, "shuffle-merge probe path diverged")
+    val noBcBatch = Similarity.srpCosineMatchesAcross(
+      corpus(lit(true)), queries, "vec_id", "embedding", threshold,
+      bits, dim, tables, broadcastProbes = false)
+      .collect().map(keyOf).toSet
+    assert(noBcBatch == afterAppends, "batch shuffle-merge path diverged")
+    spark.catalog.clearCache()
+
     // every eval id is present even with no match; the fixture must
     // exercise both sides or the threshold paths are vacuous
     assert(afterAppends.map(_._1) ==
