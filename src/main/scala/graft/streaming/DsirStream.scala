@@ -38,8 +38,15 @@ import graft.operators.Dsir
   */
 object DsirStream {
 
-  def rawDir(outDir: String): String = outDir + "_dsraw"
-  def targetDir(outDir: String): String = outDir + "_dstgt"
+  /** The bucket count is part of the LOG IDENTITY (folded into the
+    * directory name): a reader or appender with a different `buckets`
+    * sees a separate (initially empty) log instead of silently mixing
+    * foreign bucket spaces — the AdditiveLog-flavored version of the
+    * SRP index's stamped-parameters guard. */
+  def rawDir(outDir: String, buckets: Int): String =
+    s"${outDir}_dsraw_b$buckets"
+  def targetDir(outDir: String, buckets: Int): String =
+    s"${outDir}_dstgt_b$buckets"
 
   /** The batch-local raw bucket count summary — q265's feature explode
     * stated over one micro-batch. `docs` carries (text, is_target). */
@@ -78,11 +85,11 @@ object DsirStream {
       rawSummary(df, buckets)
         .withColumn("__batch", lit(batchId))
         .withColumn("__covers", lit(null).cast("long"))
-        .write.mode("append").parquet(rawDir(outDir))
+        .write.mode("append").parquet(rawDir(outDir, buckets))
       targetSummary(df, buckets)
         .withColumn("__batch", lit(batchId))
         .withColumn("__covers", lit(null).cast("long"))
-        .write.mode("append").parquet(targetDir(outDir))
+        .write.mode("append").parquet(targetDir(outDir, buckets))
     }
     docs.writeStream
       .foreachBatch(step)
@@ -94,13 +101,13 @@ object DsirStream {
   /** The merged raw bucket model (bucket, cr) after any stream prefix. */
   def rawCounts(spark: SparkSession, outDir: String,
       buckets: Int = Dsir.DefaultBuckets): DataFrame =
-    AdditiveLog.merged(spark, rawDir(outDir), rawSchema(spark, buckets),
+    AdditiveLog.merged(spark, rawDir(outDir, buckets), rawSchema(spark, buckets),
       Seq("bucket"), Seq("cr"))
 
   /** The merged target bucket model (bucket, ct). */
   def targetCounts(spark: SparkSession, outDir: String,
       buckets: Int = Dsir.DefaultBuckets): DataFrame =
-    AdditiveLog.merged(spark, targetDir(outDir), targetSchema(spark, buckets),
+    AdditiveLog.merged(spark, targetDir(outDir, buckets), targetSchema(spark, buckets),
       Seq("bucket"), Seq("ct"))
 
   /** Score `docs` (doc_id, text) against the standing model: q265's
@@ -117,8 +124,8 @@ object DsirStream {
     * total files collected — [[AdditiveLog.compactLog]]. */
   def compactLog(spark: SparkSession, outDir: String,
       buckets: Int = Dsir.DefaultBuckets): Long =
-    AdditiveLog.compactLog(spark, rawDir(outDir), rawSchema(spark, buckets),
+    AdditiveLog.compactLog(spark, rawDir(outDir, buckets), rawSchema(spark, buckets),
       Seq("bucket"), Seq("cr")) +
-      AdditiveLog.compactLog(spark, targetDir(outDir),
+      AdditiveLog.compactLog(spark, targetDir(outDir, buckets),
         targetSchema(spark, buckets), Seq("bucket"), Seq("ct"))
 }

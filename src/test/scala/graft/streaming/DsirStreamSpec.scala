@@ -167,12 +167,12 @@ class DsirStreamSpec extends SparkSpec {
     DsirStream.rawSummary(df(docs1), B)
       .withColumn("__batch", lit(0L))
       .withColumn("__covers", lit(null).cast("long"))
-      .write.mode("append").parquet(DsirStream.rawDir(out))
+      .write.mode("append").parquet(DsirStream.rawDir(out, B))
     assert(scored(out, eval) == before, "replayed raw epoch double-counted")
     DsirStream.targetSummary(df(docs1), B)
       .withColumn("__batch", lit(0L))
       .withColumn("__covers", lit(null).cast("long"))
-      .write.mode("append").parquet(DsirStream.targetDir(out))
+      .write.mode("append").parquet(DsirStream.targetDir(out, B))
     assert(scored(out, eval) == before, "replayed target epoch double-counted")
 
     DsirStream.compactLog(spark, out, B)
