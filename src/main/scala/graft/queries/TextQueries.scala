@@ -1104,6 +1104,161 @@ object TextQueries {
         SELECT e.eval_id, CAST(coalesce(b.ml, 0) AS BIGINT) AS match_len,
                w.witness
         FROM ev e LEFT JOIN best b USING (eval_id)
-                  LEFT JOIN wit w USING (eval_id)"""))
+                  LEFT JOIN wit w USING (eval_id)""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q269_backoff_surprise",
+      "TRIGRAM stupid-backoff LM scoring (Brants et al. 2007) — the " +
+        "CCNet-style quality filter one order above q262/q263's " +
+        "bigram: the model trains on doc_id >= 100 and scores every " +
+        "held-out doc's trigram stream, backing off trigram -> " +
+        "bigram -> unigram -> OOV. The backoff factor is alpha = 1/4 " +
+        "— A POWER OF TWO, so each backoff level adds EXACTLY 2 bits " +
+        "(-log2(x * 4^-k) = -log2 x + 2k with no floor interaction) " +
+        "and the whole statement stays float-free: every level's " +
+        "ratio has num <= den by construction (c123 <= its context " +
+        "total, bigram count <= its first-token total, c3 <= N), so " +
+        "bits = bitlength(den div num) - 1 plus 2 per level backed " +
+        "off, 6 + bitlength(N) - 1 for an out-of-vocabulary token. " +
+        "Output per held-out doc: trigram count, total surprise " +
+        "bits, and the per-level hit counts (n_tri/n_bi/n_uni/" +
+        "n_oov) — the novelty signature that separates memorized " +
+        "boilerplate (all trigram hits, near-0 bits) from " +
+        "paraphrase (bigram/unigram backoffs) from gibberish (OOV). " +
+        "Docs with fewer than 3 tokens have no trigrams and drop " +
+        "(q262's rule, one order up). SCALE SHAPE: training text " +
+        "explodes ONCE into trigram and bigram instances (persisted " +
+        "— each feeds its numerator AND its context-denominator " +
+        "aggregation); all five model tables are vocabulary-keyed " +
+        "aggs; scoring is five vocabulary-keyed LEFT equi-joins " +
+        "plus a 1-row broadcast N — never a training rescan, one " +
+        "bounded row per doc out.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val train = docs.filter(col("doc_id") >= 100)
+        def grams(d: org.apache.spark.sql.DataFrame, n: Int) = d
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(when(size(col("ts")) >= n,
+            transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+              i => struct((1 to n).map(j =>
+                element_at(col("ts"), i + (j - 1)).as(s"w$j")): _*)))
+            .otherwise(array().cast(
+              s"array<struct<${(1 to n).map(j => s"w$j:string").mkString(",")}>>")))
+            .as("g"))
+          .select(col("doc_id") +: (1 to n).map(j =>
+            col(s"g.w$j").as(s"w$j")): _*)
+        // persisted: each instance frame feeds its numerator AND its
+        // context-denominator agg (q67 cache convention)
+        val t3 = grams(train, 3).persist()
+        val t2 = grams(train, 2).persist()
+        val c123 = t3.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+        val c12t = t3.groupBy("w1", "w2").agg(count(lit(1)).as("c12t"))
+        val c23 = t2.select(col("w1").as("w2"), col("w2").as("w3"))
+          .groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
+        val c2 = t2.select(col("w1").as("w2"))
+          .groupBy("w2").agg(count(lit(1)).as("c2"))
+        val c3 = train.select(explode(split(col("text"), " ")).as("w3"))
+          .groupBy("w3").agg(count(lit(1)).as("c3"))
+        val nTok = train.select(explode(split(col("text"), " ")).as("tok"))
+          .agg(count(lit(1)).as("n"))
+        val lvl = expr("""CASE
+          WHEN c123 IS NOT NULL THEN 1
+          WHEN c23 IS NOT NULL THEN 2
+          WHEN c3 IS NOT NULL THEN 3
+          ELSE 4 END""")
+        val bits = expr("""CAST(CASE
+          WHEN c123 IS NOT NULL THEN length(bin(c12t div c123)) - 1
+          WHEN c23 IS NOT NULL THEN length(bin(c2 div c23)) - 1 + 2
+          WHEN c3 IS NOT NULL THEN length(bin(n div c3)) - 1 + 4
+          ELSE length(bin(n)) - 1 + 6 END AS BIGINT)""")
+        grams(docs.filter(col("doc_id") < 100), 3)
+          .join(c123, Seq("w1", "w2", "w3"), "left")
+          .join(c12t, Seq("w1", "w2"), "left")
+          .join(c23, Seq("w2", "w3"), "left")
+          .join(c2, Seq("w2"), "left")
+          .join(c3, Seq("w3"), "left")
+          .crossJoin(broadcast(nTok)) // one-row frame
+          .select(col("doc_id"), lvl.as("lvl"), bits.as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(col("bits")).as("surprise_bits"),
+            sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_tri"),
+            sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+            sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_uni"),
+            sum(when(col("lvl") === 4, 1L).otherwise(0L)).as("n_oov"))
+      },
+      Some("""
+        WITH ttoks AS (
+          SELECT string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id >= 100),
+        t3 AS (
+          SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+          FROM ttoks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+          WHERE len(ts) >= 3),
+        t2 AS (
+          SELECT ts[i] AS w1, ts[i + 1] AS w2
+          FROM ttoks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        c123 AS (
+          SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+          FROM t3 GROUP BY 1, 2, 3),
+        c12t AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12t
+          FROM t3 GROUP BY 1, 2),
+        c23 AS (
+          SELECT w1 AS w2, w2 AS w3, CAST(count(*) AS BIGINT) AS c23
+          FROM t2 GROUP BY 1, 2),
+        c2 AS (
+          SELECT w1 AS w2, CAST(count(*) AS BIGINT) AS c2
+          FROM t2 GROUP BY 1),
+        c3 AS (
+          SELECT tok AS w3, CAST(count(*) AS BIGINT) AS c3
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id >= 100) GROUP BY 1),
+        ntok AS (
+          SELECT CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id >= 100)),
+        etoks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id < 100),
+        e3 AS (
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+          FROM etoks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+          WHERE len(ts) >= 3),
+        scored AS (
+          SELECT e3.doc_id,
+                 CASE WHEN c123.c123 IS NOT NULL THEN 1
+                      WHEN c23.c23 IS NOT NULL THEN 2
+                      WHEN c3.c3 IS NOT NULL THEN 3
+                      ELSE 4 END AS lvl,
+                 CAST(CASE
+                   WHEN c123.c123 IS NOT NULL
+                     THEN length(printf('%b', c12t.c12t // c123.c123)) - 1
+                   WHEN c23.c23 IS NOT NULL
+                     THEN length(printf('%b', c2.c2 // c23.c23)) - 1 + 2
+                   WHEN c3.c3 IS NOT NULL
+                     THEN length(printf('%b', ntok.n // c3.c3)) - 1 + 4
+                   ELSE length(printf('%b', ntok.n)) - 1 + 6
+                   END AS BIGINT) AS bits
+          FROM e3
+          LEFT JOIN c123 ON e3.w1 = c123.w1 AND e3.w2 = c123.w2
+                        AND e3.w3 = c123.w3
+          LEFT JOIN c12t ON e3.w1 = c12t.w1 AND e3.w2 = c12t.w2
+          LEFT JOIN c23 ON e3.w2 = c23.w2 AND e3.w3 = c23.w3
+          LEFT JOIN c2 ON e3.w2 = c2.w2
+          LEFT JOIN c3 ON e3.w3 = c3.w3
+          CROSS JOIN ntok)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(sum(bits) AS BIGINT) AS surprise_bits,
+               CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_tri,
+               CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bi,
+               CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_uni,
+               CAST(sum(CASE WHEN lvl = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov
+        FROM scored GROUP BY doc_id"""))
   )
 }
