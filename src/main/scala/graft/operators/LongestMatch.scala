@@ -69,7 +69,7 @@ object LongestMatch {
   def longestMatchFromRanks(ranks: => DataFrame, train: DataFrame,
       idCol: String, textCol: String, evalDocs: DataFrame,
       eIdCol: String, eTextCol: String, cap: Int,
-      fanout: Int = 3, broadcastMaxRows: Long = 1L << 20): DataFrame = {
+      fanout: Int = 6, broadcastMaxRows: Long = 1L << 20): DataFrame = {
     require(cap >= 1)
     require(fanout >= 1)
 

@@ -1044,11 +1044,13 @@ object TextQueries {
         "the training slice, plus a deterministic witness (the " +
         "lexicographically smallest span of that length). " +
         "operators.LongestMatch runs a per-document K-ARY SEARCH " +
-        "(fanout 3 -> 3 rounds) over span lengths against the " +
+        "(fanout 6 -> 2 rounds; measured best against fanout 3's 3 " +
+        "rounds and the single-round all-lengths extreme, whose " +
+        "class-explosion cost dominates) over span lengths against the " +
         "q260/q264-shared standing m10 suffix index: existence of a " +
         "length-l match is monotone in l, every doc starts at the " +
         "same [0, cap] interval and probes the lengths splitting its " +
-        "interval into near-equal quarters — the distinct probe-" +
+        "interval into near-equal sevenths — the distinct probe-" +
         "length list per round is bounded by the interval structure " +
         "(~2*cap*fanout in total), never by eval count or corpus " +
         "size. Each round is ONE broadcast equi-join on (length, " +
@@ -1061,7 +1063,7 @@ object TextQueries {
         "every length up to the cap, hash-joined per length), so the " +
         "hash match proves the search converges to the true maximum " +
         "with the exact witness — cap saturation, zero-match docs " +
-        "(0/null) included. SCALE SHAPE: log4(cap) driver-sequenced " +
+        "(0/null) included. SCALE SHAPE: log7(cap) driver-sequenced " +
         "rounds (round latency is the toy-scale cost; each round is " +
         "one snippet-table scan regardless of scale), per-round " +
         "state localCheckpoint'ed with deterministic predecessor " +
