@@ -99,10 +99,14 @@ object Dsir {
 
   /** Score per-id feature instances against a model given as per-bucket
     * counts: `rawCounts` (bucket, cr) over the raw corpus,
-    * `targetCounts` (bucket, ct) over the target corpus (its key set
-    * must be a subset of rawCounts' — true whenever target documents
-    * are a subset of raw documents, the batch AND streaming shape
-    * here). Instances whose bucket the model has never seen (scoring
+    * `targetCounts` (bucket, ct) over the target corpus. The two key
+    * sets need not be related: the weight table is their FULL OUTER
+    * join (cheap — both sides are <= `buckets` rows), so a bucket seen
+    * only in the target corpus (the general DSIR setting where the
+    * target is a separate reference corpus, not a subset of raw)
+    * takes the correct ct > 0 / cr = 0 weight rather than silently
+    * losing its row. Instances whose bucket the model has never seen
+    * on EITHER side (scoring
     * NEW documents against a standing stream model) take the fully
     * smoothed default ct = cr = 0. Output: (idCol, n_feats,
     * weight_bits) — weight_bits is the signed sum of per-instance
@@ -112,11 +116,11 @@ object Dsir {
       buckets: Int = DefaultBuckets): DataFrame = {
     val tot = rawCounts.agg(coalesce(sum("cr"), lit(0L)).as("tr"))
       .crossJoin(targetCounts.agg(coalesce(sum("ct"), lit(0L)).as("tt")))
-    val w = rawCounts.join(targetCounts, Seq("bucket"), "left")
+    val w = rawCounts.join(targetCounts, Seq("bucket"), "full")
       .crossJoin(broadcast(tot)) // one-row frame
       .select(col("bucket"), expr(flog2Sql(
         s"(coalesce(ct, 0L) + 1L) * (tr + $buckets)",
-        s"(cr + 1L) * (tt + $buckets)")).as("bits"))
+        s"(coalesce(cr, 0L) + 1L) * (tt + $buckets)")).as("bits"))
     feats.join(broadcast(w), Seq("bucket"), "left")
       .crossJoin(broadcast(tot)) // one-row frame
       .select(col(idCol), coalesce(col("bits"),

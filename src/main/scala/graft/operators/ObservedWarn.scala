@@ -56,12 +56,26 @@ object ObservedWarn {
   // off the FIFO end at MaxPending (insertion-ordered LinkedHashMap)
   // instead of accumulating forever in a long-lived service
   private val MaxPending = 4096
+  // evictions are silent by design (bounded-ness beats completeness for
+  // never-executed plan-only frames) but must be OBSERVABLE: each one
+  // logs at debug and bumps a counter the spec asserts on — a deployment
+  // with heavy plan churn can see it is losing armed renderers
+  private val evictions = new AtomicLong(0L)
   private val pending: java.util.Map[String, Long => String] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, Long => String](16, 0.75f, false) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Long => String]): Boolean =
-          size() > MaxPending
+            e: java.util.Map.Entry[String, Long => String]): Boolean = {
+          val evict = size() > MaxPending
+          if (evict) {
+            evictions.incrementAndGet()
+            log.debug(s"ObservedWarn: renderer '${e.getKey}' evicted at " +
+              s"the $MaxPending-entry FIFO cap while still armed — its " +
+              "warning (if the frame ever executes with a nonzero count) " +
+              "is lost; heavy plan churn between actions is the usual cause")
+          }
+          evict
+        }
       })
   // last fired value by metric PREFIX — test hook (specs assert the
   // cap actually fired with the expected count)
@@ -105,6 +119,11 @@ object ObservedWarn {
     }
   private[graft] def pendingSize: Int = pending.size()
   private[graft] def registeredCount: Int = registered.size()
+  private[graft] def evictionCount: Long = evictions.get()
+  /** Test hook: insert a renderer without building a DataFrame (the
+    * spec drives the FIFO to its cap without 4096 observe plans). */
+  private[graft] def putRenderer(name: String, msg: Long => String): Unit =
+    pending.put(name, msg)
 
   private def ensureListener(spark: SparkSession): Unit =
     if (registered.add(spark)) {

@@ -688,7 +688,15 @@ object Similarity {
     * form (bucket equi-join candidates, distinct pairs, exact cosine,
     * threshold, zero-match evals kept), so append-then-read equals
     * rebuild-then-read bit-for-bit (the planes are deterministic;
-    * SrpIndexDeconSpec pins it). */
+    * SrpIndexDeconSpec pins it).
+    *
+    * Query ids must be UNIQUE (the eval-set contract shared with
+    * [[srpCosineMatchesAcross]]): on duplicate ids the two forms
+    * diverge — the batch verify join re-joins the duplicated prepped
+    * frame (multiplying n_matches by the duplicate count) while this
+    * form's inline-cosine `distinct` collapses identical duplicates —
+    * so the keep-zero-match base here deduplicates ids to keep one
+    * output row per eval id rather than silently duplicating. */
   def srpIndexMatchesAcross(spark: SparkSession, assignTable: String,
       queries: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bits: Int, dim: Int, tables: Int,
@@ -705,7 +713,7 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .groupBy(col("__qid"))
       .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"))
-    queries.select(col(idCol))
+    queries.select(col(idCol)).distinct()
       .join(matches.withColumnRenamed("__qid", idCol), Seq(idCol), "left")
       .select(col(idCol).as("eval_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
@@ -820,7 +828,9 @@ object Similarity {
     * @note persists both prepped projections (each feeds the bucket
     *       join AND the verify join); call `spark.catalog.clearCache()`
     *       after the terminal action — the [[srpCosinePairs]] cache
-    *       contract. */
+    *       contract. Eval ids must be unique (the contract shared
+    *       with [[srpIndexMatchesAcross]], where the divergence on
+    *       duplicates is spelled out). */
   def srpCosineMatchesAcross(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       bits: Int, dim: Int, tables: Int,

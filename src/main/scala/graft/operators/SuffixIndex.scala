@@ -65,6 +65,18 @@ object SuffixIndex {
 
   private def tableName(tag: String) = s"graft_sufidx_$tag"
 
+  /** Per-tag build guards (lock striping): two sessions building the
+    * SAME tag serialize (the second re-checks the stamp under the lock
+    * and finds the first one's fresh build), while unrelated tags —
+    * unrelated corpus slices — build fully concurrently. The map only
+    * ever holds one monitor object per distinct tag string seen this
+    * JVM (bounded by the tag universe, not by call volume). */
+  private val tagLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(tag: String): Object =
+    tagLocks.computeIfAbsent(tag, _ => new Object)
+
   /** Cheap corpus fingerprint (see object doc for what it can and
     * cannot catch). Version-prefixed so a format change can never
     * alias an old stamp. */
@@ -124,8 +136,14 @@ object SuffixIndex {
     * what each survives). */
   def ranks(spark: SparkSession, tag: String, docs: DataFrame,
       idCol: String, textCol: String,
-      root: Option[String] = None): DataFrame = synchronized {
+      root: Option[String] = None): DataFrame = {
     require(tag.matches("[A-Za-z0-9_]+"), s"tag must be alphanumeric: $tag")
+    lockFor(tag).synchronized { ranksLocked(spark, tag, docs, idCol, textCol, root) }
+  }
+
+  /** Build-or-reuse body; caller holds the per-tag stripe lock. */
+  private def ranksLocked(spark: SparkSession, tag: String, docs: DataFrame,
+      idCol: String, textCol: String, root: Option[String]): DataFrame = {
     val name = tableName(tag)
     val want = stamp(docs, idCol, textCol)
     // trust the catalog only if the stamp matches AND the data

@@ -1104,8 +1104,8 @@ object CurationQueries {
           SELECT bucket,
                  ${graft.operators.Dsir.flog2DuckSql(
                    "(coalesce(ct, 0) + 1) * (tr + 1024)",
-                   "(cr + 1) * (tt + 1024)")} AS bits
-          FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot)
+                   "(coalesce(cr, 0) + 1) * (tt + 1024)")} AS bits
+          FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot)
         SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
                CAST(sum(bits) AS BIGINT) AS weight_bits
         FROM feats f JOIN w USING (bucket) GROUP BY 1""")),
@@ -1174,8 +1174,8 @@ object CurationQueries {
           SELECT bucket,
                  ${graft.operators.Dsir.flog2DuckSql(
                    "(coalesce(ct, 0) + 1) * (tr + 1024)",
-                   "(cr + 1) * (tt + 1024)")} AS bits
-          FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot),
+                   "(coalesce(cr, 0) + 1) * (tt + 1024)")} AS bits
+          FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot),
         etoks AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
           WHERE doc_id < 100),

@@ -85,8 +85,8 @@ class LongestMatchSpec extends SparkSpec {
     assert(got(1L) == (3L, Some(" yy")))
   }
 
-  test("every fanout converges to the same answer (1 = binary, 3 = " +
-      "default quaternary, 7, and cap-wide)") {
+  test("every fanout converges to the same answer (1 = binary, 3, " +
+      "6 = default septenary, 7, and cap-wide)") {
     val train = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
       (101L, "aaaaaaaaaaaaaaaaaaaa"))
@@ -96,7 +96,7 @@ class LongestMatchSpec extends SparkSpec {
       (3L, "&&&&"))
     val cap = 13
     val want = reference(train, eval, cap)
-    Seq(1, 3, 7, cap + 3).foreach { f =>
+    Seq(1, 3, 6, 7, cap + 3).foreach { f =>
       val trainDf = train.toDF("doc_id", "text")
       val got = LongestMatch.longestMatchFromRanks(
         SuffixArray.suffixRanks(trainDf, "doc_id", "text"),

@@ -53,6 +53,19 @@ class ObservedWarnSpec extends SparkSpec {
       s"pending must stay bounded, saw ${ObservedWarn.pendingSize}")
   }
 
+  test("a FIFO eviction at the cap is observable (counter + debug log), " +
+      "not silent") {
+    // drive the map to its cap directly (no observe plans needed) and
+    // push one past it: exactly the overflow inserts must evict
+    val base = ObservedWarn.evictionCount
+    (1 to 4200).foreach { i =>
+      ObservedWarn.putRenderer(s"ow_spec_evict#$i", n => s"evict: $n")
+    }
+    assert(ObservedWarn.pendingSize <= 4096)
+    assert(ObservedWarn.evictionCount > base,
+      "filling past the cap must record evictions, not drop silently")
+  }
+
   test("the session registry holds sessions WEAKLY — a dropped cloned " +
       "session becomes collectable") {
     val before = ObservedWarn.registeredCount

@@ -305,6 +305,54 @@ class SuffixArraySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_sufidx_spec_orphan")
   }
 
+  test("SuffixIndex lock striping: two TAGS build concurrently from " +
+      "two threads, both correct; a same-tag concurrent pair builds once") {
+    def tempView(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val ca = Seq((1L, "banana"), (2L, "bandana"))
+    val cb = Seq((10L, "mississippi"), (11L, "sassafras"))
+    // distinct tags from distinct threads: with per-tag stripes the
+    // builds may overlap freely — the invariant under test is that
+    // neither corrupts the other and both equal the reference
+    val results = new java.util.concurrent.ConcurrentHashMap[String,
+      Map[(Long, Long), Long]]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def worker(tag: String, docs: Seq[(Long, String)]) = new Thread(() =>
+      try {
+        start.await()
+        results.put(tag, SuffixIndex
+          .ranks(spark, tag, tempView(docs), "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap)
+      } catch { case t: Throwable => errs.add(t) })
+    val ts = Seq(worker("spec_par_a", ca), worker("spec_par_b", cb))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent builds threw: ${errs.peek()}")
+    assert(results.get("spec_par_a") == brute(ca), "tag A diverged")
+    assert(results.get("spec_par_b") == brute(cb), "tag B diverged")
+
+    // same tag, two threads, unchanged corpus: the stripe serializes
+    // them — the second finds the first's fresh build and the table
+    // location never moves (exactly one build)
+    def location(tag: String): String =
+      spark.sql(s"DESCRIBE TABLE EXTENDED graft_sufidx_$tag").collect()
+        .find(_.getString(0) == "Location").map(_.getString(1)).get
+    val loc1 = location("spec_par_a")
+    val start2 = new java.util.concurrent.CountDownLatch(1)
+    val ts2 = Seq.fill(2)(new Thread(() =>
+      try {
+        start2.await()
+        SuffixIndex.ranks(spark, "spec_par_a", tempView(ca), "doc_id", "text")
+          .count()
+      } catch { case t: Throwable => errs.add(t) }))
+    ts2.foreach(_.start()); start2.countDown(); ts2.foreach(_.join(120000))
+    assert(errs.isEmpty, s"same-tag concurrent reuse threw: ${errs.peek()}")
+    assert(location("spec_par_a") == loc1,
+      "fresh same-tag concurrent reads must not rebuild")
+    Seq("spec_par_a", "spec_par_b").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_sufidx_$t"))
+  }
+
   test("SuffixIndex stamp: an id swap between different-length docs " +
       "moves the stamp (rebuild), not served stale") {
     def tempView(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
