@@ -4,8 +4,12 @@ import scala.annotation.tailrec
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, BinaryComparison, Expression, In, Literal, StartsWith}
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, RangeExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, RDDScanExec, RangeExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -399,6 +403,130 @@ class ExplainAuditSpec extends SparkSpec {
       s"q204's window spelling must rewrite; rewritten = $rewritten")
     assert(rewritten.size >= 3,
       s"expected the rewrite to reach several registry queries, got $rewritten")
+  }
+
+  // ------------------------------------------------------------------
+  // Round-14 class locks: the round-13 queries (and the q160 rewrite)
+  // pinned to the scale shapes they were designed with, so an innocent
+  // edit cannot silently reintroduce the expensive form.
+  // ------------------------------------------------------------------
+
+  /** All nodes of `p`, descending through cached-relation plans and
+    * nested AQE wrappers. Each DISTINCT cached relation expands once —
+    * a persisted frame shared by two consumers counts its compute
+    * ONCE, which is exactly what the single-pass locks measure. */
+  private def expandedNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val seenCaches = scala.collection.mutable.Set[AnyRef]()
+    def walk(pl: SparkPlan): Seq[SparkPlan] = {
+      val nodes = pl.collect { case n => n }
+      nodes ++ nodes.flatMap {
+        case s: InMemoryTableScanExec
+            if seenCaches.add(s.relation.cacheBuilder) =>
+          walk(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => Nil
+      }
+    }
+    walk(p)
+  }
+
+  test("q160 funnel plans exactly ONE corpus-width minhash pass") {
+    // the round-12 single-pass rewrite, now locked: the verified-pairs
+    // stage AND the decon banding must read the same persisted banded
+    // frame — a second MinhashAll projection is a second full text
+    // scan, the funnel's dominant avoidable cost at 100 TB
+    val minhashNodes = expandedNodes(planMap("q160_curation_funnel"))
+      .filter(_.expressions.exists(_.exists {
+        case _: graft.expressions.MinhashAll => true
+        case _ => false
+      }))
+    assert(minhashNodes.size == 1,
+      s"q160 must compute minhash signatures exactly once, found " +
+        s"${minhashNodes.size}: ${minhashNodes.map(_.nodeName).mkString(", ")}")
+  }
+
+  test("q264 reads the persisted suffix index — no inline rebuild") {
+    val nodes = expandedNodes(planMap("q264_anylen_decontam"))
+    assert(nodes.exists {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("graft_sufidx_"))
+      case _ => false
+    }, "q264 must read its ranks from the graft_sufidx_ catalog table")
+    // an inline SuffixArray.suffixRanks build would surface as
+    // checkpointed RDD scans where the catalog read sits
+    val rddScans = nodes.collect { case r: RDDScanExec => r }
+    assert(rddScans.isEmpty,
+      s"q264 must not embed a checkpointed ranks build: " +
+        rddScans.map(_.nodeName).mkString(", "))
+  }
+
+  test("q266 longest match: replanning reuses the standing suffix " +
+      "index files (no rebuild while the corpus is fresh)") {
+    withStaticPlans {
+      planOf("q266_longest_match") // builds graft_sufidx_m10 if absent
+      def location(): String =
+        spark.sql("DESCRIBE TABLE EXTENDED graft_sufidx_m10").collect()
+          .find(_.getString(0) == "Location").map(_.getString(1)).get
+      // a rebuild rewrites the managed dir with fresh part-file UUIDs,
+      // so the file-name set (not the stable warehouse path) is the
+      // rebuild detector
+      def partFiles(): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(location())
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.listStatus(p).map(_.getPath.getName).filter(_.startsWith("part-"))
+          .toSet
+      }
+      val before = partFiles()
+      planOf("q266_longest_match")
+      assert(partFiles() == before,
+        "a fresh corpus must not rebuild the suffix index between runs")
+    }
+  }
+
+  test("q265/q268 DSIR: the <= B-row weight table BROADCASTS into the " +
+      "scoring join; every shuffle ships only narrow key/count columns") {
+    for (n <- Seq("q265_dsir_weights", "q268_dsir_heldout")) {
+      val p = planMap(n)
+      assert(p.exists {
+        case j: BroadcastHashJoinExec => j.joinType == LeftOuter
+        case _ => false
+      }, s"$n: the per-instance scoring join must broadcast the weight table")
+      // nothing corpus-width shuffles but (id, bucket) and the bounded
+      // count aggregations — a wide exchange means the rewrite died
+      val wide = shuffles(p).filter(e =>
+        e.output.size > 4 || e.output.exists(a => PayloadCols(a.name)))
+      assert(wide.isEmpty,
+        s"$n: a shuffle ships more than narrow key/count columns: " +
+          wide.map(_.output.map(_.name).mkString("(", ",", ")"))
+            .mkString("; "))
+    }
+  }
+
+  test("q263/q269 LMs: every model join is a vocabulary-keyed broadcast " +
+      "left join over an AGGREGATED side; nothing sort-merge joins") {
+    for ((n, wantJoins) <- Seq("q263_bigram_surprise_heldout" -> 2,
+        "q269_backoff_surprise" -> 5)) {
+      val p = planMap(n)
+      val lefts = p.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftOuter => j
+      }
+      assert(lefts.size == wantJoins,
+        s"$n: expected $wantJoins vocabulary-keyed broadcast left joins " +
+          s"(one per model count table), got ${lefts.size}")
+      lefts.foreach { j =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        assert(build.exists {
+          case _: HashAggregateExec | _: ObjectHashAggregateExec |
+              _: SortAggregateExec => true
+          case _ => false
+        }, s"$n: a model join broadcasts an un-aggregated side")
+      }
+      assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+        s"$n: model joins must broadcast, never sort-merge")
+    }
   }
 
   // -------------------------------------------------------------------
