@@ -129,6 +129,66 @@ object Dsir {
       .agg(count(lit(1)).as("n_feats"), sum(col("bits")).as("weight_bits"))
   }
 
+  /** Portable floor division for a possibly-negative numerator and a
+    * positive denominator, spelled with TRUNCATING division over
+    * non-negative operands only — where Spark's `div` and DuckDB's
+    * `//` agree (they disagree on negative operands: `div` truncates
+    * toward zero, `//` floors), so both engines state the identical
+    * fragment. */
+  def floorDivSql(a: String, b: String): String =
+    s"""CASE WHEN ($a) >= 0 THEN ($a) div ($b)
+        ELSE -((-($a) + ($b) - 1) div ($b)) END"""
+
+  /** DuckDB twin of [[floorDivSql]] (`//` on non-negative operands ==
+    * `div`). */
+  def floorDivDuckSql(a: String, b: String): String =
+    s"""CASE WHEN ($a) >= 0 THEN ($a) // ($b)
+        ELSE -((-($a) + ($b) - 1) // ($b)) END"""
+
+  /** Bits of the keyed uniform the keep decision draws against (the
+    * q247 convention: a 30-bit hash uniform, exactly representable). */
+  val ResampleUniformBits = 30
+
+  /** Deterministic importance RESAMPLING from [[scoreInstances]]
+    * output — the step that closes the DSIR loop (the paper's point is
+    * the resampled mixture, not the weights): each document's
+    * per-feature mean log2 importance wb_norm =
+    * floor(weight_bits / n_feats) sets a keep probability
+    * min(1, 2^(wb_norm - pivotBits)), realized with NO floats against
+    * the standing pmd5 sampling hash:
+    *
+    *   keep  iff  u < threshold,
+    *   u = pmd5('dsirk:' || id) % 2^30            (a keyed 30-bit uniform)
+    *   threshold = 2^clamp(30 + wb_norm - pivotBits, 0, 30)
+    *
+    * so wb_norm >= pivotBits keeps always, each bit below pivot halves
+    * the keep probability, and probabilities under 2^-30 clamp to
+    * 2^-30 (documented floor — by then the document is gone for every
+    * practical mixture). The decision is a PURE PER-ROW PROJECTION of
+    * integer arithmetic: no shuffle, no state, reproducible across
+    * engines and runs (same id -> same draw), and downstream mixture
+    * stats stay oracle-checkable. `pivotBits` positions the
+    * acceptance pivot: 0 keeps every at-least-averagely-target-like
+    * document, positive values sharpen toward the target.
+    *
+    * Output: the input columns plus (wb_norm, keep). */
+  def resampleKeep(scored: DataFrame, idCol: String,
+      pivotBits: Int = 0): DataFrame = {
+    require(pivotBits > -ResampleUniformBits && pivotBits < 62)
+    val wbNorm = expr(floorDivSql("weight_bits", "n_feats"))
+    val u = pmod(Portable.pmd5(concat(lit("dsirk:"), col(idCol).cast("string"))),
+      lit(1L << ResampleUniformBits))
+    scored.withColumn("wb_norm", wbNorm)
+      .withColumn("keep", u < expr(
+        s"""CASE WHEN wb_norm >= $pivotBits
+            THEN CAST(${1L << ResampleUniformBits} AS BIGINT)
+            WHEN $ResampleUniformBits + wb_norm - $pivotBits <= 0
+            THEN CAST(1 AS BIGINT)
+            ELSE shiftleft(CAST(1 AS BIGINT),
+              CAST($ResampleUniformBits + wb_norm - $pivotBits AS INT))
+            END"""))
+  }
+
   /** The self-contained batch form: hash `docs` once (persisted — the
     * instance frame feeds the raw counts, the target counts AND the
     * scoring aggregation; the caller's harness frees it via

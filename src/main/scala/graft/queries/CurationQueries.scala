@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1195,6 +1196,262 @@ object CurationQueries {
           FROM efeats e LEFT JOIN w USING (bucket) CROSS JOIN tot)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
                CAST(sum(bits) AS BIGINT) AS weight_bits
-        FROM scored GROUP BY 1"""))
+        FROM scored GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q270_dsir_resample",
+      "DSIR importance RESAMPLING end-to-end — the step the paper is " +
+        "actually about (q265 produces weight_bits; this consumes " +
+        "them as a keep probability and reports the resampled " +
+        "mixture): each document's per-feature mean log2 importance " +
+        "wb_norm = floor(weight_bits / n_feats) sets keep probability " +
+        "min(1, 2^wb_norm), realized with NO floats against the " +
+        "standing pmd5 sampling hash (the q83/q136/q247 mechanics): " +
+        "keep iff pmd5('dsirk:' || id) % 2^30 < 2^clamp(30 + wb_norm, " +
+        "0, 30) — wb_norm >= 0 keeps always, each bit below halves " +
+        "the probability, same id -> same draw on both engines. The " +
+        "floor division is spelled via truncating division over non-" +
+        "negative operands ONLY (Spark div truncates toward zero, " +
+        "DuckDB // floors — they agree exactly there), so the " +
+        "arithmetic is stated identically. Output: the per-source " +
+        "resampled mixture — docs kept, retained bp, surviving chars " +
+        "and total kept normalized weight, the numbers a mixture " +
+        "designer actually reads. SCALE SHAPE: q265's scoring shape " +
+        "feeds a PURE PER-ROW integer projection (no shuffle, no " +
+        "state), one narrow row per doc joins back to (doc_id, " +
+        "source, n_chars), and the aggregation is source-bounded.",
+      (s, dir) => {
+        import graft.operators.Dsir
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val kept = Dsir.resampleKeep(
+          Dsir.scoreSelf(docs, "doc_id", "text", col("lang") === "en",
+            Dsir.DefaultBuckets),
+          "doc_id")
+        kept.join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("n_chars")).otherwise(0L))
+              .as("kept_chars"),
+            sum(when(col("keep"), col("wb_norm")).otherwise(0L))
+              .as("kept_wb_norm_sum"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            expr("n_kept * 10000 div n_docs").as("kept_bp"),
+            col("kept_chars"), col("kept_wb_norm_sum"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS ts
+          FROM documents),
+        uni AS (SELECT doc_id, tgt, unnest(ts) AS f FROM toks),
+        bi AS (
+          SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS f
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        feats AS (
+          SELECT doc_id, tgt, ${Portable.pmd5Sql("f")} % 1024 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        cr AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+          FROM feats GROUP BY 1),
+        ct AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+          FROM feats WHERE tgt GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS tr,
+                 CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tt
+          FROM feats),
+        w AS (
+          SELECT bucket,
+                 ${graft.operators.Dsir.flog2DuckSql(
+                   "(coalesce(ct, 0) + 1) * (tr + 1024)",
+                   "(coalesce(cr, 0) + 1) * (tt + 1024)")} AS bits
+          FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot),
+        scored AS (
+          SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(bits) AS BIGINT) AS weight_bits
+          FROM feats f JOIN w USING (bucket) GROUP BY 1),
+        dec AS (
+          SELECT doc_id,
+                 ${graft.operators.Dsir.floorDivDuckSql(
+                   "weight_bits", "n_feats")} AS wb_norm
+          FROM scored),
+        keepd AS (
+          SELECT doc_id, wb_norm,
+                 (${Portable.pmd5Sql(
+                   "concat('dsirk:', CAST(doc_id AS VARCHAR))")}
+                    % 1073741824)
+                   < CASE WHEN wb_norm >= 0 THEN CAST(1073741824 AS BIGINT)
+                          WHEN 30 + wb_norm <= 0 THEN CAST(1 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << (30 + wb_norm))
+                          END AS keep
+          FROM dec)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS kept_bp,
+               CAST(coalesce(sum(d.n_chars) FILTER (WHERE keep), 0)
+                 AS BIGINT) AS kept_chars,
+               CAST(coalesce(sum(wb_norm) FILTER (WHERE keep), 0)
+                 AS BIGINT) AS kept_wb_norm_sum
+        FROM keepd JOIN documents d USING (doc_id)
+        GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q271_admission_matrix",
+      "The COMPOSED admission gate matrix — the four independent " +
+        "deployment gates of the curation stack scored side by side " +
+        "for every training document (doc_id >= 100), the batch twin " +
+        "of CurateStream's ingest path (exact hash gate + LSH " +
+        "near-dup gate + token decon + the round-13 SEMANTIC decon " +
+        "gate, now one pipeline): (1) exact-dup taint = same content " +
+        "hash as an EARLIER doc (arrival order = doc_id order, the " +
+        "landed-corpus-first rule the stream enforces); (2) near-dup " +
+        "taint = a verified LSH pair (q28's banding + exact Jaccard " +
+        "at the q160 threshold) with an earlier doc; (3) token decon " +
+        "taint = cross-set LSH candidate vs the eval suite verified " +
+        "at the same Jaccard (q58/q160 stage-4 rule); (4) semantic " +
+        "decon taint = embedding cosine >= the q267 threshold " +
+        "against the eval suite via the SAME SRP-LSH decomposition " +
+        "(probe side = training, the srpIndexMatchesAcross stream-" +
+        "gate direction). Output: one row per source with each " +
+        "gate's taint count and the admitted count (all four gates " +
+        "clean) — the release-audit table a mixture owner signs " +
+        "off. SCALE SHAPE: ONE corpus-width minhash/banding pass " +
+        "and ONE tokenization pass feed gates 2 AND 3 (persisted, " +
+        "the q160 discipline); gate 4 buckets the corpus-side " +
+        "vectors once and shuffle-merges probes (broadcastProbes = " +
+        "false — the offline-batch path; the stream twin broadcasts " +
+        "its batch instead); gate flags join as narrow (doc_id) " +
+        "sets; the final aggregation is source-bounded.",
+      (s, dir) => {
+        import graft.operators.Similarity
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val K = DedupQueries.K; val RPB = DedupQueries.RPB
+        val NB = DedupQueries.NB; val JT = DedupQueries.JT
+        // gate 1: exact content, earlier doc wins
+        val hashed = docs.select(col("doc_id"),
+          Portable.pmd5(col("text")).as("__h"))
+        val dupTaint = hashed
+          .join(hashed.groupBy("__h").agg(min("doc_id").as("__keeper")),
+            "__h")
+          .filter(col("doc_id") =!= col("__keeper")).select("doc_id")
+        // gates 2+3 share ONE banding pass and ONE token pass
+        val banded = Dedup.bandKeys(
+          Dedup.minhashSignature(docs, "text", K, DedupQueries.SHINGLE),
+          K, RPB).persist()
+        val sets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ts")).persist()
+        val ndTaint = Dedup.lshCandidates(banded, "doc_id", NB)
+          .join(sets.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("ts", "ts_a"), "id_a")
+          .join(sets.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("ts", "ts_b"), "id_b")
+          .filter(Dedup.jaccard(col("ts_a"), col("ts_b")) >= JT)
+          .select(col("id_b").as("doc_id")).distinct()
+        val tokTaint = Dedup.lshCandidatesAcross(
+            banded.filter(col("doc_id") >= 100),
+            banded.filter(col("doc_id") < 100), "doc_id", NB)
+          .select(col("id_l").as("train_id"), col("id_r").as("eval_id"))
+          .join(sets.select(col("doc_id").as("train_id"),
+            col("ts").as("ts_t")), "train_id")
+          .join(sets.select(col("doc_id").as("eval_id"),
+            col("ts").as("ts_e")), "eval_id")
+          .filter(Dedup.jaccard(col("ts_t"), col("ts_e")) >= JT)
+          .select(col("train_id").as("doc_id")).distinct()
+        // gate 4: corpus = eval suite, probes = training (the stream-
+        // gate direction; SrpIndexDeconSpec pins it == the index read)
+        val e = spread(t(s, dir, "embeddings"), col("vec_id"))
+        val semTaint = Similarity.srpCosineMatchesAcross(
+            e.filter(col("vec_id") < 100), e.filter(col("vec_id") >= 100),
+            "vec_id", "embedding", SimilarityQueries.COS_T,
+            bits = SimilarityQueries.ND_BITS, dim = 64,
+            tables = SimilarityQueries.ND_TABLES, broadcastProbes = false)
+          .filter(col("n_matches") > 0)
+          .select(col("eval_id").as("doc_id"))
+        def flag(df: DataFrame, name: String) =
+          df.distinct().withColumn(name, lit(1L))
+        docs.filter(col("doc_id") >= 100).select(col("doc_id"), col("source"))
+          .join(flag(dupTaint, "__dup"), Seq("doc_id"), "left")
+          .join(flag(ndTaint, "__nd"), Seq("doc_id"), "left")
+          .join(flag(tokTaint, "__tok"), Seq("doc_id"), "left")
+          .join(flag(semTaint, "__sem"), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__dup"), lit(0L))).as("n_exact_dup"),
+            sum(coalesce(col("__nd"), lit(0L))).as("n_neardup"),
+            sum(coalesce(col("__tok"), lit(0L))).as("n_token_contam"),
+            sum(coalesce(col("__sem"), lit(0L))).as("n_sem_contam"),
+            sum(when(coalesce(col("__dup"), lit(0L)) === 0L &&
+              coalesce(col("__nd"), lit(0L)) === 0L &&
+              coalesce(col("__tok"), lit(0L)) === 0L &&
+              coalesce(col("__sem"), lit(0L)) === 0L, 1L).otherwise(0L))
+              .as("n_admitted"))
+      },
+      Some(s"""
+        ${DedupQueries.pairsCte},
+        h AS (SELECT doc_id, ${Portable.pmd5Sql("text")} AS h
+              FROM documents),
+        dupt AS (
+          SELECT h.doc_id FROM h
+          JOIN (SELECT h, min(doc_id) AS keeper FROM h GROUP BY 1) k
+            USING (h)
+          WHERE doc_id <> keeper),
+        ndt AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+        ccand AS (
+          SELECT DISTINCT l.doc_id AS train_id, r.doc_id AS eval_id
+          FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+          WHERE l.doc_id >= 100 AND r.doc_id < 100),
+        tokt AS (
+          SELECT DISTINCT train_id AS doc_id FROM (
+            SELECT train_id,
+                   CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                     / len(list_distinct(a.ts || b.ts)) AS j
+            FROM ccand JOIN sets a ON ccand.train_id = a.doc_id
+                       JOIN sets b ON ccand.eval_id = b.doc_id)
+          WHERE j >= ${DedupQueries.JT}),
+        ${SimilarityQueries.prepCte()},
+        cpv AS (SELECT * FROM prep WHERE vec_id < 100),
+        qpv AS (SELECT * FROM prep WHERE vec_id >= 100),
+        cbk2 AS (
+          ${(0 until SimilarityQueries.ND_TABLES).map(tb =>
+            s"SELECT vec_id, $tb AS t, " +
+              s"${SimilarityQueries.srpSql("v", tb,
+                SimilarityQueries.ND_BITS)} AS bucket FROM cpv")
+            .mkString("\n          UNION ALL ")}),
+        qbk2 AS (
+          ${(0 until SimilarityQueries.ND_TABLES).map(tb =>
+            s"SELECT vec_id, $tb AS t, " +
+              s"${SimilarityQueries.srpSql("v", tb,
+                SimilarityQueries.ND_BITS)} AS bucket FROM qpv")
+            .mkString("\n          UNION ALL ")}),
+        scand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+          FROM qbk2 q JOIN cbk2 c ON q.t = c.t AND q.bucket = c.bucket),
+        semt AS (
+          SELECT DISTINCT qid AS doc_id FROM (
+            SELECT scand.qid,
+                   ${SimilarityQueries.scoreSql("q", "c")} AS score
+            FROM scand JOIN qpv q ON q.vec_id = scand.qid
+                       JOIN cpv c ON c.vec_id = scand.cid)
+          WHERE score >= ${SimilarityQueries.COS_T})
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_exact_dup,
+               CAST(count(*) FILTER (WHERE nd) AS BIGINT) AS n_neardup,
+               CAST(count(*) FILTER (WHERE tok) AS BIGINT)
+                 AS n_token_contam,
+               CAST(count(*) FILTER (WHERE sem) AS BIGINT)
+                 AS n_sem_contam,
+               CAST(count(*) FILTER (WHERE NOT dup AND NOT nd
+                 AND NOT tok AND NOT sem) AS BIGINT) AS n_admitted
+        FROM (
+          SELECT d.doc_id, d.source,
+                 d.doc_id IN (SELECT doc_id FROM dupt) AS dup,
+                 d.doc_id IN (SELECT doc_id FROM ndt) AS nd,
+                 d.doc_id IN (SELECT doc_id FROM tokt) AS tok,
+                 d.doc_id IN (SELECT doc_id FROM semt) AS sem
+          FROM documents d WHERE d.doc_id >= 100)
+        GROUP BY 1"""))
   )
 }

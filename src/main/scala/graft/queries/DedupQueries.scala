@@ -14,11 +14,11 @@ import graft.queries.Tables.{spread, t}
   */
 object DedupQueries {
 
-  private val K = 16          // minhash family size
-  private val RPB = 4         // rows per LSH band -> 4 bands
-  private val NB = K / RPB
-  private val SHINGLE = 3     // words per shingle
-  private val JT = 0.8        // near-dup verification threshold
+  private[queries] val K = 16          // minhash family size
+  private[queries] val RPB = 4         // rows per LSH band -> 4 bands
+  private[queries] val NB = K / RPB
+  private[queries] val SHINGLE = 3     // words per shingle
+  private[queries] val JT = 0.8        // near-dup verification threshold
   private val KCORE_K = 2      // q131: minimum in-core degree
   private val KCORE_ROUNDS = 6 // q131: fixed peel rounds (GraphSpec: >= depth)
   private val PR_ITERS = 5    // q70 power-iteration rounds
@@ -99,7 +99,7 @@ object DedupQueries {
   }
 
   /** DuckDB twin of [[lshVerifiedPairs]] as a `pairs` CTE. */
-  private val pairsCte = s"""$sigCte,
+  private[queries] val pairsCte = s"""$sigCte,
         banded AS (
           SELECT doc_id, ${(0 until NB).map(b => s"${bandExprSql(b)} AS b$b").mkString(", ")}
           FROM sig),

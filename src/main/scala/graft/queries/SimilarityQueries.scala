@@ -20,12 +20,12 @@ object SimilarityQueries {
   private val TOPK = 5
   private val NQ = 8        // query vectors: vec_id < NQ
   private val BITS = 5      // SRP signature width (32 buckets/table)
-  private val COS_T = 0.3   // near-dup threshold (corpus max ~0.45)
+  private[queries] val COS_T = 0.3   // near-dup threshold (corpus max ~0.45)
   private val KNN_K = 10    // q196 classification neighborhood size
 
   /** DuckDB: per-vector CTE with double list `v` and precomputed norm
     * `nv` (same projection [[Similarity]] does before any pair work). */
-  private def prepCte(src: String = "embeddings", extra: String = ""): String =
+  private[queries] def prepCte(src: String = "embeddings", extra: String = ""): String =
     s"""prep AS (
        |  SELECT vec_id$extra, v,
        |         sqrt(${foldSql("v", "v")}) AS nv
@@ -37,7 +37,7 @@ object SimilarityQueries {
   private def foldSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
 
-  private def scoreSql(qa: String, qb: String): String =
+  private[queries] def scoreSql(qa: String, qb: String): String =
     s"${foldSql(s"$qa.v", s"$qb.v")} / ($qa.nv * $qb.nv)"
 
   // 8 tables x 5-bit buckets: each table scans ~1/32 of the corpus per
@@ -65,7 +65,7 @@ object SimilarityQueries {
     * Similarity.srpSignature exactly (same plane values, same fold
     * order). Planes are emitted as literal lists, exactly like the
     * Spark plan. */
-  private def srpSql(v: String, t: Int, bits: Int = BITS): String =
+  private[queries] def srpSql(v: String, t: Int, bits: Int = BITS): String =
     (0 until bits).map { j =>
       s"CASE WHEN ${projSql(v, t, j)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
@@ -73,8 +73,8 @@ object SimilarityQueries {
   // q32 SRP-LSH near-dup parameters: 6-bit buckets (64 per table; the
   // bits ~ log2(n/B) scale lever), 8 tables for recall at the weak 0.3
   // threshold
-  private val ND_BITS = 6
-  private val ND_TABLES = 8
+  private[queries] val ND_BITS = 6
+  private[queries] val ND_TABLES = 8
 
   // q103 semantic-dedup threshold: within-cluster cosine at which two
   // vectors count as semantic duplicates (~300 in-label pairs at sf0.01)

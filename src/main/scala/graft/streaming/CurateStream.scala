@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.Portable
-import graft.operators.{Curate, Dedup}
+import graft.operators.{Curate, Dedup, Similarity}
 
 /** Streaming curation: the batch [[Curate]] pipeline applied per
   * micro-batch via foreachBatch — the production shape of continuous
@@ -67,6 +67,25 @@ object CurateStream {
   /** MinHash signature index (content_hash, m0..m{K-1}) — the sketch
     * the near-dup gate verifies candidates against. */
   def sigIndexDir(outDir: String): String = outDir + "_sigidx"
+
+  /** Opt-in SEMANTIC decontamination gate — the embedding-space
+    * complement of the token `evalDocs` gate (a paraphrased leak never
+    * matches a hash probe but still lands next to its source in
+    * embedding space). `assignTable` names a STANDING
+    * [[Similarity.buildSrpIndex]] table holding the eval suite's
+    * embeddings (static per release — the gate reads it, never grows
+    * it; refresh the suite with `appendSrpIndex` between releases):
+    * each arriving batch's `vecCol` vectors are scored with
+    * [[Similarity.srpIndexMatchesAcross]] and rows with any match at
+    * `threshold` are dropped before landing. The per-batch cost is the
+    * batch broadcasting into one bucket equi-join — the landed corpus
+    * and the index never shuffle, and the decision is deterministic
+    * (replay re-derives the same drops, the [[nearDupTainted]] rule).
+    * (bits, dim, tables) must equal the index's build parameters —
+    * [[Similarity.requireSrpParams]] fails fast on a mismatch. */
+  final case class SemanticGate(assignTable: String, vecCol: String,
+      threshold: Double, bits: Int, dim: Int, tables: Int,
+      broadcastProbes: Boolean = true)
 
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -171,6 +190,10 @@ object CurateStream {
     *                  against the landed corpus's MinHash sketches (see
     *                  [[nearDupTainted]]); off = near-dup removal stays
     *                  within-batch + periodic compaction.
+    * @param semanticGate opt-in embedding-space decon gate against a
+    *                  standing eval-suite SRP index (see
+    *                  [[SemanticGate]]); requires the stream's rows to
+    *                  carry the configured vector column.
     * @note `cfg.cutRepeatedRuns` applies WITHIN each micro-batch only —
     *       a run duplicated across batches is not cut here (that would
     *       need a persistent gram index); run the batch
@@ -181,14 +204,41 @@ object CurateStream {
       cfg: Curate.Config = Curate.Config(),
       trigger: Trigger = Trigger.AvailableNow(),
       evalDocs: Option[DataFrame] = None,
-      nearDupAcrossBatches: Boolean = false): StreamingQuery = {
+      nearDupAcrossBatches: Boolean = false,
+      semanticGate: Option[SemanticGate] = None): StreamingQuery = {
+    semanticGate.foreach { g =>
+      require(docs.columns.contains(g.vecCol),
+        s"semanticGate requires the stream to carry '${g.vecCol}'; " +
+          s"columns: ${docs.columns.mkString(", ")}")
+    }
     val step: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       val idxDir = indexDir(outDir)
       ensureMigrated(spark, outDir, idxDir)
-      val curated = Curate(batch.toDF(), textCol, idCol, cfg, evalDocs)
+      val curated0 = Curate(batch.toDF(), textCol, idCol, cfg, evalDocs)
         .withColumn(HashCol, Portable.pmd5(col(textCol)))
         .withColumn(HashCol2, Portable.pmd5Salted(1, col(textCol)))
+
+      // opt-in SEMANTIC decon gate: score the batch against the
+      // standing eval-suite SRP index and drop every row with a match
+      // BEFORE any index sees it — contaminated content must neither
+      // land nor enter the hash/sketch indexes (a leak must not become
+      // the landed doc a later paraphrase deduplicates against).
+      // Gating the full curated frame (not the exact-gate survivors)
+      // keeps the crash-repair property of every index catch-up below:
+      // the gate is deterministic, so a replay recomputes the same
+      // admissible set and repairs whichever append died.
+      val curated = semanticGate match {
+        case Some(g) =>
+          val tainted = Similarity.srpIndexMatchesAcross(spark,
+              g.assignTable, curated0.select(col(idCol), col(g.vecCol)),
+              idCol, g.vecCol, g.threshold, g.bits, g.dim, g.tables,
+              g.broadcastProbes)
+            .filter(col("n_matches") > 0)
+            .select(col("eval_id").as(idCol))
+          curated0.join(tainted, Seq(idCol), "left_anti")
+        case None => curated0
+      }
 
       val hashSchema = s"$HashCol BIGINT, $HashCol2 BIGINT, $BatchCol BIGINT"
       val idxHashes =

@@ -66,6 +66,68 @@ class DsirSpec extends SparkSpec with TableDrivenPropertyChecks {
       Seq((7L, 1L, 1L)))
   }
 
+  test("a TARGET-ONLY bucket (general DSIR: target corpus not a subset " +
+      "of raw) takes the correct ct>0/cr=0 weight via the full outer " +
+      "join, not the smoothed default") {
+    val B = 16
+    val raw = Seq((0L, 48L)).toDF("bucket", "cr")            // Tr = 48
+    val tgt = Seq((0L, 1L), (3L, 15L)).toDF("bucket", "ct")  // Tt = 16
+    val feats = Seq((7L, 3L)).toDF("doc_id", "bucket")  // 3: target-only
+    val out = Dsir.scoreInstances(feats, "doc_id", raw, tgt, B).collect()
+    // weight = floor(log2(((15+1)(48+16)) / ((0+1)(16+16))))
+    //        = floor(log2(1024 / 32)) = 5 — a left join would have
+    // dropped the bucket and scored the smoothed default instead
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((7L, 1L, 5L)))
+  }
+
+  test("floorDivSql == Math.floorDiv for mixed-sign numerators") {
+    val cases = Seq((7L, 2L), (6L, 3L), (-7L, 2L), (-6L, 3L), (-1L, 4L),
+      (0L, 5L), (1L, 1L), (-1L, 1L), (-1000001L, 7L), (1000001L, 7L),
+      (Long.MinValue / 4, 3L), (Long.MaxValue / 4, 3L))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), expr(Dsir.floorDivSql("a", "b")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(got((a, b)) == Math.floorDiv(a, b),
+        s"floorDiv($a, $b): got ${got((a, b))}, want ${Math.floorDiv(a, b)}")
+    }
+  }
+
+  test("resampleKeep: wb_norm >= pivot keeps always; below, the keep " +
+      "bit matches the integer threshold rule exactly (incl. the " +
+      "2^-30 clamp)") {
+    val scored = Seq(
+      (1L, 4L, 8L),   // wb_norm  2: always kept
+      (2L, 4L, 0L),   // wb_norm  0: always kept
+      (3L, 4L, -1L),  // wb_norm -1 (floor, not trunc): p = 1/2
+      (4L, 4L, -13L), // wb_norm -4: p = 1/16
+      (5L, 3L, -200L) // wb_norm -67: clamps to threshold 1
+    ).toDF("doc_id", "n_feats", "weight_bits")
+    val out = Dsir.resampleKeep(scored, "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // wb_norm is FLOOR division
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(1L -> 2L, 2L -> 0L, 3L -> -1L, 4L -> -4L, 5L -> -67L))
+    // independent reference for the draw: pull u with a separate
+    // projection, apply the documented rule in plain Scala
+    val u = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+      .select(col("doc_id"), pmod(graft.functions.Portable.pmd5(
+        concat(lit("dsirk:"), col("doc_id").cast("string"))),
+        lit(1L << 30)).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (wbNorm, keep)) =>
+      val threshold =
+        if (wbNorm >= 0) 1L << 30
+        else if (30 + wbNorm <= 0) 1L
+        else 1L << (30 + wbNorm).toInt
+      assert(keep == (u(id) < threshold),
+        s"doc $id: keep=$keep, u=${u(id)}, threshold=$threshold")
+    }
+    assert(out(1L)._2 && out(2L)._2, "wb_norm >= 0 must always keep")
+  }
+
   test("empty model (nothing streamed yet) scores everything 0, " +
       "not an error") {
     val empty = Seq.empty[(Long, Long)].toDF("bucket", "cr")

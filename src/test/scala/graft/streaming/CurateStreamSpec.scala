@@ -87,6 +87,94 @@ class CurateStreamSpec extends SparkSpec {
     assert(landed.select("text").as[String].collect().toSet == batchAll)
   }
 
+  test("semantic gate: contaminated rows neither land nor poison the " +
+      "hash index; stream-curated output == the batch-composed gates") {
+    import graft.operators.Similarity
+    val (root, out, cp) = mkRoot("curate-sem")
+    val (bits, dim, tables) = (5, 64, 4)
+    val thr = 0.9 // corpus cross-cosines top out ~0.45: only a vector
+                  // equal to an eval-suite vector can taint
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val evalSuite = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Similarity.buildSrpIndex(evalSuite, "doc_id", "embedding",
+      bits, dim, tables, "curate_sem_idx")
+    def vecOf(id: Long): Array[Float] = emb.filter(col("vec_id") === id)
+      .select("embedding").as[Array[Float]].head()
+    val leakVec = vecOf(0L)   // IS an eval-suite vector: cosine 1
+    val cleanVec = vecOf(40L) // ordinary corpus vector: below thr
+
+    def stageEmb(name: String,
+        rows: Seq[(Long, String, Array[Float])]): Unit = {
+      val scratch = root.resolve(s"scratch_$name")
+      rows.toDF("doc_id", "text", "embedding").coalesce(1)
+        .write.parquet(scratch.toString)
+      val part = Files.list(scratch).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, root.resolve("in").resolve(s"$name.parquet"))
+    }
+    def runGated(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+        .parquet(root.resolve("in").toString)
+      val q = CurateStream.start(stream, "text", "doc_id", out, cp, cfg,
+        semanticGate = Some(CurateStream.SemanticGate(
+          "curate_sem_idx", "embedding", thr, bits, dim, tables)))
+      assert(q.awaitTermination(120000), "curation stream did not finish")
+    }
+
+    // batch 1: d0 is a PARAPHRASED leak (clean text, eval-suite
+    // vector) -> semantic gate drops it; d1 is clean -> lands
+    stageEmb("a", Seq((0L, good, leakVec), (1L, other, cleanVec)))
+    runGated()
+    val afterA = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(afterA == Set(1L), s"batch A semantic gate wrong: $afterA")
+
+    // batch 2 (restart): d2 leaks again (new text, leak vector) ->
+    // dropped; d3 carries the SAME TEXT as dropped d0 with a clean
+    // vector -> must LAND (the tainted row left no trace in the hash
+    // index); d4 duplicates landed d1's content -> exact gate drops
+    stageEmb("b", Seq((2L, third, leakVec), (3L, good, cleanVec),
+      (4L, other, cleanVec)))
+    runGated()
+    val landed = spark.read.parquet(out)
+    val ids = landed.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"cross-batch semantic gating wrong: $ids")
+
+    // the hash index holds admissible content ONLY: d2's text was
+    // dropped semantically, so its hash must be absent
+    val thirdHash = Seq(third).toDF("t")
+      .select(graft.functions.Portable.pmd5(col("t"))).head().getLong(0)
+    val idxHashes = spark.read
+      .parquet(CurateStream.indexDir(out))
+      .select(CurateStream.HashCol).as[Long].collect().toSet
+    assert(!idxHashes.contains(thirdHash),
+      "a semantically dropped row leaked into the hash index")
+
+    // stream == the batch-composed gate matrix: semantic taint over
+    // ALL arrived rows (the batch operator the index read is pinned
+    // bit-identical to), then the batch curation pipeline over the
+    // survivors
+    val all = Seq((0L, good, leakVec), (1L, other, cleanVec),
+      (2L, third, leakVec), (3L, good, cleanVec), (4L, other, cleanVec))
+      .toDF("doc_id", "text", "embedding")
+    val semTaint = Similarity.srpCosineMatchesAcross(evalSuite, all,
+        "doc_id", "embedding", thr, bits, dim, tables)
+      .filter(col("n_matches") > 0)
+      .select(col("eval_id").as("doc_id"))
+    val composed = Curate(
+      all.join(semTaint, Seq("doc_id"), "left_anti"),
+      "text", "doc_id", cfg)
+    assert(landed.select("doc_id").as[Long].collect().toSet ==
+      composed.select("doc_id").as[Long].collect().toSet,
+      "stream-curated output diverged from the batch-composed gates")
+    assert(landed.select("text").as[String].collect().toSet ==
+      composed.select("text").as[String].collect().toSet)
+    spark.catalog.clearCache()
+    spark.sql("DROP TABLE IF EXISTS curate_sem_idx")
+  }
+
   test("batch N>1 dedup reads the hash index, never the corpus files") {
     val (root, out, cp) = mkRoot("curate-idx")
 
