@@ -82,8 +82,10 @@ object CommonPrefixLen {
         "common_prefix_len",
         exprs => CommonPrefixLen(exprs(0), exprs(1)), "scala_udf")
 
-  def apply(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("common_prefix_len", a, b)
-  }
+  /** Session-free Column form — see [[Pmd5Hash60.apply]]; `register`
+    * stays for plain-SQL use. */
+  def apply(spark: SparkSession, a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(CommonPrefixLen(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
 }

@@ -100,8 +100,10 @@ object HilbertIndex32 {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "hilbert32", exprs => HilbertIndex32(exprs(0), exprs(1)), "scala_udf")
 
-  def apply(spark: SparkSession, x: Column, y: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("hilbert32", x, y)
-  }
+  /** Session-free Column form — see [[Pmd5Hash60.apply]]; `register`
+    * stays for plain-SQL use. */
+  def apply(spark: SparkSession, x: Column, y: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(HilbertIndex32(
+      org.apache.spark.sql.GraftSqlBridge.expression(x),
+      org.apache.spark.sql.GraftSqlBridge.expression(y)))
 }

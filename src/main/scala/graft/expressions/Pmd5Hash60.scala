@@ -92,8 +92,13 @@ object Pmd5Hash60 {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "pmd5_60", build, "scala_udf")
 
-  def apply(spark: SparkSession, s: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("pmd5_60", s)
-  }
+  /** Session-free Column form (the CharNgramHashes60/MinhashAll rule):
+    * the expression rides inside the Column itself, so the frame can be
+    * analyzed by ANY session — including a streaming foreachBatch
+    * clone joining a static frame built on the outer session, where
+    * the old temp-function spelling failed to resolve. `register`
+    * stays for plain-SQL use (Engine.attach / GraftExtensions). */
+  def apply(spark: SparkSession, s: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      Pmd5Hash60(org.apache.spark.sql.GraftSqlBridge.expression(s)))
 }

@@ -89,8 +89,9 @@ object SimHash60 {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "simhash60", exprs => SimHash60(exprs.head), "scala_udf")
 
-  def apply(spark: SparkSession, tokenHashes: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("simhash60", tokenHashes)
-  }
+  /** Session-free Column form — see [[Pmd5Hash60.apply]]; `register`
+    * stays for plain-SQL use. */
+  def apply(spark: SparkSession, tokenHashes: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SimHash60(org.apache.spark.sql.GraftSqlBridge.expression(tokenHashes)))
 }

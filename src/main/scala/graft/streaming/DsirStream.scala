@@ -120,6 +120,17 @@ object DsirStream {
       "doc_id", rawCounts(spark, outDir, buckets),
       targetCounts(spark, outDir, buckets), buckets)
 
+  /** [[score]] + the q270 RESAMPLING decision against the standing
+    * model — the arriving-batch data-selection gate closed end to end:
+    * (doc_id, n_feats, weight_bits, wb_norm, keep). Pure per-row
+    * integer arithmetic on top of the score ([[Dsir.resampleKeep]] —
+    * same id -> same draw), so the stream's keep set over any prefix
+    * equals the batch q270 decision against the same counts. */
+  def resample(spark: SparkSession, outDir: String, docs: DataFrame,
+      buckets: Int = Dsir.DefaultBuckets, pivotBits: Int = 0): DataFrame =
+    Dsir.resampleKeep(score(spark, outDir, docs, buckets), "doc_id",
+      pivotBits)
+
   /** Fold both logs' fully-committed prefixes into snapshots; returns
     * total files collected — [[AdditiveLog.compactLog]]. */
   def compactLog(spark: SparkSession, outDir: String,

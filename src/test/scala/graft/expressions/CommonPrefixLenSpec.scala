@@ -36,6 +36,15 @@ class CommonPrefixLenSpec extends SparkSpec {
     }
   }
 
+  test("column built under one session analyzes in a cloned session " +
+      "(no temp-function registry dependence)") {
+    val c = CommonPrefixLen(spark, col("a"), col("b"))
+    val s2 = spark.newSession()
+    val got = s2.createDataFrame(Seq(("banana", "bandana"))).toDF("a", "b")
+      .select(c.as("n")).collect().head.getInt(0)
+    assert(got == 3)
+  }
+
   test("ASCII: prefixes, mismatches, equality, containment") {
     check(Seq(
       ("abcdef", "abcxyz"), ("same", "same"), ("ab", "abab"),

@@ -36,6 +36,20 @@ class Pmd5Spec extends SparkSpec {
     assert(plan.contains("pmd5_60"), s"expected native pmd5_60 in plan:\n$plan")
   }
 
+  test("column built under one session analyzes in a cloned session " +
+      "(no temp-function registry dependence)") {
+    // the round-14 streaming bug: a STATIC frame built on the outer
+    // session joined inside a foreachBatch clone could not resolve
+    // pmd5_60 — the old call_function spelling registered in whichever
+    // session was active at construction. The expression now rides in
+    // the Column (GraftSqlBridge.column), so any session analyzes it.
+    val c = Pmd5Hash60(spark, col("s")) // built with `spark` active
+    val s2 = spark.newSession()         // shares no temp functions
+    val got = s2.createDataFrame(Seq(Tuple1("banana"))).toDF("s")
+      .select(c.as("h")).collect().head.getLong(0)
+    assert(got == Portable.pmd5Local("banana"))
+  }
+
   test("null input yields null, matching the composed form") {
     val df = Seq[Option[String]](Some("x"), None).toDF("s")
       .select(Pmd5Hash60(spark, col("s")).as("n"),

@@ -16,6 +16,18 @@ class SimHash60Spec extends SparkSpec {
     assert(both.filter(col("native") =!= col("composed")).isEmpty)
   }
 
+  test("column built under one session analyzes in a cloned session " +
+      "(no temp-function registry dependence)") {
+    import spark.implicits._
+    val c = SimHash60(spark, col("hs"))
+    val want = Seq(Seq(1L, 1L, 2L)).toDF("hs")
+      .select(c.as("sig")).collect().head.getLong(0)
+    val s2 = spark.newSession()
+    val got = s2.createDataFrame(Seq(Tuple1(Seq(1L, 1L, 2L)))).toDF("hs")
+      .select(c.as("sig")).collect().head.getLong(0)
+    assert(got == want)
+  }
+
   test("interpreted eval path agrees with codegen (edge inputs)") {
     import spark.implicits._
     val df = Seq(

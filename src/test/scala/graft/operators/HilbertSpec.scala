@@ -34,6 +34,19 @@ class HilbertSpec extends SparkSpec {
       .map(_.metrics("numOutputRows").value).sum
   }
 
+  test("column built under one session analyzes in a cloned session " +
+      "(no temp-function registry dependence)") {
+    val c = HilbertIndex32(spark, col("x"), col("y"))
+    val want = {
+      import spark.implicits._
+      Seq((3L, 5L)).toDF("x", "y").select(c.as("h")).collect().head.getLong(0)
+    }
+    val s2 = spark.newSession()
+    val got = s2.createDataFrame(Seq((3L, 5L))).toDF("x", "y")
+      .select(c.as("h")).collect().head.getLong(0)
+    assert(got == want)
+  }
+
   test("order-6 restriction is a bijection with unit steps (continuity)") {
     import spark.implicits._
     val pts = spark.range(4096).select(

@@ -126,6 +126,37 @@ class DsirStreamSpec extends SparkSpec {
     assert(s3(1L)._2 > s3(3L)._2, s"no discrimination: $s3")
   }
 
+  test("resample: the stream's keep decision == the q270 rule applied " +
+      "to the standing model's scores (same id -> same draw)") {
+    val root = Files.createTempDirectory("dsir-resample")
+    Files.createDirectories(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val cp = root.resolve("cp").toString
+    stage(root, "a", docs1)
+    runOnce(root, out, cp)
+
+    val eval = (docs1 ++ docs2).map(r => (r._1, r._2)) // incl. unseen docs
+    val got = DsirStream.resample(spark, out, eval.toDF("doc_id", "text"), B)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    val ref = reference(docs1, eval) // doc -> (n_feats, weight_bits)
+    val u = eval.map(_._1).toDF("doc_id")
+      .select(col("doc_id"), pmod(Portable.pmd5(
+        concat(lit("dsirk:"), col("doc_id").cast("string"))),
+        lit(1L << 30)).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    eval.foreach { case (id, _) =>
+      val (nf, wb) = ref(id)
+      val wbn = Math.floorDiv(wb, nf)
+      val thr =
+        if (wbn >= 0) 1L << 30
+        else if (30 + wbn <= 0) 1L
+        else 1L << (30 + wbn).toInt
+      assert(got(id) == ((wbn, u(id) < thr)),
+        s"doc $id: got ${got(id)}, want ($wbn, ${u(id) < thr})")
+    }
+  }
+
   test("never-seen buckets take the fully smoothed default (a batch " +
       "of novel tokens scores n_feats * flog2(Tr+B, Tt+B))") {
     val root = Files.createTempDirectory("dsir-stream-new")
