@@ -502,6 +502,36 @@ class ExplainAuditSpec extends SparkSpec {
     }
   }
 
+  test("q270 keeps q265's broadcast-weight shape; q271 plans exactly " +
+      "one banding pass for its two LSH gates") {
+    // q270: the resample decision is a pure per-row projection on top
+    // of the scoring join — the weight table still broadcasts and no
+    // shuffle ships a raw payload
+    val p270 = planMap("q270_dsir_resample")
+    assert(p270.exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftOuter
+      case _ => false
+    }, "q270: the weight table must broadcast into the scoring join")
+    assert(shuffles(p270).forall(e =>
+      !e.output.exists(a => PayloadCols(a.name))),
+      "q270: a shuffle ships a raw payload")
+    // q271: the near-dup gate AND the token-decon gate must read ONE
+    // persisted banding frame (the q160 single-pass discipline). Built
+    // in ISOLATION: the registry-wide fixture leaves other queries'
+    // persisted frames registered, and CacheManager substitution can
+    // splice a foreign cached pipeline into this plan tree
+    val mh = withStaticPlans {
+      spark.catalog.clearCache()
+      expandedNodes(planOf("q271_admission_matrix"))
+    }.filter(_.expressions.exists(_.exists {
+        case _: graft.expressions.MinhashAll => true
+        case _ => false
+      }))
+    assert(mh.size == 1,
+      s"q271 must compute minhash signatures exactly once, found " +
+        s"${mh.size}: ${mh.map(_.nodeName).mkString(", ")}")
+  }
+
   test("q263/q269 LMs: every model join is a vocabulary-keyed broadcast " +
       "left join over an AGGREGATED side; nothing sort-merge joins") {
     for ((n, wantJoins) <- Seq("q263_bigram_surprise_heldout" -> 2,
