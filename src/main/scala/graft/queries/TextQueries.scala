@@ -1261,6 +1261,141 @@ object TextQueries {
                  AS n_uni,
                CAST(sum(CASE WHEN lvl = 4 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_oov
-        FROM scored GROUP BY doc_id"""))
+        FROM scored GROUP BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q272_ccnet_buckets",
+      "CCNet-style perplexity bucketing (Wenzek et al. 2020, the " +
+        "public CommonCrawl-curation recipe): per LANGUAGE, documents " +
+        "split into head/middle/tail TERCILES of q262's per-doc LM " +
+        "surprise (milli-bits per bigram under the self-trained " +
+        "Laplace-smoothed bigram model, the same float-free " +
+        "bitlength floor-log2) — head = the least-surprising third, " +
+        "the slice CCNet keeps preferentially. The tercile split " +
+        "NEVER sorts the corpus: per-doc scores aggregate into a " +
+        "(lang, milli_bits) HISTOGRAM whose support is bounded by " +
+        "the score range (thousandths of bits-per-bigram, a few " +
+        "thousand distinct cells), the cumulative count runs as a " +
+        "window over that bounded histogram, boundaries are b1 = " +
+        "min score with cum >= ceil(n/3) and b2 = min score with " +
+        "cum >= ceil(2n/3) (ceil spelled (n+2) div 3 / (2n+2) div 3 " +
+        "— integers, identical in both engines), and the languages-" +
+        "cardinality boundary table BROADCASTS back onto the per-doc " +
+        "frame. Boundary ties take the LOWER bucket (score <= b1 is " +
+        "head), so bucket sizes deviate from n/3 exactly where " +
+        "scores tie — stated, deterministic, and how percentile " +
+        "thresholds behave in the recipe. Docs with fewer than 2 " +
+        "tokens have no bigrams and drop (q262's rule). Output per " +
+        "(lang, bucket): doc count, surviving chars, total " +
+        "milli-bits, and the language's boundaries — the table a " +
+        "mixture owner reads to set the keep fraction. SCALE SHAPE: " +
+        "one bigram explode (persisted — feeds both count tables), " +
+        "vocabulary-keyed scoring joins, one bounded row per doc, " +
+        "a support-bounded histogram window (PARTITIONED by lang, " +
+        "never corpus-wide), and a broadcast boundary join.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .persist()
+        val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+          .agg(countDistinct(col("tok")).as("v"))
+        val perDoc = bg.join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(v)) // one-row frame
+          .select(col("doc_id"),
+            (length(bin(expr("(c1 + v) div (c12 + 1)"))) - 1)
+              .cast(LongType).as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sb"))
+          .select(col("doc_id"), expr("1000 * sb div n_bigrams").as("mbits"))
+          .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+            Seq("doc_id"))
+        val hist = perDoc.groupBy(col("lang"), col("mbits"))
+          .agg(count(lit(1)).as("cnt"))
+        val n = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val cum = hist
+          .withColumn("cum", sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang")).orderBy(col("mbits"))))
+          .join(broadcast(n), Seq("lang"))
+        val bounds = cum.groupBy(col("lang")).agg(
+          min(when(col("cum") >= expr("(n + 2) div 3"), col("mbits")))
+            .as("b1"),
+          min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("mbits")))
+            .as("b2"))
+        perDoc.join(broadcast(bounds), Seq("lang"))
+          .withColumn("bucket",
+            when(col("mbits") <= col("b1"), "head")
+              .when(col("mbits") <= col("b2"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("mbits")).as("sum_milli_bits"),
+            min(col("b1")).as("b1"), min(col("b2")).as("b2"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bg AS (
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        c12 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bg GROUP BY 1, 2),
+        c1 AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        v AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)),
+        perdoc AS (
+          SELECT s.doc_id,
+                 CAST(1000 * sum(bits) AS BIGINT) // count(*) AS mbits,
+                 any_value(d.lang) AS lang,
+                 any_value(d.n_chars) AS n_chars
+          FROM (SELECT bg.doc_id,
+                       CAST(length(printf('%b',
+                         (c1.c1 + v.v) // (c12.c12 + 1))) - 1 AS BIGINT)
+                         AS bits
+                FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v) s
+          JOIN documents d ON d.doc_id = s.doc_id
+          GROUP BY s.doc_id),
+        hist AS (
+          SELECT lang, mbits, CAST(count(*) AS BIGINT) AS cnt
+          FROM perdoc GROUP BY 1, 2),
+        n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM perdoc GROUP BY 1),
+        cum AS (
+          SELECT hist.lang, mbits,
+                 sum(cnt) OVER (PARTITION BY hist.lang ORDER BY mbits)
+                   AS cum, n
+          FROM hist JOIN n USING (lang)),
+        bounds AS (
+          SELECT lang,
+                 min(CASE WHEN cum >= (n + 2) // 3 THEN mbits END) AS b1,
+                 min(CASE WHEN cum >= (2 * n + 2) // 3 THEN mbits END)
+                   AS b2
+          FROM cum GROUP BY 1)
+        SELECT p.lang,
+               CASE WHEN mbits <= b1 THEN 'head'
+                    WHEN mbits <= b2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(mbits) AS BIGINT) AS sum_milli_bits,
+               CAST(min(b1) AS BIGINT) AS b1, CAST(min(b2) AS BIGINT) AS b2
+        FROM perdoc p JOIN bounds USING (lang)
+        GROUP BY 1, 2"""))
   )
 }
