@@ -149,6 +149,19 @@ object Dsir {
     * q247 convention: a 30-bit hash uniform, exactly representable). */
   val ResampleUniformBits = 30
 
+  /** DuckDB spelling of the [[resampleKeep]] decision for a wb_norm
+    * fragment and a 30-bit uniform fragment `u` — kept here (not
+    * inline in the oracle) so tools/check_dsir_sql.py can extract and
+    * property-sweep it against an exact reference, the flog2DuckSql
+    * convention. */
+  def resampleKeepDuckSql(wbNorm: String, u: String,
+      pivotBits: Int = 0): String =
+    s"""($u) < CASE WHEN ($wbNorm) >= $pivotBits
+        THEN CAST(1073741824 AS BIGINT)
+        WHEN 30 + ($wbNorm) - $pivotBits <= 0 THEN CAST(1 AS BIGINT)
+        ELSE (CAST(1 AS BIGINT) << (30 + ($wbNorm) - $pivotBits))
+        END"""
+
   /** Deterministic importance RESAMPLING from [[scoreInstances]]
     * output — the step that closes the DSIR loop (the paper's point is
     * the resampled mixture, not the weights): each document's

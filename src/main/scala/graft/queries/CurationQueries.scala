@@ -1279,13 +1279,10 @@ object CurationQueries {
           FROM scored),
         keepd AS (
           SELECT doc_id, wb_norm,
-                 (${Portable.pmd5Sql(
-                   "concat('dsirk:', CAST(doc_id AS VARCHAR))")}
-                    % 1073741824)
-                   < CASE WHEN wb_norm >= 0 THEN CAST(1073741824 AS BIGINT)
-                          WHEN 30 + wb_norm <= 0 THEN CAST(1 AS BIGINT)
-                          ELSE (CAST(1 AS BIGINT) << (30 + wb_norm))
-                          END AS keep
+                 ${graft.operators.Dsir.resampleKeepDuckSql("wb_norm",
+                   Portable.pmd5Sql(
+                     "concat('dsirk:', CAST(doc_id AS VARCHAR))") +
+                     " % 1073741824")} AS keep
           FROM dec)
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,

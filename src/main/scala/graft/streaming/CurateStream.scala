@@ -82,7 +82,17 @@ object CurateStream {
     * and the index never shuffle, and the decision is deterministic
     * (replay re-derives the same drops, the [[nearDupTainted]] rule).
     * (bits, dim, tables) must equal the index's build parameters —
-    * [[Similarity.requireSrpParams]] fails fast on a mismatch. */
+    * [[Similarity.requireSrpParams]] fails fast on a mismatch.
+    *
+    * OPERATIONAL: refresh the suite (appendSrpIndex) only while the
+    * stream is STOPPED — the maintenance-window convention every index
+    * here follows. Appending between a crash and its epoch replay
+    * changes the admissible set mid-epoch, and a row the failed
+    * attempt landed could then be re-judged inadmissible: it stays in
+    * the sink (the replay guard keeps it out of `fresh`) but never
+    * enters the hash index, so an identical later arrival would land a
+    * duplicate. With the index fixed across an epoch's attempts the
+    * gate is deterministic and every catch-up repairs exactly. */
   final case class SemanticGate(assignTable: String, vecCol: String,
       threshold: Double, bits: Int, dim: Int, tables: Int,
       broadcastProbes: Boolean = true)
