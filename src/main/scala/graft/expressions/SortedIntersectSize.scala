@@ -92,8 +92,10 @@ object SortedIntersectSize {
         "sorted_intersect_size",
         exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
 
-  def apply(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("sorted_intersect_size", a, b)
-  }
+  /** Session-free Column form — see [[Pmd5Hash60.apply]]; `register`
+    * stays for plain-SQL use (and the RewriteSortedIntersect rule). */
+  def apply(spark: SparkSession, a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(SortedIntersectSize(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
 }

@@ -103,13 +103,10 @@ case class SrpBuckets(child: Expression, bits: Int, tables: Int, dim: Int)
 }
 
 object SrpBuckets {
-  def apply(spark: SparkSession, vecD: Column, bits: Int, tables: Int, dim: Int): Column = {
-    val name = s"srp_buckets_${bits}_${tables}_$dim"
-    // register once per session (re-registering logs a WARN per query)
-    if (!spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => SrpBuckets(exprs.head, bits, tables, dim), "scala_udf")
-    org.apache.spark.sql.functions.call_function(name, vecD)
-  }
+  /** Session-free Column form (the Pmd5Hash60 rule): the expression
+    * rides inside the Column, so any session — including a streaming
+    * foreachBatch clone — can analyze the frame. */
+  def apply(spark: SparkSession, vecD: Column, bits: Int, tables: Int, dim: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(SrpBuckets(
+      org.apache.spark.sql.GraftSqlBridge.expression(vecD), bits, tables, dim))
 }

@@ -134,7 +134,14 @@ object Dsir {
     * non-negative operands only — where Spark's `div` and DuckDB's
     * `//` agree (they disagree on negative operands: `div` truncates
     * toward zero, `//` floors), so both engines state the identical
-    * fragment. */
+    * fragment.
+    *
+    * Validity bound: `-(a) + b - 1` must not overflow BIGINT, i.e.
+    * a > Long.MinValue + b (Spark non-ANSI would wrap SILENTLY to a
+    * sign-flipped quotient; DuckDB raises). Every caller here is ~12
+    * orders of magnitude inside it — [[resampleKeep]]'s numerator is
+    * weight_bits, |weight_bits| <= 62 * n_feats — but a reuse on
+    * near-Long.MinValue inputs must restate the division. */
   def floorDivSql(a: String, b: String): String =
     s"""CASE WHEN ($a) >= 0 THEN ($a) div ($b)
         ELSE -((-($a) + ($b) - 1) div ($b)) END"""
@@ -153,13 +160,17 @@ object Dsir {
     * fragment and a 30-bit uniform fragment `u` — kept here (not
     * inline in the oracle) so tools/check_dsir_sql.py can extract and
     * property-sweep it against an exact reference, the flog2DuckSql
-    * convention. */
+    * convention. Every constant DERIVES from [[ResampleUniformBits]]
+    * (the sweep reads that constant from this file too), so the two
+    * engine spellings cannot drift if the uniform width ever moves. */
   def resampleKeepDuckSql(wbNorm: String, u: String,
       pivotBits: Int = 0): String =
     s"""($u) < CASE WHEN ($wbNorm) >= $pivotBits
-        THEN CAST(1073741824 AS BIGINT)
-        WHEN 30 + ($wbNorm) - $pivotBits <= 0 THEN CAST(1 AS BIGINT)
-        ELSE (CAST(1 AS BIGINT) << (30 + ($wbNorm) - $pivotBits))
+        THEN CAST(${1L << ResampleUniformBits} AS BIGINT)
+        WHEN $ResampleUniformBits + ($wbNorm) - $pivotBits <= 0
+        THEN CAST(1 AS BIGINT)
+        ELSE (CAST(1 AS BIGINT)
+          << ($ResampleUniformBits + ($wbNorm) - $pivotBits))
         END"""
 
   /** Deterministic importance RESAMPLING from [[scoreInstances]]

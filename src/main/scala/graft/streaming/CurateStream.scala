@@ -225,30 +225,40 @@ object CurateStream {
       val spark = batch.sparkSession
       val idxDir = indexDir(outDir)
       ensureMigrated(spark, outDir, idxDir)
-      val curated0 = Curate(batch.toDF(), textCol, idCol, cfg, evalDocs)
-        .withColumn(HashCol, Portable.pmd5(col(textCol)))
-        .withColumn(HashCol2, Portable.pmd5Salted(1, col(textCol)))
-
-      // opt-in SEMANTIC decon gate: score the batch against the
+      // opt-in SEMANTIC decon gate: score the RAW batch against the
       // standing eval-suite SRP index and drop every row with a match
-      // BEFORE any index sees it — contaminated content must neither
-      // land nor enter the hash/sketch indexes (a leak must not become
-      // the landed doc a later paraphrase deduplicates against).
-      // Gating the full curated frame (not the exact-gate survivors)
-      // keeps the crash-repair property of every index catch-up below:
-      // the gate is deterministic, so a replay recomputes the same
-      // admissible set and repairs whichever append died.
-      val curated = semanticGate match {
+      // BEFORE the curation pipeline and before any index sees it —
+      // contaminated content must neither land nor enter the
+      // hash/sketch indexes (a leak must not become the landed doc a
+      // later paraphrase deduplicates against). Gating ahead of Curate
+      // matters for correctness, not just hygiene: Curate's exact/
+      // near-dup stages pick ONE representative per duplicate group,
+      // and a tainted representative would silently take its
+      // admissible duplicates down with it — gate first and the group
+      // re-resolves to an admissible survivor, matching the
+      // batch-composed reference the spec pins. The gate is
+      // deterministic, so a crash replay recomputes the same
+      // admissible set and every index catch-up below repairs exactly.
+      val admitted = semanticGate match {
         case Some(g) =>
+          val raw = batch.toDF()
           val tainted = Similarity.srpIndexMatchesAcross(spark,
-              g.assignTable, curated0.select(col(idCol), col(g.vecCol)),
+              g.assignTable, raw.select(col(idCol), col(g.vecCol)),
               idCol, g.vecCol, g.threshold, g.bits, g.dim, g.tables,
               g.broadcastProbes)
             .filter(col("n_matches") > 0)
             .select(col("eval_id").as(idCol))
-          curated0.join(tainted, Seq(idCol), "left_anti")
-        case None => curated0
+          raw.join(tainted, Seq(idCol), "left_anti")
+        case None => batch.toDF()
       }
+      // persisted: the curated frame feeds the landing write, the
+      // hash-index catch-up and (opt-in) the sketch signing — without
+      // it the whole Curate pipeline plus the semantic probe join
+      // re-executes per consumer. Freed by the per-batch clearCache.
+      val curated = Curate(admitted, textCol, idCol, cfg, evalDocs)
+        .withColumn(HashCol, Portable.pmd5(col(textCol)))
+        .withColumn(HashCol2, Portable.pmd5Salted(1, col(textCol)))
+        .persist()
 
       val hashSchema = s"$HashCol BIGINT, $HashCol2 BIGINT, $BatchCol BIGINT"
       val idxHashes =

@@ -23,6 +23,16 @@ class SortedIntersectSizeSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("column built under one session analyzes in a cloned session " +
+      "(no temp-function registry dependence)") {
+    val c = SortedIntersectSize(spark, col("a"), col("b"))
+    val s2 = spark.newSession()
+    val got = s2.createDataFrame(
+        Seq((Seq(1L, 3L, 5L), Seq(3L, 4L, 5L)))).toDF("a", "b")
+      .select(c.as("n")).collect().head.getInt(0)
+    assert(got == 2)
+  }
+
   test("edges: empty, disjoint, identical, subset") {
     val df = Seq(
       (Seq.empty[Long], Seq(1L, 2L)),

@@ -152,12 +152,27 @@ class CurateStreamSpec extends SparkSpec {
     assert(!idxHashes.contains(thirdHash),
       "a semantically dropped row leaked into the hash index")
 
+    // batch 3: an in-batch EXACT-DUP pair whose min-id REPRESENTATIVE
+    // is the tainted row — the gate must run before the curation
+    // pipeline picks representatives, or d5 (tainted, min id) would
+    // silently take its admissible duplicate d6 down with it
+    val fourth = "an entirely separate report counting how many curated " +
+      "documents survive each gate of the admission pipeline every day"
+    stageEmb("c", Seq((5L, fourth, leakVec), (6L, fourth, cleanVec)))
+    runGated()
+    val afterC = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(afterC == Set(1L, 3L, 6L),
+      s"a tainted representative must not drop its admissible " +
+        s"duplicate: $afterC")
+
     // stream == the batch-composed gate matrix: semantic taint over
     // ALL arrived rows (the batch operator the index read is pinned
     // bit-identical to), then the batch curation pipeline over the
     // survivors
     val all = Seq((0L, good, leakVec), (1L, other, cleanVec),
-      (2L, third, leakVec), (3L, good, cleanVec), (4L, other, cleanVec))
+      (2L, third, leakVec), (3L, good, cleanVec), (4L, other, cleanVec),
+      (5L, fourth, leakVec), (6L, fourth, cleanVec))
       .toDF("doc_id", "text", "embedding")
     val semTaint = Similarity.srpCosineMatchesAcross(evalSuite, all,
         "doc_id", "embedding", thr, bits, dim, tables)
@@ -166,10 +181,12 @@ class CurateStreamSpec extends SparkSpec {
     val composed = Curate(
       all.join(semTaint, Seq("doc_id"), "left_anti"),
       "text", "doc_id", cfg)
-    assert(landed.select("doc_id").as[Long].collect().toSet ==
+    // fresh read: the earlier `landed` frame listed files before batch 3
+    val landedAll = spark.read.parquet(out)
+    assert(landedAll.select("doc_id").as[Long].collect().toSet ==
       composed.select("doc_id").as[Long].collect().toSet,
       "stream-curated output diverged from the batch-composed gates")
-    assert(landed.select("text").as[String].collect().toSet ==
+    assert(landedAll.select("text").as[String].collect().toSet ==
       composed.select("text").as[String].collect().toSet)
     spark.catalog.clearCache()
     spark.sql("DROP TABLE IF EXISTS curate_sem_idx")
