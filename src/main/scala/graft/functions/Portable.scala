@@ -26,14 +26,13 @@ object Portable {
     * composed form remains as the session-free fallback and as the
     * executable definition the DuckDB oracles mirror.
     *
-    * Session coupling: the native function registers in the ACTIVE
-    * session's registry, so a Column built under session A and
-    * analyzed by an unrelated session B resolves only if B also has
-    * the function — true automatically for sessions built with
-    * `spark.sql.extensions=graft.GraftExtensions` (including
-    * `newSession()` clones) or via `Engine.register`; a bare local
-    * multi-session app should register `Pmd5Hash60.register(b)` or
-    * use [[pmd5Composed]]. */
+    * Session-free (round 14): the expression rides INSIDE the Column
+    * (GraftSqlBridge.column), so a Column built under one session
+    * analyzes under any other — streaming foreachBatch clones,
+    * newSession() clones, thread-local sessions — with no registry
+    * coupling (Pmd5Spec pins it). The active-session match below only
+    * chooses native-vs-composed; when no session is active the
+    * composed form produces the identical value. */
   def pmd5(c: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) => graft.expressions.Pmd5Hash60(s, c)

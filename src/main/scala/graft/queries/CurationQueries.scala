@@ -1299,14 +1299,20 @@ object CurationQueries {
       "q271_admission_matrix",
       "The COMPOSED admission gate matrix — the four independent " +
         "deployment gates of the curation stack scored side by side " +
-        "for every training document (doc_id >= 100), the batch twin " +
-        "of CurateStream's ingest path (exact hash gate + LSH " +
+        "for every training document (doc_id >= 100), CurateStream's " +
+        "gate FAMILY as one batch table (exact hash gate + LSH " +
         "near-dup gate + token decon + the round-13 SEMANTIC decon " +
-        "gate, now one pipeline): (1) exact-dup taint = same content " +
+        "gate): (1) exact-dup taint = same content " +
         "hash as an EARLIER doc (arrival order = doc_id order, the " +
         "landed-corpus-first rule the stream enforces); (2) near-dup " +
         "taint = a verified LSH pair (q28's banding + exact Jaccard " +
-        "at the q160 threshold) with an earlier doc; (3) token decon " +
+        "at the q160 threshold) with an earlier doc — the PAIR-BASED " +
+        "batch rule, deliberately STRICTER than sequenced ingest on " +
+        "near-dup CHAINS (200~201~202 with 200!~202: ingest lands " +
+        "202 because tainted 201 never landed to compare against; " +
+        "this matrix taints every later pair member, so its " +
+        "n_admitted lower-bounds the stream's landed count — the " +
+        "conservative reading a release audit wants); (3) token decon " +
         "taint = cross-set LSH candidate vs the eval suite verified " +
         "at the same Jaccard (q58/q160 stage-4 rule); (4) semantic " +
         "decon taint = embedding cosine >= the q267 threshold " +

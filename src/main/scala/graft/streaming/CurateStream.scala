@@ -84,6 +84,13 @@ object CurateStream {
     * (bits, dim, tables) must equal the index's build parameters —
     * [[Similarity.requireSrpParams]] fails fast on a mismatch.
     *
+    * Rows whose vector is null, zero-norm or NaN-poisoned are
+    * UNSCOREABLE: they can never match any index entry, so the gate
+    * drops them fail-closed (never admitted, never indexed) and
+    * reports the count through the ObservedWarn channel — a decon
+    * gate that silently waived itself for malformed rows would be the
+    * worst failure mode.
+    *
     * OPERATIONAL: refresh the suite (appendSrpIndex) only while the
     * stream is STOPPED — the maintenance-window convention every index
     * here follows. Appending between a crash and its epoch replay
@@ -241,14 +248,30 @@ object CurateStream {
       // admissible set and every index catch-up below repairs exactly.
       val admitted = semanticGate match {
         case Some(g) =>
-          val raw = batch.toDF()
+          // fail CLOSED on unscoreable vectors: a null or zero-norm
+          // (or NaN-poisoned) embedding can never match any index
+          // entry, so letting it through would silently waive the gate
+          // for exactly the rows most likely to be malformed. They are
+          // dropped AND counted (the no-silent-caps rule, via the lazy
+          // ObservedWarn metric the landing action reports).
+          val sumSq = aggregate(col(g.vecCol), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))
+          val unscoreable =
+            col(g.vecCol).isNull || sumSq === 0.0 || isnan(sumSq)
+          val raw = graft.operators.ObservedWarn(batch.toDF(),
+            "curate_semantic_unscoreable",
+            sum(when(unscoreable, 1L).otherwise(0L)),
+            n => s"semantic gate: $n row(s) with a null/zero-norm/NaN " +
+              s"'${g.vecCol}' vector dropped fail-closed — unscoreable " +
+              "rows cannot be decontaminated and are never admitted")
+          val scoreable = raw.filter(!unscoreable)
           val tainted = Similarity.srpIndexMatchesAcross(spark,
-              g.assignTable, raw.select(col(idCol), col(g.vecCol)),
+              g.assignTable, scoreable.select(col(idCol), col(g.vecCol)),
               idCol, g.vecCol, g.threshold, g.bits, g.dim, g.tables,
               g.broadcastProbes)
             .filter(col("n_matches") > 0)
             .select(col("eval_id").as(idCol))
-          raw.join(tainted, Seq(idCol), "left_anti")
+          scoreable.join(tainted, Seq(idCol), "left_anti")
         case None => batch.toDF()
       }
       // persisted: the curated frame feeds the landing write, the

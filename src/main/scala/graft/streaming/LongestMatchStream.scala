@@ -26,7 +26,18 @@ import graft.operators.{LongestMatch, SuffixIndex}
   * that [[read]]'s full-row distinct collapses. Eval ids must be
   * UNIQUE across the stream (the eval-suite contract shared with every
   * decon operator): the same id arriving twice in different epochs is
-  * two legitimate rows this protocol cannot tell from a replay.
+  * two legitimate rows this protocol cannot tell from a replay. Eval
+  * ids are LONGs — the engine-wide id convention — enforced at start
+  * (the [[read]] schema states BIGINT; a different id type would write
+  * fine and fail only at read time).
+  *
+  * OPERATIONAL: refresh the corpus snapshot (anything that moves the
+  * [[SuffixIndex]] stamp) only while the stream is STOPPED — the
+  * [[CurateStream.SemanticGate]] maintenance-window rule. A corpus
+  * move between a crashed epoch and its replay would rebuild the index
+  * mid-epoch and re-score that epoch's rows against a DIFFERENT model,
+  * so the replayed rows are no longer byte-identical and the full-row
+  * distinct keeps both versions.
   */
 object LongestMatchStream {
 
@@ -55,7 +66,12 @@ object LongestMatchStream {
       tag: String, corpus: DataFrame, idCol: String, textCol: String,
       outDir: String, checkpointDir: String, cap: Int,
       fanout: Int = 6, root: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(evalDocs.schema(eIdCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"eval id column '$eIdCol' must be LONG (the engine id " +
+        s"convention; read() states BIGINT), got " +
+        s"${evalDocs.schema(eIdCol).dataType.simpleString}")
     evalDocs.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, tag, corpus, idCol,
@@ -64,6 +80,7 @@ object LongestMatchStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** Everything scored so far: one (eIdCol, match_len, witness) row
     * per eval document — replayed epochs collapse under the full-row

@@ -188,6 +188,35 @@ class CurateStreamSpec extends SparkSpec {
       "stream-curated output diverged from the batch-composed gates")
     assert(landedAll.select("text").as[String].collect().toSet ==
       composed.select("text").as[String].collect().toSet)
+
+    // fail-closed: an UNSCOREABLE vector (null / zero-norm) can never
+    // match the index, so the gate must drop it — never admit it —
+    // and report the count through the ObservedWarn channel
+    graft.operators.ObservedWarn.clearFired("curate_semantic_unscoreable")
+    val fifth = "one more clean and sufficiently long document whose " +
+      "only defect is that its embedding vector never materialized"
+    val sixth = "a final healthy document riding along so the batch " +
+      "lands rows and the observed metric reports the partial drop"
+    // a scoreable row rides along: ObservedWarn's documented AQE
+    // caveat is that an ALL-empty result prunes the metric node —
+    // the warning's purpose is the PARTIAL silent truncation
+    stageEmb("d", Seq((7L, fifth, null),
+      (8L, fifth + " v2", Array.fill(64)(0.0f)),
+      (9L, sixth, cleanVec)))
+    runGated()
+    val afterD = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(afterD == Set(1L, 3L, 6L, 9L),
+      s"unscoreable rows must be dropped fail-closed: $afterD")
+    val fifthHash = Seq(fifth).toDF("t")
+      .select(graft.functions.Portable.pmd5(col("t"))).head().getLong(0)
+    assert(!spark.read.parquet(CurateStream.indexDir(out))
+      .select(CurateStream.HashCol).as[Long].collect().toSet
+      .contains(fifthHash),
+      "an unscoreable row leaked into the hash index")
+    assert(graft.operators.ObservedWarn
+      .lastFired("curate_semantic_unscoreable").contains(2L),
+      "the fail-closed drop must be observed, not silent")
     spark.catalog.clearCache()
     spark.sql("DROP TABLE IF EXISTS curate_sem_idx")
   }
