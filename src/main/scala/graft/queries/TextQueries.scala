@@ -1396,6 +1396,96 @@ object TextQueries {
                CAST(sum(mbits) AS BIGINT) AS sum_milli_bits,
                CAST(min(b1) AS BIGINT) AS b1, CAST(min(b2) AS BIGINT) AS b2
         FROM perdoc p JOIN bounds USING (lang)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q273_gopher_rules",
+      "Gopher-style rule-based quality gate (Rae et al. 2021, " +
+        "Appendix A — the public heuristic-filter recipe that " +
+        "precedes every model-based score): each document checked " +
+        "against four structural rules, every threshold CROSS-" +
+        "MULTIPLIED into pure integer comparisons so no ratio is " +
+        "ever computed — (1) word count in [30, 100000]; (2) mean " +
+        "word length in [4.4, 10] spelled 10*wchars >= 44*nw AND " +
+        "wchars <= 10*nw, with wchars = len(text) - (nw - 1) exact " +
+        "for the single-space-separated corpus; (3) at least 2 stop " +
+        "words from a fixed 8-word list (the Gopher 'stop word' " +
+        "rule); (4) lexical diversity distinct/total >= 40% spelled " +
+        "5*ndist >= 2*nw (the duplicate-content proxy at this " +
+        "corpus's single-line grain — line-level dup rules have no " +
+        "lines to bind on). Thresholds are calibrated so EVERY rule " +
+        "fires on this corpus (no vacuous conjunct). Output per " +
+        "source: doc count, each rule's violation count, the " +
+        "all-rules pass count and pass rate in basis points — the " +
+        "pre-filter audit row that tells a pipeline owner which rule " +
+        "is eating their corpus. SCALE SHAPE: one pure per-row " +
+        "projection over the scan (no joins, no windows; the token " +
+        "split runs once per row and feeds all four rules), then a " +
+        "source-bounded aggregation — the cheapest possible gate " +
+        "shape, which is exactly why recipes run rules first.",
+      (s, dir) => {
+        val stops = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val m = docs.select(col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("nw"),
+          (length(col("text")) - size(split(col("text"), " ")) + 1)
+            .cast(LongType).as("wchars"),
+          size(filter(split(col("text"), " "), x => x.isin(stops: _*)))
+            .cast(LongType).as("stopw"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType)
+            .as("ndist"))
+        val flagged = m.select(col("source"),
+          (col("nw") >= 30 && col("nw") <= 100000).as("r_wc"),
+          (lit(10) * col("wchars") >= lit(44) * col("nw") &&
+            col("wchars") <= lit(10) * col("nw")).as("r_mwl"),
+          (col("stopw") >= 2).as("r_stop"),
+          (lit(5) * col("ndist") >= lit(2) * col("nw")).as("r_div"))
+        flagged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(!col("r_wc"), 1L).otherwise(0L)).as("v_wordcount"),
+            sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("v_meanlen"),
+            sum(when(!col("r_stop"), 1L).otherwise(0L)).as("v_stopword"),
+            sum(when(!col("r_div"), 1L).otherwise(0L)).as("v_diversity"),
+            sum(when(col("r_wc") && col("r_mwl") && col("r_stop") &&
+              col("r_div"), 1L).otherwise(0L)).as("n_pass"))
+          .select(col("source"), col("n_docs"), col("v_wordcount"),
+            col("v_meanlen"), col("v_stopword"), col("v_diversity"),
+            col("n_pass"), expr("n_pass * 10000 div n_docs").as("pass_bp"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                 CAST(len(text) - len(string_split(text, ' ')) + 1
+                   AS BIGINT) AS wchars,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> list_contains(['the','a','of','to','and','in',
+                                       'is','it'], x))) AS BIGINT)
+                   AS stopw,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                   AS BIGINT) AS ndist
+          FROM documents),
+        f AS (
+          SELECT source,
+                 nw >= 30 AND nw <= 100000 AS r_wc,
+                 10 * wchars >= 44 * nw AND wchars <= 10 * nw AS r_mwl,
+                 stopw >= 2 AS r_stop,
+                 5 * ndist >= 2 * nw AS r_div
+          FROM m)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE NOT r_wc) AS BIGINT)
+                 AS v_wordcount,
+               CAST(count(*) FILTER (WHERE NOT r_mwl) AS BIGINT)
+                 AS v_meanlen,
+               CAST(count(*) FILTER (WHERE NOT r_stop) AS BIGINT)
+                 AS v_stopword,
+               CAST(count(*) FILTER (WHERE NOT r_div) AS BIGINT)
+                 AS v_diversity,
+               CAST(count(*) FILTER (WHERE r_wc AND r_mwl AND r_stop
+                 AND r_div) AS BIGINT) AS n_pass,
+               CAST(count(*) FILTER (WHERE r_wc AND r_mwl AND r_stop
+                 AND r_div) AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS pass_bp
+        FROM f GROUP BY 1"""))
   )
 }
