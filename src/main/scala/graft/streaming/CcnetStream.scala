@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming CCNet quality bucketing — q272's recipe at its REAL
+  * deployment shape (the 23rd stream==batch twin): CCNet scores
+  * arriving CommonCrawl documents against a FIXED reference LM
+  * (Wenzek et al. 2020 train on Wikipedia, not on the stream), so the
+  * model here is a FROZEN [[LmStream]] log pair — trained once, then
+  * only read — and each arriving micro-batch is scored
+  * ([[LmStream.score]]'s float-free milli-bits) and appended to a
+  * per-document score log. Bucket boundaries are a READ-time fold:
+  * terciles must see the whole scored population, so [[buckets]]
+  * recomputes them over the merged log's (lang, milli_bits) HISTOGRAM
+  * (support-bounded, the q272 shape) — per-batch work never touches
+  * the boundary computation, and no batch ever rescans earlier text.
+  *
+  * Idempotence is [[LongestMatchStream]]'s protocol verbatim: with
+  * the model frozen, an epoch's score rows are a deterministic
+  * function of (batchId, its rows), so an at-least-once replay
+  * appends byte-identical rows that the read-time full-row distinct
+  * collapses. Doc ids must be UNIQUE across the stream, and the LM
+  * logs must not be appended to while scoring runs (the
+  * [[CurateStream.SemanticGate]] maintenance-window rule — a model
+  * move between a crashed epoch and its replay would re-score that
+  * epoch differently and defeat the collapse).
+  *
+  * Docs with fewer than 2 tokens have no bigrams and drop (q262's
+  * rule, enforced by the score join).
+  */
+object CcnetStream {
+
+  private def resultDdl =
+    "doc_id BIGINT, lang STRING, n_chars BIGINT, mbits BIGINT"
+
+  /** Score one batch against the frozen LM at `lmDir` and append
+    * (doc_id, lang, n_chars, mbits) under the epoch tag — exposed for
+    * crash/replay testing. `batch` carries (doc_id, text, lang,
+    * n_chars). */
+  def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      lmDir: String, outDir: String): Unit = {
+    LmStream.score(spark, lmDir, batch.select("doc_id", "text"))
+      .select(col("doc_id"), col("milli_bits_per_bigram").as("mbits"))
+      .join(batch.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("mbits"),
+        lit(batchId).as("__batch"))
+      .write.mode("append").parquet(outDir)
+  }
+
+  /** Start the maintainer: per arriving micro-batch, score against the
+    * frozen LM and append to the score log. */
+  def start(docs: DataFrame, lmDir: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        applyBatch(b.sparkSession, b.toDF(), id, lmDir, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Everything scored so far — replayed epochs collapse under the
+    * full-row distinct; empty before the first commit. */
+  def scores(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new Path(outDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType.fromDDL(resultDdl))
+    else
+      spark.read.schema(s"$resultDdl, __batch BIGINT").parquet(outDir)
+        .distinct()
+        .drop("__batch")
+  }
+
+  /** q272's per-language tercile bucketing over ANY
+    * (lang, n_chars, mbits) frame — shared by [[buckets]] and the
+    * batch twin so both state one fold: boundaries from a cumulative
+    * window over the support-bounded (lang, mbits) histogram, ceil
+    * spelled (n + 2) div 3, boundary ties to the lower bucket. */
+  def bucketsOf(perDoc: DataFrame): DataFrame = {
+    val hist = perDoc.groupBy(col("lang"), col("mbits"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("mbits"))))
+      .join(broadcast(n), Seq("lang"))
+    val bounds = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") >= expr("(n + 2) div 3"), col("mbits"))).as("b1"),
+      min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("mbits")))
+        .as("b2"))
+    perDoc.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("mbits") <= col("b1"), "head")
+          .when(col("mbits") <= col("b2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("mbits")).as("sum_milli_bits"),
+        min(col("b1")).as("b1"), min(col("b2")).as("b2"))
+  }
+
+  /** The standing head/middle/tail table over everything scored so
+    * far. Boundaries are recomputed per read — terciles are a
+    * whole-population statistic, so this is the one fold that cannot
+    * be incremental; its input is the bounded histogram, not the
+    * corpus. */
+  def buckets(spark: SparkSession, outDir: String): DataFrame =
+    bucketsOf(scores(spark, outDir))
+}
