@@ -1486,6 +1486,128 @@ object TextQueries {
                CAST(count(*) FILTER (WHERE r_wc AND r_mwl AND r_stop
                  AND r_div) AS BIGINT) * 10000
                  // CAST(count(*) AS BIGINT) AS pass_bp
-        FROM f GROUP BY 1"""))
+        FROM f GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q274_ccnet_heldout",
+      "CCNet bucketing at its DEPLOYMENT shape — the oracle for " +
+        "[[graft.streaming.CcnetStream]] (the q263-to-LmStream " +
+        "relationship, restated for the bucketing recipe): the " +
+        "reference LM trains on the TRAINING split (doc_id >= 100) " +
+        "ONLY and stays frozen; the held-out batch (doc_id < 100) is " +
+        "scored with q263's smoothed LEFT-join arithmetic (never-" +
+        "seen bigrams and contexts take the +1/+V Laplace paths) and " +
+        "split head/middle/tail per language by q272's histogram " +
+        "tercile fold — the Spark side routes through CcnetStream." +
+        "bucketsOf, the SAME shared fold the 23rd streaming twin " +
+        "reads with, so the twin's boundary arithmetic itself sits " +
+        "under this DuckDB oracle. SCALE SHAPE: training text " +
+        "explodes once (persisted — feeds c12 AND c1), scoring is " +
+        "vocabulary-keyed left joins + a broadcast V, per-doc rows " +
+        "are bounded, and the tercile fold runs over the support-" +
+        "bounded (lang, milli_bits) histogram with a broadcast " +
+        "boundary join — never a corpus sort, never a training " +
+        "rescan.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        def bigrams(d: org.apache.spark.sql.DataFrame) = d
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val train = docs.filter(col("doc_id") >= 100)
+        // persisted: feeds the c12 AND c1 aggregations (q67 cache
+        // convention; the harness frees it via clearCache)
+        val tbg = bigrams(train).persist()
+        val c12 = tbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = tbg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = train.select(explode(split(col("text"), " ")).as("tok"))
+          .agg(countDistinct(col("tok")).as("v"))
+        val evalDocs = docs.filter(col("doc_id") < 100)
+        val perDoc = bigrams(evalDocs)
+          .join(c12, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(v)) // one-row frame
+          .select(col("doc_id"),
+            (length(bin(expr(
+              "(coalesce(c1, 0L) + v) div (coalesce(c12, 0L) + 1)"))) - 1)
+              .cast(LongType).as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sb"))
+          .select(col("doc_id"), expr("1000 * sb div n_bigrams").as("mbits"))
+          .join(evalDocs.select(col("doc_id"), col("lang"), col("n_chars")),
+            Seq("doc_id"))
+        graft.streaming.CcnetStream.bucketsOf(perDoc)
+      },
+      Some("""
+        WITH ttoks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id >= 100),
+        tbg AS (
+          SELECT ts[i] AS w1, ts[i + 1] AS w2
+          FROM ttoks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        c12 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM tbg GROUP BY 1, 2),
+        c1 AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tbg GROUP BY 1),
+        v AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id >= 100)),
+        etoks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id < 100),
+        ebg AS (
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM etoks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        perdoc AS (
+          SELECT s.doc_id,
+                 CAST(1000 * sum(bits) AS BIGINT) // count(*) AS mbits,
+                 any_value(d.lang) AS lang,
+                 any_value(d.n_chars) AS n_chars
+          FROM (SELECT ebg.doc_id,
+                       CAST(length(printf('%b',
+                         (COALESCE(c1.c1, 0) + v.v)
+                           // (COALESCE(c12.c12, 0) + 1))) - 1 AS BIGINT)
+                         AS bits
+                FROM ebg
+                LEFT JOIN c12 ON ebg.w1 = c12.w1 AND ebg.w2 = c12.w2
+                LEFT JOIN c1 ON ebg.w1 = c1.w1
+                CROSS JOIN v) s
+          JOIN documents d ON d.doc_id = s.doc_id
+          GROUP BY s.doc_id),
+        hist AS (
+          SELECT lang, mbits, CAST(count(*) AS BIGINT) AS cnt
+          FROM perdoc GROUP BY 1, 2),
+        n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM perdoc GROUP BY 1),
+        cum AS (
+          SELECT hist.lang, mbits,
+                 sum(cnt) OVER (PARTITION BY hist.lang ORDER BY mbits)
+                   AS cum, n
+          FROM hist JOIN n USING (lang)),
+        bounds AS (
+          SELECT lang,
+                 min(CASE WHEN cum >= (n + 2) // 3 THEN mbits END) AS b1,
+                 min(CASE WHEN cum >= (2 * n + 2) // 3 THEN mbits END)
+                   AS b2
+          FROM cum GROUP BY 1)
+        SELECT p.lang,
+               CASE WHEN mbits <= b1 THEN 'head'
+                    WHEN mbits <= b2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(mbits) AS BIGINT) AS sum_milli_bits,
+               CAST(min(b1) AS BIGINT) AS b1, CAST(min(b2) AS BIGINT) AS b2
+        FROM perdoc p JOIN bounds USING (lang)
+        GROUP BY 1, 2"""))
   )
 }
