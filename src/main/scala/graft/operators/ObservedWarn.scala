@@ -59,8 +59,16 @@ object ObservedWarn {
   // evictions are silent by design (bounded-ness beats completeness for
   // never-executed plan-only frames) but must be OBSERVABLE: each one
   // logs at debug and bumps a counter the spec asserts on — a deployment
-  // with heavy plan churn can see it is losing armed renderers
+  // with heavy plan churn can see it is losing armed renderers. The
+  // count is ALSO attributed per renderer PREFIX (the stable call-site
+  // name before '#'): a global number says armed warnings are being
+  // lost, the per-prefix split says WHICH operator's — the difference
+  // between "plan churn somewhere" and "the LSH cap warning is blind".
+  // The attribution map is bounded by the number of distinct call-site
+  // prefixes in the process (a static property of the code, not of the
+  // workload), so it cannot itself grow without bound.
   private val evictions = new AtomicLong(0L)
+  private val evictionsByPrefix = new ConcurrentHashMap[String, Long]()
   private val pending: java.util.Map[String, Long => String] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, Long => String](16, 0.75f, false) {
@@ -69,10 +77,15 @@ object ObservedWarn {
           val evict = size() > MaxPending
           if (evict) {
             evictions.incrementAndGet()
+            val cut = e.getKey.lastIndexOf('#')
+            val prefix = if (cut > 0) e.getKey.substring(0, cut) else e.getKey
+            val perKey = evictionsByPrefix.merge(prefix, 1L,
+              (a: Long, b: Long) => a + b)
             log.debug(s"ObservedWarn: renderer '${e.getKey}' evicted at " +
               s"the $MaxPending-entry FIFO cap while still armed — its " +
               "warning (if the frame ever executes with a nonzero count) " +
-              "is lost; heavy plan churn between actions is the usual cause")
+              s"is lost ($perKey eviction(s) for '$prefix' so far); " +
+              "heavy plan churn between actions is the usual cause")
           }
           evict
         }
@@ -120,6 +133,8 @@ object ObservedWarn {
   private[graft] def pendingSize: Int = pending.size()
   private[graft] def registeredCount: Int = registered.size()
   private[graft] def evictionCount: Long = evictions.get()
+  private[graft] def evictionCount(prefix: String): Long =
+    Option(evictionsByPrefix.get(prefix)).getOrElse(0L)
   /** Test hook: insert a renderer without building a DataFrame (the
     * spec drives the FIFO to its cap without 4096 observe plans). */
   private[graft] def putRenderer(name: String, msg: Long => String): Unit =

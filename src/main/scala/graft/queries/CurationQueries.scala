@@ -1282,7 +1282,8 @@ object CurationQueries {
                  ${graft.operators.Dsir.resampleKeepDuckSql("wb_norm",
                    Portable.pmd5Sql(
                      "concat('dsirk:', CAST(doc_id AS VARCHAR))") +
-                     " % 1073741824")} AS keep
+                     s" % ${1L << graft.operators.Dsir.ResampleUniformBits}"
+                   )} AS keep
           FROM dec)
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,

@@ -1405,16 +1405,25 @@ object TextQueries {
         "precedes every model-based score): each document checked " +
         "against four structural rules, every threshold CROSS-" +
         "MULTIPLIED into pure integer comparisons so no ratio is " +
-        "ever computed — (1) word count in [30, 100000]; (2) mean " +
-        "word length in [4.4, 10] spelled 10*wchars >= 44*nw AND " +
-        "wchars <= 10*nw, with wchars = len(text) - (nw - 1) exact " +
-        "for the single-space-separated corpus; (3) at least 2 stop " +
-        "words from a fixed 8-word list (the Gopher 'stop word' " +
-        "rule); (4) lexical diversity distinct/total >= 40% spelled " +
-        "5*ndist >= 2*nw (the duplicate-content proxy at this " +
-        "corpus's single-line grain — line-level dup rules have no " +
-        "lines to bind on). Thresholds are calibrated so EVERY rule " +
-        "fires on this corpus (no vacuous conjunct). Output per " +
+        "ever computed. The rule SHAPES are Appendix A's; three " +
+        "CONSTANTS deliberately deviate from the paper, recalibrated " +
+        "to this synthetic short-document corpus so no conjunct is " +
+        "vacuous: (1) word count in [30, 100000] (paper: [50, " +
+        "100000] — at 50 the lower bound rejects almost everything " +
+        "here); (2) mean word length in [4.4, 10] (paper: [3, 10] — " +
+        "the synthetic vocabulary's mean never drops to 3, so the " +
+        "lower bound is raised until the rule fires) spelled " +
+        "10*wchars >= 44*nw AND wchars <= 10*nw, with wchars = " +
+        "len(text) - (nw - 1) exact for the single-space-separated " +
+        "corpus; (3) at least 2 stop words from an 8-word list — the " +
+        "paper's list is 'the be to of and that have with'; this " +
+        "corpus never inflects 'be/have', so the list swaps in its " +
+        "own highest-frequency function words ('the a of to and in " +
+        "is it'), same cardinality and same >= 2 bar; (4) lexical " +
+        "diversity distinct/total >= 40% spelled 5*ndist >= 2*nw " +
+        "(the duplicate-content proxy at this corpus's single-line " +
+        "grain — the paper's line/paragraph dup rules have no lines " +
+        "to bind on here). Output per " +
         "source: doc count, each rule's violation count, the " +
         "all-rules pass count and pass rate in basis points — the " +
         "pre-filter audit row that tells a pipeline owner which rule " +
@@ -1541,6 +1550,11 @@ object TextQueries {
           .select(col("doc_id"), expr("1000 * sb div n_bigrams").as("mbits"))
           .join(evalDocs.select(col("doc_id"), col("lang"), col("n_chars")),
             Seq("doc_id"))
+          // persisted: bucketsOf consumes perDoc THREE times (histogram,
+          // per-language totals, final bucket join) — without this the
+          // whole eval-side scoring pipeline re-plans per consumer
+          // (ExplainAuditSpec's q274 lock counts the bigram explodes)
+          .persist()
         graft.streaming.CcnetStream.bucketsOf(perDoc)
       },
       Some("""

@@ -256,8 +256,16 @@ object CurateStream {
           // ObservedWarn metric the landing action reports).
           val sumSq = aggregate(col(g.vecCol), lit(0.0),
             (a, x) => a + x.cast("double") * x.cast("double"))
-          val unscoreable =
-            col(g.vecCol).isNull || sumSq === 0.0 || isnan(sumSq)
+          // null-safed ONCE and shared by the count and the filter: a
+          // vector with a NULL ELEMENT makes `aggregate` return NULL,
+          // so the raw predicate evaluates to NULL — the filter would
+          // still drop the row (null is not true) but the counter
+          // would score it 0, a SILENT drop contradicting the
+          // dropped-AND-counted invariant. coalesce(_, true) folds
+          // every unknown into unscoreable = fail closed.
+          val unscoreable = coalesce(
+            col(g.vecCol).isNull || sumSq === 0.0 || isnan(sumSq),
+            lit(true))
           val raw = graft.operators.ObservedWarn(batch.toDF(),
             "curate_semantic_unscoreable",
             sum(when(unscoreable, 1L).otherwise(0L)),

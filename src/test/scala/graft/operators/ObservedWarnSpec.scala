@@ -66,6 +66,31 @@ class ObservedWarnSpec extends SparkSpec {
       "filling past the cap must record evictions, not drop silently")
   }
 
+  test("evictions are ATTRIBUTED per renderer prefix — the deployment " +
+      "can see WHICH operator's warnings are being lost") {
+    // two distinct call-site prefixes flood the FIFO; each must be
+    // charged its own evictions, with counts separating cleanly
+    val baseA = ObservedWarn.evictionCount("ow_spec_attr_a")
+    val baseB = ObservedWarn.evictionCount("ow_spec_attr_b")
+    (1 to 4200).foreach { i =>
+      ObservedWarn.putRenderer(s"ow_spec_attr_a#$i", n => s"a: $n")
+    }
+    // the a-flood saturated the FIFO: the b-flood now evicts on every
+    // insert, and the early evictions it forces are charged to the
+    // still-armed a-renderers ahead of it, not to b
+    (1 to 100).foreach { i =>
+      ObservedWarn.putRenderer(s"ow_spec_attr_b#$i", n => s"b: $n")
+    }
+    val aEvicted = ObservedWarn.evictionCount("ow_spec_attr_a") - baseA
+    assert(aEvicted >= 100L,
+      s"the a-prefix must be charged the FIFO-head evictions its " +
+        s"flood plus the b-flood forced, saw $aEvicted")
+    assert(ObservedWarn.evictionCount("ow_spec_attr_b") == baseB,
+      "b's renderers sit at the FIFO tail — none evicted yet, so " +
+        "none may be charged to b")
+    assert(ObservedWarn.evictionCount("ow_spec_never_inserted") == 0L)
+  }
+
   test("the session registry holds sessions WEAKLY — a dropped cloned " +
       "session becomes collectable") {
     val before = ObservedWarn.registeredCount

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.plans.LeftOuter
-import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, RDDScanExec, RangeExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, GenerateExec, InputAdapter, LocalTableScanExec, ProjectExec, RDDScanExec, RangeExec, SortExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -557,6 +557,132 @@ class ExplainAuditSpec extends SparkSpec {
       assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
         s"$n: model joins must broadcast, never sort-merge")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Round-15 class locks: the round-14 curation-recipe queries pinned
+  // to the scale shapes they were designed with.
+  // ------------------------------------------------------------------
+
+  /** Peel execution wrappers until the first structural node — used to
+    * assert what a Window/Sort ACTUALLY consumes. */
+  @tailrec
+  private def peeled(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => peeled(w.child)
+    case i: InputAdapter => peeled(i.child)
+    case c: ColumnarToRowExec => peeled(c.child)
+    case s: SortExec => peeled(s.child)
+    case e: ShuffleExchangeExec => peeled(e.child)
+    case pr: ProjectExec => peeled(pr.child)
+    case other => other
+  }
+
+  /** The boundary-window lock shared by q272 and q274 (and the
+    * CcnetStream read path, which routes through the same bucketsOf
+    * fold q274 plans): every Window in the plan must consume a
+    * (lang, mbits)-grouped HASH AGGREGATE — the support-bounded
+    * histogram — never per-document (corpus-width) rows. A window
+    * whose sort ingests the corpus is exactly the q67 class of bug
+    * the recipe's never-sorts-the-corpus claim rules out. */
+  private def assertHistogramWindow(name: String, nodes: Seq[SparkPlan]): Unit = {
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"$name must plan the tercile boundary window")
+    windows.foreach { w =>
+      peeled(w.child) match {
+        case a: HashAggregateExec =>
+          val keys = a.groupingExpressions.map(_.name).toSet
+          assert(keys == Set("lang", "mbits"),
+            s"$name: the boundary window must run over the (lang, mbits) " +
+              s"histogram aggregate, found grouping $keys")
+        case other => fail(
+          s"$name: the boundary window consumes ${other.nodeName} — a " +
+            "corpus-width sort, not the support-bounded histogram")
+      }
+    }
+  }
+
+  test("q272 ccnet buckets: tercile boundaries fold over the bounded " +
+      "(lang, mbits) histogram — never a corpus sort — and the corpus " +
+      "explodes into bigrams exactly ONCE") {
+    // isolation: q272 persists its bigram frame; the registry fixture
+    // could splice foreign cached pipelines into the walked tree
+    val nodes = withStaticPlans {
+      spark.catalog.clearCache()
+      expandedNodes(planOf("q272_ccnet_buckets"))
+    }
+    assertHistogramWindow("q272", nodes)
+    val bigramGens = nodes.collect {
+      case g: GenerateExec if g.output.exists(_.name == "b") => g
+    }
+    assert(bigramGens.size == 1,
+      s"q272 must explode the corpus into bigrams exactly once (the " +
+        s"persisted frame feeds both count tables), found " +
+        s"${bigramGens.size}")
+  }
+
+  test("q273 gopher rules: the gate is ONE per-row projection over the " +
+      "scan — no joins, no windows, no explode — and only narrow " +
+      "aggregates shuffle") {
+    val p = planMap("q273_gopher_rules")
+    val structural = p.collect {
+      case j: BroadcastHashJoinExec => j.nodeName
+      case j: SortMergeJoinExec => j.nodeName
+      case j: BroadcastNestedLoopJoinExec => j.nodeName
+      case j: CartesianProductExec => j.nodeName
+      case w: WindowExec => w.nodeName
+      case g: GenerateExec => g.nodeName
+    }
+    assert(structural.isEmpty,
+      s"q273 must stay a pure scan-stage projection, found: " +
+        s"${structural.mkString(", ")}")
+    assert(p.collect { case f: FileSourceScanExec => f }.size == 1,
+      "q273 must read the corpus exactly once")
+    shuffles(p).foreach { e =>
+      assert(!e.output.exists(a => PayloadCols(a.name)) &&
+        e.output.size <= 8,
+        s"q273: the only shuffle is the source-bounded aggregation, " +
+          s"saw ${e.output.map(_.name).mkString("(", ",", ")")}")
+    }
+  }
+
+  test("q274 ccnet heldout: the frozen-LM scoring joins are " +
+      "vocabulary-keyed broadcast LEFT joins over aggregated model " +
+      "tables (q263's class), the training corpus explodes once, and " +
+      "the tercile fold keeps q272's histogram-window shape") {
+    val nodes = withStaticPlans {
+      spark.catalog.clearCache()
+      expandedNodes(planOf("q274_ccnet_heldout"))
+    }
+    val lefts = nodes.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftOuter => j
+    }
+    assert(lefts.size == 2,
+      s"q274: expected 2 vocabulary-keyed broadcast left joins (c12, " +
+        s"c1), got ${lefts.size}")
+    lefts.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      assert(build.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+            _: SortAggregateExec => true
+        case _: InMemoryTableScanExec => true // aggregated + persisted
+        case _ => false
+      }, "q274: a model join broadcasts an un-aggregated side")
+    }
+    assert(nodes.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "q274: model joins must broadcast, never sort-merge")
+    // the TRAINING corpus explodes into bigrams exactly once (the
+    // persisted frame feeds c12 AND c1); the eval split explodes once
+    // more for scoring — two bigram explodes total, never three
+    val bigramGens = nodes.collect {
+      case g: GenerateExec if g.output.exists(_.name == "b") => g
+    }
+    assert(bigramGens.size == 2,
+      s"q274: expected exactly 2 bigram explodes (train persisted + " +
+        s"eval scoring), found ${bigramGens.size}")
+    assertHistogramWindow("q274", nodes)
   }
 
   // -------------------------------------------------------------------

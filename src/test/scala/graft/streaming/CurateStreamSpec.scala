@@ -203,6 +203,19 @@ class CurateStreamSpec extends SparkSpec {
     stageEmb("d", Seq((7L, fifth, null),
       (8L, fifth + " v2", Array.fill(64)(0.0f)),
       (9L, sixth, cleanVec)))
+    // a NaN-poisoning case the typed Seq cannot spell: a vector with a
+    // NULL ELEMENT makes the sum-of-squares aggregate NULL — the
+    // predicate must coalesce to unscoreable (dropped AND counted),
+    // not evaluate to NULL (dropped but counted 0)
+    val nullElem = Seq((10L, fifth + " v3")).toDF("doc_id", "text")
+      .withColumn("embedding", expr("transform(sequence(1, 64), " +
+        "i -> IF(i = 3, CAST(NULL AS FLOAT), CAST(0.1 AS FLOAT)))"))
+    val scratchNE = root.resolve("scratch_ne")
+    nullElem.coalesce(1).write.parquet(scratchNE.toString)
+    Files.move(
+      Files.list(scratchNE).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get,
+      root.resolve("in").resolve("d2.parquet"))
     runGated()
     val afterD = spark.read.parquet(out).select("doc_id").as[Long]
       .collect().toSet
@@ -215,8 +228,9 @@ class CurateStreamSpec extends SparkSpec {
       .contains(fifthHash),
       "an unscoreable row leaked into the hash index")
     assert(graft.operators.ObservedWarn
-      .lastFired("curate_semantic_unscoreable").contains(2L),
-      "the fail-closed drop must be observed, not silent")
+      .lastFired("curate_semantic_unscoreable").contains(3L),
+      "the fail-closed drop must be observed, not silent — the " +
+        "null-element row counts too (coalesced predicate)")
     spark.catalog.clearCache()
     spark.sql("DROP TABLE IF EXISTS curate_sem_idx")
   }
