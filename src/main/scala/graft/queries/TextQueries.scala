@@ -1319,31 +1319,15 @@ object TextQueries {
           .select(col("doc_id"), expr("1000 * sb div n_bigrams").as("mbits"))
           .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
             Seq("doc_id"))
-        val hist = perDoc.groupBy(col("lang"), col("mbits"))
-          .agg(count(lit(1)).as("cnt"))
-        val n = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-        val cum = hist
-          .withColumn("cum", sum(col("cnt")).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("lang")).orderBy(col("mbits"))))
-          .join(broadcast(n), Seq("lang"))
-        val bounds = cum.groupBy(col("lang")).agg(
-          min(when(col("cum") >= expr("(n + 2) div 3"), col("mbits")))
-            .as("b1"),
-          min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("mbits")))
-            .as("b2"))
-        perDoc.join(broadcast(bounds), Seq("lang"))
-          .withColumn("bucket",
-            when(col("mbits") <= col("b1"), "head")
-              .when(col("mbits") <= col("b2"), "middle")
-              .otherwise("tail"))
-          .groupBy(col("lang"), col("bucket"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).as("n_chars"),
-            sum(col("mbits")).as("sum_milli_bits"),
-            min(col("b1")).as("b1"), min(col("b2")).as("b2"))
+          // persisted: the shared fold consumes perDoc three times
+          // (histogram, per-language totals, final bucket join)
+          .persist()
+        // the fold is CcnetStream.bucketsOf — ONE statement of the
+        // tercile recipe shared with q274 and the 23rd streaming twin,
+        // including the enforced [0, 62000] histogram-support guard
+        graft.streaming.CcnetStream.bucketsOf(perDoc)
       },
-      Some("""
+      Some(s"""
         WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         bg AS (
@@ -1372,8 +1356,11 @@ object TextQueries {
           JOIN documents d ON d.doc_id = s.doc_id
           GROUP BY s.doc_id),
         hist AS (
-          SELECT lang, mbits, CAST(count(*) AS BIGINT) AS cnt
-          FROM perdoc GROUP BY 1, 2),
+          SELECT lang,
+                 ${graft.streaming.CcnetStream.guardDuckSql("mbits")}
+                   AS mbits,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM perdoc GROUP BY lang, perdoc.mbits),
         n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
               FROM perdoc GROUP BY 1),
         cum AS (
@@ -1557,7 +1544,7 @@ object TextQueries {
           .persist()
         graft.streaming.CcnetStream.bucketsOf(perDoc)
       },
-      Some("""
+      Some(s"""
         WITH ttoks AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
           WHERE doc_id >= 100),
@@ -1598,8 +1585,11 @@ object TextQueries {
           JOIN documents d ON d.doc_id = s.doc_id
           GROUP BY s.doc_id),
         hist AS (
-          SELECT lang, mbits, CAST(count(*) AS BIGINT) AS cnt
-          FROM perdoc GROUP BY 1, 2),
+          SELECT lang,
+                 ${graft.streaming.CcnetStream.guardDuckSql("mbits")}
+                   AS mbits,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM perdoc GROUP BY lang, perdoc.mbits),
         n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
               FROM perdoc GROUP BY 1),
         cum AS (

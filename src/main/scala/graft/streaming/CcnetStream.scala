@@ -79,23 +79,56 @@ object CcnetStream {
         .drop("__batch")
   }
 
-  /** q272's per-language tercile bucketing over ANY
-    * (lang, n_chars, mbits) frame — shared by [[buckets]] and the
-    * batch twin so both state one fold: boundaries from a cumulative
-    * window over the support-bounded (lang, mbits) histogram, ceil
-    * spelled (n + 2) div 3, boundary ties to the lower bucket. */
-  def bucketsOf(perDoc: DataFrame): DataFrame = {
+  /** Derived histogram-support bound, ENFORCED (not asserted) by
+    * [[boundariesOf]]: a per-bigram surprise is a BIGINT bitlength
+    * minus 1, so 0 <= bits <= 62, and the per-document mean in
+    * milli-bits lies in [0, 62000] — at most 62001 distinct
+    * (lang, mbits) cells per language can exist, which is what makes
+    * the boundary window safe at any corpus size. A cell outside the
+    * range means the support derivation no longer holds (a caller fed
+    * a different score scale), and the fold fails FAST in both
+    * engines rather than silently running a window whose partition
+    * width is no longer bounded. */
+  val MaxMilliBits = 62000L
+
+  /** Both engines' spelling of the support guard over a histogram
+    * cell's `mbits` — the oracle SQL interpolates [[guardDuckSql]] so
+    * the two statements cannot drift. */
+  def guardDuckSql(mbits: String): String =
+    s"""CASE WHEN ($mbits) < 0 OR ($mbits) > $MaxMilliBits
+        THEN CAST(error('ccnet_buckets: milli-bits cell outside the' ||
+          ' [0, $MaxMilliBits] derived histogram-support bound') AS BIGINT)
+        ELSE ($mbits) END"""
+
+  /** The tercile BOUNDARY fold alone: per language, b1/b2 from a
+    * cumulative window over the support-bounded (lang, mbits)
+    * histogram, ceil spelled (n + 2) div 3, boundary ties to the
+    * lower bucket. The support bound is enforced on every histogram
+    * CELL (cheap — the guard runs on the aggregated frame, never the
+    * corpus): see [[MaxMilliBits]]. */
+  def boundariesOf(perDoc: DataFrame): DataFrame = {
     val hist = perDoc.groupBy(col("lang"), col("mbits"))
       .agg(count(lit(1)).as("cnt"))
+      .select(col("lang"),
+        when(col("mbits") < 0 || col("mbits") > MaxMilliBits,
+          raise_error(concat(
+            lit("ccnet_buckets: milli-bits cell "), col("mbits"),
+            lit(s" outside the [0, $MaxMilliBits] derived " +
+              "histogram-support bound"))).cast("bigint"))
+          .otherwise(col("mbits")).as("mbits"),
+        col("cnt"))
     val n = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("lang")).orderBy(col("mbits"))))
       .join(broadcast(n), Seq("lang"))
-    val bounds = cum.groupBy(col("lang")).agg(
+    cum.groupBy(col("lang")).agg(
       min(when(col("cum") >= expr("(n + 2) div 3"), col("mbits"))).as("b1"),
       min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("mbits")))
         .as("b2"))
+  }
+
+  private def withBounds(perDoc: DataFrame, bounds: DataFrame): DataFrame =
     perDoc.join(broadcast(bounds), Seq("lang"))
       .withColumn("bucket",
         when(col("mbits") <= col("b1"), "head")
@@ -106,13 +139,66 @@ object CcnetStream {
         sum(col("n_chars")).as("n_chars"),
         sum(col("mbits")).as("sum_milli_bits"),
         min(col("b1")).as("b1"), min(col("b2")).as("b2"))
+
+  /** q272's per-language tercile bucketing over ANY
+    * (lang, n_chars, mbits) frame — shared by [[buckets]] and the
+    * batch twin so both state one fold: [[boundariesOf]]'s histogram
+    * window, then the broadcast boundary join. */
+  def bucketsOf(perDoc: DataFrame): DataFrame =
+    withBounds(perDoc, boundariesOf(perDoc))
+
+  // ------------------------------------------------------------------
+  // Boundary memo: a read-heavy consumer (dashboards, repeated keep-
+  // fraction lookups) must not re-run the histogram fold per call when
+  // nothing new has committed. Keyed on the score log's FILE LISTING
+  // (names + lengths) rather than the max batch id — strictly stronger:
+  // a replay that completes a partially-written epoch changes the
+  // listing but not the max id, and stale boundaries over the partial
+  // row set would otherwise survive. One directory listing per read
+  // (already paid by the exists() check); the cached value is the
+  // languages-cardinality boundary table, driver-bounded by design.
+  // One entry per out dir — the map is bounded by the number of
+  // distinct score logs the process reads, a deployment constant.
+  // ------------------------------------------------------------------
+  private val boundsSchema = StructType.fromDDL(
+    "lang STRING, b1 BIGINT, b2 BIGINT")
+  private val boundsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Seq[Row])]()
+  private val memoHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def boundsMemoHits: Long = memoHits.get()
+  private[graft] def clearBoundsMemo(): Unit = boundsMemo.clear()
+
+  private def listingKey(spark: SparkSession, outDir: String): Option[Int] = {
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
+      .sorted.mkString("\n").hashCode)
   }
 
   /** The standing head/middle/tail table over everything scored so
-    * far. Boundaries are recomputed per read — terciles are a
-    * whole-population statistic, so this is the one fold that cannot
-    * be incremental; its input is the bounded histogram, not the
-    * corpus. */
-  def buckets(spark: SparkSession, outDir: String): DataFrame =
-    bucketsOf(scores(spark, outDir))
+    * far. Terciles are a whole-population statistic, so the boundary
+    * fold cannot be incremental — but it CAN be memoized: the
+    * boundary table is recomputed only when the log's listing moved
+    * (new batch, or a replay's catch-up files), and otherwise replays
+    * from the memo as a broadcast local relation. The per-document
+    * bucket join always runs against the CURRENT log either way. */
+  def buckets(spark: SparkSession, outDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val perDoc = scores(spark, outDir)
+    listingKey(spark, outDir) match {
+      case None => withBounds(perDoc, boundariesOf(perDoc))
+      case Some(key) =>
+        val rows = Option(boundsMemo.get(outDir)) match {
+          case Some((k, cached)) if k == key =>
+            memoHits.incrementAndGet()
+            cached
+          case _ =>
+            val computed = boundariesOf(perDoc).collect().toSeq
+            boundsMemo.put(outDir, (key, computed))
+            computed
+        }
+        withBounds(perDoc, spark.createDataFrame(rows.asJava, boundsSchema))
+    }
+  }
 }

@@ -94,9 +94,21 @@ class CcnetStreamSpec extends SparkSpec {
       LmStream.score(spark, lm, union.select("doc_id", "text"))
         .select(col("doc_id"), col("milli_bits_per_bigram").as("mbits"))
         .join(union.select("doc_id", "lang", "n_chars"), Seq("doc_id")))
+    CcnetStream.clearBoundsMemo()
+    val hits0 = CcnetStream.boundsMemoHits
     val streamed = CcnetStream.buckets(spark, out)
     assert(key(streamed) == key(batchForm),
       "streamed buckets diverged from the batch fold over the union")
+    assert(CcnetStream.boundsMemoHits == hits0,
+      "the first read after a new batch must recompute boundaries")
+
+    // a second read with no new batches replays the boundary fold
+    // from the memo — and returns the identical table
+    val reread = CcnetStream.buckets(spark, out)
+    assert(CcnetStream.boundsMemoHits == hits0 + 1,
+      "a re-read with an unchanged log must hit the boundary memo")
+    assert(key(reread) == key(streamed),
+      "the memoized boundary path diverged from the computed one")
 
     // the 1-token doc dropped (q262: no bigrams)
     val ids = CcnetStream.scores(spark, out)
@@ -104,12 +116,22 @@ class CcnetStreamSpec extends SparkSpec {
     assert(ids == (batch1 ++ batch2).map(_._1).toSet - 5L,
       s"short doc must drop, others score: $ids")
 
-    // an at-least-once replay of a committed epoch changes nothing
+    // an at-least-once replay of a committed epoch changes nothing —
+    // and because it lands FILES, it must invalidate the memo (the
+    // max batch id alone would not: a replay completing a partial
+    // epoch keeps the id while changing the rows), then recompute to
+    // the same boundaries
     val before = key(streamed)
+    val hitsBeforeReplay = CcnetStream.boundsMemoHits
     CcnetStream.applyBatch(spark,
       batch2.toDF("doc_id", "text", "lang", "n_chars"), 1L, lm, out)
     assert(key(CcnetStream.buckets(spark, out)) == before,
       "a replayed epoch must change nothing")
+    assert(CcnetStream.boundsMemoHits == hitsBeforeReplay,
+      "a replay lands files: the memo must invalidate, not serve stale")
+    CcnetStream.buckets(spark, out).collect()
+    assert(CcnetStream.boundsMemoHits == hitsBeforeReplay + 1,
+      "the post-replay recompute must re-arm the memo")
 
     // non-vacuity: two languages, and the en split actually spreads
     // across head and tail (gibberish scores high bits)
@@ -119,5 +141,35 @@ class CcnetStreamSpec extends SparkSpec {
       .select("bucket").collect().map(_.getString(0)).toSet
     assert(enBuckets.contains("head") && enBuckets.contains("tail"),
       s"fixture vacuous: en buckets = $enBuckets")
+  }
+
+  test("the histogram-support bound is ENFORCED: a milli-bits cell " +
+      "outside the derived [0, 62000] range fails the fold fast " +
+      "instead of running an unbounded window") {
+    // an over-support fixture can only exist via out-of-range scores
+    // (inside the range the support is provably <= 62001 cells/lang):
+    // a caller feeding a different score scale must fail, not widen
+    // the window partition silently
+    val bad = Seq((1L, "en", 10L, CcnetStream.MaxMilliBits + 1),
+      (2L, "en", 12L, 500L)).toDF("doc_id", "lang", "n_chars", "mbits")
+    val ex = intercept[Throwable] {
+      CcnetStream.bucketsOf(bad).collect()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("histogram-support bound"),
+      s"expected the support guard to fire, got: $messages")
+    // negative cells fail the same way
+    val neg = Seq((3L, "en", 10L, -1L))
+      .toDF("doc_id", "lang", "n_chars", "mbits")
+    val ex2 = intercept[Throwable] { CcnetStream.bucketsOf(neg).collect() }
+    assert(Iterator.iterate(ex2)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      .contains("histogram-support bound"))
+    // in-range cells pass untouched
+    assert(CcnetStream.bucketsOf(
+      Seq((4L, "en", 10L, 0L), (5L, "en", 9L, CcnetStream.MaxMilliBits))
+        .toDF("doc_id", "lang", "n_chars", "mbits")).count() > 0)
   }
 }
