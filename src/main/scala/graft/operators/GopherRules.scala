@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The Gopher-style rule-based quality gate (Rae et al. 2021,
+  * Appendix A — the public heuristic-filter recipe), stated ONCE and
+  * shared by the batch audit query (q273), the composed admission
+  * matrix (q275) and [[graft.streaming.CurateStream]]'s ingest-time
+  * rule gate — the bucketsOf discipline: the deployed gate and its
+  * oracle cannot drift because they are the same code.
+  *
+  * Every threshold is CROSS-MULTIPLIED into pure integer comparisons
+  * so no ratio is ever computed, and each rule has a DuckDB spelling
+  * the oracles interpolate. The rule SHAPES are Appendix A's; three
+  * CONSTANTS deliberately deviate from the paper, recalibrated to the
+  * synthetic short-document corpus so no conjunct is vacuous (q273's
+  * description states each deviation): word count lower bound 30
+  * (paper: 50), mean word length in [4.4, 10] (paper: [3, 10]), and a
+  * corpus-matched stop list (the paper's 'the be to of and that have
+  * with' never inflects here).
+  *
+  * SCALE SHAPE: the four metrics are ONE per-row projection (the
+  * token split runs once per row and feeds all rules) — no join, no
+  * window, no shuffle; the gate is the cheapest stage of any pipeline
+  * it joins, which is exactly why recipes run rules first.
+  */
+object GopherRules {
+
+  val MinWords = 30L
+  val MaxWords = 100000L
+  /** Mean word length bounds, lower stated in tenths (4.4 -> 44). */
+  val MeanLenLoTenths = 44L
+  val MeanLenHi = 10L
+  val Stops: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  val MinStopHits = 2L
+  /** Lexical diversity distinct/total >= 2/5, spelled 5*nd >= 2*nw. */
+  val DiversityNum = 2L
+  val DiversityDen = 5L
+
+  /** The four per-row metrics every rule derives from: word count,
+    * word characters (exact for a single-space-separated text), stop
+    * word hits, distinct words. One token split feeds all four. */
+  def metrics(text: Column): (Column, Column, Column, Column) = {
+    val ts = split(text, " ")
+    (size(ts).cast(LongType),
+      (length(text) - size(ts) + 1).cast(LongType),
+      size(filter(ts, x => x.isin(Stops: _*))).cast(LongType),
+      size(array_distinct(ts)).cast(LongType))
+  }
+
+  /** The four rules over [[metrics]] output columns (named nw, wchars,
+    * stopw, ndist), keyed by the rule's audit name. */
+  def rules(nw: Column, wchars: Column, stopw: Column,
+      ndist: Column): Seq[(String, Column)] = Seq(
+    "r_wc" -> (nw >= MinWords && nw <= MaxWords),
+    "r_mwl" -> (lit(10) * wchars >= lit(MeanLenLoTenths) * nw &&
+      wchars <= lit(MeanLenHi) * nw),
+    "r_stop" -> (stopw >= MinStopHits),
+    "r_div" -> (lit(DiversityDen) * ndist >= lit(DiversityNum) * nw))
+
+  /** All four rules as one admission predicate over the raw text —
+    * NULL-safe (a null text fails closed): the form an ingest gate
+    * filters with. */
+  def passes(text: Column): Column = {
+    val (nw, wchars, stopw, ndist) = metrics(text)
+    coalesce(rules(nw, wchars, stopw, ndist).map(_._2).reduce(_ && _),
+      lit(false))
+  }
+
+  /** DuckDB spelling of [[metrics]] as SELECT-list fragments over a
+    * text column reference. */
+  def metricsDuckSql(text: String): Seq[String] = Seq(
+    s"CAST(len(string_split($text, ' ')) AS BIGINT) AS nw",
+    s"CAST(len($text) - len(string_split($text, ' ')) + 1 AS BIGINT)" +
+      " AS wchars",
+    s"CAST(len(list_filter(string_split($text, ' '), x -> " +
+      s"list_contains([${Stops.map(w => s"'$w'").mkString(",")}], x)))" +
+      " AS BIGINT) AS stopw",
+    s"CAST(len(list_distinct(string_split($text, ' '))) AS BIGINT)" +
+      " AS ndist")
+
+  /** DuckDB spelling of [[rules]] over the [[metricsDuckSql]] aliases,
+    * same keys, same order. */
+  def rulesDuckSql: Seq[(String, String)] = Seq(
+    "r_wc" -> s"nw >= $MinWords AND nw <= $MaxWords",
+    "r_mwl" -> (s"10 * wchars >= $MeanLenLoTenths * nw AND " +
+      s"wchars <= $MeanLenHi * nw"),
+    "r_stop" -> s"stopw >= $MinStopHits",
+    "r_div" -> s"$DiversityDen * ndist >= $DiversityNum * nw")
+}

@@ -1420,22 +1420,17 @@ object TextQueries {
         "source-bounded aggregation — the cheapest possible gate " +
         "shape, which is exactly why recipes run rules first.",
       (s, dir) => {
-        val stops = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+        import graft.operators.GopherRules
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
-        val m = docs.select(col("source"),
-          size(split(col("text"), " ")).cast(LongType).as("nw"),
-          (length(col("text")) - size(split(col("text"), " ")) + 1)
-            .cast(LongType).as("wchars"),
-          size(filter(split(col("text"), " "), x => x.isin(stops: _*)))
-            .cast(LongType).as("stopw"),
-          size(array_distinct(split(col("text"), " "))).cast(LongType)
-            .as("ndist"))
-        val flagged = m.select(col("source"),
-          (col("nw") >= 30 && col("nw") <= 100000).as("r_wc"),
-          (lit(10) * col("wchars") >= lit(44) * col("nw") &&
-            col("wchars") <= lit(10) * col("nw")).as("r_mwl"),
-          (col("stopw") >= 2).as("r_stop"),
-          (lit(5) * col("ndist") >= lit(2) * col("nw")).as("r_div"))
+        // the rule statement is GopherRules — the SAME code the
+        // CurateStream rule gate admits with, so the deployed gate
+        // sits under this query's DuckDB oracle
+        val (nw, wchars, stopw, ndist) = GopherRules.metrics(col("text"))
+        val m = docs.select(col("source"), nw.as("nw"),
+          wchars.as("wchars"), stopw.as("stopw"), ndist.as("ndist"))
+        val flagged = m.select(col("source") +:
+          GopherRules.rules(col("nw"), col("wchars"), col("stopw"),
+            col("ndist")).map { case (name, pred) => pred.as(name) }: _*)
         flagged.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(!col("r_wc"), 1L).otherwise(0L)).as("v_wordcount"),
@@ -1448,25 +1443,17 @@ object TextQueries {
             col("v_meanlen"), col("v_stopword"), col("v_diversity"),
             col("n_pass"), expr("n_pass * 10000 div n_docs").as("pass_bp"))
       },
-      Some("""
+      Some(s"""
         WITH m AS (
           SELECT source,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-                 CAST(len(text) - len(string_split(text, ' ')) + 1
-                   AS BIGINT) AS wchars,
-                 CAST(len(list_filter(string_split(text, ' '),
-                   x -> list_contains(['the','a','of','to','and','in',
-                                       'is','it'], x))) AS BIGINT)
-                   AS stopw,
-                 CAST(len(list_distinct(string_split(text, ' ')))
-                   AS BIGINT) AS ndist
+                 ${graft.operators.GopherRules.metricsDuckSql("text")
+                   .mkString(",\n                 ")}
           FROM documents),
         f AS (
           SELECT source,
-                 nw >= 30 AND nw <= 100000 AS r_wc,
-                 10 * wchars >= 44 * nw AND wchars <= 10 * nw AS r_mwl,
-                 stopw >= 2 AS r_stop,
-                 5 * ndist >= 2 * nw AS r_div
+                 ${graft.operators.GopherRules.rulesDuckSql
+                   .map { case (n, sql) => s"$sql AS $n" }
+                   .mkString(",\n                 ")}
           FROM m)
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(*) FILTER (WHERE NOT r_wc) AS BIGINT)

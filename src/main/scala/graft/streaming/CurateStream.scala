@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.Portable
-import graft.operators.{Curate, Dedup, Similarity}
+import graft.operators.{Curate, Dedup, GopherRules, Similarity}
 
 /** Streaming curation: the batch [[Curate]] pipeline applied per
   * micro-batch via foreachBatch — the production shape of continuous
@@ -103,6 +103,33 @@ object CurateStream {
   final case class SemanticGate(assignTable: String, vecCol: String,
       threshold: Double, bits: Int, dim: Int, tables: Int,
       broadcastProbes: Boolean = true)
+
+  /** Opt-in CCNet-bucket admission gate (Wenzek et al. 2020 deployed:
+    * the q272/q274 recipe as an ingest stage): each arriving row's
+    * text is scored against the FROZEN reference LM at `lmDir`
+    * ([[LmStream.score]]'s float-free milli-bits) and bucketed
+    * head/middle/tail against a FROZEN per-language boundary table
+    * `boundaries` (lang, b1, b2) — computed once from a reference
+    * scored population via [[CcnetStream.boundariesOf]] and fixed for
+    * the release, under the same maintenance-window rule as the LM
+    * and the SRP index (a model or boundary move between a crashed
+    * epoch and its replay would re-judge the epoch and defeat the
+    * exactly-once repair). Rows whose bucket is not in `keep` are
+    * dropped — the recipe's keep-fraction decision.
+    *
+    * Rows the gate CANNOT judge are dropped FAIL-CLOSED and counted
+    * (the [[SemanticGate]] rule): a document with fewer than 2 tokens
+    * has no bigrams to score (q262's rule — batch CCNet drops it
+    * too), and a language absent from the boundary table has no
+    * terciles to bucket against. Both are deterministic, so replays
+    * re-derive the same drops.
+    *
+    * The per-batch cost is the scoring joins (vocabulary-keyed, the
+    * model side aggregates then broadcasts — q263's class) plus a
+    * broadcast of the languages-cardinality boundary table; the
+    * landed corpus is never read. */
+  final case class BucketGate(lmDir: String, boundaries: DataFrame,
+      langCol: String = "lang", keep: Set[String] = Set("head", "middle"))
 
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -211,6 +238,22 @@ object CurateStream {
     *                  standing eval-suite SRP index (see
     *                  [[SemanticGate]]); requires the stream's rows to
     *                  carry the configured vector column.
+    * @param ruleGate opt-in Gopher-style structural rule gate
+    *                  ([[GopherRules.passes]] — the SAME statement
+    *                  q273 oracles): a pure per-row projection, run
+    *                  FIRST because it is the cheapest stage (the
+    *                  recipe's rules-before-models order).
+    * @param bucketGate opt-in CCNet perplexity-bucket gate against a
+    *                  frozen LM + frozen boundary table (see
+    *                  [[BucketGate]]); requires the stream's rows to
+    *                  carry the configured language column.
+    * @note ALL row-dropping gates run BEFORE the curation pipeline
+    *       picks exact/near-dup representatives — a gated min-id
+    *       representative must not silently take its admissible
+    *       duplicates down with it (the semantic-gate invariant,
+    *       spec-pinned); gate order among themselves is cost order
+    *       (rules -> bucket -> semantic), correctness-neutral because
+    *       each is an independent row predicate.
     * @note `cfg.cutRepeatedRuns` applies WITHIN each micro-batch only —
     *       a run duplicated across batches is not cut here (that would
     *       need a persistent gram index); run the batch
@@ -222,16 +265,63 @@ object CurateStream {
       trigger: Trigger = Trigger.AvailableNow(),
       evalDocs: Option[DataFrame] = None,
       nearDupAcrossBatches: Boolean = false,
-      semanticGate: Option[SemanticGate] = None): StreamingQuery = {
+      semanticGate: Option[SemanticGate] = None,
+      ruleGate: Boolean = false,
+      bucketGate: Option[BucketGate] = None): StreamingQuery = {
     semanticGate.foreach { g =>
       require(docs.columns.contains(g.vecCol),
         s"semanticGate requires the stream to carry '${g.vecCol}'; " +
           s"columns: ${docs.columns.mkString(", ")}")
     }
+    bucketGate.foreach { g =>
+      require(docs.columns.contains(g.langCol),
+        s"bucketGate requires the stream to carry '${g.langCol}'; " +
+          s"columns: ${docs.columns.mkString(", ")}")
+      require(g.keep.nonEmpty && g.keep.subsetOf(Set("head", "middle", "tail")),
+        s"bucketGate.keep must name buckets, got ${g.keep}")
+    }
     val step: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       val idxDir = indexDir(outDir)
       ensureMigrated(spark, outDir, idxDir)
+      // opt-in RULE gate first: one per-row integer projection (no
+      // join, no shuffle) — the recipe's rules-before-models order.
+      // Deterministic, so replays re-derive the same admissible set.
+      val afterRules =
+        if (!ruleGate) batch.toDF()
+        else batch.toDF().filter(GopherRules.passes(col(textCol)))
+      // opt-in CCNet BUCKET gate: score against the frozen LM, bucket
+      // against the frozen boundaries, keep only the configured
+      // buckets. Unjudgeable rows (no bigrams / unknown language)
+      // drop fail-closed AND counted.
+      val afterBucket = bucketGate match {
+        case None => afterRules
+        case Some(g) =>
+          val scored = LmStream.score(spark, g.lmDir,
+              afterRules.select(col(idCol).as("doc_id"),
+                col(textCol).as("text")))
+            .select(col("doc_id").as(idCol),
+              col("milli_bits_per_bigram").as("__mbits"))
+          val joined = afterRules
+            .join(scored, Seq(idCol), "left")
+            .join(broadcast(g.boundaries.select(
+                col("lang").as("__blang"), col("b1").as("__b1"),
+                col("b2").as("__b2"))),
+              col(g.langCol) === col("__blang"), "left")
+          val unjudgeable = col("__mbits").isNull || col("__b1").isNull
+          // the SAME tie-to-lower arithmetic as CcnetStream.bucketsOf
+          val bucket = when(col("__mbits") <= col("__b1"), "head")
+            .when(col("__mbits") <= col("__b2"), "middle")
+            .otherwise("tail")
+          graft.operators.ObservedWarn(joined, "curate_bucket_unjudgeable",
+              sum(when(unjudgeable, 1L).otherwise(0L)),
+              n => s"bucket gate: $n row(s) dropped fail-closed — a " +
+                "document with no bigrams cannot be scored and a " +
+                "language absent from the frozen boundary table " +
+                "cannot be bucketed; unjudgeable rows are never admitted")
+            .filter(!unjudgeable && bucket.isin(g.keep.toSeq: _*))
+            .drop("__mbits", "__blang", "__b1", "__b2")
+      }
       // opt-in SEMANTIC decon gate: score the RAW batch against the
       // standing eval-suite SRP index and drop every row with a match
       // BEFORE the curation pipeline and before any index sees it —
@@ -266,7 +356,7 @@ object CurateStream {
           val unscoreable = coalesce(
             col(g.vecCol).isNull || sumSq === 0.0 || isnan(sumSq),
             lit(true))
-          val raw = graft.operators.ObservedWarn(batch.toDF(),
+          val raw = graft.operators.ObservedWarn(afterBucket,
             "curate_semantic_unscoreable",
             sum(when(unscoreable, 1L).otherwise(0L)),
             n => s"semantic gate: $n row(s) with a null/zero-norm/NaN " +
@@ -280,7 +370,7 @@ object CurateStream {
             .filter(col("n_matches") > 0)
             .select(col("eval_id").as(idCol))
           scoreable.join(tainted, Seq(idCol), "left_anti")
-        case None => batch.toDF()
+        case None => afterBucket
       }
       // persisted: the curated frame feeds the landing write, the
       // hash-index catch-up and (opt-in) the sketch signing — without
