@@ -1456,6 +1456,395 @@ object CurationQueries {
                  d.doc_id IN (SELECT doc_id FROM tokt) AS tok,
                  d.doc_id IN (SELECT doc_id FROM semt) AS sem
           FROM documents d WHERE d.doc_id >= 100)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q275_recipe_matrix",
+      "The FULL public-curation-recipe admission matrix — q271's four " +
+        "gates extended with the round-14 recipe's two quality gates, " +
+        "so the entire CurateStream gate family (ruleGate + bucketGate " +
+        "+ exact + near-dup + token decon + semantic decon) is scored " +
+        "side by side for every training document (doc_id >= 100) in " +
+        "ONE oracled batch table: (0) Gopher rule taint = " +
+        "GopherRules.passes fails — the SAME shared statement the " +
+        "stream gate filters with and q273 audits per rule; (1) CCNet " +
+        "bucket taint = tail-bucket or unscorable under a FROZEN " +
+        "reference LM (the eval split doc_id < 100 plays Wikipedia's " +
+        "role, q274's smoothed left-join arithmetic with the splits " +
+        "swapped), terciles per language via the shared " +
+        "CcnetStream.bucketedOf fold (tie-to-lower, enforced support " +
+        "guard); (2) exact-dup taint (earlier doc wins); (3) verified " +
+        "LSH near-dup taint; (4) token decon taint vs the eval suite; " +
+        "(5) semantic decon taint via SRP-LSH (probe side = training, " +
+        "broadcastProbes = false — the offline-batch path). Output per " +
+        "source: each gate's taint count and the all-clean admitted " +
+        "count — the release-audit row a mixture owner signs off, now " +
+        "covering every deployed gate. SCALE SHAPE: the rule gate is " +
+        "a pure projection; the LM side explodes the reference split " +
+        "once (persisted, feeds both count tables) and scores via " +
+        "vocabulary-keyed broadcast left joins; the boundary window " +
+        "runs over the support-bounded histogram and broadcasts back; " +
+        "gates 3+4 share ONE minhash/banding pass and ONE token pass " +
+        "(persisted, the q160/q271 discipline); gate flags join as " +
+        "narrow (doc_id) sets; the final aggregation is " +
+        "source-bounded.",
+      (s, dir) => {
+        import graft.operators.{GopherRules, Similarity}
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val K = DedupQueries.K; val RPB = DedupQueries.RPB
+        val NB = DedupQueries.NB; val JT = DedupQueries.JT
+        val train = docs.filter(col("doc_id") >= 100)
+        // gate 0: Gopher structural rules (shared with CurateStream)
+        val ruleTaint = train.filter(!GopherRules.passes(col("text")))
+          .select("doc_id")
+        // gate 1: CCNet bucket vs the frozen reference LM
+        def bigrams(d: DataFrame) = d
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val ref = docs.filter(col("doc_id") < 100)
+        // persisted: feeds the c12 AND c1 model aggregations
+        val rbg = bigrams(ref).persist()
+        val rc12 = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val rc1 = rbg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val rv = ref.select(explode(split(col("text"), " ")).as("tok"))
+          .agg(countDistinct(col("tok")).as("v"))
+        // persisted: the shared fold consumes perDoc three times
+        val perDoc = bigrams(train)
+          .join(rc12, Seq("w1", "w2"), "left")
+          .join(rc1, Seq("w1"), "left")
+          .crossJoin(broadcast(rv)) // one-row frame
+          .select(col("doc_id"),
+            (length(bin(expr(
+              "(coalesce(c1, 0L) + v) div (coalesce(c12, 0L) + 1)"))) - 1)
+              .cast(LongType).as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sb"))
+          .select(col("doc_id"), expr("1000 * sb div n_bigrams").as("mbits"))
+          .join(train.select(col("doc_id"), col("lang"), col("n_chars")),
+            Seq("doc_id"))
+          .persist()
+        val bucketTaint = train.select(col("doc_id"))
+          .join(graft.streaming.CcnetStream.bucketedOf(perDoc)
+            .select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
+          // unscorable (no bigrams) fails closed, like the stream gate
+          .filter(col("bucket").isNull || col("bucket") === "tail")
+          .select("doc_id")
+        // gate 2: exact content, earlier doc wins
+        val hashed = docs.select(col("doc_id"),
+          Portable.pmd5(col("text")).as("__h"))
+        val dupTaint = hashed
+          .join(hashed.groupBy("__h").agg(min("doc_id").as("__keeper")),
+            "__h")
+          .filter(col("doc_id") =!= col("__keeper")).select("doc_id")
+        // gates 3+4 share ONE banding pass and ONE token pass
+        val banded = Dedup.bandKeys(
+          Dedup.minhashSignature(docs, "text", K, DedupQueries.SHINGLE),
+          K, RPB).persist()
+        val sets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ts")).persist()
+        val ndTaint = Dedup.lshCandidates(banded, "doc_id", NB)
+          .join(sets.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("ts", "ts_a"), "id_a")
+          .join(sets.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("ts", "ts_b"), "id_b")
+          .filter(Dedup.jaccard(col("ts_a"), col("ts_b")) >= JT)
+          .select(col("id_b").as("doc_id")).distinct()
+        val tokTaint = Dedup.lshCandidatesAcross(
+            banded.filter(col("doc_id") >= 100),
+            banded.filter(col("doc_id") < 100), "doc_id", NB)
+          .select(col("id_l").as("train_id"), col("id_r").as("eval_id"))
+          .join(sets.select(col("doc_id").as("train_id"),
+            col("ts").as("ts_t")), "train_id")
+          .join(sets.select(col("doc_id").as("eval_id"),
+            col("ts").as("ts_e")), "eval_id")
+          .filter(Dedup.jaccard(col("ts_t"), col("ts_e")) >= JT)
+          .select(col("train_id").as("doc_id")).distinct()
+        // gate 5: semantic decon, stream-gate direction
+        val e = spread(t(s, dir, "embeddings"), col("vec_id"))
+        val semTaint = Similarity.srpCosineMatchesAcross(
+            e.filter(col("vec_id") < 100), e.filter(col("vec_id") >= 100),
+            "vec_id", "embedding", SimilarityQueries.COS_T,
+            bits = SimilarityQueries.ND_BITS, dim = 64,
+            tables = SimilarityQueries.ND_TABLES, broadcastProbes = false)
+          .filter(col("n_matches") > 0)
+          .select(col("eval_id").as("doc_id"))
+        def flag(df: DataFrame, name: String) =
+          df.distinct().withColumn(name, lit(1L))
+        train.select(col("doc_id"), col("source"))
+          .join(flag(ruleTaint, "__rl"), Seq("doc_id"), "left")
+          .join(flag(bucketTaint, "__bk"), Seq("doc_id"), "left")
+          .join(flag(dupTaint, "__dup"), Seq("doc_id"), "left")
+          .join(flag(ndTaint, "__nd"), Seq("doc_id"), "left")
+          .join(flag(tokTaint, "__tok"), Seq("doc_id"), "left")
+          .join(flag(semTaint, "__sem"), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__rl"), lit(0L))).as("n_rule_fail"),
+            sum(coalesce(col("__bk"), lit(0L))).as("n_tail_bucket"),
+            sum(coalesce(col("__dup"), lit(0L))).as("n_exact_dup"),
+            sum(coalesce(col("__nd"), lit(0L))).as("n_neardup"),
+            sum(coalesce(col("__tok"), lit(0L))).as("n_token_contam"),
+            sum(coalesce(col("__sem"), lit(0L))).as("n_sem_contam"),
+            sum(when(coalesce(col("__rl"), lit(0L)) === 0L &&
+              coalesce(col("__bk"), lit(0L)) === 0L &&
+              coalesce(col("__dup"), lit(0L)) === 0L &&
+              coalesce(col("__nd"), lit(0L)) === 0L &&
+              coalesce(col("__tok"), lit(0L)) === 0L &&
+              coalesce(col("__sem"), lit(0L)) === 0L, 1L).otherwise(0L))
+              .as("n_admitted"))
+      },
+      Some(s"""
+        ${DedupQueries.pairsCte},
+        h AS (SELECT doc_id, ${Portable.pmd5Sql("text")} AS h
+              FROM documents),
+        dupt AS (
+          SELECT h.doc_id FROM h
+          JOIN (SELECT h, min(doc_id) AS keeper FROM h GROUP BY 1) k
+            USING (h)
+          WHERE doc_id <> keeper),
+        ndt AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+        ccand AS (
+          SELECT DISTINCT l.doc_id AS train_id, r.doc_id AS eval_id
+          FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+          WHERE l.doc_id >= 100 AND r.doc_id < 100),
+        tokt AS (
+          SELECT DISTINCT train_id AS doc_id FROM (
+            SELECT train_id,
+                   CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                     / len(list_distinct(a.ts || b.ts)) AS j
+            FROM ccand JOIN sets a ON ccand.train_id = a.doc_id
+                       JOIN sets b ON ccand.eval_id = b.doc_id)
+          WHERE j >= ${DedupQueries.JT}),
+        ${SimilarityQueries.prepCte()},
+        cpv AS (SELECT * FROM prep WHERE vec_id < 100),
+        qpv AS (SELECT * FROM prep WHERE vec_id >= 100),
+        cbk2 AS (
+          ${(0 until SimilarityQueries.ND_TABLES).map(tb =>
+            s"SELECT vec_id, $tb AS t, " +
+              s"${SimilarityQueries.srpSql("v", tb,
+                SimilarityQueries.ND_BITS)} AS bucket FROM cpv")
+            .mkString("\n          UNION ALL ")}),
+        qbk2 AS (
+          ${(0 until SimilarityQueries.ND_TABLES).map(tb =>
+            s"SELECT vec_id, $tb AS t, " +
+              s"${SimilarityQueries.srpSql("v", tb,
+                SimilarityQueries.ND_BITS)} AS bucket FROM qpv")
+            .mkString("\n          UNION ALL ")}),
+        scand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+          FROM qbk2 q JOIN cbk2 c ON q.t = c.t AND q.bucket = c.bucket),
+        semt AS (
+          SELECT DISTINCT qid AS doc_id FROM (
+            SELECT scand.qid,
+                   ${SimilarityQueries.scoreSql("q", "c")} AS score
+            FROM scand JOIN qpv q ON q.vec_id = scand.qid
+                       JOIN cpv c ON c.vec_id = scand.cid)
+          WHERE score >= ${SimilarityQueries.COS_T}),
+        rm AS (
+          SELECT doc_id,
+                 ${graft.operators.GopherRules.metricsDuckSql("text")
+                   .mkString(",\n                 ")}
+          FROM documents WHERE doc_id >= 100),
+        rulet AS (
+          SELECT doc_id FROM rm
+          WHERE NOT (${graft.operators.GopherRules.rulesDuckSql
+            .map(_._2).mkString(" AND ")})),
+        rtoks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id < 100),
+        rbg AS (
+          SELECT ts[i] AS w1, ts[i + 1] AS w2
+          FROM rtoks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        rc12 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM rbg GROUP BY 1, 2),
+        rc1 AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM rbg GROUP BY 1),
+        rv AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 100)),
+        strn AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE doc_id >= 100),
+        sbg AS (
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM strn, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        perdoc AS (
+          SELECT s.doc_id,
+                 CAST(1000 * sum(bits) AS BIGINT) // count(*) AS mbits,
+                 any_value(d.lang) AS lang
+          FROM (SELECT sbg.doc_id,
+                       CAST(length(printf('%b',
+                         (COALESCE(rc1.c1, 0) + rv.v)
+                           // (COALESCE(rc12.c12, 0) + 1))) - 1 AS BIGINT)
+                         AS bits
+                FROM sbg
+                LEFT JOIN rc12 ON sbg.w1 = rc12.w1 AND sbg.w2 = rc12.w2
+                LEFT JOIN rc1 ON sbg.w1 = rc1.w1
+                CROSS JOIN rv) s
+          JOIN documents d ON d.doc_id = s.doc_id
+          GROUP BY s.doc_id),
+        hist AS (
+          SELECT lang,
+                 ${graft.streaming.CcnetStream.guardDuckSql("mbits")}
+                   AS mbits,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM perdoc GROUP BY lang, perdoc.mbits),
+        nlang AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                  FROM perdoc GROUP BY 1),
+        cum AS (
+          SELECT hist.lang, mbits,
+                 sum(cnt) OVER (PARTITION BY hist.lang ORDER BY mbits)
+                   AS cum, n
+          FROM hist JOIN nlang USING (lang)),
+        bounds AS (
+          SELECT lang,
+                 min(CASE WHEN cum >= (n + 2) // 3 THEN mbits END) AS b1,
+                 min(CASE WHEN cum >= (2 * n + 2) // 3 THEN mbits END)
+                   AS b2
+          FROM cum GROUP BY 1),
+        buck AS (
+          SELECT p.doc_id,
+                 CASE WHEN mbits <= b1 THEN 'head'
+                      WHEN mbits <= b2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM perdoc p JOIN bounds USING (lang)),
+        buckt AS (
+          SELECT d.doc_id FROM documents d LEFT JOIN buck USING (doc_id)
+          WHERE d.doc_id >= 100
+            AND (buck.bucket IS NULL OR buck.bucket = 'tail'))
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE rl) AS BIGINT) AS n_rule_fail,
+               CAST(count(*) FILTER (WHERE bkt) AS BIGINT)
+                 AS n_tail_bucket,
+               CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_exact_dup,
+               CAST(count(*) FILTER (WHERE nd) AS BIGINT) AS n_neardup,
+               CAST(count(*) FILTER (WHERE tok) AS BIGINT)
+                 AS n_token_contam,
+               CAST(count(*) FILTER (WHERE sem) AS BIGINT)
+                 AS n_sem_contam,
+               CAST(count(*) FILTER (WHERE NOT rl AND NOT bkt AND NOT dup
+                 AND NOT nd AND NOT tok AND NOT sem) AS BIGINT)
+                 AS n_admitted
+        FROM (
+          SELECT d.doc_id, d.source,
+                 d.doc_id IN (SELECT doc_id FROM rulet) AS rl,
+                 d.doc_id IN (SELECT doc_id FROM buckt) AS bkt,
+                 d.doc_id IN (SELECT doc_id FROM dupt) AS dup,
+                 d.doc_id IN (SELECT doc_id FROM ndt) AS nd,
+                 d.doc_id IN (SELECT doc_id FROM tokt) AS tok,
+                 d.doc_id IN (SELECT doc_id FROM semt) AS sem
+          FROM documents d WHERE d.doc_id >= 100)
+        GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q276_resampled_mixture",
+      "Per-source EPOCH WEIGHTS over the DSIR-resampled corpus — the " +
+        "mixture table the resampling exists to feed (the paper's " +
+        "deliverable is the resampled training mixture, not the " +
+        "weights): q270's keep decision (same scoreSelf + resampleKeep " +
+        "code, same integer arithmetic both engines) selects the kept " +
+        "set, then q121's epoch-multiplier arithmetic prices each " +
+        "source ON THAT SET — share_bp = kept_chars * 10000 div " +
+        "total_kept_chars, and epoch_weight_bp = (total div n_sources) " +
+        "* 10000 div kept_chars, the repeat factor toward a uniform " +
+        "per-source character budget (under-represented-after-" +
+        "resampling sources repeat > 1x). The quotient order keeps " +
+        "every intermediate below total * 10000 — no corpus-scale " +
+        "product of two counts. A source whose documents are all " +
+        "resampled away has no row: nothing to schedule (source-" +
+        "bounded output either way). SCALE SHAPE: q270's scoring " +
+        "shape (broadcast weight table, narrow shuffles) feeds a " +
+        "per-row keep projection, one narrow row per kept doc joins " +
+        "back to (source, n_chars), then a source-bounded aggregation " +
+        "and a 1-row broadcast.",
+      (s, dir) => {
+        import graft.operators.Dsir
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val kept = Dsir.resampleKeep(
+            Dsir.scoreSelf(docs, "doc_id", "text", col("lang") === "en",
+              Dsir.DefaultBuckets), "doc_id")
+          .filter(col("keep"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            Seq("doc_id"))
+        val c = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars"))
+        val tot = c.agg(sum(col("kept_chars")).as("total_chars"),
+          count(lit(1)).as("n_sources"))
+        c.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_kept"), col("kept_chars"),
+            expr("kept_chars * 10000 div total_chars").as("share_bp"),
+            expr("(total_chars div n_sources) * 10000 div kept_chars")
+              .as("epoch_weight_bp"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS ts
+          FROM documents),
+        uni AS (SELECT doc_id, tgt, unnest(ts) AS f FROM toks),
+        bi AS (
+          SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS f
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        feats AS (
+          SELECT doc_id, tgt, ${Portable.pmd5Sql("f")} % 1024 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        cr AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+          FROM feats GROUP BY 1),
+        ct AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+          FROM feats WHERE tgt GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS tr,
+                 CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tt
+          FROM feats),
+        w AS (
+          SELECT bucket,
+                 ${graft.operators.Dsir.flog2DuckSql(
+                   "(coalesce(ct, 0) + 1) * (tr + 1024)",
+                   "(coalesce(cr, 0) + 1) * (tt + 1024)")} AS bits
+          FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot),
+        scored AS (
+          SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(bits) AS BIGINT) AS weight_bits
+          FROM feats f JOIN w USING (bucket) GROUP BY 1),
+        dec AS (
+          SELECT doc_id,
+                 ${graft.operators.Dsir.floorDivDuckSql(
+                   "weight_bits", "n_feats")} AS wb_norm
+          FROM scored),
+        keepd AS (
+          SELECT doc_id, wb_norm,
+                 ${graft.operators.Dsir.resampleKeepDuckSql("wb_norm",
+                   Portable.pmd5Sql(
+                     "concat('dsirk:', CAST(doc_id AS VARCHAR))") +
+                     s" % ${1L << graft.operators.Dsir.ResampleUniformBits}"
+                   )} AS keep
+          FROM dec),
+        kept AS (
+          SELECT k.doc_id, d.source, d.n_chars
+          FROM keepd k JOIN documents d USING (doc_id) WHERE keep),
+        c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(n_chars) AS BIGINT) AS kept_chars
+          FROM kept GROUP BY 1),
+        s AS (SELECT CAST(sum(kept_chars) AS BIGINT) AS total_chars,
+                     CAST(count(*) AS BIGINT) AS n_sources FROM c)
+        SELECT source, n_kept, kept_chars,
+               kept_chars * 10000 // total_chars AS share_bp,
+               (total_chars // n_sources) * 10000 // kept_chars
+                 AS epoch_weight_bp
+        FROM c, s"""))
   )
 }

@@ -128,12 +128,24 @@ object CcnetStream {
         .as("b2"))
   }
 
-  private def withBounds(perDoc: DataFrame, bounds: DataFrame): DataFrame =
+  /** Per-document bucket assignment against a given boundary table —
+    * the ONE statement of the tie-to-lower arithmetic (score <= b1 is
+    * head), shared by the aggregate fold and per-doc consumers (the
+    * q275 admission matrix). Keeps every perDoc column and adds
+    * `bucket`, `b1`, `b2`. */
+  def bucketed(perDoc: DataFrame, bounds: DataFrame): DataFrame =
     perDoc.join(broadcast(bounds), Seq("lang"))
       .withColumn("bucket",
         when(col("mbits") <= col("b1"), "head")
           .when(col("mbits") <= col("b2"), "middle")
           .otherwise("tail"))
+
+  /** [[bucketed]] with boundaries folded from the same population. */
+  def bucketedOf(perDoc: DataFrame): DataFrame =
+    bucketed(perDoc, boundariesOf(perDoc))
+
+  private def withBounds(perDoc: DataFrame, bounds: DataFrame): DataFrame =
+    bucketed(perDoc, bounds)
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
