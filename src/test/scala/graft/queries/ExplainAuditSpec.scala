@@ -685,6 +685,63 @@ class ExplainAuditSpec extends SparkSpec {
     assertHistogramWindow("q274", nodes)
   }
 
+  test("q275 six-gate matrix: ONE minhash pass feeds both LSH gates, " +
+      "two bigram explodes feed the LM gate, the tercile fold keeps " +
+      "the histogram-window class, and nothing sort-merge joins") {
+    val nodes = withStaticPlans {
+      spark.catalog.clearCache()
+      expandedNodes(planOf("q275_recipe_matrix"))
+    }
+    val mh = nodes.filter(_.expressions.exists(_.exists {
+      case _: graft.expressions.MinhashAll => true
+      case _ => false
+    }))
+    assert(mh.size == 1,
+      s"q275 must compute minhash signatures exactly once, found " +
+        s"${mh.size}: ${mh.map(_.nodeName).mkString(", ")}")
+    val bigramGens = nodes.collect {
+      case g: GenerateExec if g.output.exists(_.name == "b") => g
+    }
+    assert(bigramGens.size == 2,
+      s"q275: expected exactly 2 bigram explodes (reference persisted " +
+        s"+ training scoring), found ${bigramGens.size}")
+    assertHistogramWindow("q275", nodes)
+    // the LM model joins broadcast over AGGREGATED sides (q263's
+    // class); the narrow flag joins and the broadcastProbes=false
+    // semantic verify are ALLOWED to sort-merge under static planning
+    // (AQE upgrades the flag joins at runtime; the semantic path is
+    // the documented offline shuffle-merge shape)
+    val modelJoins = nodes.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftOuter &&
+          (j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }).exists {
+            case _: HashAggregateExec | _: ObjectHashAggregateExec |
+                _: SortAggregateExec => true
+            case _ => false
+          } => j
+    }
+    assert(modelJoins.size >= 2,
+      s"q275: the c12/c1 model joins must broadcast aggregated sides, " +
+        s"found ${modelJoins.size}")
+  }
+
+  test("q276 resampled mixture keeps q270's broadcast-weight scoring " +
+      "shape; only narrow key/count columns shuffle") {
+    val p = planMap("q276_resampled_mixture")
+    assert(p.exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftOuter
+      case _ => false
+    }, "q276: the weight table must broadcast into the scoring join")
+    val wide = shuffles(p).filter(e =>
+      e.output.size > 4 || e.output.exists(a => PayloadCols(a.name)))
+    assert(wide.isEmpty,
+      s"q276: a shuffle ships more than narrow key/count columns: " +
+        wide.map(_.output.map(_.name).mkString("(", ",", ")"))
+          .mkString("; "))
+  }
+
   // -------------------------------------------------------------------
   // The q139 lesson (round 7's only red row): a query that ships a
   // DIVISION-PRODUCED double to the gate is engine-exact locally yet
