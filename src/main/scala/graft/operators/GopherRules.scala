@@ -40,6 +40,23 @@ object GopherRules {
   val DiversityNum = 2L
   val DiversityDen = 5L
 
+  // -------- repetition rules (Appendix A's other half, q277) --------
+  // Character-coverage definition, stated: covered = occurrences x
+  // gram STRING length (overlaps counted — exact integers, identical
+  // in both engines; the paper's de-overlapped variant needs an
+  // interval union that buys nothing at these thresholds). Top-n-gram
+  // thresholds are the paper's (0.20/0.18/0.16); the duplicate-gram
+  // rule deviates: the paper binds dup {5..10}-grams, but this
+  // corpus's synthetic docs never repeat a 5-gram internally (probed:
+  // 0/500 at sf0.01), so the rule is recalibrated to n = 3 with a
+  // zero-tolerance threshold (27/500 fire) — a vacuous conjunct
+  // audits nothing.
+  /** Max chars-in-most-common-n-gram as a PERCENT of doc chars. */
+  val TopGramMaxPct: Seq[(Int, Long)] = Seq(2 -> 20L, 3 -> 18L, 4 -> 16L)
+  /** Duplicate-gram size and its max covered percent (0 = none). */
+  val DupGramN = 3
+  val DupGramMaxPct = 0L
+
   /** The four per-row metrics every rule derives from: word count,
     * word characters (exact for a single-space-separated text), stop
     * word hits, distinct words. One token split feeds all four. */

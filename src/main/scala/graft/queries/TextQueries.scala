@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.Column
+
 import graft.functions.{Portable, TextAnalysis => TA}
 import graft.queries.Tables.{spread, t}
 
@@ -1599,6 +1601,141 @@ object TextQueries {
                CAST(sum(mbits) AS BIGINT) AS sum_milli_bits,
                CAST(min(b1) AS BIGINT) AS b1, CAST(min(b2) AS BIGINT) AS b2
         FROM perdoc p JOIN bounds USING (lang)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q277_repetition_rules",
+      "Gopher REPETITION rules (Rae et al. 2021, Appendix A's other " +
+        "half — q273 covers the structural rules, this covers the " +
+        "repeated-content ones): per document, the character fraction " +
+        "covered by the MOST COMMON {2,3,4}-gram must stay under the " +
+        "paper's 20/18/16 percent, and no 3-gram may repeat inside " +
+        "the document at all (the paper binds duplicate {5..10}-grams " +
+        "— this corpus never repeats a 5-gram internally, 0/500 " +
+        "probed, so the dup rule is recalibrated to n=3 at zero " +
+        "tolerance; a vacuous conjunct audits nothing). Coverage is " +
+        "the STATED integer definition occurrences x gram string " +
+        "length (overlaps counted), compared cross-multiplied: " +
+        "covered*100 <= pct*n_chars — no ratio is ever computed. " +
+        "Documents too short to form an n-gram pass that rule " +
+        "vacuously (both engines coalesce the missing flag to pass). " +
+        "Output per source: doc count, per-rule violation counts, " +
+        "all-pass count and rate in basis points. SCALE SHAPE: ONE " +
+        "explode produces every (n, gram) instance for all three " +
+        "sizes in a single corpus pass (an 8-byte gram hash travels, " +
+        "never the gram text); counts are (doc, n, hash)-keyed " +
+        "aggregations; the per-(doc, n) roll-up is bounded rows; " +
+        "flags pivot with conditional aggregation and join back as a " +
+        "narrow per-doc set; the final aggregation is source-bounded.",
+      (s, dir) => {
+        import graft.operators.GopherRules
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val ts = split(col("text"), " ")
+        val gram = (i: Column, n: Column) => {
+          val g = concat_ws(" ", slice(ts, i, n))
+          struct(n.as("n"), Portable.pmd5(g).as("gh"),
+            length(g).cast(LongType).as("gl"))
+        }
+        val ns = array(GopherRules.TopGramMaxPct.map(p => lit(p._1)): _*)
+        val g = docs.select(col("doc_id"), col("n_chars").as("nc"),
+          explode(flatten(transform(sequence(lit(1), size(ts)),
+            i => filter(transform(ns,
+              n => when(i + n - 1 <= size(ts), gram(i, n))),
+              x => x.isNotNull)))).as("g"))
+          .select(col("doc_id"), col("nc"), col("g.n").as("n"),
+            col("g.gh").as("gh"), col("g.gl").as("gl"))
+        val cnt = g.groupBy(col("doc_id"), col("n"), col("gh"))
+          .agg(count(lit(1)).as("cnt"), max(col("gl")).as("gl"),
+            max(col("nc")).as("nc"))
+        val pdn = cnt.groupBy(col("doc_id"), col("n"))
+          .agg(max(col("cnt") * col("gl")).as("topcov"),
+            coalesce(sum(when(col("cnt") > 1, col("cnt") * col("gl"))),
+              lit(0L)).as("dupcov"),
+            max(col("nc")).as("nc"))
+        val topRules = GopherRules.TopGramMaxPct.map { case (n, pct) =>
+          coalesce(max(when(col("n") === n,
+            col("topcov") * 100 <= lit(pct) * col("nc"))), lit(true))
+            .as(s"r_top$n")
+        }
+        val dupRule = coalesce(max(when(col("n") === GopherRules.DupGramN,
+          col("dupcov") * 100 <=
+            lit(GopherRules.DupGramMaxPct) * col("nc"))), lit(true))
+          .as("r_dup3")
+        val flags = pdn.groupBy(col("doc_id"))
+          .agg(topRules.head, (topRules.tail :+ dupRule): _*)
+        docs.select(col("doc_id"), col("source"))
+          .join(flags, Seq("doc_id"), "left")
+          .select(col("source"),
+            coalesce(col("r_top2"), lit(true)).as("r_top2"),
+            coalesce(col("r_top3"), lit(true)).as("r_top3"),
+            coalesce(col("r_top4"), lit(true)).as("r_top4"),
+            coalesce(col("r_dup3"), lit(true)).as("r_dup3"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(!col("r_top2"), 1L).otherwise(0L)).as("v_top2"),
+            sum(when(!col("r_top3"), 1L).otherwise(0L)).as("v_top3"),
+            sum(when(!col("r_top4"), 1L).otherwise(0L)).as("v_top4"),
+            sum(when(!col("r_dup3"), 1L).otherwise(0L)).as("v_dup3"),
+            sum(when(col("r_top2") && col("r_top3") && col("r_top4") &&
+              col("r_dup3"), 1L).otherwise(0L)).as("n_pass"))
+          .select(col("source"), col("n_docs"), col("v_top2"),
+            col("v_top3"), col("v_top4"), col("v_dup3"), col("n_pass"),
+            expr("n_pass * 10000 div n_docs").as("pass_bp"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, n_chars AS nc, string_split(text, ' ') AS ts
+          FROM documents),
+        gr AS (
+          SELECT doc_id, nc, n,
+                 ${Portable.pmd5Sql("g")} AS gh,
+                 CAST(len(g) AS BIGINT) AS gl
+          FROM (
+            SELECT doc_id, nc, nn.n AS n,
+                   list_aggregate(ts[i:i+nn.n-1], 'string_agg', ' ') AS g
+            FROM toks,
+                 unnest(generate_series(1, len(ts))) AS u(i),
+                 (SELECT unnest([${graft.operators.GopherRules.TopGramMaxPct
+                   .map(_._1).mkString(", ")}]) AS n) AS nn
+            WHERE i + nn.n - 1 <= len(ts))),
+        cnt AS (
+          SELECT doc_id, n, gh, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(max(gl) AS BIGINT) AS gl,
+                 CAST(max(nc) AS BIGINT) AS nc
+          FROM gr GROUP BY 1, 2, 3),
+        pdn AS (
+          SELECT doc_id, n, max(cnt * gl) AS topcov,
+                 coalesce(sum(CASE WHEN cnt > 1 THEN cnt * gl END), 0)
+                   AS dupcov,
+                 max(nc) AS nc
+          FROM cnt GROUP BY 1, 2),
+        flags AS (
+          SELECT doc_id,
+                 ${graft.operators.GopherRules.TopGramMaxPct.map { case (n, pct) =>
+                   s"coalesce(max(CASE WHEN n = $n THEN " +
+                     s"topcov * 100 <= $pct * nc END), true) AS r_top$n"
+                 }.mkString(",\n                 ")},
+                 coalesce(max(CASE WHEN n = ${graft.operators.GopherRules.DupGramN}
+                   THEN dupcov * 100 <= ${graft.operators.GopherRules.DupGramMaxPct} * nc
+                   END), true) AS r_dup3
+          FROM pdn GROUP BY 1),
+        fl AS (
+          SELECT d.source,
+                 coalesce(r_top2, true) AS r_top2,
+                 coalesce(r_top3, true) AS r_top3,
+                 coalesce(r_top4, true) AS r_top4,
+                 coalesce(r_dup3, true) AS r_dup3
+          FROM documents d LEFT JOIN flags USING (doc_id))
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE NOT r_top2) AS BIGINT) AS v_top2,
+               CAST(count(*) FILTER (WHERE NOT r_top3) AS BIGINT) AS v_top3,
+               CAST(count(*) FILTER (WHERE NOT r_top4) AS BIGINT) AS v_top4,
+               CAST(count(*) FILTER (WHERE NOT r_dup3) AS BIGINT) AS v_dup3,
+               CAST(count(*) FILTER (WHERE r_top2 AND r_top3 AND r_top4
+                 AND r_dup3) AS BIGINT) AS n_pass,
+               CAST(count(*) FILTER (WHERE r_top2 AND r_top3 AND r_top4
+                 AND r_dup3) AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS pass_bp
+        FROM fl GROUP BY 1"""))
   )
 }

@@ -727,6 +727,18 @@ class ExplainAuditSpec extends SparkSpec {
         s"found ${modelJoins.size}")
   }
 
+  test("q277 repetition rules: ALL gram sizes come from ONE explode " +
+      "(a single corpus pass) and no shuffle ships text") {
+    val p = planMap("q277_repetition_rules")
+    val gens = p.collect { case g: GenerateExec => g }
+    assert(gens.size == 1,
+      s"q277 must produce every (n, gram) instance in one explode, " +
+        s"found ${gens.size}: ${gens.map(_.nodeName).mkString(", ")}")
+    assert(shuffles(p).forall(e =>
+      !e.output.exists(a => PayloadCols(a.name))),
+      "q277: a shuffle ships a raw payload — only gram hashes travel")
+  }
+
   test("q276 resampled mixture keeps q270's broadcast-weight scoring " +
       "shape; only narrow key/count columns shuffle") {
     val p = planMap("q276_resampled_mixture")
