@@ -437,6 +437,59 @@ object Similarity {
         col("cscore"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication" — public paper):
+    * embedding-CLUSTER semantic dedup, the curation step between
+    * pairwise near-dup (q32's SRP family) and nothing — paraphrased
+    * and templated content that token dedup never links collapses to
+    * one representative per semantic neighborhood.
+    *
+    * Mechanics, exactly as deployed: k-means cells over the
+    * embeddings ([[trainIvfCentroids]] — deterministic, oracle-able),
+    * every vector assigned to its nearest cell once, then pairwise
+    * cosine WITHIN each cell only. A vector is DROPPED iff some
+    * same-cell vector with cosine >= `eps` has a strictly better keep
+    * priority, where priority follows the paper's keeper choice —
+    * LOWEST cosine to the cell centroid first (keep the least
+    * prototypical member of a duplicate neighborhood), id ascending
+    * on ties. The dominance rule is a single semi-join decision per
+    * vector (no iterative connected components), deterministic, and
+    * stated identically in the DuckDB oracle.
+    *
+    * SCALE SHAPE: training is the q44 recipe (sampled farthest-point
+    * seeds + Lloyd rounds; at corpus scale train on a sample and
+    * assign once with frozen centroids); assignment is one corpus x k
+    * broadcast pass; the quadratic stage is CONFINED to cells, and
+    * the paper's own recipe keeps cell population bounded by scaling
+    * k with the corpus (n/k members per cell on average) — the
+    * all-pairs corpus join never exists. Returns one row per vector:
+    * (idCol, cell, cscore, drop). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, trainIters: Int, dim: Int, eps: Double,
+      seed: IvfSeed = SeedFarthestRace): DataFrame = {
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCells,
+      trainIters, dim, seed)
+    val asg = nearestCells(prep(corpus, idCol, idCol, vecCol), cents,
+      idCol, 1)
+      .select(col(idCol), col("v"), col("nv"), col("cell"), col("cscore"))
+      // consumed twice (both sides of the within-cell pair join) and
+      // once more for the output join — one train+assign pass total
+      .persist()
+    val other = asg.select(col(idCol).as("__oid"), col("v").as("__ov"),
+      col("nv").as("__on"), col("cell"), col("cscore").as("__ocs"))
+    val dropped = asg.join(other, Seq("cell"))
+      .filter(col(idCol) =!= col("__oid") &&
+        cosineFromPrepped(col("v"), col("nv"), col("__ov"), col("__on"))
+          >= eps &&
+        (col("__ocs") < col("cscore") ||
+          (col("__ocs") === col("cscore") && col("__oid") < col(idCol))))
+      .select(col(idCol)).distinct()
+    asg.select(col(idCol), col("cell"), col("cscore"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .withColumn("drop", coalesce(col("__drop"), lit(false)))
+      .drop("__drop")
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, nProbe: Int, trainIters: Int = 2, dim: Int = 64,

@@ -1196,6 +1196,75 @@ object SimilarityQueries {
           WHERE score >= $COS_T GROUP BY qid)
         SELECT qp.vec_id AS eval_id,
                coalesce(m.n_matches, 0) AS n_matches, m.max_cos
-        FROM qp LEFT JOIN m ON qp.vec_id = m.qid"""))
+        FROM qp LEFT JOIN m ON qp.vec_id = m.qid""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q278_semdedup",
+      "SemDeDup (Abbas et al. 2023, the public embedding-CLUSTER " +
+        "semantic dedup recipe): k-means cells over the embeddings " +
+        s"(q44's deterministic $NCELLS-cell/$TRAIN_ITERS-round " +
+        "training, bit-reproducible in both engines), every vector " +
+        "assigned to its nearest cell once, pairwise cosine WITHIN " +
+        s"each cell only, and a vector drops iff a same-cell vector " +
+        s"at cosine >= $COS_T has strictly better keep priority — " +
+        "the paper's keeper choice: LOWEST cosine to the centroid " +
+        "first (keep the least prototypical member of a duplicate " +
+        "neighborhood), id ascending on ties; a single semi-join " +
+        "dominance decision per vector, no iterative components. " +
+        "This is the curation step pairwise token dedup cannot " +
+        "reach: paraphrases and template instances share no shingles " +
+        "but collapse to one representative per semantic " +
+        "neighborhood. Output per source: vector count, dropped and " +
+        "kept counts, kept bp. SCALE SHAPE: training is the q44 " +
+        "sampled-seed recipe (train on a sample at corpus scale, " +
+        "assign once with frozen centroids); assignment is one " +
+        "corpus x k broadcast pass; the quadratic stage is CONFINED " +
+        "to cells — the paper's own recipe scales k with the corpus " +
+        "so cell population stays bounded, and the all-pairs corpus " +
+        "join never exists; the final aggregation is source-bounded.",
+      (s, dir) => {
+        val e = spread(t(s, dir, "embeddings"), col("vec_id"))
+        val sd = Similarity.semDedup(e, "vec_id", "embedding",
+          NCELLS, TRAIN_ITERS, 64, COS_T)
+        sd.join(t(s, dir, "documents")
+            .select(col("doc_id").as("vec_id"), col("source")),
+            Seq("vec_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(!col("drop"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_vecs"), col("n_dropped"),
+            col("n_kept"),
+            expr("n_kept * 10000 div n_vecs").as("kept_bp"))
+      },
+      Some(s"""
+        WITH ${prepCte()},
+        ${kmeansCtes(TRAIN_ITERS)},
+        casg AS (
+          SELECT vec_id, v, nv, cell, cscore FROM (
+            SELECT p.vec_id, p.v, p.nv, c.cell,
+                   ${foldSql("p.v", "c.cv")} / (p.nv * c.cn) AS cscore,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${foldSql("p.v", "c.cv")} / (p.nv * c.cn)
+                       DESC, c.cell ASC) AS crank
+            FROM prep p, cents$TRAIN_ITERS c)
+          WHERE crank = 1),
+        dropd AS (
+          SELECT DISTINCT a.vec_id
+          FROM casg a JOIN casg b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          WHERE ${foldSql("a.v", "b.v")} / (a.nv * b.nv) >= $COS_T
+            AND (b.cscore < a.cscore
+                 OR (b.cscore = a.cscore AND b.vec_id < a.vec_id)))
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(*) FILTER (WHERE a.vec_id IN
+                 (SELECT vec_id FROM dropd)) AS BIGINT) AS n_dropped,
+               CAST(count(*) FILTER (WHERE a.vec_id NOT IN
+                 (SELECT vec_id FROM dropd)) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE a.vec_id NOT IN
+                 (SELECT vec_id FROM dropd)) AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS kept_bp
+        FROM casg a JOIN documents d ON d.doc_id = a.vec_id
+        GROUP BY 1"""))
   )
 }

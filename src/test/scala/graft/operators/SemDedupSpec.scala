@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SemDeDup operator semantics on a corpus with known geometry: two
+  * tight semantic neighborhoods and one loner. Each neighborhood must
+  * collapse to EXACTLY one survivor, the survivor must be the
+  * least-prototypical member (lowest cosine to its cell centroid —
+  * the paper's keeper choice), and raising eps past the pair
+  * cosines must keep everything. */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  // neighborhood A on the e1 axis, neighborhood B on the e2 axis,
+  // loner L on e3 — cross-neighborhood cosines are ~0
+  private val rows = Seq(
+    (1L, vec(1.0, 0.0, 0.0, 0.0)),   // A, prototypical
+    (2L, vec(0.9, 0.1, 0.0, 0.0)),   // A, slightly off-axis
+    (3L, vec(0.0, 1.0, 0.0, 0.0)),   // B, prototypical
+    (4L, vec(0.0, 0.95, 0.05, 0.0)), // B, slightly off-axis
+    (5L, vec(0.0, 0.0, 1.0, 0.0)))   // loner
+
+  private def run(eps: Double) = Similarity.semDedup(
+    rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+    nCells = 3, trainIters = 1, dim = 4, eps = eps)
+    .collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+
+  test("each semantic neighborhood collapses to exactly one survivor; " +
+      "the keeper is the least-prototypical member; the loner stays") {
+    val got = run(eps = 0.9)
+    assert(got.size == 5)
+    // within-pair cosines ~0.99, cross ~0 -> exactly one drop per pair
+    for (pair <- Seq(Seq(1L, 2L), Seq(3L, 4L))) {
+      val dropped = pair.filter(got(_)._3)
+      assert(dropped.size == 1,
+        s"neighborhood $pair must lose exactly one member, lost $dropped")
+      val kept = (pair.toSet - dropped.head).head
+      // the paper's keeper: LOWEST cosine to the centroid survives
+      assert(got(kept)._2 <= got(dropped.head)._2,
+        s"keeper $kept must be the least-prototypical of $pair: " +
+          s"${got(kept)._2} vs ${got(dropped.head)._2}")
+      // a duplicate pair shares a cell by construction
+      assert(got(pair.head)._1 == got(pair(1))._1,
+        s"fixture: pair $pair landed in different cells")
+    }
+    assert(!got(5L)._3, "the loner must survive")
+    spark.catalog.clearCache()
+  }
+
+  test("eps above every pair cosine keeps the whole corpus") {
+    val got = run(eps = 0.9999)
+    assert(got.values.forall(!_._3),
+      s"nothing reaches cosine 0.9999, so nothing may drop: $got")
+    spark.catalog.clearCache()
+  }
+}

@@ -379,7 +379,7 @@ class ExplainAuditSpec extends SparkSpec {
   }
 
   test("ANN queries broadcast the small side, never a cartesian") {
-    for (n <- Seq("q31_ann_bruteforce", "q44_ann_ivf")) {
+    for (n <- Seq("q31_ann_bruteforce", "q44_ann_ivf", "q278_semdedup")) {
       val bc = planMap(n).collect {
         case j: BroadcastNestedLoopJoinExec => j: SparkPlan
         case j: BroadcastHashJoinExec => j: SparkPlan
