@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+
+import graft.functions.Portable
 
 /** The Gopher-style rule-based quality gate (Rae et al. 2021,
   * Appendix A — the public heuristic-filter recipe), stated ONCE and
@@ -107,4 +109,59 @@ object GopherRules {
       s"wchars <= $MeanLenHi * nw"),
     "r_stop" -> s"stopw >= $MinStopHits",
     "r_div" -> s"$DiversityDen * ndist >= $DiversityNum * nw")
+
+  /** Per-document REPETITION flags over any (idCol, textCol) frame —
+    * the shared statement behind the q277 audit and the CurateStream
+    * repetition gate (deployed gate and oracle cannot drift): ONE
+    * explode produces every (n, gram) instance for all top-gram sizes
+    * in a single pass (an 8-byte gram hash travels, never the gram
+    * text), counts are (doc, n, hash)-keyed aggregations, flags pivot
+    * with conditional aggregation. Coverage = occurrences x gram
+    * string length vs length(textCol), cross-multiplied integers; a
+    * document too short to form a size's gram passes that rule
+    * vacuously. Output: one row per INPUT document —
+    * (idCol, r_top2, r_top3, r_top4, r_dup3, rep_pass), flags
+    * non-null. */
+  def repetitionFlags(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ts = split(col(textCol), " ")
+    val gram = (i: Column, n: Column) => {
+      val g = concat_ws(" ", slice(ts, i, n))
+      struct(n.as("n"), Portable.pmd5(g).as("gh"),
+        length(g).cast(LongType).as("gl"))
+    }
+    val ns = array(TopGramMaxPct.map(p => lit(p._1)): _*)
+    val g = docs.select(col(idCol), length(col(textCol)).cast(LongType)
+        .as("nc"),
+        explode(flatten(transform(sequence(lit(1), size(ts)),
+          i => filter(transform(ns,
+            n => when(i + n - 1 <= size(ts), gram(i, n))),
+            x => x.isNotNull)))).as("g"))
+      .select(col(idCol), col("nc"), col("g.n").as("n"),
+        col("g.gh").as("gh"), col("g.gl").as("gl"))
+    val cnt = g.groupBy(col(idCol), col("n"), col("gh"))
+      .agg(count(lit(1)).as("cnt"), max(col("gl")).as("gl"),
+        max(col("nc")).as("nc"))
+    val pdn = cnt.groupBy(col(idCol), col("n"))
+      .agg(max(col("cnt") * col("gl")).as("topcov"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt") * col("gl"))),
+          lit(0L)).as("dupcov"),
+        max(col("nc")).as("nc"))
+    val topRules = TopGramMaxPct.map { case (n, pct) =>
+      coalesce(max(when(col("n") === n,
+        col("topcov") * 100 <= lit(pct) * col("nc"))), lit(true))
+        .as(s"r_top$n")
+    }
+    val dupRule = coalesce(max(when(col("n") === DupGramN,
+      col("dupcov") * 100 <= lit(DupGramMaxPct) * col("nc"))), lit(true))
+      .as("r_dup3")
+    val flags = pdn.groupBy(col(idCol))
+      .agg(topRules.head, (topRules.tail :+ dupRule): _*)
+    val flagCols = TopGramMaxPct.map(p => s"r_top${p._1}") :+ "r_dup3"
+    docs.select(col(idCol))
+      .join(flags, Seq(idCol), "left")
+      .select(col(idCol) +:
+        flagCols.map(c => coalesce(col(c), lit(true)).as(c)): _*)
+      .withColumn("rep_pass", flagCols.map(col).reduce(_ && _))
+  }
 }

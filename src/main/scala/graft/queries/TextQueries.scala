@@ -1630,61 +1630,27 @@ object TextQueries {
       (s, dir) => {
         import graft.operators.GopherRules
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
-        val ts = split(col("text"), " ")
-        val gram = (i: Column, n: Column) => {
-          val g = concat_ws(" ", slice(ts, i, n))
-          struct(n.as("n"), Portable.pmd5(g).as("gh"),
-            length(g).cast(LongType).as("gl"))
-        }
-        val ns = array(GopherRules.TopGramMaxPct.map(p => lit(p._1)): _*)
-        val g = docs.select(col("doc_id"), col("n_chars").as("nc"),
-          explode(flatten(transform(sequence(lit(1), size(ts)),
-            i => filter(transform(ns,
-              n => when(i + n - 1 <= size(ts), gram(i, n))),
-              x => x.isNotNull)))).as("g"))
-          .select(col("doc_id"), col("nc"), col("g.n").as("n"),
-            col("g.gh").as("gh"), col("g.gl").as("gl"))
-        val cnt = g.groupBy(col("doc_id"), col("n"), col("gh"))
-          .agg(count(lit(1)).as("cnt"), max(col("gl")).as("gl"),
-            max(col("nc")).as("nc"))
-        val pdn = cnt.groupBy(col("doc_id"), col("n"))
-          .agg(max(col("cnt") * col("gl")).as("topcov"),
-            coalesce(sum(when(col("cnt") > 1, col("cnt") * col("gl"))),
-              lit(0L)).as("dupcov"),
-            max(col("nc")).as("nc"))
-        val topRules = GopherRules.TopGramMaxPct.map { case (n, pct) =>
-          coalesce(max(when(col("n") === n,
-            col("topcov") * 100 <= lit(pct) * col("nc"))), lit(true))
-            .as(s"r_top$n")
-        }
-        val dupRule = coalesce(max(when(col("n") === GopherRules.DupGramN,
-          col("dupcov") * 100 <=
-            lit(GopherRules.DupGramMaxPct) * col("nc"))), lit(true))
-          .as("r_dup3")
-        val flags = pdn.groupBy(col("doc_id"))
-          .agg(topRules.head, (topRules.tail :+ dupRule): _*)
+        // the flag pipeline is GopherRules.repetitionFlags — the SAME
+        // statement the CurateStream repetition gate admits with, so
+        // the deployed gate sits under this query's DuckDB oracle
+        val flags = GopherRules.repetitionFlags(docs, "doc_id", "text")
         docs.select(col("doc_id"), col("source"))
-          .join(flags, Seq("doc_id"), "left")
-          .select(col("source"),
-            coalesce(col("r_top2"), lit(true)).as("r_top2"),
-            coalesce(col("r_top3"), lit(true)).as("r_top3"),
-            coalesce(col("r_top4"), lit(true)).as("r_top4"),
-            coalesce(col("r_dup3"), lit(true)).as("r_dup3"))
+          .join(flags, Seq("doc_id"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(!col("r_top2"), 1L).otherwise(0L)).as("v_top2"),
             sum(when(!col("r_top3"), 1L).otherwise(0L)).as("v_top3"),
             sum(when(!col("r_top4"), 1L).otherwise(0L)).as("v_top4"),
             sum(when(!col("r_dup3"), 1L).otherwise(0L)).as("v_dup3"),
-            sum(when(col("r_top2") && col("r_top3") && col("r_top4") &&
-              col("r_dup3"), 1L).otherwise(0L)).as("n_pass"))
+            sum(when(col("rep_pass"), 1L).otherwise(0L)).as("n_pass"))
           .select(col("source"), col("n_docs"), col("v_top2"),
             col("v_top3"), col("v_top4"), col("v_dup3"), col("n_pass"),
             expr("n_pass * 10000 div n_docs").as("pass_bp"))
       },
       Some(s"""
         WITH toks AS (
-          SELECT doc_id, n_chars AS nc, string_split(text, ' ') AS ts
+          SELECT doc_id, CAST(len(text) AS BIGINT) AS nc,
+                 string_split(text, ' ') AS ts
           FROM documents),
         gr AS (
           SELECT doc_id, nc, n,

@@ -247,6 +247,15 @@ object CurateStream {
     *                  frozen LM + frozen boundary table (see
     *                  [[BucketGate]]); requires the stream's rows to
     *                  carry the configured language column.
+    * @param repetitionGate opt-in Gopher REPETITION gate
+    *                  ([[GopherRules.repetitionFlags]] — the SAME
+    *                  statement q277 oracles): top-{2,3,4}-gram
+    *                  coverage caps and the zero-tolerance duplicate
+    *                  3-gram rule. Content-only and deterministic
+    *                  (replay-safe); runs after the structural rules
+    *                  — it is the first gate that aggregates (its
+    *                  gram counts are batch-local, no model, no
+    *                  standing state).
     * @note ALL row-dropping gates run BEFORE the curation pipeline
     *       picks exact/near-dup representatives — a gated min-id
     *       representative must not silently take its admissible
@@ -267,7 +276,8 @@ object CurateStream {
       nearDupAcrossBatches: Boolean = false,
       semanticGate: Option[SemanticGate] = None,
       ruleGate: Boolean = false,
-      bucketGate: Option[BucketGate] = None): StreamingQuery = {
+      bucketGate: Option[BucketGate] = None,
+      repetitionGate: Boolean = false): StreamingQuery = {
     semanticGate.foreach { g =>
       require(docs.columns.contains(g.vecCol),
         s"semanticGate requires the stream to carry '${g.vecCol}'; " +
@@ -287,9 +297,19 @@ object CurateStream {
       // opt-in RULE gate first: one per-row integer projection (no
       // join, no shuffle) — the recipe's rules-before-models order.
       // Deterministic, so replays re-derive the same admissible set.
-      val afterRules =
+      val afterStructural =
         if (!ruleGate) batch.toDF()
         else batch.toDF().filter(GopherRules.passes(col(textCol)))
+      // opt-in REPETITION gate: the q277 flags over this batch (the
+      // shared GopherRules statement), batch-local and deterministic
+      val afterRules =
+        if (!repetitionGate) afterStructural
+        else afterStructural.join(
+          GopherRules.repetitionFlags(
+              afterStructural.select(col(idCol), col(textCol)),
+              idCol, textCol)
+            .filter(col("rep_pass")).select(col(idCol)),
+          Seq(idCol), "left_semi")
       // opt-in CCNet BUCKET gate: score against the frozen LM, bucket
       // against the frozen boundaries, keep only the configured
       // buckets. Unjudgeable rows (no bigrams / unknown language)

@@ -251,6 +251,11 @@ class CurateStreamSpec extends SparkSpec {
     val memorizedC = ruled("cappa") // the exact-dup pair's text: its
     // token set overlaps the others only on the 2 stop words, so the
     // pair cannot NEAR-dup an earlier landed doc inside Curate
+    val memorizedD = ruled("delta")
+    // passes every STRUCTURAL rule but repeats a 3-gram: the
+    // repetition gate (q277's shared statement) must drop it
+    val repText = memorizedD +
+      " deltawrd01 deltawrd02 deltawrd03 deltawrd01 deltawrd02 deltawrd03"
     val midC = "the of " + (1 to 16).map(i => f"alphawrd$i%02d")
       .mkString(" ") + " " + (17 to 32).map(i => f"gamma$i%02d").mkString(" ")
     val gibber = ruled("zzqxv")
@@ -263,7 +268,7 @@ class CurateStreamSpec extends SparkSpec {
     locally {
       val rows = (1 to 20).flatMap(r => Seq(
         (1000L + r, memorizedA), (2000L + r, memorizedB),
-        (3000L + r, memorizedC)))
+        (3000L + r, memorizedC), (4000L + r, memorizedD)))
       val scratch = root.resolve("scratch_lm")
       rows.toDF("doc_id", "text").coalesce(1).write.parquet(scratch.toString)
       Files.move(Files.list(scratch).iterator().asScala
@@ -315,7 +320,8 @@ class CurateStreamSpec extends SparkSpec {
       val q = CurateStream.start(stream, "text", "doc_id", out, cp, cfg,
         ruleGate = true,
         bucketGate = Some(CurateStream.BucketGate(lm, boundaries,
-          "lang", Set("head", "middle"))))
+          "lang", Set("head", "middle"))),
+        repetitionGate = true)
       assert(q.awaitTermination(120000), "recipe stream did not finish")
     }
 
@@ -347,7 +353,8 @@ class CurateStreamSpec extends SparkSpec {
       (4L, memorizedA, "en"),
       (5L, memorizedB, "en"),
       (6L, memorizedC, "lo"),
-      (7L, memorizedC, "en")))
+      (7L, memorizedC, "en"),
+      (8L, repText, "en")))   // structural-clean, repetition-tainted
     runRecipe()
     val landed = spark.read.parquet(out)
     val ids = landed.select("doc_id").as[Long].collect().toSet
@@ -362,9 +369,19 @@ class CurateStreamSpec extends SparkSpec {
       (0L, memorizedA, "en"), (1L, gibber, "en"), (2L, shortDoc, "en"),
       (3L, ruled("unkn"), "zz"), (4L, memorizedA, "en"),
       (5L, memorizedB, "en"), (6L, memorizedC, "lo"),
-      (7L, memorizedC, "en"))
+      (7L, memorizedC, "en"), (8L, repText, "en"))
       .toDF("doc_id", "text", "lang")
-    val rulesPassed = all.filter(GopherRules.passes(col("text")))
+    val structPassed = all.filter(GopherRules.passes(col("text")))
+    // fixture sanity: d8 passes the structural rules — only the
+    // repetition gate may remove it
+    assert(structPassed.filter(col("doc_id") === 8L).count() == 1,
+      "fixture: the repetition doc must pass the structural rules")
+    val rulesPassed = structPassed.join(
+      GopherRules.repetitionFlags(
+          structPassed.select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .filter(col("rep_pass")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
     val judged = rulesPassed
       .join(LmStream.score(spark, lm, rulesPassed.select("doc_id", "text"))
         .select(col("doc_id"), col("milli_bits_per_bigram").as("mbits")),
