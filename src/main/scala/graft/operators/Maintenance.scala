@@ -68,6 +68,40 @@ object Maintenance {
     rewriteSized(spark, sinkDir, outputDir, targetFileBytes)(
       Curate(spark.read.parquet(sinkDir), textCol, idCol, cfg))
 
+  /** Periodic SEMANTIC-dup compaction over a
+    * [[graft.streaming.CurateStream]] sink whose rows carry an
+    * embedding column — the maintenance-job complement of the ingest
+    * gates, and of [[nearDupCompact]] one level up the abstraction
+    * ladder: the hash index blocks exact re-arrivals forever and the
+    * token near-dup machinery catches shingle overlap, but
+    * PARAPHRASED duplicates share no shingles and accumulate across
+    * batches until this job runs [[Similarity.semDedup]] (Abbas et
+    * al. 2023: k-means cells, within-cell cosine, least-prototypical
+    * keeper) over the landed corpus and rewrites the survivors as
+    * ~target-sized files at `outputDir`.
+    *
+    * Same snapshot semantics as [[nearDupCompact]]: the output is a
+    * FLAT compacted snapshot for downstream consumers, not a drop-in
+    * replacement for the live sink; the hash index is deliberately
+    * left alone (a dropped paraphrase's exact hash stays indexed, so
+    * the same bytes arriving again are still gated at ingest). At
+    * real corpus scale train the cells on a sample and raise `nCells`
+    * with the corpus so the within-cell stage stays bounded — the
+    * [[Similarity.semDedup]] contract.
+    *
+    * @return output parquet file count. */
+  def semDedupCompact(spark: SparkSession, sinkDir: String,
+      outputDir: String, idCol: String, vecCol: String, nCells: Int,
+      trainIters: Int, dim: Int, eps: Double,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long =
+    rewriteSized(spark, sinkDir, outputDir, targetFileBytes) {
+      val landed = spark.read.parquet(sinkDir)
+      val keep = Similarity.semDedup(landed.select(col(idCol), col(vecCol)),
+          idCol, vecCol, nCells, trainIters, dim, eps)
+        .filter(!col("drop")).select(col(idCol))
+      landed.join(keep, Seq(idCol), "left_semi")
+    }
+
   /** Retention over a [[graft.streaming.CurateStream]] sink: drop every
     * `batch_id=k` partition with k < `keepFrom` — a pure directory
     * delete (no rewrite), which is what partitioning the sink by batch

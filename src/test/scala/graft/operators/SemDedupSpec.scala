@@ -58,4 +58,34 @@ class SemDedupSpec extends SparkSpec {
       s"nothing reaches cosine 0.9999, so nothing may drop: $got")
     spark.catalog.clearCache()
   }
+
+  test("semDedupCompact: the sink snapshot keeps exactly the semDedup " +
+      "survivors, keeps every sink column, and sizes its files") {
+    val root = java.nio.file.Files.createTempDirectory("semdedup-compact")
+    val sink = root.resolve("sink").toString
+    val outDir = root.resolve("snapshot").toString
+    // a CurateStream-shaped sink: batch_id partitions, extra columns
+    // riding along (the compactor must keep them)
+    rows.take(3).map { case (id, v) => (id, s"text $id", v) }
+      .toDF("doc_id", "text", "embedding")
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(sink)
+    rows.drop(3).map { case (id, v) => (id, s"text $id", v) }
+      .toDF("doc_id", "text", "embedding")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(sink)
+
+    val n = Maintenance.semDedupCompact(spark, sink, outDir,
+      "doc_id", "embedding", nCells = 3, trainIters = 1, dim = 4,
+      eps = 0.9)
+    assert(n >= 1L)
+    val snap = spark.read.parquet(outDir)
+    val expected = run(eps = 0.9).collect { case (id, (_, _, false)) => id }
+    assert(snap.select("doc_id").as[Long].collect().toSet ==
+      expected.toSet,
+      "the snapshot must hold exactly the semDedup survivors")
+    assert(snap.columns.toSet == Set("doc_id", "text", "embedding",
+      "batch_id"), s"sink columns must survive: ${snap.columns.toSeq}")
+    spark.catalog.clearCache()
+  }
 }
