@@ -192,6 +192,22 @@ class TwinConformanceSpec extends SparkSpec with TwinConformance {
       out => CcnetStream.buckets(spark, out))
   }
 
+  twinConformance("quality-audit") {
+    // the 24th twin, declared AFTER the harness existed: this block is
+    // the entire cost of its three operational proofs
+    def docs(ids: Range) = ids.map { i =>
+      val src = s"src${i % 2}"
+      if (i % 3 == 0) (i.toLong, src, "too few words here")
+      else (i.toLong, src,
+        "the of " + (1 to 32).map(j => f"qa${i}w$j%02d").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    TwinFixture(
+      "doc_id LONG, source STRING, text STRING",
+      Seq(docs(0 until 30), docs(30 until 60)),
+      (s, out, cp) => QualityAuditStream.start(s, out, cp),
+      out => QualityAuditStream.audit(spark, out))
+  }
+
   // ---- per-batch-grain twins: merge law documented OFF ---------------
 
   twinConformance("curate-sink") {
