@@ -1461,13 +1461,16 @@ object CurationQueries {
     Q(
       "q275_recipe_matrix",
       "The FULL public-curation-recipe admission matrix — q271's four " +
-        "gates extended with the round-14 recipe's two quality gates, " +
-        "so the entire CurateStream gate family (ruleGate + bucketGate " +
-        "+ exact + near-dup + token decon + semantic decon) is scored " +
+        "gates extended with the recipe's three quality gates, so the " +
+        "entire CurateStream gate family (ruleGate + repetitionGate + " +
+        "bucketGate + exact + near-dup + token decon + semantic decon) " +
+        "is scored " +
         "side by side for every training document (doc_id >= 100) in " +
         "ONE oracled batch table: (0) Gopher rule taint = " +
         "GopherRules.passes fails — the SAME shared statement the " +
-        "stream gate filters with and q273 audits per rule; (1) CCNet " +
+        "stream gate filters with and q273 audits per rule; (0b) Gopher " +
+        "repetition taint = GopherRules.repetitionFlags fails — q277's " +
+        "shared statement, the repetitionGate's exact decision; (1) CCNet " +
         "bucket taint = tail-bucket or unscorable under a FROZEN " +
         "reference LM (the eval split doc_id < 100 plays Wikipedia's " +
         "role, q274's smoothed left-join arithmetic with the splits " +
@@ -1497,6 +1500,9 @@ object CurationQueries {
         // gate 0: Gopher structural rules (shared with CurateStream)
         val ruleTaint = train.filter(!GopherRules.passes(col("text")))
           .select("doc_id")
+        // gate 0b: Gopher REPETITION rules (q277's shared statement)
+        val repTaint = GopherRules.repetitionFlags(train, "doc_id", "text")
+          .filter(!col("rep_pass")).select("doc_id")
         // gate 1: CCNet bucket vs the frozen reference LM
         def bigrams(d: DataFrame) = d
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -1578,6 +1584,7 @@ object CurationQueries {
           df.distinct().withColumn(name, lit(1L))
         train.select(col("doc_id"), col("source"))
           .join(flag(ruleTaint, "__rl"), Seq("doc_id"), "left")
+          .join(flag(repTaint, "__rep"), Seq("doc_id"), "left")
           .join(flag(bucketTaint, "__bk"), Seq("doc_id"), "left")
           .join(flag(dupTaint, "__dup"), Seq("doc_id"), "left")
           .join(flag(ndTaint, "__nd"), Seq("doc_id"), "left")
@@ -1586,12 +1593,14 @@ object CurationQueries {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(coalesce(col("__rl"), lit(0L))).as("n_rule_fail"),
+            sum(coalesce(col("__rep"), lit(0L))).as("n_repetition"),
             sum(coalesce(col("__bk"), lit(0L))).as("n_tail_bucket"),
             sum(coalesce(col("__dup"), lit(0L))).as("n_exact_dup"),
             sum(coalesce(col("__nd"), lit(0L))).as("n_neardup"),
             sum(coalesce(col("__tok"), lit(0L))).as("n_token_contam"),
             sum(coalesce(col("__sem"), lit(0L))).as("n_sem_contam"),
             sum(when(coalesce(col("__rl"), lit(0L)) === 0L &&
+              coalesce(col("__rep"), lit(0L)) === 0L &&
               coalesce(col("__bk"), lit(0L)) === 0L &&
               coalesce(col("__dup"), lit(0L)) === 0L &&
               coalesce(col("__nd"), lit(0L)) === 0L &&
@@ -1655,6 +1664,47 @@ object CurationQueries {
           SELECT doc_id FROM rm
           WHERE NOT (${graft.operators.GopherRules.rulesDuckSql
             .map(_._2).mkString(" AND ")})),
+        gtoks AS (
+          SELECT doc_id, CAST(len(text) AS BIGINT) AS gnc,
+                 string_split(text, ' ') AS ts
+          FROM documents WHERE doc_id >= 100),
+        grm AS (
+          SELECT doc_id, gnc, n,
+                 ${Portable.pmd5Sql("g")} AS gh,
+                 CAST(len(g) AS BIGINT) AS gl
+          FROM (
+            SELECT doc_id, gnc, nn.n AS n,
+                   list_aggregate(ts[i:i+nn.n-1], 'string_agg', ' ') AS g
+            FROM gtoks,
+                 unnest(generate_series(1, len(ts))) AS u(i),
+                 (SELECT unnest([${graft.operators.GopherRules
+                   .TopGramMaxPct.map(_._1).mkString(", ")}]) AS n) AS nn
+            WHERE i + nn.n - 1 <= len(ts))),
+        gcnt AS (
+          SELECT doc_id, n, gh, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(max(gl) AS BIGINT) AS gl,
+                 CAST(max(gnc) AS BIGINT) AS gnc
+          FROM grm GROUP BY 1, 2, 3),
+        gpdn AS (
+          SELECT doc_id, n, max(cnt * gl) AS topcov,
+                 coalesce(sum(CASE WHEN cnt > 1 THEN cnt * gl END), 0)
+                   AS dupcov,
+                 max(gnc) AS gnc
+          FROM gcnt GROUP BY 1, 2),
+        rept AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   ${graft.operators.GopherRules.TopGramMaxPct
+                     .map { case (n, pct) =>
+                       s"coalesce(max(CASE WHEN n = $n THEN " +
+                         s"topcov * 100 <= $pct * gnc END), true) AS r_top$n"
+                     }.mkString(",\n                   ")},
+                   coalesce(max(CASE WHEN n = ${graft.operators
+                     .GopherRules.DupGramN} THEN dupcov * 100 <=
+                     ${graft.operators.GopherRules.DupGramMaxPct} * gnc
+                     END), true) AS r_dup3
+            FROM gpdn GROUP BY 1)
+          WHERE NOT (r_top2 AND r_top3 AND r_top4 AND r_dup3)),
         rtoks AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
           WHERE doc_id < 100),
@@ -1724,6 +1774,8 @@ object CurationQueries {
             AND (buck.bucket IS NULL OR buck.bucket = 'tail'))
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(*) FILTER (WHERE rl) AS BIGINT) AS n_rule_fail,
+               CAST(count(*) FILTER (WHERE rep) AS BIGINT)
+                 AS n_repetition,
                CAST(count(*) FILTER (WHERE bkt) AS BIGINT)
                  AS n_tail_bucket,
                CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_exact_dup,
@@ -1732,12 +1784,14 @@ object CurationQueries {
                  AS n_token_contam,
                CAST(count(*) FILTER (WHERE sem) AS BIGINT)
                  AS n_sem_contam,
-               CAST(count(*) FILTER (WHERE NOT rl AND NOT bkt AND NOT dup
+               CAST(count(*) FILTER (WHERE NOT rl AND NOT rep
+                 AND NOT bkt AND NOT dup
                  AND NOT nd AND NOT tok AND NOT sem) AS BIGINT)
                  AS n_admitted
         FROM (
           SELECT d.doc_id, d.source,
                  d.doc_id IN (SELECT doc_id FROM rulet) AS rl,
+                 d.doc_id IN (SELECT doc_id FROM rept) AS rep,
                  d.doc_id IN (SELECT doc_id FROM buckt) AS bkt,
                  d.doc_id IN (SELECT doc_id FROM dupt) AS dup,
                  d.doc_id IN (SELECT doc_id FROM ndt) AS nd,
