@@ -53,7 +53,11 @@ object GopherRules {
   // 0/500 at sf0.01), so the rule is recalibrated to n = 3 with a
   // zero-tolerance threshold (27/500 fire) — a vacuous conjunct
   // audits nothing.
-  /** Max chars-in-most-common-n-gram as a PERCENT of doc chars. */
+  /** Max coverage by ANY SINGLE n-gram (occurrences x gram string
+    * length, the max taken over grams BY COVERAGE — a deviation from
+    * the paper, which takes the single most FREQUENT gram's coverage;
+    * a longer-but-rarer gram can dominate here, making this bound the
+    * stricter of the two) as a PERCENT of doc chars. */
   val TopGramMaxPct: Seq[(Int, Long)] = Seq(2 -> 20L, 3 -> 18L, 4 -> 16L)
   /** Duplicate-gram size and its max covered percent (0 = none). */
   val DupGramN = 3

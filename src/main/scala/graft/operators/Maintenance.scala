@@ -93,14 +93,21 @@ object Maintenance {
   def semDedupCompact(spark: SparkSession, sinkDir: String,
       outputDir: String, idCol: String, vecCol: String, nCells: Int,
       trainIters: Int, dim: Int, eps: Double,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long =
-    rewriteSized(spark, sinkDir, outputDir, targetFileBytes) {
-      val landed = spark.read.parquet(sinkDir)
-      val keep = Similarity.semDedup(landed.select(col(idCol), col(vecCol)),
-          idCol, vecCol, nCells, trainIters, dim, eps)
-        .filter(!col("drop")).select(col(idCol))
-      landed.join(keep, Seq(idCol), "left_semi")
-    }
+      maxCell: Long = Similarity.SemDedupMaxCell,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val landed = spark.read.parquet(sinkDir)
+    val (sd, release) = Similarity.semDedupReleasable(
+      landed.select(col(idCol), col(vecCol)),
+      idCol, vecCol, nCells, trainIters, dim, eps, maxCell)
+    try
+      rewriteSized(spark, sinkDir, outputDir, targetFileBytes)(
+        landed.join(sd.filter(!col("drop")).select(col(idCol)),
+          Seq(idCol), "left_semi"))
+    // the rewrite materialized the snapshot — drop the assignment
+    // cache so periodic runs do not accumulate blocks for the life of
+    // the session (the semDedup caching contract)
+    finally release()
+  }
 
   /** Retention over a [[graft.streaming.CurateStream]] sink: drop every
     * `batch_id=k` partition with k < `keepFrom` — a pure directory

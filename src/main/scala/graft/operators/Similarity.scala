@@ -461,33 +461,84 @@ object Similarity {
     * assign once with frozen centroids); assignment is one corpus x k
     * broadcast pass; the quadratic stage is CONFINED to cells, and
     * the paper's own recipe keeps cell population bounded by scaling
-    * k with the corpus (n/k members per cell on average) — the
-    * all-pairs corpus join never exists. Returns one row per vector:
-    * (idCol, cell, cscore, drop). */
+    * k with the corpus (n/k members per cell on average) — but that
+    * is the CALLER's lever, so the bound is also ENFORCED: any cell
+    * whose population exceeds `maxCell` is excluded from the pair
+    * stage entirely (all its members are KEPT unexamined) and the
+    * exclusion is counted through [[ObservedWarn]] — the
+    * no-silent-caps rule [[Dedup.lshCandidatesCapped]] follows. A
+    * template flood or a degenerate near-constant embedding column
+    * that collapses the corpus into one cell therefore costs one
+    * warning and a conservative keep-all for that cell, never a
+    * silent O(n²) join. The all-pairs corpus join never exists.
+    *
+    * CACHING CONTRACT: the returned frame embeds a persisted
+    * assignment (consumed by both pair-join sides, the occupancy
+    * fold and the output join — one train+assign pass total); the
+    * cache lives until the session drops it. A periodic caller that
+    * must not leak blocks across runs uses [[semDedupReleasable]]
+    * and releases after materializing.
+    *
+    * Returns one row per vector: (idCol, cell, cscore, drop). */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, trainIters: Int, dim: Int, eps: Double,
-      seed: IvfSeed = SeedFarthestRace): DataFrame = {
+      maxCell: Long = SemDedupMaxCell,
+      seed: IvfSeed = SeedFarthestRace): DataFrame =
+    semDedupReleasable(corpus, idCol, vecCol, nCells, trainIters, dim,
+      eps, maxCell, seed)._1
+
+  /** Default per-cell occupancy bound for [[semDedup]]'s within-cell
+    * pair stage: 4096 members cap the per-cell pair work at ~8M
+    * comparisons — one executor-core-minutes-scale unit, not a job
+    * killer. Interpolated into the q278 oracle (never hand-copied, the
+    * q270-modulus rule). */
+  val SemDedupMaxCell: Long = 4096L
+
+  /** [[semDedup]] with the persisted assignment handle exposed:
+    * returns (result, release) where release() unpersists the
+    * embedded assignment cache once the caller has MATERIALIZED the
+    * result — the periodic-job form
+    * ([[Maintenance.semDedupCompact]] runs per maintenance cycle and
+    * must not accumulate cached blocks for the life of the session). */
+  def semDedupReleasable(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, trainIters: Int, dim: Int, eps: Double,
+      maxCell: Long = SemDedupMaxCell,
+      seed: IvfSeed = SeedFarthestRace): (DataFrame, () => Unit) = {
     val cents = trainIvfCentroids(corpus, idCol, vecCol, nCells,
       trainIters, dim, seed)
     val asg = nearestCells(prep(corpus, idCol, idCol, vecCol), cents,
       idCol, 1)
       .select(col(idCol), col("v"), col("nv"), col("cell"), col("cscore"))
-      // consumed twice (both sides of the within-cell pair join) and
-      // once more for the output join — one train+assign pass total
       .persist()
-    val other = asg.select(col(idCol).as("__oid"), col("v").as("__ov"),
+    // occupancy guard: the pair stage runs only over cells at or under
+    // the bound; over-populated cells keep all members and warn. The
+    // surviving-cell frame is <= nCells rows by construction — the
+    // same bounded-model-side broadcast the centroid joins make.
+    val keepCells = ObservedWarn(
+      asg.groupBy(col("cell")).agg(count(lit(1)).as("__pop")),
+      "semdedup_hot_cells",
+      sum(when(col("__pop") > maxCell, 1L).otherwise(0L)),
+      n => s"semDedup: $n cell(s) above the $maxCell-member occupancy " +
+        "bound excluded from the within-cell pair stage — their " +
+        "members are all KEPT unexamined; raise nCells (the paper " +
+        "scales k with the corpus) or maxCell")
+      .filter(col("__pop") <= maxCell)
+      .select("cell")
+    val bounded = asg.join(broadcast(keepCells), Seq("cell"))
+    val other = bounded.select(col(idCol).as("__oid"), col("v").as("__ov"),
       col("nv").as("__on"), col("cell"), col("cscore").as("__ocs"))
-    val dropped = asg.join(other, Seq("cell"))
+    val dropped = bounded.join(other, Seq("cell"))
       .filter(col(idCol) =!= col("__oid") &&
         cosineFromPrepped(col("v"), col("nv"), col("__ov"), col("__on"))
           >= eps &&
         (col("__ocs") < col("cscore") ||
           (col("__ocs") === col("cscore") && col("__oid") < col(idCol))))
       .select(col(idCol)).distinct()
-    asg.select(col(idCol), col("cell"), col("cscore"))
+    val out = asg.select(col(idCol), col("cell"), col("cscore"))
       .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
       .withColumn("drop", coalesce(col("__drop"), lit(false)))
       .drop("__drop")
+    (out, () => { asg.unpersist(); () })
   }
 
   def ivfTopK(

@@ -111,13 +111,20 @@ object SpearmanHist {
             * expr("num * num * 10000 div (d1 * d2)"))
           .cast(LongType).as("rho2s_bp"))
 
+  /** [[rhoScaled]]'s enforced per-group bound: the slope-product
+    * intermediates stay inside DECIMAL(38,0)/HUGEINT to n <= 10^9.
+    * Named so the q261 oracle interpolates it (never hand-copies —
+    * the q270-modulus rule). */
+  val ScaledMaxN: Long = 1000000000L
+
   /** Signed rho^2 in bp at LARGE n — the slope-product form (see
     * object doc): sign(num) * (|num|*100 div d1) * (|num|*100 div d2),
-    * centi-rho quantization, enforced to n <= 10^9 per group. */
+    * centi-rho quantization, enforced to n <= [[ScaledMaxN]] per
+    * group. */
   def rhoScaled(cells: DataFrame): DataFrame =
     moments(cells)
       .select(col("source"), col("n").cast(LongType).as("n"),
-        when(col("n") > 1000000000L,
+        when(col("n") > ScaledMaxN,
           raise_error(concat(lit("q261_spearman_scaled: group "),
             col("source"),
             lit(" exceeds the n<=1e9 DECIMAL(38,0) slope-product" +

@@ -28,6 +28,10 @@ object AdvancedQueries {
 
   // q143: KMV sketch size per side (rel error ~ 1/sqrt(k))
   private val KMV_JOIN_K = 64
+  // q-CDC synthetic insert keys: offset past every real orderkey so
+  // inserts never collide with the snapshot. One definition, both
+  // engines (the q270-modulus rule).
+  private val CDC_INS_OFFSET = 1000000000L
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -283,9 +287,11 @@ object AdvancedQueries {
             sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
           .select(col("window.start").as("win_start"), col("event_type"),
             col("n"), col("sum_value")),
-      Some("""
-        SELECT make_timestamp(3600000000 * (epoch_us(ts) // 3600000000)
-                 - i * 3600000000) AS win_start,
+      // the interpolated HourUs mirrors the Spark side's "2 hours" /
+      // "1 hour" duration strings (epoch-aligned hourly hop)
+      Some(s"""
+        SELECT make_timestamp(${Units.HourUs} * (epoch_us(ts) // ${Units.HourUs})
+                 - i * ${Units.HourUs}) AS win_start,
                event_type, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(i)
@@ -1334,7 +1340,7 @@ object AdvancedQueries {
             col("o_orderstatus").as("c_status"),
             lit("0-CDC-URGENT").as("c_prio"))
         val ins = o.filter(kh % 13 === 2)
-          .select((col("o_orderkey") + 1000000000L).as("k"), lit("I").as("op"),
+          .select((col("o_orderkey") + CDC_INS_OFFSET).as("k"), lit("I").as("op"),
             lit("N").as("c_status"), col("o_orderpriority").as("c_prio"))
         val changes = del.unionAll(upd).unionAll(ins)
         val snap = o.select(col("o_orderkey").as("k"),
@@ -1372,7 +1378,7 @@ object AdvancedQueries {
           SELECT o_orderkey, 'U', o_orderstatus, '0-CDC-URGENT'
           FROM orders WHERE $kh % 7 <> 0 AND $kh % 11 = 1),
         ins AS (
-          SELECT o_orderkey + 1000000000, 'I', 'N', o_orderpriority
+          SELECT o_orderkey + $CDC_INS_OFFSET, 'I', 'N', o_orderpriority
           FROM orders WHERE $kh % 13 = 2),
         changes AS (
           SELECT * FROM del UNION ALL SELECT * FROM upd
@@ -1686,7 +1692,7 @@ object AdvancedQueries {
         "Distinct from q35's gap sessions: THIS merges fixed-width " +
         "windows (uptime/coverage semantics), not inter-event gaps.",
       (s, dir) => {
-        val W = 300L * 1000000L
+        val W = Units.Min5Us
         val base = t(s, dir, "events")
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("s"),
@@ -1711,11 +1717,11 @@ object AdvancedQueries {
             (max(col("ge")) - min(col("gs"))).as("span_us"))
           .withColumn("coverage_bp", expr("covered_us * 10000 div span_us"))
       },
-      Some("""
+      Some(s"""
         WITH base AS (
           SELECT user_id, event_id,
                  CAST(epoch_us(ts) AS BIGINT) AS s,
-                 CAST(epoch_us(ts) AS BIGINT) + 300000000 AS e
+                 CAST(epoch_us(ts) AS BIGINT) + ${Units.Min5Us} AS e
           FROM events),
         f AS (
           SELECT user_id, s, e,
@@ -1779,7 +1785,7 @@ object AdvancedQueries {
         "naive single-window spelling, so the hash match PROVES the " +
         "decomposition exact, boundary rows included.",
       (s, dir) => {
-        val BUCKET_US = 86400L * 1000000L // day buckets
+        val BUCKET_US = Units.DayUs // day buckets
         val e = t(s, dir, "events").select(col("event_type"),
           unix_micros(col("ts")).as("us"), col("event_id"),
           (col("value").cast(DecimalType(12, 2)) * 100)
@@ -1954,7 +1960,7 @@ object AdvancedQueries {
         "per-row regression library anywhere.",
       (s, dir) => {
         val e = t(s, dir, "events").select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr(s"unix_micros(ts) div ${Units.DayUs}").as("day"),
           (col("value").cast(DecimalType(12, 2)) * 100)
             .cast(LongType).as("cents"))
         val d0 = e.agg(min(col("day")).as("day0"))
@@ -1979,9 +1985,9 @@ object AdvancedQueries {
               " div (CAST(n AS DECIMAL(38,0)) * den) AS BIGINT)")
               .as("intercept_milli"))
       },
-      Some("""
+      Some(s"""
         WITH e AS (
-          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          SELECT event_type, epoch_us(ts) // ${Units.DayUs} AS day,
                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
           FROM events),
         d0 AS (SELECT min(day) AS day0 FROM e),

@@ -22,6 +22,9 @@ object CoreQueries {
 
   private val dec12 = DecimalType(12, 2)
   private val dec4 = DecimalType(4, 2)
+  // q-argmax composite tie-break key: cents * PACK + orderkey, unique
+  // and order-preserving in 64 bits. One definition, both engines.
+  private val ARGMAX_PACK = 1000000000L
   private def one = lit(1).cast(DecimalType(3, 2))
 
   val all: Seq[Q] = Seq(
@@ -161,10 +164,10 @@ object CoreQueries {
         "extendedprice; tie-broken via a composite integer key so both " +
         "engines agree bit-for-bit.",
       (s, dir) => {
-        // price has 2dp: cents*1e9 + orderkey is a unique, order-preserving
+        // price has 2dp: cents*PACK + orderkey is a unique, order-preserving
         // 64-bit key (max ~5e16 + 6e5 << 2^63).
-        val key = (round(col("l_extendedprice") * 100).cast(LongType) * lit(1000000000L) +
-          col("l_orderkey"))
+        val key = (round(col("l_extendedprice") * 100).cast(LongType)
+          * lit(ARGMAX_PACK) + col("l_orderkey"))
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
@@ -173,9 +176,9 @@ object CoreQueries {
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")
       },
-      Some("""
+      Some(s"""
         SELECT l_returnflag,
-               arg_max(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000000 + l_orderkey) AS best_orderkey,
+               arg_max(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * $ARGMAX_PACK + l_orderkey) AS best_orderkey,
                max(l_extendedprice) AS best_price,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),

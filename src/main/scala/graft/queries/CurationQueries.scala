@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Portable
-import graft.operators.{Dedup, Maintenance, Sketches}
+import graft.operators.{Dedup, Maintenance, PrioritySample, Sketches}
 import graft.queries.Tables.{boundedRank, spread, t}
 
 /** Corpus-curation toolbox: tokenizer-training statistics, term
@@ -1031,9 +1031,9 @@ object CurationQueries {
       Some(s"""
         WITH p AS (
           SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
-                 CAST(CAST(n_chars AS BIGINT) * 1073741825 AS DOUBLE)
+                 CAST(CAST(n_chars AS BIGINT) * ${PrioritySample.M + 1} AS DOUBLE)
                    / (${Portable.pmd5Sql("concat('pri:', CAST(doc_id AS VARCHAR))")}
-                      % 1073741824 + 1) AS priority
+                      % ${PrioritySample.M} + 1) AS priority
           FROM documents),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY source

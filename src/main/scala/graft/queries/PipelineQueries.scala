@@ -638,14 +638,14 @@ object PipelineQueries {
         val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
         flagged
           .withColumn("grp",
-            expr("unix_micros(hr) div 3600000000") - row_number().over(w))
+            expr(s"unix_micros(hr) div ${Units.HourUs}") - row_number().over(w))
           .groupBy(col("event_type"), col("grp"))
           .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
             count(lit(1)).as("n_hours"), max(col("cnt")).as("peak_cnt"))
           .select(col("event_type"), col("start_hr"), col("end_hr"),
             col("n_hours"), col("peak_cnt"))
       },
-      Some("""
+      Some(s"""
         WITH h AS (
           SELECT event_type, date_trunc('hour', ts) AS hr,
                  CAST(count(*) AS BIGINT) AS cnt
@@ -662,7 +662,7 @@ object PipelineQueries {
                   > 9 * m * (m*ss - tot*tot)),
         d AS (
           SELECT event_type, hr, cnt,
-                 epoch_us(hr) // 3600000000
+                 epoch_us(hr) // ${Units.HourUs}
                    - row_number() OVER (PARTITION BY event_type ORDER BY hr) AS grp
           FROM f)
         SELECT event_type, min(hr) AS start_hr, max(hr) AS end_hr,

@@ -26,6 +26,10 @@ object ProfilingQueries {
   /** q177: share scale — shares are carried as integer parts-per-1e8
     * so their square roots land on the 1e4 (basis-point) scale. */
   private val SHARE_E8 = 100000000L
+  // HRW shard-score modulus (2^50): packed as (hash % P50)*16 + shard,
+  // max 2^54 — overflow-free BIGINT. Interpolated into the oracle SQL
+  // (never hand-copied — the q270-modulus rule).
+  private val P50 = 1L << 50
 
   /** q178: per-source token budget. Sized so the greedy selection is a
     * real cut at every test SF (keeps ~40-80% of each source). */
@@ -566,7 +570,6 @@ object ProfilingQueries {
         "greatest() and hash ties break deterministically toward the " +
         "higher shard index in BOTH engines.",
       (s, dir) => {
-        val P50 = 1125899906842624L // 2^50
         def score(sh: Int) =
           (graft.functions.Portable.pmd5(
             concat(col("doc_id").cast(StringType), lit(s"#$sh")))
@@ -597,7 +600,7 @@ object ProfilingQueries {
       Some {
         def scoreSql(sh: Int) =
           s"(${graft.functions.Portable.pmd5Sql(
-            s"concat(CAST(doc_id AS VARCHAR), '#$sh')")} % 1125899906842624) * 16 + $sh"
+            s"concat(CAST(doc_id AS VARCHAR), '#$sh')")} % $P50) * 16 + $sh"
         val baseSql = graft.functions.Portable.pmd5Sql("CAST(doc_id AS VARCHAR)")
         s"""
         WITH perdoc AS (

@@ -1220,8 +1220,14 @@ object SimilarityQueries {
         "assign once with frozen centroids); assignment is one " +
         "corpus x k broadcast pass; the quadratic stage is CONFINED " +
         "to cells — the paper's own recipe scales k with the corpus " +
-        "so cell population stays bounded, and the all-pairs corpus " +
-        "join never exists; the final aggregation is source-bounded.",
+        "so cell population stays bounded, and the bound is ALSO " +
+        s"ENFORCED: cells above ${Similarity.SemDedupMaxCell} members " +
+        "are excluded from the pair stage (members kept unexamined, " +
+        "exclusion observed-warned — the LSH hot-bucket shape), so a " +
+        "template flood collapsing the corpus into one cell can never " +
+        "run a silent O(n^2) join; the oracle states the same " +
+        "occupancy predicate. The all-pairs corpus join never " +
+        "exists; the final aggregation is source-bounded.",
       (s, dir) => {
         val e = spread(t(s, dir, "embeddings"), col("vec_id"))
         val sd = Similarity.semDedup(e, "vec_id", "embedding",
@@ -1249,11 +1255,16 @@ object SimilarityQueries {
                        DESC, c.cell ASC) AS crank
             FROM prep p, cents$TRAIN_ITERS c)
           WHERE crank = 1),
+        cpop AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS pop
+          FROM casg GROUP BY 1),
         dropd AS (
           SELECT DISTINCT a.vec_id
           FROM casg a JOIN casg b
             ON a.cell = b.cell AND a.vec_id <> b.vec_id
-          WHERE ${foldSql("a.v", "b.v")} / (a.nv * b.nv) >= $COS_T
+          JOIN cpop ON cpop.cell = a.cell
+          WHERE cpop.pop <= ${Similarity.SemDedupMaxCell}
+            AND ${foldSql("a.v", "b.v")} / (a.nv * b.nv) >= $COS_T
             AND (b.cscore < a.cscore
                  OR (b.cscore = a.cscore AND b.vec_id < a.vec_id)))
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_vecs,

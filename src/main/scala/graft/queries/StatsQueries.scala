@@ -54,6 +54,14 @@ object StatsQueries {
       - 1)
 
   private val dec38 = DecimalType(38, 0)
+  // q253's enforced exactness bound: s^2*10^4 ~ n^4*10^4 stays inside
+  // DECIMAL(38,0) to n ~ 3e8 per group. Interpolated into BOTH the
+  // Spark guard and the oracle guard (the q270-modulus rule).
+  private val KENDALL_MAX_N = 300000000L
+  // q261's replication factor: the fixture corpus replicated 100000x
+  // through the histogram cells (counts multiply; cells merge by
+  // addition). Interpolated into both engines.
+  private val SPEARMAN_REPL = 100000L
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -515,7 +523,7 @@ object StatsQueries {
             col("s_stat").cast(LongType).as("s_stat"),
             // enforced exactness bound (object doc): s^2*10^4 ~ n^4*10^4
             // stays inside DECIMAL(38,0) to n ~ 3e8 per group
-            when(col("n") > 300000000L,
+            when(col("n") > KENDALL_MAX_N,
               raise_error(concat(lit("q253_kendall_tau: group "),
                 col("source"),
                 lit(" exceeds the n<=3e8 DECIMAL(38,0) exactness" +
@@ -525,7 +533,7 @@ object StatsQueries {
                 * expr("s_stat * s_stat * 10000 div (d1 * d2)"))
               .cast(LongType).as("taub2s_bp"))
       },
-      Some("""
+      Some(s"""
         WITH b AS (
           SELECT source, doc_id, n_chars AS x,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS y
@@ -561,7 +569,7 @@ object StatsQueries {
           FROM n0 JOIN n1 USING (source) JOIN n2 USING (source)
           LEFT JOIN s USING (source))
         SELECT source, n, CAST(s_stat AS BIGINT) AS s_stat,
-               CASE WHEN n > 300000000 THEN CAST(error(
+               CASE WHEN n > $KENDALL_MAX_N THEN CAST(error(
                  'q253_kendall_tau: group ' || source ||
                  ' exceeds the n<=3e8 DECIMAL(38,0) exactness' ||
                  ' bound for the squared-S quotient') AS BIGINT)
@@ -606,15 +614,17 @@ object StatsQueries {
           "source", "n_chars", "ntok")
           .select(col("g").as("source"), col("n_pairs"),
             col("theilsen_milli")),
-      Some("""
+      Some(s"""
         WITH b AS (
           SELECT source, n_chars AS x,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS y
           FROM documents),
         p AS (
           SELECT b1.source AS source,
-                 CAST((1000 * (b2.y - b1.y) + 2097152 * (b2.x - b1.x))
-                   // (b2.x - b1.x) - 2097152 AS BIGINT) AS s
+                 CAST((1000 * (b2.y - b1.y)
+                       + ${graft.operators.TheilSen.MaxAbsMilli} * (b2.x - b1.x))
+                   // (b2.x - b1.x)
+                   - ${graft.operators.TheilSen.MaxAbsMilli} AS BIGINT) AS s
           FROM b b1 JOIN b b2
             ON b1.source = b2.source AND b1.x < b2.x),
         r AS (
@@ -1034,10 +1044,10 @@ object StatsQueries {
         "identical on both engines (floor of non-negative integers): " +
         "the bp output sits within ~(q1+q2+1) below exact " +
         "rho^2*10^4 — centi-rho precision. The n > 20000 fixture is " +
-        "the 100000x-REPLICATED corpus: replication multiplies every " +
+        s"the $SPEARMAN_REPL-x-REPLICATED corpus: replication multiplies every " +
         "histogram cell count by k (cells merge by addition — the " +
         "q259/SpearmanStream protocol), so this computes, exactly, " +
-        "rho of a corpus of n = 100000 * count(documents) rows per " +
+        s"rho of a corpus of n = $SPEARMAN_REPL * count(documents) rows per " +
         "source (2.5e6 at sf0.01) — millions of rows through the " +
         "DECIMAL moment path the old guard claimed impossible. " +
         "SCALE SHAPE: identical to q259 — one corpus-width cell " +
@@ -1048,12 +1058,12 @@ object StatsQueries {
         graft.operators.SpearmanHist.rhoScaled(
           graft.operators.SpearmanHist.cells(
             spread(t(s, dir, "documents"), col("doc_id")))
-            .withColumn("cnt", col("cnt") * lit(100000L))),
-      Some("""
+            .withColumn("cnt", col("cnt") * lit(SPEARMAN_REPL))),
+      Some(s"""
         WITH h AS (
           SELECT source, n_chars // 16 AS xb,
                  CAST(len(string_split(text, ' ')) AS BIGINT) // 4 AS yb,
-                 CAST(count(*) AS BIGINT) * 100000 AS cnt
+                 CAST(count(*) AS BIGINT) * $SPEARMAN_REPL AS cnt
           FROM documents GROUP BY 1, 2, 3),
         mx AS (
           SELECT source, xb,
@@ -1087,7 +1097,8 @@ object StatsQueries {
                  n * syy - sy * sy AS d2
           FROM m)
         SELECT source, CAST(n AS BIGINT) AS n,
-               CASE WHEN n > 1000000000 THEN CAST(error(
+               CASE WHEN n > ${graft.operators.SpearmanHist.ScaledMaxN}
+                 THEN CAST(error(
                  'q261_spearman_scaled: group ' || source ||
                  ' exceeds the n<=1e9 DECIMAL(38,0) slope-product' ||
                  ' bound; shard the group (cells merge by addition)')

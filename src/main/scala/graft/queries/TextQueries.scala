@@ -1397,8 +1397,10 @@ object TextQueries {
         "ever computed. The rule SHAPES are Appendix A's; three " +
         "CONSTANTS deliberately deviate from the paper, recalibrated " +
         "to this synthetic short-document corpus so no conjunct is " +
-        "vacuous: (1) word count in [30, 100000] (paper: [50, " +
-        "100000] — at 50 the lower bound rejects almost everything " +
+        "vacuous: (1) word count in " +
+        s"[${graft.operators.GopherRules.MinWords}, " +
+        s"${graft.operators.GopherRules.MaxWords}] (paper: [50, " +
+        "1e5] — at 50 the lower bound rejects almost everything " +
         "here); (2) mean word length in [4.4, 10] (paper: [3, 10] — " +
         "the synthetic vocabulary's mean never drops to 3, so the " +
         "lower bound is raised until the rule fires) spelled " +
@@ -1607,9 +1609,12 @@ object TextQueries {
       "q277_repetition_rules",
       "Gopher REPETITION rules (Rae et al. 2021, Appendix A's other " +
         "half — q273 covers the structural rules, this covers the " +
-        "repeated-content ones): per document, the character fraction " +
-        "covered by the MOST COMMON {2,3,4}-gram must stay under the " +
-        "paper's 20/18/16 percent, and no 3-gram may repeat inside " +
+        "repeated-content ones): per document, the MAXIMUM character " +
+        "fraction covered by any single {2,3,4}-gram must stay under " +
+        "the paper's 20/18/16 percent (a stated deviation: the paper " +
+        "takes the most FREQUENT gram's coverage, this takes the max " +
+        "coverage over grams — the stricter bound, since a longer but " +
+        "rarer gram can dominate), and no 3-gram may repeat inside " +
         "the document at all (the paper binds duplicate {5..10}-grams " +
         "— this corpus never repeats a 5-gram internally, 0/500 " +
         "probed, so the dup rule is recalibrated to n=3 at zero " +

@@ -965,7 +965,7 @@ object WarehouseQueries {
         "exact form; q132's HLL registers are the sketch path when " +
         "3x distinct pairs is too much.",
       (s, dir) => {
-        val HOUR_US = 3600000000L
+        val HOUR_US = Units.HourUs
         val ev = t(s, dir, "events")
           .select(unix_micros(date_trunc("hour", col("ts"))).as("h_us"),
             col("user_id"))
@@ -977,10 +977,10 @@ object WarehouseQueries {
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"))
       },
-      Some("""
+      Some(s"""
         WITH ex AS (
           SELECT make_timestamp(epoch_us(date_trunc('hour', ts))
-                   - off * 3600000000) AS win_start,
+                   - off * ${Units.HourUs}) AS win_start,
                  user_id
           FROM events, (SELECT unnest([0, 1, 2]) AS off))
         SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,

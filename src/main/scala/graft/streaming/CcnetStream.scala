@@ -175,17 +175,23 @@ object CcnetStream {
   private val boundsSchema = StructType.fromDDL(
     "lang STRING, b1 BIGINT, b2 BIGINT")
   private val boundsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Seq[Row])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Row])]()
   private val memoHits = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] def boundsMemoHits: Long = memoHits.get()
   private[graft] def clearBoundsMemo(): Unit = boundsMemo.clear()
 
-  private def listingKey(spark: SparkSession, outDir: String): Option[Int] = {
+  // the key is the FULL sorted (name, length) listing string compared
+  // by EQUALITY — a 32-bit hash of it could collide between two
+  // different listings and silently serve stale boundaries, the exact
+  // staleness class the memo exists to rule out. The string is one
+  // bounded log listing per out dir (file count x ~60 chars), cheaper
+  // than a wrong tercile.
+  private def listingKey(spark: SparkSession, outDir: String): Option[String] = {
     val p = new Path(outDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else Some(fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
-      .sorted.mkString("\n").hashCode)
+      .sorted.mkString("\n"))
   }
 
   /** The standing head/middle/tail table over everything scored so

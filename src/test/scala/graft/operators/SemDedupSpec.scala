@@ -52,6 +52,54 @@ class SemDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("occupancy guard: a template-flood cell above maxCell is " +
+      "excluded from the pair stage (all members kept, warning fires) " +
+      "while planted survivors in small cells still resolve") {
+    ObservedWarn.clearFired("semdedup_hot_cells")
+    // 20 identical flood vectors collapse into ONE cell (the skewed
+    // embedding distribution the guard exists for), a near-dup pair on
+    // e2 and a loner on e3 sit in their own small cells
+    val flood = (100L until 120L).map(i => (i, vec(1.0, 0.0, 0.0, 0.0)))
+    val all = flood ++ Seq(
+      (1L, vec(0.0, 1.0, 0.0, 0.0)),
+      (2L, vec(0.0, 0.95, 0.05, 0.0)),
+      (3L, vec(0.0, 0.0, 1.0, 0.0)))
+    val got = Similarity.semDedup(all.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCells = 3, trainIters = 1, dim = 4,
+      eps = 0.9, maxCell = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3)))
+      .toMap
+    assert(got.size == all.size, "one output row per input vector")
+    // the guard FIRED and counted exactly the one hot cell
+    assert(ObservedWarn.lastFired("semdedup_hot_cells").contains(1L),
+      s"hot-cell warning must report 1 excluded cell, got " +
+        s"${ObservedWarn.lastFired("semdedup_hot_cells")}")
+    // flood members are all KEPT unexamined (conservative, never O(n^2))
+    flood.foreach { case (id, _) =>
+      assert(!got(id)._2, s"flood member $id must be kept unexamined") }
+    // the small-cell near-dup pair still resolves to one survivor
+    val pairDropped = Seq(1L, 2L).filter(got(_)._2)
+    assert(pairDropped.size == 1,
+      s"small-cell pair must still lose exactly one member: $pairDropped")
+    assert(!got(3L)._2, "the loner must survive")
+    spark.catalog.clearCache()
+  }
+
+  test("semDedupReleasable: release() drops the embedded assignment " +
+      "cache after the result is materialized") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (sd, release) = Similarity.semDedupReleasable(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nCells = 3, trainIters = 1, dim = 4, eps = 0.9)
+    assert(sd.count() == rows.size)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the assignment frame must be cached while the result computes")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release() must unpersist the assignment cache")
+  }
+
   test("eps above every pair cosine keeps the whole corpus") {
     val got = run(eps = 0.9999)
     assert(got.values.forall(!_._3),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 import graft.{SparkEntry, SparkSpec}
@@ -386,6 +386,48 @@ class ExplainAuditSpec extends SparkSpec {
       }
       assert(bc.nonEmpty, s"$n: queries/centroids side must broadcast")
     }
+  }
+
+  test("q278 semdedup: the within-cell pair stage stays a CELL-KEYED " +
+      "equi-join carrying the dominance predicate — never a cartesian " +
+      "or nested loop — under the occupancy guard") {
+    // isolation: q278 persists its assignment frame; build alone so the
+    // registry fixture cannot splice foreign cached pipelines in
+    val nodes = withStaticPlans {
+      spark.catalog.clearCache()
+      expandedNodes(planOf("q278_semdedup"))
+    }
+    // the centroid-assignment cross joins (corpus x broadcast k-row
+    // model table) are the adjudicated LUT shape; the ban is on the
+    // PAIR stage — any nested-loop/cartesian carrying the pair-side
+    // columns means the cell equi-key was lost
+    val pairCols = Set("__oid", "__ov", "__on", "__ocs")
+    val bad = nodes.collect {
+      case j: CartesianProductExec => j.nodeName
+      case j: BroadcastNestedLoopJoinExec
+          if j.output.exists(a => pairCols(a.name)) => j.nodeName
+    }
+    assert(bad.isEmpty,
+      s"q278's pair stage must never degrade to a cartesian/nested loop: $bad")
+    // the pair stage: an equi-join whose ONLY key is `cell` and whose
+    // condition carries the pushed dominance/cosine predicate — the
+    // shape that keeps the quadratic work cell-confined. A guard edit
+    // that lost the cell key would surface here as zero matches (the
+    // cosine filter alone cannot equi-join).
+    def cellKeyed(keys: Seq[Expression]): Boolean =
+      keys.size == 1 && keys.head.references.size == 1 &&
+        keys.head.references.head.name == "cell"
+    val pairJoins = nodes.collect {
+      case j: SortMergeJoinExec
+          if cellKeyed(j.leftKeys) && j.condition.isDefined => j.nodeName
+      case j: ShuffledHashJoinExec
+          if cellKeyed(j.leftKeys) && j.condition.isDefined => j.nodeName
+      case j: BroadcastHashJoinExec
+          if cellKeyed(j.leftKeys) && j.condition.isDefined => j.nodeName
+    }
+    assert(pairJoins.nonEmpty,
+      "q278's pair stage must plan as a cell-keyed hash/merge join " +
+        "with the dominance predicate as its condition")
   }
 
   test("window-form top-k auto-rewrite reaches its known registry queries") {

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The 24th stream==batch twin: the per-source Gopher rule audit
-  * maintained incrementally must equal q273's arithmetic over every
-  * document seen — same GopherRules statement, merged counts, read-
-  * derived pass_bp — across restarts, replays and compaction. (The
+  * maintained incrementally must equal q273's structural arithmetic
+  * AND q277's repetition arithmetic over every document seen — same
+  * GopherRules statements, merged counts, read-derived pass_bp and
+  * rep_pass_bp — across restarts, replays and compaction. (The
   * three operational properties are ALSO inherited uniformly in
   * TwinConformanceSpec — this spec pins the batch equality and the
   * compaction invariant the harness does not state.) */
@@ -57,11 +58,12 @@ class QualityAuditStreamSpec extends SparkSpec {
     assert(q.awaitTermination(120000), "quality audit stream did not finish")
   }
 
-  /** q273's arithmetic computed batch-side over a frame — the shared
-    * summary plus the read-derived pass_bp. */
+  /** q273's + q277's arithmetic computed batch-side over a frame —
+    * the shared summary plus the read-derived pass rates. */
   private def batchForm(rs: Seq[(Long, String, String)]) =
     QualityAuditStream.summary(toDf(rs))
       .withColumn("pass_bp", expr("n_pass * 10000 div n_docs"))
+      .withColumn("rep_pass_bp", expr("n_rep_pass * 10000 div n_docs"))
 
   private def key(df: DataFrame) = {
     val got = df.collect().map(_.toString).toSeq.sorted
@@ -69,8 +71,9 @@ class QualityAuditStreamSpec extends SparkSpec {
     got
   }
 
-  test("audit == batch q273 arithmetic after every prefix; compaction " +
-      "and post-compaction appends preserve it; empty before commit") {
+  test("audit == batch q273+q277 arithmetic after every prefix; " +
+      "compaction and post-compaction appends preserve it; empty " +
+      "before commit") {
     val root = Files.createTempDirectory("qaudit-stream")
     Files.createDirectories(root.resolve("in"))
     val out = root.resolve("out").toString
@@ -79,7 +82,9 @@ class QualityAuditStreamSpec extends SparkSpec {
     // pre-commit: empty with the audit schema
     val empty = QualityAuditStream.audit(spark, out)
     assert(empty.columns.toSeq == Seq("source", "n_docs", "v_wordcount",
-      "v_meanlen", "v_stopword", "v_diversity", "n_pass", "pass_bp"))
+      "v_meanlen", "v_stopword", "v_diversity", "n_pass",
+      "v_top2", "v_top3", "v_top4", "v_dup3", "n_rep_pass",
+      "pass_bp", "rep_pass_bp"))
     assert(empty.count() == 0)
 
     val b1 = rows(0 until 30)
@@ -95,10 +100,14 @@ class QualityAuditStreamSpec extends SparkSpec {
     assert(key(QualityAuditStream.audit(spark, out)) == full,
       "full stream diverged from the batch audit")
 
-    // every audit column non-vacuous on the fixture
+    // every audit column non-vacuous on the fixture — structural AND
+    // repetition (the 'again'-flood doc violates all four repetition
+    // rules; the stopless/short docs keep n_rep_pass below n_docs)
     val row = batchForm(b1 ++ b2).agg(sum("v_wordcount"), sum("v_meanlen"),
-      sum("v_stopword"), sum("v_diversity"), sum("n_pass")).head()
-    (0 until 5).foreach(i => assert(row.getLong(i) > 0,
+      sum("v_stopword"), sum("v_diversity"), sum("n_pass"),
+      sum("v_top2"), sum("v_top3"), sum("v_top4"), sum("v_dup3"),
+      sum("n_rep_pass")).head()
+    (0 until 10).foreach(i => assert(row.getLong(i) > 0,
       s"fixture vacuous at audit column $i"))
 
     // compaction folds the log; the audit must not move, and later
@@ -112,5 +121,19 @@ class QualityAuditStreamSpec extends SparkSpec {
     assert(key(QualityAuditStream.audit(spark, out)) ==
       key(batchForm(b1 ++ b2 ++ b3)),
       "post-compaction append diverged")
+  }
+
+  test("start() validates doc_id/source/text up front — a mis-wired " +
+      "stream fails at wiring time, not inside foreachBatch") {
+    val root = Files.createTempDirectory("qaudit-req")
+    Files.createDirectories(root.resolve("in"))
+    val miswired = spark.readStream.schema("doc_id LONG, body STRING")
+      .parquet(root.resolve("in").toString)
+    val e = intercept[IllegalArgumentException] {
+      QualityAuditStream.start(miswired, root.resolve("out").toString,
+        root.resolve("cp").toString)
+    }
+    assert(e.getMessage.contains("source"),
+      s"the error must name the missing column: ${e.getMessage}")
   }
 }
