@@ -39,6 +39,56 @@ object CurationQueries {
 
   private def blockSql = BLOCK.map(b => s"'$b'").mkString(", ")
 
+  /** The DSIR score-and-keep oracle CTE chain (toks..keepd) — ONE
+    * DuckDB statement of Dsir.scoreSelf + resampleKeep, shared by
+    * every resampling consumer (q270/q276/q279/q280) so the scoring
+    * arithmetic cannot drift between them. Callers append their own
+    * tail after `keepd`. */
+  private def dsirKeepCtes: String = s"""toks AS (
+          SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS ts
+          FROM documents),
+        uni AS (SELECT doc_id, tgt, unnest(ts) AS f FROM toks),
+        bi AS (
+          SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS f
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        feats AS (
+          SELECT doc_id, tgt, ${Portable.pmd5Sql("f")} % ${graft.operators.Dsir.DefaultBuckets} AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        cr AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+          FROM feats GROUP BY 1),
+        ct AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+          FROM feats WHERE tgt GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS tr,
+                 CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tt
+          FROM feats),
+        w AS (
+          SELECT bucket,
+                 ${graft.operators.Dsir.flog2DuckSql(
+                   s"(coalesce(ct, 0) + 1) * (tr + ${graft.operators.Dsir.DefaultBuckets})",
+                   s"(coalesce(cr, 0) + 1) * (tt + ${graft.operators.Dsir.DefaultBuckets})")} AS bits
+          FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot),
+        scored AS (
+          SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(bits) AS BIGINT) AS weight_bits
+          FROM feats f JOIN w USING (bucket) GROUP BY 1),
+        dec AS (
+          SELECT doc_id,
+                 ${graft.operators.Dsir.floorDivDuckSql(
+                   "weight_bits", "n_feats")} AS wb_norm
+          FROM scored),
+        keepd AS (
+          SELECT doc_id, wb_norm,
+                 ${graft.operators.Dsir.resampleKeepDuckSql("wb_norm",
+                   Portable.pmd5Sql(
+                     "concat('dsirk:', CAST(doc_id AS VARCHAR))") +
+                     s" % ${1L << graft.operators.Dsir.ResampleUniformBits}"
+                   )} AS keep
+          FROM dec)"""
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1241,50 +1291,7 @@ object CurationQueries {
             col("kept_chars"), col("kept_wb_norm_sum"))
       },
       Some(s"""
-        WITH toks AS (
-          SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS ts
-          FROM documents),
-        uni AS (SELECT doc_id, tgt, unnest(ts) AS f FROM toks),
-        bi AS (
-          SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS f
-          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
-          WHERE len(ts) >= 2),
-        feats AS (
-          SELECT doc_id, tgt, ${Portable.pmd5Sql("f")} % 1024 AS bucket
-          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-        cr AS (
-          SELECT bucket, CAST(count(*) AS BIGINT) AS cr
-          FROM feats GROUP BY 1),
-        ct AS (
-          SELECT bucket, CAST(count(*) AS BIGINT) AS ct
-          FROM feats WHERE tgt GROUP BY 1),
-        tot AS (
-          SELECT CAST(count(*) AS BIGINT) AS tr,
-                 CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tt
-          FROM feats),
-        w AS (
-          SELECT bucket,
-                 ${graft.operators.Dsir.flog2DuckSql(
-                   "(coalesce(ct, 0) + 1) * (tr + 1024)",
-                   "(coalesce(cr, 0) + 1) * (tt + 1024)")} AS bits
-          FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot),
-        scored AS (
-          SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                 CAST(sum(bits) AS BIGINT) AS weight_bits
-          FROM feats f JOIN w USING (bucket) GROUP BY 1),
-        dec AS (
-          SELECT doc_id,
-                 ${graft.operators.Dsir.floorDivDuckSql(
-                   "weight_bits", "n_feats")} AS wb_norm
-          FROM scored),
-        keepd AS (
-          SELECT doc_id, wb_norm,
-                 ${graft.operators.Dsir.resampleKeepDuckSql("wb_norm",
-                   Portable.pmd5Sql(
-                     "concat('dsirk:', CAST(doc_id AS VARCHAR))") +
-                     s" % ${1L << graft.operators.Dsir.ResampleUniformBits}"
-                   )} AS keep
-          FROM dec)
+        WITH ${dsirKeepCtes}
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
                CAST(count(*) FILTER (WHERE keep) AS BIGINT) * 10000
@@ -1842,50 +1849,163 @@ object CurationQueries {
               .as("epoch_weight_bp"))
       },
       Some(s"""
-        WITH toks AS (
-          SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS ts
-          FROM documents),
-        uni AS (SELECT doc_id, tgt, unnest(ts) AS f FROM toks),
-        bi AS (
-          SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS f
-          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
-          WHERE len(ts) >= 2),
-        feats AS (
-          SELECT doc_id, tgt, ${Portable.pmd5Sql("f")} % 1024 AS bucket
-          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-        cr AS (
-          SELECT bucket, CAST(count(*) AS BIGINT) AS cr
-          FROM feats GROUP BY 1),
-        ct AS (
-          SELECT bucket, CAST(count(*) AS BIGINT) AS ct
-          FROM feats WHERE tgt GROUP BY 1),
-        tot AS (
-          SELECT CAST(count(*) AS BIGINT) AS tr,
-                 CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tt
-          FROM feats),
-        w AS (
-          SELECT bucket,
-                 ${graft.operators.Dsir.flog2DuckSql(
-                   "(coalesce(ct, 0) + 1) * (tr + 1024)",
-                   "(coalesce(cr, 0) + 1) * (tt + 1024)")} AS bits
-          FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot),
-        scored AS (
-          SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                 CAST(sum(bits) AS BIGINT) AS weight_bits
-          FROM feats f JOIN w USING (bucket) GROUP BY 1),
-        dec AS (
-          SELECT doc_id,
-                 ${graft.operators.Dsir.floorDivDuckSql(
-                   "weight_bits", "n_feats")} AS wb_norm
-          FROM scored),
-        keepd AS (
-          SELECT doc_id, wb_norm,
-                 ${graft.operators.Dsir.resampleKeepDuckSql("wb_norm",
-                   Portable.pmd5Sql(
-                     "concat('dsirk:', CAST(doc_id AS VARCHAR))") +
-                     s" % ${1L << graft.operators.Dsir.ResampleUniformBits}"
-                   )} AS keep
-          FROM dec),
+        WITH ${dsirKeepCtes},
+        kept AS (
+          SELECT k.doc_id, d.source, d.n_chars
+          FROM keepd k JOIN documents d USING (doc_id) WHERE keep),
+        c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(n_chars) AS BIGINT) AS kept_chars
+          FROM kept GROUP BY 1),
+        s AS (SELECT CAST(sum(kept_chars) AS BIGINT) AS total_chars,
+                     CAST(count(*) AS BIGINT) AS n_sources FROM c)
+        SELECT source, n_kept, kept_chars,
+               kept_chars * 10000 // total_chars AS share_bp,
+               (total_chars // n_sources) * 10000 // kept_chars
+                 AS epoch_weight_bp
+        FROM c, s""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q279_epoch_schedule",
+      "The EPOCH MANIFEST a training scheduler actually reads — " +
+        "q276's per-source weights closed into a concrete repeat " +
+        "plan over the DSIR-resampled corpus: each source gets the " +
+        "uniform character budget B = total_kept_chars div " +
+        "n_sources, realized as full_epochs = B div kept_chars " +
+        "complete passes plus a PARTIAL pass of tail_chars = B mod " +
+        "kept_chars, and the partial pass is a DETERMINISTIC prefix " +
+        "— kept documents in doc_id order, taken while the running " +
+        "character total before the document is still under " +
+        "tail_chars (so the last tail document may overshoot; " +
+        "sched_chars reports the realized total). All integer " +
+        "arithmetic, stated identically in both engines. Scoring " +
+        "reads the STANDING DsirIndex model table (graft_dsirmdl_ " +
+        "catalog table, stamp-rebuilt only when the corpus moves) — " +
+        "the model is a training-time constant, not per-query work. " +
+        "SCALE SHAPE: one feature explode + broadcast weight join " +
+        "(the model table is <= 1024 rows), a per-row keep " +
+        "projection, ONE cumulative window per source over the " +
+        "narrow kept frame, and a source-bounded aggregation with " +
+        "broadcast per-source totals.",
+      (s, dir) => {
+        import graft.operators.{Dsir, DsirIndex}
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val model = DsirIndex.model(s, "mix", docs, "doc_id", "text",
+          col("lang") === "en")
+        // persisted: feeds the per-source totals AND the cumulative
+        // window (q274's perDoc convention; harness frees via clearCache)
+        val kept = Dsir.resampleKeep(
+            DsirIndex.scoreFromModel(docs, "doc_id", "text", model),
+            "doc_id")
+          .filter(col("keep"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .persist()
+        val c = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars"))
+        val tot = c.agg(sum(col("kept_chars")).as("total_chars"),
+          count(lit(1)).as("n_sources"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val cum = kept.withColumn("cum_before",
+          coalesce(sum(col("n_chars")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // c is source-bounded, tot is one row — both broadcast
+        cum.join(broadcast(c), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("budget_chars", expr("total_chars div n_sources"))
+          .withColumn("full_epochs", expr("budget_chars div kept_chars"))
+          .withColumn("tail_chars", expr("budget_chars % kept_chars"))
+          .groupBy(col("source"), col("n_kept"), col("kept_chars"),
+            col("budget_chars"), col("full_epochs"), col("tail_chars"))
+          .agg(sum(when(col("cum_before") < col("tail_chars"), 1L)
+              .otherwise(0L)).as("tail_docs"),
+            coalesce(sum(when(col("cum_before") < col("tail_chars"),
+              col("n_chars"))), lit(0L)).as("__tail_sched"))
+          .select(col("source"), col("n_kept"), col("kept_chars"),
+            col("budget_chars"), col("full_epochs"), col("tail_chars"),
+            col("tail_docs"),
+            (col("full_epochs") * col("kept_chars") + col("__tail_sched"))
+              .as("sched_chars"))
+      },
+      Some(s"""
+        WITH ${dsirKeepCtes},
+        kept AS (
+          SELECT k.doc_id, d.source, d.n_chars
+          FROM keepd k JOIN documents d USING (doc_id) WHERE keep),
+        c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(n_chars) AS BIGINT) AS kept_chars
+          FROM kept GROUP BY 1),
+        s AS (SELECT CAST(sum(kept_chars) AS BIGINT) AS total_chars,
+                     CAST(count(*) AS BIGINT) AS n_sources FROM c),
+        cum AS (
+          SELECT source, doc_id, n_chars,
+                 CAST(coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+          FROM kept),
+        b AS (
+          SELECT c.source, n_kept, kept_chars,
+                 total_chars // n_sources AS budget_chars,
+                 (total_chars // n_sources) // kept_chars AS full_epochs,
+                 (total_chars // n_sources) % kept_chars AS tail_chars
+          FROM c, s)
+        SELECT b.source, n_kept, kept_chars, budget_chars, full_epochs,
+               tail_chars,
+               CAST(count(*) FILTER (WHERE cum_before < tail_chars)
+                 AS BIGINT) AS tail_docs,
+               CAST(full_epochs * kept_chars
+                 + coalesce(sum(n_chars)
+                     FILTER (WHERE cum_before < tail_chars), 0)
+                 AS BIGINT) AS sched_chars
+        FROM b JOIN cum ON b.source = cum.source
+        GROUP BY 1, 2, 3, 4, 5, 6""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q280_mixture_from_model",
+      "q276's mixture table scored from the STANDING model — the " +
+        "deployment form of the resampled-mixture query: q276 " +
+        "retrains the DSIR bucket counts inline every run (correct, " +
+        "but the model is a per-corpus-generation constant), while " +
+        "this query reads the persisted DsirIndex catalog table " +
+        "(graft_dsirmdl_mix: one row per feature bucket, cr/ct " +
+        "counts, stamp-rebuilt only when the corpus fingerprint " +
+        "moves) and must produce the IDENTICAL mixture — the oracle " +
+        "is q276's from-scratch restatement, so the hash match " +
+        "proves standing-model scoring == inline training, the " +
+        "freshness contract a scheduler depends on. SCALE SHAPE: " +
+        "the corpus explodes into hashed features exactly once " +
+        "(scoring only — the training counts are a <= 1024-row " +
+        "table scan that BROADCASTS into the weight join), then " +
+        "q276's narrow keep projection, source-bounded aggregation " +
+        "and 1-row broadcast.",
+      (s, dir) => {
+        import graft.operators.{Dsir, DsirIndex}
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val model = DsirIndex.model(s, "mix", docs, "doc_id", "text",
+          col("lang") === "en")
+        val kept = Dsir.resampleKeep(
+            DsirIndex.scoreFromModel(docs, "doc_id", "text", model),
+            "doc_id")
+          .filter(col("keep"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            Seq("doc_id"))
+        val c = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars"))
+        val tot = c.agg(sum(col("kept_chars")).as("total_chars"),
+          count(lit(1)).as("n_sources"))
+        c.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_kept"), col("kept_chars"),
+            expr("kept_chars * 10000 div total_chars").as("share_bp"),
+            expr("(total_chars div n_sources) * 10000 div kept_chars")
+              .as("epoch_weight_bp"))
+      },
+      Some(s"""
+        WITH ${dsirKeepCtes},
         kept AS (
           SELECT k.doc_id, d.source, d.n_chars
           FROM keepd k JOIN documents d USING (doc_id) WHERE keep),

@@ -430,6 +430,37 @@ class ExplainAuditSpec extends SparkSpec {
         "with the dominance predicate as its condition")
   }
 
+  test("q279/q280 score from the STANDING dsir model table — one " +
+      "feature explode, a broadcast weight join, no inline training " +
+      "counts") {
+    for (n <- Seq("q279_epoch_schedule", "q280_mixture_from_model")) {
+      val nodes = withStaticPlans {
+        spark.catalog.clearCache()
+        expandedNodes(planOf(n))
+      }
+      // the model is read from the catalog table, never recounted
+      assert(nodes.exists {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table.startsWith("graft_dsirmdl_"))
+        case _ => false
+      }, s"$n must read the graft_dsirmdl_ catalog table")
+      // exactly ONE corpus-width feature explode (scoring); the
+      // inline-training shape would add a second instance pipeline
+      val gens = nodes.collect {
+        case g: GenerateExec if g.output.exists(_.name == "__feat") => g
+      }
+      assert(gens.size == 1,
+        s"$n must explode features exactly once, found ${gens.size}")
+      // the <= 1024-row weight table broadcasts into the scoring join
+      assert(nodes.exists {
+        case j: BroadcastHashJoinExec =>
+          j.leftKeys.exists(_.references.exists(_.name == "bucket")) ||
+            j.rightKeys.exists(_.references.exists(_.name == "bucket"))
+        case _ => false
+      }, s"$n: the bucket-keyed weight join must broadcast")
+    }
+  }
+
   test("window-form top-k auto-rewrite reaches its known registry queries") {
     // documents the rewrite's reach and pins that it stays active in
     // engine sessions: every query here spells grouped top-k (or argmax)
