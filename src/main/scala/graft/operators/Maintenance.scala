@@ -89,6 +89,13 @@ object Maintenance {
     * with the corpus so the within-cell stage stays bounded — the
     * [[Similarity.semDedup]] contract.
     *
+    * This full retrain-and-rescan is the CORPUS-GENERATION boundary:
+    * between runs, [[graft.streaming.SemDedupStream]] maintains the
+    * same resolution incrementally against the frozen centroids, and
+    * its [[graft.streaming.SemDedupStream.staleness]] bp is the
+    * trigger for scheduling this job (cells moved = every assignment
+    * stale by definition; the rebuild IS the increment).
+    *
     * @return output parquet file count. */
   def semDedupCompact(spark: SparkSession, sinkDir: String,
       outputDir: String, idCol: String, vecCol: String, nCells: Int,

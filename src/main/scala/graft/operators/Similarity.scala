@@ -503,18 +503,64 @@ object Similarity {
   def semDedupReleasable(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, trainIters: Int, dim: Int, eps: Double,
       maxCell: Long = SemDedupMaxCell,
-      seed: IvfSeed = SeedFarthestRace): (DataFrame, () => Unit) = {
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCells,
-      trainIters, dim, seed)
-    val asg = nearestCells(prep(corpus, idCol, idCol, vecCol), cents,
-      idCol, 1)
+      seed: IvfSeed = SeedFarthestRace): (DataFrame, () => Unit) =
+    semDedupWithCentroids(corpus,
+      trainIvfCentroids(corpus, idCol, vecCol, nCells, trainIters, dim,
+        seed),
+      idCol, vecCol, eps, maxCell)
+
+  /** [[semDedup]] against GIVEN frozen centroids — the
+    * corpus-generation form: the model is trained once (offline, or by
+    * the first streamed batch) and every assignment after that is made
+    * against the same cells, so batch and incremental consumers can
+    * never disagree about cell membership
+    * ([[graft.streaming.SemDedupStream]]'s twin equality states
+    * exactly this form over the union of its batches). Same caching
+    * contract and occupancy guard as [[semDedupReleasable]]. */
+  def semDedupWithCentroids(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, eps: Double,
+      maxCell: Long = SemDedupMaxCell): (DataFrame, () => Unit) = {
+    val asg = semDedupAssign(corpus, cents, idCol, vecCol).persist()
+    (semDedupFromAsg(asg, idCol, eps, maxCell),
+      () => { asg.unpersist(); () })
+  }
+
+  /** One (idCol, v, nv, cell, cscore) row per corpus vector against
+    * frozen centroids — the assignment row the incremental twin
+    * appends to its standing log. */
+  def semDedupAssign(corpus: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    nearestCells(prep(corpus, idCol, idCol, vecCol), cents, idCol, 1)
       .select(col(idCol), col("v"), col("nv"), col("cell"), col("cscore"))
-      .persist()
+
+  /** The occupancy guard + single-semi-join dominance decision over a
+    * (persisted) assignment frame — the shared core of every semDedup
+    * form. */
+  private[graft] def semDedupFromAsg(asg: DataFrame, idCol: String,
+      eps: Double, maxCell: Long): DataFrame = {
     // occupancy guard: the pair stage runs only over cells at or under
     // the bound; over-populated cells keep all members and warn. The
     // surviving-cell frame is <= nCells rows by construction — the
     // same bounded-model-side broadcast the centroid joins make.
-    val keepCells = ObservedWarn(
+    val bounded = asg.join(broadcast(semDedupKeepCells(asg, maxCell)),
+      Seq("cell"))
+    val other = bounded.select(col(idCol).as("__oid"), col("v").as("__ov"),
+      col("nv").as("__on"), col("cell"), col("cscore").as("__ocs"))
+    val dropped = bounded.join(other, Seq("cell"))
+      .filter(semDedupDominates(idCol, eps))
+      .select(col(idCol)).distinct()
+    asg.select(col(idCol), col("cell"), col("cscore"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .withColumn("drop", coalesce(col("__drop"), lit(false)))
+      .drop("__drop")
+  }
+
+  /** Cells at or under the occupancy bound, exclusion observed-warned
+    * — shared by the batch forms and the incremental twin so the
+    * guard semantics cannot drift. */
+  private[graft] def semDedupKeepCells(asg: DataFrame,
+      maxCell: Long): DataFrame =
+    ObservedWarn(
       asg.groupBy(col("cell")).agg(count(lit(1)).as("__pop")),
       "semdedup_hot_cells",
       sum(when(col("__pop") > maxCell, 1L).otherwise(0L)),
@@ -524,22 +570,18 @@ object Similarity {
         "scales k with the corpus) or maxCell")
       .filter(col("__pop") <= maxCell)
       .select("cell")
-    val bounded = asg.join(broadcast(keepCells), Seq("cell"))
-    val other = bounded.select(col(idCol).as("__oid"), col("v").as("__ov"),
-      col("nv").as("__on"), col("cell"), col("cscore").as("__ocs"))
-    val dropped = bounded.join(other, Seq("cell"))
-      .filter(col(idCol) =!= col("__oid") &&
-        cosineFromPrepped(col("v"), col("nv"), col("__ov"), col("__on"))
-          >= eps &&
-        (col("__ocs") < col("cscore") ||
-          (col("__ocs") === col("cscore") && col("__oid") < col(idCol))))
-      .select(col(idCol)).distinct()
-    val out = asg.select(col(idCol), col("cell"), col("cscore"))
-      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
-      .withColumn("drop", coalesce(col("__drop"), lit(false)))
-      .drop("__drop")
-    (out, () => { asg.unpersist(); () })
-  }
+
+  /** The dominance predicate over a (row, __o*-renamed row) pair —
+    * ONE statement of the paper's keeper choice shared by every
+    * consumer: same cell (joined upstream), cosine >= eps, and the
+    * other side strictly better (lower centroid cosine, id-ascending
+    * tie-break). */
+  private[graft] def semDedupDominates(idCol: String, eps: Double): Column =
+    (col(idCol) =!= col("__oid")) &&
+      (cosineFromPrepped(col("v"), col("nv"), col("__ov"), col("__on"))
+        >= eps) &&
+      (col("__ocs") < col("cscore") ||
+        (col("__ocs") === col("cscore") && col("__oid") < col(idCol)))
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

@@ -208,6 +208,31 @@ class TwinConformanceSpec extends SparkSpec with TwinConformance {
       out => QualityAuditStream.audit(spark, out))
   }
 
+  twinConformance("semdedup-incremental") {
+    // frozen centroids trained once before the stream under test (the
+    // ccnet-buckets convention) — with a frozen model, one-shot and
+    // multi-epoch ingest discover the same dominance facts, so the
+    // merge law holds
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val sdRoot = Files.createTempDirectory("twinconf-semdedup")
+    val cents = sdRoot.resolve("cents").toString
+    SemDedupStream.train(spark,
+      Seq((900L, vec(1.0, 0.0, 0.0, 0.0)), (901L, vec(0.0, 1.0, 0.0, 0.0)),
+        (902L, vec(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCells = 3, trainIters = 1, dim = 4,
+      centDir = cents)
+    TwinFixture(
+      "vec_id LONG, embedding ARRAY<FLOAT>",
+      Seq(
+        Seq((1L, vec(1.0, 0.0, 0.0, 0.0)), (2L, vec(0.0, 1.0, 0.0, 0.0)),
+          (3L, vec(0.0, 0.95, 0.05, 0.0))).toDF("vec_id", "embedding"),
+        Seq((5L, vec(0.95, 0.05, 0.0, 0.0)), (6L, vec(0.0, 0.0, 1.0, 0.0)))
+          .toDF("vec_id", "embedding")),
+      (s, out, cp) => SemDedupStream.start(s, "vec_id", "embedding",
+        cents, out, cp, eps = 0.9),
+      out => SemDedupStream.read(spark, out, "vec_id"))
+  }
+
   // ---- per-batch-grain twins: merge law documented OFF ---------------
 
   twinConformance("curate-sink") {
