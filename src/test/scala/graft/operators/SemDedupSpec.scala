@@ -123,10 +123,16 @@ class SemDedupSpec extends SparkSpec {
       .withColumn("batch_id", lit(1L))
       .write.mode("append").partitionBy("batch_id").parquet(sink)
 
+    spark.catalog.clearCache()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val n = Maintenance.semDedupCompact(spark, sink, outDir,
       "doc_id", "embedding", nCells = 3, trainIters = 1, dim = 4,
       eps = 0.9)
     assert(n >= 1L)
+    // the periodic job must not leak cached blocks across runs — the
+    // semDedupReleasable contract, released after the rewrite
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "semDedupCompact leaked assignment-cache blocks")
     val snap = spark.read.parquet(outDir)
     val expected = run(eps = 0.9).collect { case (id, (_, _, false)) => id }
     assert(snap.select("doc_id").as[Long].collect().toSet ==

@@ -120,4 +120,36 @@ class SemDedupStreamSpec extends SparkSpec {
     // staleness: trained on 3, streamed 6 -> (6-3)/6 = 5000 bp
     assert(SemDedupStream.staleness(spark, out, cents) == 5000L)
   }
+
+  test("logs are partitioned by cell (standing reads prune to the " +
+      "touched cells) and compaction folds them without moving the " +
+      "read; post-compaction batches still land") {
+    val root = Files.createTempDirectory("semdedup-compact")
+    Files.createDirectories(root.resolve("in"))
+    val cents = root.resolve("cents").toString
+    val out = root.resolve("out").toString
+    val cp = root.resolve("cp").toString
+    SemDedupStream.train(spark, toDf(seed), "vec_id", "embedding",
+      nCells = 3, trainIters = 1, dim = 4, centDir = cents)
+
+    stage(root, "a", b1)
+    runOnce(root, cents, out, cp)
+    stage(root, "b", b2)
+    runOnce(root, cents, out, cp)
+    // the physical layout the per-batch pruning depends on
+    val parts = Files.list(java.nio.file.Paths.get(
+      SemDedupStream.asgDir(out))).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("cell=")).toSeq
+    assert(parts.nonEmpty, s"assignment log must partition by cell")
+
+    val before = streamed(out)
+    assert(SemDedupStream.compactLogs(spark, out) >= 1L)
+    assert(streamed(out) == before, "compaction moved the read")
+    // a later batch lands on top of the compacted generation
+    stage(root, "c", Seq((7L, vec(0.9, 0.1, 0.0, 0.0))))
+    runOnce(root, cents, out, cp)
+    assert(streamed(out) == batchForm(cents, b1 ++ b2 ++
+      Seq((7L, vec(0.9, 0.1, 0.0, 0.0)))),
+      "post-compaction append diverged from batch semDedup")
+  }
 }
