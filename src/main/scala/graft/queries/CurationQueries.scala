@@ -36,6 +36,10 @@ object CurationQueries {
   // q144: fixed probe keys (present at every SF; the oracle mirrors
   // the same IN-list, so values — not pruning — are what's compared)
   private val BLOOM_LOOKUP_IDS = Seq(7L, 123L, 404L)
+  // q282: shares carried as integer parts-per-1e8 (q177's convention —
+  // the count product runs in DECIMAL(38,0)/HUGEINT so a trillion-char
+  // stratum cannot wrap). Interpolated into the oracle.
+  private val MIX_SHARE_E8 = 100000000L
 
   private def blockSql = BLOCK.map(b => s"'$b'").mkString(", ")
 
@@ -2019,6 +2023,73 @@ object CurationQueries {
                kept_chars * 10000 // total_chars AS share_bp,
                (total_chars // n_sources) * 10000 // kept_chars
                  AS epoch_weight_bp
-        FROM c, s"""))
+        FROM c, s""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q282_resampled_temperature",
+      "Temperature-scaled mixture weights ON the DSIR-resampled " +
+        "corpus — q177's T = 2 recipe (weight proportional to " +
+        "sqrt(share), the multilingual upsampling that boosts rare " +
+        "strata less aggressively than q276's uniform budget) " +
+        "composed with q270's keep decision: shares are computed " +
+        "over KEPT characters, so the temperature smooths what the " +
+        "importance resampling actually shipped, not the raw corpus. " +
+        "Engine-exact throughout (q177's argument): shares are " +
+        "integer parts-per-1e8 with the count product in " +
+        "DECIMAL(38,0), sqrt of an exact integer-valued double is " +
+        "IEEE correctly rounded, floor and the bp normalization are " +
+        "integers. Scoring reads the STANDING DsirIndex model (the " +
+        "q280 path — the model is a per-generation constant). SCALE " +
+        "SHAPE: one feature explode + broadcast weight join, a " +
+        "narrow keep projection, a source-bounded aggregation, two " +
+        "1-row broadcasts — nothing grows with the corpus after the " +
+        "scoring pass.",
+      (s, dir) => {
+        import graft.operators.{Dsir, DsirIndex}
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val model = DsirIndex.model(s, "mix", docs, "doc_id", "text",
+          col("lang") === "en")
+        val kept = Dsir.resampleKeep(
+            DsirIndex.scoreFromModel(docs, "doc_id", "text", model),
+            "doc_id")
+          .filter(col("keep"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            Seq("doc_id"))
+        val c = kept.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("kept_chars"))
+        val tot = c.agg(sum(col("kept_chars")).as("total_chars"))
+        val w = c.crossJoin(broadcast(tot))
+          .withColumn("share_e8", expr("CAST(CAST(kept_chars AS " +
+            s"DECIMAL(38,0)) * $MIX_SHARE_E8 div total_chars AS BIGINT)"))
+          .withColumn("w",
+            floor(sqrt(col("share_e8").cast(DoubleType))).cast(LongType))
+        val ws = w.agg(sum(col("w")).as("wsum"))
+        w.crossJoin(broadcast(ws))
+          .select(col("source"), col("kept_chars"), col("share_e8"),
+            col("w").as("sqrt_share_e4"),
+            expr("w * 10000 div wsum").as("weight_bp"))
+      },
+      Some(s"""
+        WITH ${dsirKeepCtes},
+        kept AS (
+          SELECT k.doc_id, d.source, d.n_chars
+          FROM keepd k JOIN documents d USING (doc_id) WHERE keep),
+        c AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+          FROM kept GROUP BY 1),
+        s AS (SELECT CAST(sum(kept_chars) AS BIGINT) AS total_chars
+              FROM c),
+        tw AS (
+          SELECT source, kept_chars,
+                 CAST(CAST(kept_chars AS HUGEINT) * $MIX_SHARE_E8
+                   // total_chars AS BIGINT) AS share_e8,
+                 CAST(floor(sqrt(CAST(CAST(CAST(kept_chars AS HUGEINT)
+                   * $MIX_SHARE_E8 // total_chars AS BIGINT) AS DOUBLE)))
+                   AS BIGINT) AS tws
+          FROM c CROSS JOIN s),
+        ws AS (SELECT CAST(sum(tws) AS BIGINT) AS wsum FROM tw)
+        SELECT source, kept_chars, share_e8, tws AS sqrt_share_e4,
+               CAST(tws * 10000 // wsum AS BIGINT) AS weight_bp
+        FROM tw CROSS JOIN ws"""))
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.{Portable, TextAnalysis => TA}
 import graft.queries.Tables.{spread, t}
@@ -37,6 +37,99 @@ object TextQueries {
   private val RAKE_STOP: Seq[String] =
     TA.EnMarkers ++ Seq("join", "hash", "row", "batch", "scan")
   private val RAKE_STOP_SQL = RAKE_STOP.map(w => s"'$w'").mkString(", ")
+
+  /** q281's tail sampling rate: the CCNet deployment keeps head and
+    * middle fully and samples the tail — 2000 bp (20%) here, realized
+    * with the standing pmd5 sampling hash (the q83/q136/q247
+    * mechanics). Interpolated into the oracle (the q270-modulus
+    * rule). */
+  private val TAIL_KEEP_BP = 2000L
+
+  /** q272's per-document CCNet scoring pipeline — ONE Spark statement
+    * of the self-trained surprise model shared by every tercile
+    * consumer (q272's aggregate fold, q281's stratified sampling
+    * manifest): bigrams explode once (persisted — feeds both count
+    * tables), vocabulary-keyed scoring joins, one (doc_id, mbits,
+    * lang, n_chars) row per scorable doc, PERSISTED (the fold
+    * consumes it three times; the harness frees it via clearCache). */
+  private def ccnetPerDoc(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist()
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v)) // one-row frame
+      .select(col("doc_id"),
+        (length(bin(expr("(c1 + v) div (c12 + 1)"))) - 1)
+          .cast(LongType).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sb"))
+      .select(col("doc_id"), expr("1000 * sb div n_bigrams").as("mbits"))
+      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+      .persist()
+  }
+
+  /** The q272 oracle CTE chain through `bounds` — ONE DuckDB
+    * statement of the scoring + tercile arithmetic, shared by
+    * q272/q281 so the self-trained model and its boundaries cannot
+    * drift between consumers. */
+  private def ccnetCtes: String = s"""toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bg AS (
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        c12 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bg GROUP BY 1, 2),
+        c1 AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        v AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)),
+        perdoc AS (
+          SELECT s.doc_id,
+                 CAST(1000 * sum(bits) AS BIGINT) // count(*) AS mbits,
+                 any_value(d.lang) AS lang,
+                 any_value(d.n_chars) AS n_chars
+          FROM (SELECT bg.doc_id,
+                       CAST(length(printf('%b',
+                         (c1.c1 + v.v) // (c12.c12 + 1))) - 1 AS BIGINT)
+                         AS bits
+                FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v) s
+          JOIN documents d ON d.doc_id = s.doc_id
+          GROUP BY s.doc_id),
+        hist AS (
+          SELECT lang,
+                 ${graft.streaming.CcnetStream.guardDuckSql("mbits")}
+                   AS mbits,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM perdoc GROUP BY lang, perdoc.mbits),
+        n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM perdoc GROUP BY 1),
+        cum AS (
+          SELECT hist.lang, mbits,
+                 sum(cnt) OVER (PARTITION BY hist.lang ORDER BY mbits)
+                   AS cum, n
+          FROM hist JOIN n USING (lang)),
+        bounds AS (
+          SELECT lang,
+                 min(CASE WHEN cum >= (n + 2) // 3 THEN mbits END) AS b1,
+                 min(CASE WHEN cum >= (2 * n + 2) // 3 THEN mbits END)
+                   AS b2
+          FROM cum GROUP BY 1)"""
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -1295,87 +1388,14 @@ object TextQueries {
         "vocabulary-keyed scoring joins, one bounded row per doc, " +
         "a support-bounded histogram window (PARTITIONED by lang, " +
         "never corpus-wide), and a broadcast boundary join.",
-      (s, dir) => {
-        val docs = spread(t(s, dir, "documents"), col("doc_id"))
-        val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
-            transform(sequence(lit(1), size(col("ts")) - 1),
-              i => struct(element_at(col("ts"), i).as("w1"),
-                element_at(col("ts"), i + 1).as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-            .as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .persist()
-        val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-        val v = docs.select(explode(split(col("text"), " ")).as("tok"))
-          .agg(countDistinct(col("tok")).as("v"))
-        val perDoc = bg.join(c12, Seq("w1", "w2"))
-          .join(c1, Seq("w1"))
-          .crossJoin(broadcast(v)) // one-row frame
-          .select(col("doc_id"),
-            (length(bin(expr("(c1 + v) div (c12 + 1)"))) - 1)
-              .cast(LongType).as("bits"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sb"))
-          .select(col("doc_id"), expr("1000 * sb div n_bigrams").as("mbits"))
-          .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
-            Seq("doc_id"))
-          // persisted: the shared fold consumes perDoc three times
-          // (histogram, per-language totals, final bucket join)
-          .persist()
+      (s, dir) =>
         // the fold is CcnetStream.bucketsOf — ONE statement of the
         // tercile recipe shared with q274 and the 23rd streaming twin,
         // including the enforced [0, 62000] histogram-support guard
-        graft.streaming.CcnetStream.bucketsOf(perDoc)
-      },
+        graft.streaming.CcnetStream.bucketsOf(
+          ccnetPerDoc(spread(t(s, dir, "documents"), col("doc_id")))),
       Some(s"""
-        WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        bg AS (
-          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
-          WHERE len(ts) >= 2),
-        c12 AS (
-          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-          FROM bg GROUP BY 1, 2),
-        c1 AS (
-          SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
-        v AS (
-          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-          FROM (SELECT unnest(string_split(text, ' ')) AS tok
-                FROM documents)),
-        perdoc AS (
-          SELECT s.doc_id,
-                 CAST(1000 * sum(bits) AS BIGINT) // count(*) AS mbits,
-                 any_value(d.lang) AS lang,
-                 any_value(d.n_chars) AS n_chars
-          FROM (SELECT bg.doc_id,
-                       CAST(length(printf('%b',
-                         (c1.c1 + v.v) // (c12.c12 + 1))) - 1 AS BIGINT)
-                         AS bits
-                FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v) s
-          JOIN documents d ON d.doc_id = s.doc_id
-          GROUP BY s.doc_id),
-        hist AS (
-          SELECT lang,
-                 ${graft.streaming.CcnetStream.guardDuckSql("mbits")}
-                   AS mbits,
-                 CAST(count(*) AS BIGINT) AS cnt
-          FROM perdoc GROUP BY lang, perdoc.mbits),
-        n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
-              FROM perdoc GROUP BY 1),
-        cum AS (
-          SELECT hist.lang, mbits,
-                 sum(cnt) OVER (PARTITION BY hist.lang ORDER BY mbits)
-                   AS cum, n
-          FROM hist JOIN n USING (lang)),
-        bounds AS (
-          SELECT lang,
-                 min(CASE WHEN cum >= (n + 2) // 3 THEN mbits END) AS b1,
-                 min(CASE WHEN cum >= (2 * n + 2) // 3 THEN mbits END)
-                   AS b2
-          FROM cum GROUP BY 1)
+        WITH ${ccnetCtes}
         SELECT p.lang,
                CASE WHEN mbits <= b1 THEN 'head'
                     WHEN mbits <= b2 THEN 'middle'
@@ -1386,6 +1406,72 @@ object TextQueries {
                CAST(min(b1) AS BIGINT) AS b1, CAST(min(b2) AS BIGINT) AS b2
         FROM perdoc p JOIN bounds USING (lang)
         GROUP BY 1, 2""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q281_quality_mixture",
+      "Quality-STRATIFIED sampling manifest — the deployment step " +
+        "CCNet's terciles exist for (Wenzek et al. 2020 keep the " +
+        "head preferentially; FineWeb-class pipelines sample the " +
+        "tail rather than drop it): per (source, bucket) over q272's " +
+        "self-trained per-language terciles, the stratum's size and " +
+        "the SAMPLED keep decision — head and middle kept fully, " +
+        s"tail kept at $TAIL_KEEP_BP bp via the standing " +
+        "deterministic pmd5 sampling hash (the q83/q136/q247 " +
+        "mechanics: keep iff pmd5('ccq:' || id) % 10000 < rate — no " +
+        "floats, no RNG state, both engines identical). Documents " +
+        "with no bigrams are unscorable and absent (q262's rule — " +
+        "the gate form fails them closed; this manifest reports the " +
+        "scorable corpus). Output per (source, bucket): doc/char " +
+        "counts, kept doc/char counts, kept bp — the " +
+        "quality-aware mixture table a sampler executes, " +
+        "source-resolved where q272 reports per language. SCALE " +
+        "SHAPE: q272's scoring shape verbatim (ONE persisted bigram " +
+        "explode feeding both count tables, vocabulary-keyed joins, " +
+        "support-bounded histogram window, broadcast boundary join " +
+        "via the SHARED ccnetPerDoc/bucketedOf statements), one " +
+        "narrow per-doc keep projection, a (source x 3)-bounded " +
+        "aggregation.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val bk = graft.streaming.CcnetStream
+          .bucketedOf(ccnetPerDoc(docs))
+          .select(col("doc_id"), col("n_chars"), col("bucket"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        val kept = bk.withColumn("keep", col("bucket") =!= "tail" ||
+          Portable.pmd5(concat(lit("ccq:"), col("doc_id").cast("string")))
+            % 10000L < TAIL_KEEP_BP)
+        kept.groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L))
+              .as("kept_chars"))
+          .withColumn("kept_bp", expr("n_kept * 10000 div n_docs"))
+      },
+      Some(s"""
+        WITH ${ccnetCtes},
+        bk AS (
+          SELECT p.doc_id, d.source, p.n_chars,
+                 CASE WHEN mbits <= b1 THEN 'head'
+                      WHEN mbits <= b2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM perdoc p JOIN bounds USING (lang)
+          JOIN documents d ON d.doc_id = p.doc_id),
+        k AS (
+          SELECT source, bucket, n_chars,
+                 bucket <> 'tail' OR
+                   ${Portable.pmd5Sql(
+                     "concat('ccq:', CAST(doc_id AS VARCHAR))")}
+                     % 10000 < $TAIL_KEEP_BP AS keep
+          FROM bk)
+        SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(n_chars) FILTER (WHERE keep), 0)
+                 AS BIGINT) AS kept_chars,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS kept_bp
+        FROM k GROUP BY 1, 2""")),
     // ----------------------------------------------------------------
     Q(
       "q273_gopher_rules",

@@ -430,10 +430,11 @@ class ExplainAuditSpec extends SparkSpec {
         "with the dominance predicate as its condition")
   }
 
-  test("q279/q280 score from the STANDING dsir model table — one " +
+  test("q279/q280/q282 score from the STANDING dsir model table — one " +
       "feature explode, a broadcast weight join, no inline training " +
       "counts") {
-    for (n <- Seq("q279_epoch_schedule", "q280_mixture_from_model")) {
+    for (n <- Seq("q279_epoch_schedule", "q280_mixture_from_model",
+        "q282_resampled_temperature")) {
       val nodes = withStaticPlans {
         spark.catalog.clearCache()
         expandedNodes(planOf(n))
@@ -691,6 +692,28 @@ class ExplainAuditSpec extends SparkSpec {
       s"q272 must explode the corpus into bigrams exactly once (the " +
         s"persisted frame feeds both count tables), found " +
         s"${bigramGens.size}")
+  }
+
+  test("q281 quality mixture: q272's scoring shape rides through — one " +
+      "bigram explode, histogram-window boundaries, and the keep " +
+      "projection adds no corpus-width stage") {
+    // isolation: q281 persists the shared bigram/perDoc frames
+    val nodes = withStaticPlans {
+      spark.catalog.clearCache()
+      expandedNodes(planOf("q281_quality_mixture"))
+    }
+    assertHistogramWindow("q281", nodes)
+    val bigramGens = nodes.collect {
+      case g: GenerateExec if g.output.exists(_.name == "b") => g
+    }
+    assert(bigramGens.size == 1,
+      s"q281 must explode the corpus into bigrams exactly once (the " +
+        s"shared ccnetPerDoc persist), found ${bigramGens.size}")
+    // the sampled keep decision is scan/projection work — no extra
+    // window or generate beyond the scoring pipeline's own
+    val wins = nodes.collect { case w: WindowExec => w }
+    assert(wins.size == 1,
+      s"q281 must plan exactly the boundary window, found ${wins.size}")
   }
 
   test("q273 gopher rules: the gate is ONE per-row projection over the " +
