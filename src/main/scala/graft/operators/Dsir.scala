@@ -229,4 +229,24 @@ object Dsir {
     scoreInstances(feats.select(col(idCol), col("bucket")), idCol,
       cr, ct, buckets)
   }
+
+  /** q276/q280's per-source mixture arithmetic — ONE statement shared
+    * by the batch queries and [[graft.streaming.MixtureStream]]'s
+    * read, so the monitor sits under the batch oracles transitively.
+    * Input: one (source, n_kept BIGINT, kept_chars BIGINT) row per
+    * source with kept mass (kept_chars > 0); output adds share_bp =
+    * kept_chars * 10000 div total and epoch_weight_bp = (total div
+    * n_sources) * 10000 div kept_chars — the repeat factor toward a
+    * uniform per-source character budget. The quotient order keeps
+    * every intermediate below total * 10000. One source-bounded
+    * aggregate broadcast back — nothing grows with the corpus. */
+  def mixtureWeights(perSource: DataFrame): DataFrame = {
+    val tot = perSource.agg(sum(col("kept_chars")).as("total_chars"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_kept"), col("kept_chars"),
+        expr("kept_chars * 10000 div total_chars").as("share_bp"),
+        expr("(total_chars div n_sources) * 10000 div kept_chars")
+          .as("epoch_weight_bp"))
+  }
 }

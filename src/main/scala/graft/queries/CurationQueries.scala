@@ -1841,16 +1841,11 @@ object CurationQueries {
           .filter(col("keep"))
           .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
             Seq("doc_id"))
-        val c = kept.groupBy(col("source"))
+        // the mixture arithmetic is Dsir.mixtureWeights — the ONE
+        // statement MixtureStream's read also folds with
+        Dsir.mixtureWeights(kept.groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"),
-            sum(col("n_chars")).as("kept_chars"))
-        val tot = c.agg(sum(col("kept_chars")).as("total_chars"),
-          count(lit(1)).as("n_sources"))
-        c.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_kept"), col("kept_chars"),
-            expr("kept_chars * 10000 div total_chars").as("share_bp"),
-            expr("(total_chars div n_sources) * 10000 div kept_chars")
-              .as("epoch_weight_bp"))
+            sum(col("n_chars")).as("kept_chars")))
       },
       Some(s"""
         WITH ${dsirKeepCtes},
@@ -1997,16 +1992,11 @@ object CurationQueries {
           .filter(col("keep"))
           .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
             Seq("doc_id"))
-        val c = kept.groupBy(col("source"))
+        // the mixture arithmetic is Dsir.mixtureWeights — the ONE
+        // statement MixtureStream's read also folds with
+        Dsir.mixtureWeights(kept.groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"),
-            sum(col("n_chars")).as("kept_chars"))
-        val tot = c.agg(sum(col("kept_chars")).as("total_chars"),
-          count(lit(1)).as("n_sources"))
-        c.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_kept"), col("kept_chars"),
-            expr("kept_chars * 10000 div total_chars").as("share_bp"),
-            expr("(total_chars div n_sources) * 10000 div kept_chars")
-              .as("epoch_weight_bp"))
+            sum(col("n_chars")).as("kept_chars")))
       },
       Some(s"""
         WITH ${dsirKeepCtes},

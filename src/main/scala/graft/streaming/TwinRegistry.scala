@@ -133,6 +133,12 @@ object TwinRegistry {
       "SemDedupStreamSpec: stream == batch semDedup over the union " +
         "with frozen centroids after every prefix, incl. the " +
         "retroactive drop; staleness trigger"),
+    logTwin("mixture monitor (frozen DSIR model)", "MixtureStream",
+      "mixture-monitor",
+      "MixtureStreamSpec: mixture == batch q280 arithmetic under the " +
+        "frozen model after every prefix, across compaction; " +
+        "admission tracks dropped mass; shared Dsir.mixtureWeights " +
+        "fold"),
     Twin("curated ingest sink", "CurateStream", Some("curate-sink"),
       "TwinConformanceSpec (crash replay + empty batch; merge law " +
         "documented OFF — within-batch near-dup is a per-batch " +

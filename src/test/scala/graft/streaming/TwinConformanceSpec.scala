@@ -233,6 +233,33 @@ class TwinConformanceSpec extends SparkSpec with TwinConformance {
       out => SemDedupStream.read(spark, out, "vec_id"))
   }
 
+  twinConformance("mixture-monitor") {
+    // frozen DSIR model trained once before the stream under test —
+    // with a frozen model every keep decision is a pure function of
+    // the document, so the merge law holds
+    val seed = (0 until 40).map { i =>
+      val tgt = i % 3 == 0
+      val text =
+        if (tgt) (0 until 8).map(w => s"en$w common the of").mkString(" ")
+        else (0 until 8).map(w => s"tcseed${i}w$w").mkString(" ")
+      (900L + i, text, tgt)
+    }.toDF("doc_id", "text", "is_target")
+    graft.operators.DsirIndex.model(spark, "mixtwin", seed, "doc_id",
+      "text", col("is_target"))
+    def docs(ids: Range) = ids.map { i =>
+      val text =
+        if (i % 2 == 0) (0 until 8).map(w => s"en$w common the of").mkString(" ")
+        else (0 until 8).map(w => s"tcjunk${i}w$w").mkString(" ")
+      (i.toLong, text, s"src${i % 2}", text.length.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    TwinFixture(
+      "doc_id LONG, text STRING, source STRING, n_chars LONG",
+      Seq(docs(0 until 30), docs(30 until 60)),
+      (s, out, cp) => MixtureStream.start(s,
+        graft.operators.DsirIndex.tableName("mixtwin"), out, cp),
+      out => MixtureStream.mixture(spark, out))
+  }
+
   // ---- per-batch-grain twins: merge law documented OFF ---------------
 
   twinConformance("curate-sink") {
