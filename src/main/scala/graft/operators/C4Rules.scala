@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Portable
+
+/** The C4 cleaning recipe (Raffel et al. 2020, §2.2 — the line-level
+  * structural filter + keep-one span dedup that produced C4 from
+  * Common Crawl), stated ONCE and shared by the batch audit query
+  * (q283), the span-dedup corpus rewrite (q284), the composed
+  * admission matrix (q275) and [[graft.streaming.CurateStream]]'s
+  * ingest-time page gate — the GopherRules discipline: the deployed
+  * gate and its oracle are the same code.
+  *
+  * LINE MAPPING, stated: this corpus has no newlines and no
+  * punctuation, so C4's "line" is derived by CONTENT-DEFINED
+  * segmentation (the rsync/LBFS chunking idea): a sentence ends at
+  * every word whose portable 60-bit hash is ≡ 0 (mod
+  * [[SentModulus]]). Boundaries move with the words themselves, so
+  * shared text produces IDENTICAL sentences regardless of its offset
+  * inside a document — the property C4's cross-document span dedup
+  * needs and a fixed-width segmentation cannot give (an inserted word
+  * would shift every later window). The mapping preserves each rule's
+  * intent:
+  *   - "retain lines ending in terminal punctuation" -> words after
+  *     the last boundary form an UNTERMINATED tail and drop (the
+  *     boundary word IS the terminal punctuation);
+  *   - "retain lines with >= 5 words" -> sentences with fewer than
+  *     [[MinSentWords]] words drop (the paper's constant);
+  *   - "discard pages with < 3 sentences" -> documents with fewer
+  *     than [[MinSentences]] surviving sentences drop (the paper's
+  *     constant);
+  *   - "discard all but one of any three-sentence span occurring more
+  *     than once" -> [[spanDedup]], first occurrence wins (winner =
+  *     min (doc, position); the paper keeps "one" unspecified — the
+  *     pin makes both engines and every replay agree).
+  * The page-level term rules (badwords, "lorem ipsum", braces) are
+  * the q88/q92 blocklist shape, already first-class; this operator
+  * carries the structural half.
+  *
+  * SCALE SHAPE: segmentation and both line rules are ONE per-row
+  * array projection (split once; boundary filter, slice and word
+  * counts are array lambdas over it) — no join, no window, no
+  * shuffle, and the gate form ([[pagePass]]) is a pure predicate. The
+  * span dedup's irreducible exchange is the span-hash aggregation:
+  * 60-bit span HASHES travel, never span text, and only documents
+  * that actually lose a span pay the sentence-level reassembly
+  * exchange ([[Dedup.cutRepeatedRuns]]'s untouched-bypass shape).
+  */
+object C4Rules {
+
+  /** Content-defined boundary modulus: a word ends a sentence iff
+    * pmd5(word) % SentModulus == 0 (~1/5 of the corpus vocabulary;
+    * mean sentence ~6 words — probed non-vacuous for every rule at
+    * sf0.01). Interpolated into the DuckDB oracles, never
+    * hand-copied. */
+  val SentModulus = 5L
+  /** C4's "at least 5 words per line" constant, verbatim. */
+  val MinSentWords = 5L
+  /** C4's "at least 3 sentences per page" constant, verbatim. */
+  val MinSentences = 3L
+  /** C4's dedup grain: spans of three consecutive sentences. */
+  val SpanSentences = 3
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** 1-based positions of the boundary words (sentence terminators). */
+  private def bpos(ts: Column): Column =
+    filter(sequence(lit(1), size(ts)),
+      i => Portable.pmd5(element_at(ts, i)) % SentModulus === 0)
+
+  /** All TERMINATED sentences as array<struct<nw, sent>> — words after
+    * the last boundary are not in any sentence (the terminal-
+    * punctuation rule). Empty array when the document has no boundary
+    * word. Word counts come from boundary deltas: no re-split. */
+  def sentences(text: Column): Column = {
+    val ts = toks(text)
+    val bp = bpos(ts)
+    // sequence(1, 0) DESCENDS in Spark — guard the boundary-free doc
+    when(size(bp) === 0,
+      array().cast("array<struct<nw:bigint,sent:string>>"))
+      .otherwise(transform(sequence(lit(1), size(bp)), j => {
+        val prev = when(j === 1, lit(0)).otherwise(element_at(bp, j - 1))
+        val end = element_at(bp, j)
+        struct((end - prev).cast(LongType).as("nw"),
+          concat_ws(" ", slice(ts, prev + 1, end - prev)).as("sent"))
+      }))
+  }
+
+  /** Sentences surviving both line rules, in document order. */
+  def keptSentences(text: Column): Column =
+    filter(sentences(text), s => s.getField("nw") >= MinSentWords)
+
+  /** The page gate: >= [[MinSentences]] surviving sentences — the
+    * SAME statement q283 audits, q275 scores and CurateStream's
+    * c4Gate filters with. */
+  def pagePass(text: Column): Column =
+    size(keptSentences(text)) >= MinSentences
+
+  /** Per-document audit struct for q283: terminated sentences, line-
+    * rule drops, the unterminated-tail flag, survivors, the page
+    * verdict. One projection; every field derives from one split. */
+  def audit(text: Column): Column = {
+    val ts = toks(text)
+    val bp = bpos(ts)
+    val sents = sentences(text)
+    val kept = filter(sents, s => s.getField("nw") >= MinSentWords)
+    struct(
+      size(sents).cast(LongType).as("n_sent"),
+      (size(sents) - size(kept)).cast(LongType).as("n_short"),
+      // get() is 0-based and NULL-safe on the empty array (ANSI
+      // element_at(bp, 0) would throw): no boundary at all means the
+      // whole document is tail -> unterminated, via coalesce.
+      coalesce(get(bp, size(bp) - 1) < size(ts), lit(true))
+        .as("unterminated"),
+      size(kept).cast(LongType).as("n_kept"),
+      (size(kept) >= MinSentences).as("page_pass"))
+  }
+
+  /** Pages passing the structural rules, with their kept-sentence
+    * arrays: (idCol, kept). The span-dedup working set.
+    *
+    * @note persist the result if more than one consumer folds it (the
+    *   [[spanDedup]] composition does); freed by the harness's
+    *   clearCache-after-terminal-action contract. */
+  def pages(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), keptSentences(col(textCol)).as("kept"))
+      .filter(size(col("kept")) >= MinSentences)
+
+  /** [[pages]] with kept as a plain sentence-string array — the form
+    * [[rebuiltText]] folds and the streaming span index appends. */
+  def pageRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    pages(docs, idCol, textCol).select(col(idCol),
+      transform(col("kept"), s => s.getField("sent")).as("kept"))
+
+  /** One row per three-sentence span occurrence over a page frame
+    * (idCol, kept: array<string>): (idCol, spos, sh) — spos the
+    * 1-based kept-sentence index of the span's first sentence, sh the
+    * 60-bit portable hash of the space-joined span. Only hashes leave
+    * the row: span text never shuffles. */
+  def spansOf(pg: DataFrame, idCol: String): DataFrame =
+    pg.select(col(idCol),
+        explode(transform(
+          sequence(lit(1), size(col("kept")) - (SpanSentences - 1)),
+          j => struct(j.cast(LongType).as("spos"),
+            Portable.pmd5(concat_ws(" ",
+              (0 until SpanSentences).map(k =>
+                element_at(col("kept"), j + k)): _*))
+              .as("sh")))).as("sp"))
+      .select(col(idCol), col("sp.spos").as("spos"), col("sp.sh").as("sh"))
+
+  /** Kept-sentence indices removed by the keep-one rule: every
+    * occurrence of a duplicated span EXCEPT the global first
+    * (min (doc, spos)) surrenders its [[SpanSentences]] sentences.
+    * A winner's sentence can still fall to a DIFFERENT losing span
+    * covering it — deterministic, stated, and what sentence-grain
+    * removal means. Output: (idCol, kidx) distinct. */
+  def removedSentences(spans: DataFrame, idCol: String): DataFrame = {
+    val win = spans.groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col(idCol).as("i"), col("spos").as("p"))).as("win"))
+      .filter(col("cnt") > 1)
+      .select(col("sh"), col("win"))
+    spans.join(win, Seq("sh"))
+      .filter(!(col(idCol) === col("win.i") && col("spos") === col("win.p")))
+      .select(col(idCol),
+        explode(sequence(col("spos"),
+          col("spos") + (SpanSentences - 1))).as("kidx"))
+      .distinct()
+  }
+
+  /** The full C4 structural pass + keep-one span dedup, applied IN
+    * PLACE: line rules drop short/unterminated sentences, thin pages
+    * leave, duplicated three-sentence spans keep their first
+    * occurrence only, and `textCol` is rewritten from the surviving
+    * sentences (documents consumed entirely leave the corpus; a page
+    * reduced below [[MinSentences]] by the DEDUP stays — C4 does not
+    * re-apply the page rule after dedup). All other columns pass
+    * through. Untouched pages bypass reassembly: only documents that
+    * lost a span pay the sentence-level exchange.
+    *
+    * @note persists the page frame (it feeds the span pass, the
+    *   untouched bypass and the reassembly); freed by the harness's
+    *   clearCache-after-terminal-action contract. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pg = pageRows(docs, idCol, textCol).persist()
+    val out = rebuiltText(pg, idCol)
+    docs.join(out, Seq(idCol)) // inner: gone docs drop
+      .withColumn(textCol, col("__txt"))
+      .select(docs.columns.toIndexedSeq.map(col): _*)
+  }
+
+  /** The span resolution + reassembly fold over a page frame
+    * (idCol, kept: array<string>): one (idCol, __txt) row per
+    * surviving page. ONE statement shared by [[spanDedup]] and the
+    * streaming span index ([[graft.streaming.SpanDedupStream]]'s
+    * read fold), so the batch rewrite and the stream can never
+    * disagree about what the deduped corpus is. */
+  private[graft] def rebuiltText(pg: DataFrame, idCol: String): DataFrame =
+    rebuiltTextFrom(pg, spansOf(pg, idCol), idCol)
+
+  /** [[rebuiltText]] with the span table supplied — the streaming
+    * span index hashes each document's spans ONCE at ingest and folds
+    * its standing span log here, so reads never re-hash history. */
+  private[graft] def rebuiltTextFrom(pg: DataFrame, sp: DataFrame,
+      idCol: String): DataFrame = {
+    val rem = removedSentences(sp, idCol)
+    val affected = rem.select(col(idCol)).distinct()
+    val untouched = pg.join(affected, Seq(idCol), "left_anti")
+      .select(col(idCol), array_join(col("kept"), " ").as("__txt"))
+    val rebuilt = pg.join(affected, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("kept")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("kidx"),
+        col("col").as("__tk"))
+      .join(rem, Seq(idCol, "kidx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("kidx"), col("__tk")))),
+        r => r.getField("__tk")), " ").as("__txt"))
+    untouched.unionByName(rebuilt)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB spellings (interpolated by the oracles — same constants,
+  // same arithmetic; the staged CTE keeps the md5 work single-pass).
+  // ------------------------------------------------------------------
+
+  /** CTE chain `<p>toks` -> `<p>bnds` -> `<p>sent` over `fromSql`
+    * (which must expose `doc_id` and `textSql`): `<p>sent` has
+    * (doc_id, kept) where kept = the surviving sentence list.
+    * Mirrors [[keptSentences]]. */
+  def keptCtes(prefix: String, fromSql: String, textSql: String): String = {
+    val p = prefix
+    s"""${p}toks AS (
+       |  SELECT doc_id, string_split($textSql, ' ') AS ts FROM $fromSql),
+       |${p}bnds AS (
+       |  SELECT doc_id, ts,
+       |         list_filter(generate_series(1, len(ts)),
+       |           i -> ${Portable.pmd5Sql("ts[i]")} % $SentModulus = 0)
+       |           AS bp
+       |  FROM ${p}toks),
+       |${p}sent AS (
+       |  SELECT doc_id,
+       |         list_filter(
+       |           list_transform(generate_series(1, len(bp)),
+       |             j -> array_to_string(list_slice(ts,
+       |                    CASE WHEN j = 1 THEN 1 ELSE bp[j-1] + 1 END,
+       |                    bp[j]), ' ')),
+       |           s -> len(string_split(s, ' ')) >= $MinSentWords)
+       |           AS kept
+       |  FROM ${p}bnds)""".stripMargin
+  }
+
+  /** SQL predicate equivalent of [[pagePass]] over a `kept` column. */
+  def pagePassSql: String = s"len(kept) >= $MinSentences"
+}

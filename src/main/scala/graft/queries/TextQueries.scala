@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.{Portable, TextAnalysis => TA}
+import graft.operators.C4Rules
 import graft.queries.Tables.{spread, t}
 
 /** Text-analysis queries over the `documents` table: token counting,
@@ -1793,6 +1794,153 @@ object TextQueries {
                CAST(count(*) FILTER (WHERE r_top2 AND r_top3 AND r_top4
                  AND r_dup3) AS BIGINT) * 10000
                  // CAST(count(*) AS BIGINT) AS pass_bp
-        FROM fl GROUP BY 1"""))
+        FROM fl GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q283_c4_line_audit",
+      "C4 structural line/page audit (Raffel et al. 2020, §2.2 — the " +
+        "line-level half of the public recipe; Gopher q273/q277 audit " +
+        "documents, C4 audits LINES). This corpus has no newlines or " +
+        "punctuation, so a 'line' is derived by CONTENT-DEFINED " +
+        "segmentation (the rsync/LBFS chunking idea): a sentence ends " +
+        s"at every word with pmd5(word) % ${C4Rules.SentModulus} == 0 " +
+        "— boundaries move with the words, so shared text segments " +
+        "identically at any offset (the property the q284 span dedup " +
+        "needs; a fixed window would misalign after one insertion). " +
+        "Rule mapping, stated: words after the last boundary are an " +
+        "UNTERMINATED tail and drop (the terminal-punctuation rule — " +
+        "the boundary word IS the period); sentences under " +
+        s"${C4Rules.MinSentWords} words drop (the paper's constant, " +
+        s"verbatim); pages with fewer than ${C4Rules.MinSentences} " +
+        "surviving sentences drop (the paper's constant, verbatim). " +
+        "The page-term rules (badwords / lorem ipsum / braces) are " +
+        "the q88/q92 blocklist shape, audited there. Output per " +
+        "source: docs, terminated sentences, short-sentence drops, " +
+        "unterminated-tail docs, failed pages, passing pages, " +
+        "surviving sentences — every count from C4Rules.audit, the " +
+        "SAME statement the CurateStream c4Gate filters with. SCALE " +
+        "SHAPE: ONE per-row array projection (split once; boundary " +
+        "filter, slices and counts are lambdas over it) — no join, " +
+        "no window; one source-bounded aggregation.",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        docs.select(col("source"), C4Rules.audit(col("text")).as("a"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("a.n_sent")).as("n_sent"),
+            sum(col("a.n_short")).as("n_short_sent"),
+            sum(when(col("a.unterminated"), 1L).otherwise(0L))
+              .as("v_unterminated"),
+            sum(when(!col("a.page_pass"), 1L).otherwise(0L))
+              .as("v_few_sent"),
+            sum(when(col("a.page_pass"), 1L).otherwise(0L)).as("n_pages"),
+            sum(when(col("a.page_pass"), col("a.n_kept")).otherwise(0L))
+              .as("kept_sent"))
+      },
+      Some({
+        s"""
+        WITH atoks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ts
+          FROM documents),
+        abnds AS (
+          SELECT doc_id, source, ts,
+                 list_filter(generate_series(1, len(ts)),
+                   i -> ${Portable.pmd5Sql("ts[i]")}
+                     % ${C4Rules.SentModulus} = 0) AS bp
+          FROM atoks),
+        asent AS (
+          SELECT doc_id, source,
+                 len(bp) AS n_sent,
+                 (len(bp) = 0 OR bp[len(bp)] < len(ts)) AS unterminated,
+                 len(list_filter(
+                   list_transform(generate_series(1, len(bp)),
+                     j -> array_to_string(list_slice(ts,
+                            CASE WHEN j = 1 THEN 1 ELSE bp[j-1] + 1 END,
+                            bp[j]), ' ')),
+                   s -> len(string_split(s, ' '))
+                     >= ${C4Rules.MinSentWords})) AS n_kept
+          FROM abnds)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_sent) AS BIGINT) AS n_sent,
+               CAST(sum(n_sent - n_kept) AS BIGINT) AS n_short_sent,
+               CAST(count(*) FILTER (WHERE unterminated) AS BIGINT)
+                 AS v_unterminated,
+               CAST(count(*) FILTER (WHERE n_kept
+                 < ${C4Rules.MinSentences}) AS BIGINT) AS v_few_sent,
+               CAST(count(*) FILTER (WHERE n_kept
+                 >= ${C4Rules.MinSentences}) AS BIGINT) AS n_pages,
+               CAST(coalesce(sum(n_kept) FILTER (WHERE n_kept
+                 >= ${C4Rules.MinSentences}), 0) AS BIGINT) AS kept_sent
+        FROM asent GROUP BY 1"""
+      })),
+    // ----------------------------------------------------------------
+    Q(
+      "q284_c4_span_dedup",
+      "C4 keep-one span dedup (Raffel et al. 2020, §2.2: 'we " +
+        "discarded all but one of any three-sentence span occurring " +
+        "more than once') — the recipe's cross-DOCUMENT dedup grain, " +
+        "distinct from q97's ExactSubstr cut (which removes EVERY " +
+        "copy; C4 keeps the first). Over q283's content-defined " +
+        "sentences: structural line/page rules first (the paper's " +
+        "order), then every three-consecutive-sentence span is " +
+        "60-bit-hashed and each duplicated span keeps only its " +
+        "global first occurrence (winner = min (doc_id, position) — " +
+        "the paper leaves 'one' unspecified; the pin makes both " +
+        "engines and every replay agree). Losing occurrences " +
+        "surrender their three sentences (a sentence falls if ANY " +
+        "losing span covers it); text is rewritten from the " +
+        "survivors and fully-consumed documents leave. Output per " +
+        "surviving page: word count and portable hash of the " +
+        "rewritten text — the corpus digest. SCALE SHAPE: " +
+        "segmentation is scan-stage; the dedup's irreducible " +
+        "exchange is the span-hash aggregation (60-bit hashes " +
+        "travel, never span text); winners resolve by groupBy-min, " +
+        "not a corpus window; only documents that LOSE a span pay " +
+        "the sentence-level reassembly exchange (the q97 " +
+        "untouched-bypass shape).",
+      (s, dir) => {
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        C4Rules.spanDedup(docs.select(col("doc_id"), col("source"),
+            col("text")), "doc_id", "text")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast(LongType).as("n_words"),
+            Portable.pmd5(col("text")).as("thash"))
+      },
+      Some({
+        s"""
+        WITH ${C4Rules.keptCtes("c4", "documents", "text")},
+        pg AS (
+          SELECT doc_id, kept FROM c4sent WHERE ${C4Rules.pagePassSql}),
+        sp AS (
+          SELECT doc_id, j AS spos,
+                 ${Portable.pmd5Sql("array_to_string(list_slice(kept, " +
+                   s"j, j + ${C4Rules.SpanSentences - 1}), ' ')")}
+                   AS sh
+          FROM pg, unnest(generate_series(1,
+            len(kept) - ${C4Rules.SpanSentences - 1})) AS u(j)),
+        lose AS (
+          SELECT doc_id, spos FROM (
+            SELECT doc_id, spos, row_number() OVER (
+              PARTITION BY sh ORDER BY doc_id, spos) AS rn
+            FROM sp) WHERE rn > 1),
+        rem AS (
+          SELECT DISTINCT doc_id, spos + k AS kidx
+          FROM lose, unnest([${(0 until C4Rules.SpanSentences)
+            .mkString(", ")}]) AS o(k)),
+        srows AS (
+          SELECT doc_id, j AS kidx, kept[j] AS sent
+          FROM pg, unnest(generate_series(1, len(kept))) AS u(j)),
+        keep2 AS (
+          SELECT r.doc_id, r.kidx, r.sent FROM srows r
+          WHERE NOT EXISTS (SELECT 1 FROM rem
+            WHERE rem.doc_id = r.doc_id AND rem.kidx = r.kidx)),
+        txt AS (
+          SELECT doc_id, string_agg(sent, ' ' ORDER BY kidx) AS text2
+          FROM keep2 GROUP BY 1)
+        SELECT t.doc_id, d.source,
+               CAST(len(string_split(text2, ' ')) AS BIGINT) AS n_words,
+               ${Portable.pmd5Sql("text2")} AS thash
+        FROM txt t JOIN documents d USING (doc_id)"""
+      }))
   )
 }

@@ -139,6 +139,11 @@ object TwinRegistry {
         "frozen model after every prefix, across compaction; " +
         "admission tracks dropped mass; shared Dsir.mixtureWeights " +
         "fold"),
+    logTwin("C4 span-dedup index", "SpanDedupStream",
+      "c4-span-dedup",
+      "SpanDedupStreamSpec: deduped corpus == batch spanDedup over " +
+        "the union after every prefix, incl. a retroactive winner " +
+        "theft; compaction invariance"),
     Twin("curated ingest sink", "CurateStream", Some("curate-sink"),
       "TwinConformanceSpec (crash replay + empty batch; merge law " +
         "documented OFF — within-batch near-dup is a per-batch " +

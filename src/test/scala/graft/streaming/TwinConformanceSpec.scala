@@ -160,6 +160,25 @@ class TwinConformanceSpec extends SparkSpec with TwinConformance {
       out => LongestMatchStream.read(spark, out, "eval_id"))
   }
 
+  twinConformance("c4-span-dedup") {
+    // the C4RulesSpec sentence fixture: content-defined boundaries end
+    // each 5-word sentence, span ABC is duplicated across the batches
+    val A = "the fast big data sort"
+    val B = "key table window row join"
+    val C = "slow small agg value filter"
+    val D = "batch stream merge dup group"
+    val E = "spark hash line part vector"
+    TwinFixture(
+      "doc_id LONG, text STRING",
+      Seq(
+        Seq((10L, Seq(A, B, C, D).mkString(" ")),
+          (20L, Seq(E, A, B, C).mkString(" "))).toDF("doc_id", "text"),
+        Seq((30L, Seq(B, C, D, E).mkString(" ")),
+          (5L, Seq(A, B, C).mkString(" "))).toDF("doc_id", "text")),
+      (s, out, cp) => SpanDedupStream.start(s, out, cp),
+      out => SpanDedupStream.dedupedCorpus(spark, out))
+  }
+
   twinConformance("ccnet-buckets") {
     // frozen reference LM, trained once before the stream under test
     val lmRoot = Files.createTempDirectory("twinconf-ccnet-lm")
