@@ -1472,16 +1472,18 @@ object CurationQueries {
     Q(
       "q275_recipe_matrix",
       "The FULL public-curation-recipe admission matrix — q271's four " +
-        "gates extended with the recipe's three quality gates, so the " +
+        "gates extended with the recipe's four quality gates, so the " +
         "entire CurateStream gate family (ruleGate + repetitionGate + " +
-        "bucketGate + exact + near-dup + token decon + semantic decon) " +
-        "is scored " +
+        "c4Gate + bucketGate + exact + near-dup + token decon + " +
+        "semantic decon) is scored " +
         "side by side for every training document (doc_id >= 100) in " +
         "ONE oracled batch table: (0) Gopher rule taint = " +
         "GopherRules.passes fails — the SAME shared statement the " +
         "stream gate filters with and q273 audits per rule; (0b) Gopher " +
         "repetition taint = GopherRules.repetitionFlags fails — q277's " +
-        "shared statement, the repetitionGate's exact decision; (1) CCNet " +
+        "shared statement, the repetitionGate's exact decision; (0c) " +
+        "C4 structural page taint = C4Rules.pagePass fails — q283's " +
+        "shared statement, the c4Gate's exact decision; (1) CCNet " +
         "bucket taint = tail-bucket or unscorable under a FROZEN " +
         "reference LM (the eval split doc_id < 100 plays Wikipedia's " +
         "role, q274's smoothed left-join arithmetic with the splits " +
@@ -1493,8 +1495,8 @@ object CurationQueries {
         "broadcastProbes = false — the offline-batch path). Output per " +
         "source: each gate's taint count and the all-clean admitted " +
         "count — the release-audit row a mixture owner signs off, now " +
-        "covering every deployed gate. SCALE SHAPE: the rule gate is " +
-        "a pure projection; the LM side explodes the reference split " +
+        "covering every deployed gate. SCALE SHAPE: the rule and C4 " +
+        "page gates are pure per-row projections; the LM side explodes the reference split " +
         "once (persisted, feeds both count tables) and scores via " +
         "vocabulary-keyed broadcast left joins; the boundary window " +
         "runs over the support-bounded histogram and broadcasts back; " +
@@ -1514,6 +1516,11 @@ object CurationQueries {
         // gate 0b: Gopher REPETITION rules (q277's shared statement)
         val repTaint = GopherRules.repetitionFlags(train, "doc_id", "text")
           .filter(!col("rep_pass")).select("doc_id")
+        // gate 0c: C4 structural page rule (q283's shared statement —
+        // the SAME predicate CurateStream's c4Gate filters with)
+        val c4Taint = train
+          .filter(!graft.operators.C4Rules.pagePass(col("text")))
+          .select("doc_id")
         // gate 1: CCNet bucket vs the frozen reference LM
         def bigrams(d: DataFrame) = d
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -1596,6 +1603,7 @@ object CurationQueries {
         train.select(col("doc_id"), col("source"))
           .join(flag(ruleTaint, "__rl"), Seq("doc_id"), "left")
           .join(flag(repTaint, "__rep"), Seq("doc_id"), "left")
+          .join(flag(c4Taint, "__c4"), Seq("doc_id"), "left")
           .join(flag(bucketTaint, "__bk"), Seq("doc_id"), "left")
           .join(flag(dupTaint, "__dup"), Seq("doc_id"), "left")
           .join(flag(ndTaint, "__nd"), Seq("doc_id"), "left")
@@ -1605,6 +1613,7 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(coalesce(col("__rl"), lit(0L))).as("n_rule_fail"),
             sum(coalesce(col("__rep"), lit(0L))).as("n_repetition"),
+            sum(coalesce(col("__c4"), lit(0L))).as("n_c4_fail"),
             sum(coalesce(col("__bk"), lit(0L))).as("n_tail_bucket"),
             sum(coalesce(col("__dup"), lit(0L))).as("n_exact_dup"),
             sum(coalesce(col("__nd"), lit(0L))).as("n_neardup"),
@@ -1612,6 +1621,7 @@ object CurationQueries {
             sum(coalesce(col("__sem"), lit(0L))).as("n_sem_contam"),
             sum(when(coalesce(col("__rl"), lit(0L)) === 0L &&
               coalesce(col("__rep"), lit(0L)) === 0L &&
+              coalesce(col("__c4"), lit(0L)) === 0L &&
               coalesce(col("__bk"), lit(0L)) === 0L &&
               coalesce(col("__dup"), lit(0L)) === 0L &&
               coalesce(col("__nd"), lit(0L)) === 0L &&
@@ -1716,6 +1726,12 @@ object CurationQueries {
                      END), true) AS r_dup3
             FROM gpdn GROUP BY 1)
           WHERE NOT (r_top2 AND r_top3 AND r_top4 AND r_dup3)),
+        ${graft.operators.C4Rules.keptCtes("mx",
+          "(SELECT doc_id, text FROM documents WHERE doc_id >= 100) c4s",
+          "text")},
+        c4t AS (
+          SELECT doc_id FROM mxsent
+          WHERE NOT (${graft.operators.C4Rules.pagePassSql})),
         rtoks AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
           WHERE doc_id < 100),
@@ -1787,6 +1803,7 @@ object CurationQueries {
                CAST(count(*) FILTER (WHERE rl) AS BIGINT) AS n_rule_fail,
                CAST(count(*) FILTER (WHERE rep) AS BIGINT)
                  AS n_repetition,
+               CAST(count(*) FILTER (WHERE c4) AS BIGINT) AS n_c4_fail,
                CAST(count(*) FILTER (WHERE bkt) AS BIGINT)
                  AS n_tail_bucket,
                CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_exact_dup,
@@ -1796,13 +1813,14 @@ object CurationQueries {
                CAST(count(*) FILTER (WHERE sem) AS BIGINT)
                  AS n_sem_contam,
                CAST(count(*) FILTER (WHERE NOT rl AND NOT rep
-                 AND NOT bkt AND NOT dup
+                 AND NOT c4 AND NOT bkt AND NOT dup
                  AND NOT nd AND NOT tok AND NOT sem) AS BIGINT)
                  AS n_admitted
         FROM (
           SELECT d.doc_id, d.source,
                  d.doc_id IN (SELECT doc_id FROM rulet) AS rl,
                  d.doc_id IN (SELECT doc_id FROM rept) AS rep,
+                 d.doc_id IN (SELECT doc_id FROM c4t) AS c4,
                  d.doc_id IN (SELECT doc_id FROM buckt) AS bkt,
                  d.doc_id IN (SELECT doc_id FROM dupt) AS dup,
                  d.doc_id IN (SELECT doc_id FROM ndt) AS nd,

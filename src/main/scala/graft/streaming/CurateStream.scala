@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.Portable
-import graft.operators.{Curate, Dedup, GopherRules, Similarity}
+import graft.operators.{C4Rules, Curate, Dedup, GopherRules, Similarity}
 
 /** Streaming curation: the batch [[Curate]] pipeline applied per
   * micro-batch via foreachBatch — the production shape of continuous
@@ -256,6 +256,17 @@ object CurateStream {
     *                  — it is the first gate that aggregates (its
     *                  gram counts are batch-local, no model, no
     *                  standing state).
+    * @param c4Gate opt-in C4 structural PAGE gate
+    *                  ([[C4Rules.pagePass]] — the SAME statement q283
+    *                  audits and q275 scores): at least
+    *                  [[C4Rules.MinSentences]] content-defined
+    *                  sentences survive the line rules. A pure per-row
+    *                  projection, grouped with the rule gate
+    *                  (admission only — the gate never rewrites text;
+    *                  the keep-one SPAN dedup is cross-batch state and
+    *                  lives in [[SpanDedupStream]] / the periodic
+    *                  batch [[C4Rules.spanDedup]] over the landed
+    *                  corpus, the cutRepeatedRuns convention below).
     * @note ALL row-dropping gates run BEFORE the curation pipeline
     *       picks exact/near-dup representatives — a gated min-id
     *       representative must not silently take its admissible
@@ -277,7 +288,8 @@ object CurateStream {
       semanticGate: Option[SemanticGate] = None,
       ruleGate: Boolean = false,
       bucketGate: Option[BucketGate] = None,
-      repetitionGate: Boolean = false): StreamingQuery = {
+      repetitionGate: Boolean = false,
+      c4Gate: Boolean = false): StreamingQuery = {
     semanticGate.foreach { g =>
       require(docs.columns.contains(g.vecCol),
         s"semanticGate requires the stream to carry '${g.vecCol}'; " +
@@ -297,9 +309,14 @@ object CurateStream {
       // opt-in RULE gate first: one per-row integer projection (no
       // join, no shuffle) — the recipe's rules-before-models order.
       // Deterministic, so replays re-derive the same admissible set.
-      val afterStructural =
+      val afterStructural0 =
         if (!ruleGate) batch.toDF()
         else batch.toDF().filter(GopherRules.passes(col(textCol)))
+      // opt-in C4 PAGE gate: the q283/q275 statement — another pure
+      // per-row integer projection, same cost class as the rule gate
+      val afterStructural =
+        if (!c4Gate) afterStructural0
+        else afterStructural0.filter(C4Rules.pagePass(col(textCol)))
       // opt-in REPETITION gate: the q277 flags over this batch (the
       // shared GopherRules statement), batch-local and deterministic
       val afterRules =
