@@ -1941,6 +1941,87 @@ object TextQueries {
                CAST(len(string_split(text2, ' ')) AS BIGINT) AS n_words,
                ${Portable.pmd5Sql("text2")} AS thash
         FROM txt t JOIN documents d USING (doc_id)"""
-      }))
+      })),
+    // ----------------------------------------------------------------
+    Q(
+      "q285_bpe_merges",
+      "BPE merge learning (Sennrich et al. 2016 — the public subword-" +
+        "vocabulary recipe modern tokenizers descend from): the first " +
+        s"${graft.operators.Bpe.Rounds} learned merges over the corpus, " +
+        "(round, a, b, count). The corpus is touched ONCE (the word-" +
+        "count hash agg); every round after that is VOCABULARY-bounded " +
+        "— pair counts over the (word, count, symbols) table, one " +
+        "argmax row to the driver, one staged merge projection. Merge " +
+        "semantics are the reference implementation's greedy left-to-" +
+        "right non-overlapping scan, stated as a CLOSED FORM (self-" +
+        "pair runs merge at even offsets from the run head) so both " +
+        "engines express it as pure array lambdas — BpeSpec pins the " +
+        "closed form against an independent imperative reference over " +
+        "every short sequence. Ties break (count desc, pair asc), so " +
+        "reruns and both engines learn the identical table. SCALE " +
+        "SHAPE: one corpus-wide exchange total; per-round work is " +
+        "vocab-keyed aggregation (corpus-size-independent); driver " +
+        "traffic is ONE row per round; the classic incremental pair-" +
+        "count update is a vocab-bounded optimization of the recount " +
+        "this trainer performs, stated in the operator doc.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        graft.operators.Bpe.trainMerges(docs, "text",
+            graft.operators.Bpe.Rounds)
+          .map { case (r, a, b, c) => (r.toLong, a, b, c) }
+          .toDF("round", "a", "b", "cnt")
+      },
+      Some(s"""
+        WITH ${graft.operators.Bpe.trainCtes("documents",
+          graft.operators.Bpe.Rounds)}
+        ${graft.operators.Bpe.mergesSelectSql(graft.operators.Bpe.Rounds)}""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q286_bpe_tokenize",
+      "Corpus token statistics under the q285-learned BPE merges — " +
+        "the number a token-budget owner actually needs (q24/q121/" +
+        "q279 count whitespace words; a trained tokenizer does not): " +
+        "per source, word count, BPE token count and tokens-per-word " +
+        "in basis points (integer arithmetic, both engines). " +
+        "Tokenization happens on the VOCABULARY (one staged merge " +
+        "projection per learned round over the word table), and the " +
+        "corpus joins against that map by word — the map-side shape. " +
+        "SCALE SHAPE: the trainer's one corpus pass + vocab-bounded " +
+        "rounds (q285), then one exploded-word join keyed on the " +
+        "word (broadcastable when the vocabulary is bounded, shuffle-" +
+        "keyed otherwise) and a source-bounded aggregation; token " +
+        "ARRAYS never leave the vocab table — only their lengths " +
+        "travel.",
+      (s, dir) => {
+        import graft.operators.Bpe
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val learned = Bpe.trainMerges(docs, "text", Bpe.Rounds)
+        val tv = Bpe.tokenizedVocab(docs, "text",
+            learned.map(m => (m._2, m._3)))
+          .select(col("word"), size(col("form")).cast(LongType).as("ntok"))
+        docs.select(col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .join(tv, Seq("word"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("ntok")).as("n_tokens"))
+          .withColumn("tokens_per_word_bp",
+            expr("n_tokens * 10000 div n_words"))
+      },
+      Some(s"""
+        WITH ${graft.operators.Bpe.trainCtes("documents",
+          graft.operators.Bpe.Rounds)},
+        tv AS (
+          SELECT word, CAST(len(form) AS BIGINT) AS ntok
+          FROM v${graft.operators.Bpe.Rounds}),
+        w AS (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(ntok) AS BIGINT) * 10000
+                 // CAST(count(*) AS BIGINT) AS tokens_per_word_bp
+        FROM w JOIN tv USING (word) GROUP BY 1"""))
   )
 }
