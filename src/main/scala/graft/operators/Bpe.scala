@@ -54,9 +54,14 @@ object Bpe {
   // shared arithmetic (Spark side)
   // ------------------------------------------------------------------
 
-  /** A word's initial symbol sequence: its characters. */
+  /** A word's initial symbol sequence: its characters. The empty-word
+    * guard matters: Spark sequence(1, 0) DESCENDS where DuckDB's
+    * generate_series returns [] — without it the engines would
+    * silently diverge on an empty token. */
   def charSymbols(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    when(length(w) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))))
 
   /** One greedy merge (a, b) -> a+b over a symbol array — the closed
     * form of left-to-right non-overlapping matching (see the object
@@ -152,6 +157,43 @@ object Bpe {
       case (df, (a, b)) =>
         df.withColumn("form", mergeOnce(col("form"), a, b))
     }
+
+  /** Per-source (n_words, n_tokens) under a frozen merge list — ONE
+    * statement shared by the batch query (q286) and the streaming
+    * token-budget monitor ([[graft.streaming.TokenBudgetStream]]),
+    * the bucketsOf discipline. `docs` needs (source, textCol).
+    * Tokenization runs on the frame's OWN word table (a pure function
+    * of each word under frozen merges, so batch grain never changes
+    * the answer); only token COUNTS leave the vocab join. */
+  def tokenStats(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tv = tokenizedVocab(docs, textCol, merges)
+      .select(col("word"), size(col("form")).cast(LongType).as("ntok"))
+    docs.select(col("source"),
+        explode(split(col(textCol), " ")).as("word"))
+      .join(tv, Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** Persist a learned merge table (the frozen-model form streaming
+    * consumers score against — the DsirIndex/MixtureStream
+    * convention). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Int, String, String, Long)], table: String): Unit = {
+    import spark.implicits._
+    merges.map { case (r, a, b, c) => (r.toLong, a, b, c) }
+      .toDF("round", "a", "b", "cnt")
+      .write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** Load a frozen merge list in learn order — driver-bounded by the
+    * merge-round count (a tokenizer-vocabulary-sized constant, never
+    * corpus-scaled). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[(String, String)] =
+    spark.table(table).orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 
   // ------------------------------------------------------------------
   // DuckDB spellings (interpolated by the oracles)

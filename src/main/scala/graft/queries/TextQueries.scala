@@ -1997,15 +1997,10 @@ object TextQueries {
         import graft.operators.Bpe
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
         val learned = Bpe.trainMerges(docs, "text", Bpe.Rounds)
-        val tv = Bpe.tokenizedVocab(docs, "text",
-            learned.map(m => (m._2, m._3)))
-          .select(col("word"), size(col("form")).cast(LongType).as("ntok"))
-        docs.select(col("source"),
-            explode(split(col("text"), " ")).as("word"))
-          .join(tv, Seq("word"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("ntok")).as("n_tokens"))
+        // the fold is Bpe.tokenStats — ONE statement shared with the
+        // 28th streaming twin (TokenBudgetStream), so the live monitor
+        // sits under this oracle transitively
+        Bpe.tokenStats(docs, "text", learned.map(m => (m._2, m._3)))
           .withColumn("tokens_per_word_bp",
             expr("n_tokens * 10000 div n_words"))
       },

@@ -139,6 +139,11 @@ object TwinRegistry {
         "frozen model after every prefix, across compaction; " +
         "admission tracks dropped mass; shared Dsir.mixtureWeights " +
         "fold"),
+    logTwin("token-budget monitor (frozen BPE merges)", "TokenBudgetStream",
+      "token-budget",
+      "TokenBudgetStreamSpec: budget == batch Bpe.tokenStats (q286's " +
+        "shared statement) under the frozen table after every prefix, " +
+        "across compaction; untrained table fails loud"),
     logTwin("C4 span-dedup index", "SpanDedupStream",
       "c4-span-dedup",
       "SpanDedupStreamSpec: deduped corpus == batch spanDedup over " +

@@ -160,6 +160,24 @@ class TwinConformanceSpec extends SparkSpec with TwinConformance {
       out => LongestMatchStream.read(spark, out, "eval_id"))
   }
 
+  twinConformance("token-budget") {
+    // frozen merges trained once on a seed corpus, before the stream
+    val table = "twinconf_tok_merges"
+    graft.operators.Bpe.saveMerges(spark,
+      graft.operators.Bpe.trainMerges(
+        Seq((900L, "aaab aaab aaab ab ab ba")).toDF("doc_id", "text"),
+        "text", 4), table)
+    TwinFixture(
+      "doc_id LONG, text STRING, source STRING",
+      Seq(
+        Seq((1L, "aaab ba", "s0"), (2L, "ab ab aaab", "s1"))
+          .toDF("doc_id", "text", "source"),
+        Seq((3L, "ba ba aaab ab", "s0"))
+          .toDF("doc_id", "text", "source")),
+      (s, out, cp) => TokenBudgetStream.start(s, table, out, cp),
+      out => TokenBudgetStream.budget(spark, out))
+  }
+
   twinConformance("c4-span-dedup") {
     // the C4RulesSpec sentence fixture: content-defined boundaries end
     // each 5-word sentence, span ABC is duplicated across the batches
