@@ -71,22 +71,35 @@ object C4Rules {
     filter(sequence(lit(1), size(ts)),
       i => Portable.pmd5(element_at(ts, i)) % SentModulus === 0)
 
+  /** Sentence structs from a token array and its boundary-position
+    * array — the ONE construction every consumer stages through.
+    *
+    * SHAPE MATTERS HERE: interpreted higher-order functions have no
+    * common-subexpression elimination, so an `element_at(bp, j)`
+    * inside a per-sentence lambda would re-run the WHOLE boundary
+    * filter (one pmd5 per word) for every sentence — measured 60+ s
+    * for a 5000-doc corpus. zip_with over bp and its shifted self
+    * binds each lambda to ELEMENT VALUES instead, so bp evaluates a
+    * constant number of times per row regardless of sentence count
+    * (and call sites that can stage through projections make ts/bp
+    * attribute references — one evaluation per row, total). */
+  private def sentencesFrom(ts: Column, bp: Column): Column =
+    // slice(bp, 1, size-1) needs size >= 1; sequence is never built,
+    // so the boundary-free doc just yields the empty sentence array
+    when(size(bp) === 0,
+      array().cast("array<struct<nw:bigint,sent:string>>"))
+      .otherwise(zip_with(
+        concat(array(lit(0)), slice(bp, lit(1), size(bp) - 1)), bp,
+        (p, e) => struct((e - p).cast(LongType).as("nw"),
+          concat_ws(" ", slice(ts, p + 1, e - p)).as("sent"))))
+
   /** All TERMINATED sentences as array<struct<nw, sent>> — words after
     * the last boundary are not in any sentence (the terminal-
     * punctuation rule). Empty array when the document has no boundary
     * word. Word counts come from boundary deltas: no re-split. */
   def sentences(text: Column): Column = {
     val ts = toks(text)
-    val bp = bpos(ts)
-    // sequence(1, 0) DESCENDS in Spark — guard the boundary-free doc
-    when(size(bp) === 0,
-      array().cast("array<struct<nw:bigint,sent:string>>"))
-      .otherwise(transform(sequence(lit(1), size(bp)), j => {
-        val prev = when(j === 1, lit(0)).otherwise(element_at(bp, j - 1))
-        val end = element_at(bp, j)
-        struct((end - prev).cast(LongType).as("nw"),
-          concat_ws(" ", slice(ts, prev + 1, end - prev)).as("sent"))
-      }))
+    sentencesFrom(ts, bpos(ts))
   }
 
   /** Sentences surviving both line rules, in document order. */
@@ -126,7 +139,17 @@ object C4Rules {
     *   [[spanDedup]] composition does); freed by the harness's
     *   clearCache-after-terminal-action contract. */
   def pages(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), keptSentences(col(textCol)).as("kept"))
+    // staged projections: ts and bp MATERIALIZE once per row (multi-
+    // referenced non-cheap expressions, so CollapseProject keeps the
+    // stages), and every sentence lambda then works on attribute
+    // references — the per-row cost is one split + one pmd5 pass
+    docs.select(col(idCol), toks(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"),
+        bpos(col("__ts")).as("__bp"))
+      .select(col(idCol),
+        sentencesFrom(col("__ts"), col("__bp")).as("__sents"))
+      .select(col(idCol), filter(col("__sents"),
+        s => s.getField("nw") >= MinSentWords).as("kept"))
       .filter(size(col("kept")) >= MinSentences)
 
   /** [[pages]] with kept as a plain sentence-string array — the form

@@ -5,7 +5,7 @@ import scala.annotation.tailrec
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, BinaryComparison, Expression, In, Literal, StartsWith}
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
 import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, GenerateExec, InputAdapter, LocalTableScanExec, ProjectExec, RDDScanExec, RangeExec, SortExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
@@ -781,7 +781,7 @@ class ExplainAuditSpec extends SparkSpec {
     assertHistogramWindow("q274", nodes)
   }
 
-  test("q275 seven-gate matrix: ONE minhash pass feeds both LSH gates, " +
+  test("q275 eight-gate matrix: ONE minhash pass feeds both LSH gates, " +
       "two bigram explodes feed the LM gate, the tercile fold keeps " +
       "the histogram-window class, and nothing sort-merge joins") {
     val nodes = withStaticPlans {
@@ -833,6 +833,84 @@ class ExplainAuditSpec extends SparkSpec {
     assert(shuffles(p).forall(e =>
       !e.output.exists(a => PayloadCols(a.name))),
       "q277: a shuffle ships a raw payload — only gram hashes travel")
+  }
+
+  test("q283 C4 line audit is ONE per-row array projection + a " +
+      "source-bounded aggregation — no join, no explode, narrow " +
+      "shuffles only") {
+    val p = planMap("q283_c4_line_audit")
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j.nodeName
+      case j: BroadcastHashJoinExec => j.nodeName
+      case j: ShuffledHashJoinExec => j.nodeName
+      case j: CartesianProductExec => j.nodeName
+      case j: BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(joins.isEmpty, s"q283 grew a join: $joins")
+    assert(p.collect { case g: GenerateExec => g }.isEmpty,
+      "q283 must not explode — sentence metrics are array lambdas " +
+        "inside the scan-stage projection")
+    assert(shuffles(p).forall(e =>
+      !e.output.exists(a => PayloadCols(a.name))),
+      "q283: a shuffle ships the raw text payload")
+  }
+
+  test("q284 C4 span dedup: winner resolution is a SPAN-HASH-keyed " +
+      "equi-join, untouched pages bypass via anti joins, never a " +
+      "cartesian") {
+    // isolation: q284 persists its page frame; build alone so the
+    // registry fixture cannot splice foreign cached pipelines in
+    val nodes = withStaticPlans {
+      spark.catalog.clearCache()
+      expandedNodes(planOf("q284_c4_span_dedup"))
+    }
+    val bad = nodes.collect {
+      case j: CartesianProductExec => j.nodeName
+      case j: BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"q284 degraded to a cartesian/nested loop: $bad")
+    def shKeyed(keys: Seq[Expression]): Boolean =
+      keys.size == 1 && keys.head.references.size == 1 &&
+        keys.head.references.head.name == "sh"
+    val winnerJoins = nodes.collect {
+      case j: SortMergeJoinExec if shKeyed(j.leftKeys) => j.nodeName
+      case j: ShuffledHashJoinExec if shKeyed(j.leftKeys) => j.nodeName
+      case j: BroadcastHashJoinExec if shKeyed(j.leftKeys) => j.nodeName
+    }
+    assert(winnerJoins.nonEmpty,
+      "q284's winner resolution must join on the 60-bit span hash — " +
+        "losing the sh key means span text or a corpus window crept in")
+    val antis = nodes.collect {
+      case j: SortMergeJoinExec if j.joinType == LeftAnti => j
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti => j
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(antis.size >= 2,
+      "q284 must keep BOTH anti joins: the untouched-page bypass and " +
+        s"the removed-sentence subtraction; found ${antis.size}")
+  }
+
+  test("q286 BPE tokenization: the corpus joins the vocab map BY WORD " +
+      "and token ARRAYS never cross an exchange") {
+    // building this plan runs the q285 trainer's driver rounds (the
+    // q48/q245 eager-construction class) — cheap at the fixture scale
+    val p = planMap("q286_bpe_tokenize")
+    def wordKeyed(keys: Seq[Expression]): Boolean =
+      keys.nonEmpty && keys.forall(k => k.references.size == 1 &&
+        k.references.head.name == "word")
+    val wordJoins = expandedNodes(p).collect {
+      case j: SortMergeJoinExec if wordKeyed(j.leftKeys) => j.nodeName
+      case j: ShuffledHashJoinExec if wordKeyed(j.leftKeys) => j.nodeName
+      case j: BroadcastHashJoinExec if wordKeyed(j.leftKeys) => j.nodeName
+    }
+    assert(wordJoins.nonEmpty,
+      "q286 must tokenize by joining exploded words against the " +
+        "vocab map on the word key")
+    val arrayShuffles = shuffles(p).filter(_.output.exists(
+      _.dataType.isInstanceOf[ArrayType]))
+    assert(arrayShuffles.isEmpty,
+      "q286: a symbol/token array crossed an exchange — only token " +
+        "COUNTS may leave the vocab table")
   }
 
   test("q276 resampled mixture keeps q270's broadcast-weight scoring " +
