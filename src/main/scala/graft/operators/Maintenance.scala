@@ -116,6 +116,32 @@ object Maintenance {
     finally release()
   }
 
+  /** Periodic C4 keep-one SPAN compaction over a landed corpus — the
+    * maintenance complement of the ingest-time c4Gate: the gate is
+    * ADMISSION-only (a span's winner is a corpus-level fact no
+    * per-batch gate can know), so duplicated three-sentence spans
+    * accumulate across batches until this job runs
+    * [[C4Rules.spanDedup]] (Raffel et al. 2020 §2.2: line rules, then
+    * all-but-first span occurrences cut) over the landed corpus and
+    * rewrites the survivors — text REWRITTEN from the surviving
+    * sentences, fully-consumed documents dropped — as ~target-sized
+    * files at `outputDir`.
+    *
+    * Same snapshot semantics as [[nearDupCompact]]: a FLAT compacted
+    * snapshot for downstream consumers, not a drop-in sink
+    * replacement (the rewrite changes text, so sink content hashes
+    * deliberately stay untouched in the live sink). The incremental
+    * form of the same resolution is
+    * [[graft.streaming.SpanDedupStream]] over the raw ingest; this is
+    * the batch pass a corpus generation closes with.
+    *
+    * @return output parquet file count. */
+  def c4SpanCompact(spark: SparkSession, sinkDir: String,
+      outputDir: String, textCol: String, idCol: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long =
+    rewriteSized(spark, sinkDir, outputDir, targetFileBytes)(
+      C4Rules.spanDedup(spark.read.parquet(sinkDir), idCol, textCol))
+
   /** Retention over a [[graft.streaming.CurateStream]] sink: drop every
     * `batch_id=k` partition with k < `keepFrom` — a pure directory
     * delete (no rewrite), which is what partitioning the sink by batch

@@ -124,10 +124,10 @@ object TwinRegistry {
       "ccnet-buckets",
       "CcnetStreamSpec: streamed buckets == the batch fold over the " +
         "union across a restart; boundary memo keyed on the listing"),
-    logTwin("Gopher quality audit", "QualityAuditStream",
+    logTwin("rule-gate quality audit", "QualityAuditStream",
       "quality-audit",
-      "QualityAuditStreamSpec: audit == batch q273+q277 arithmetic " +
-        "after every prefix, across compaction"),
+      "QualityAuditStreamSpec: audit == batch q273+q277+q283 " +
+        "arithmetic after every prefix, across compaction"),
     logTwin("incremental SemDeDup", "SemDedupStream",
       "semdedup-incremental",
       "SemDedupStreamSpec: stream == batch semDedup over the union " +

@@ -84,6 +84,26 @@ class C4RulesSpec extends SparkSpec {
     assert(out(60L) == ("s2", j(D, E, C)))
   }
 
+  test("c4SpanCompact: the snapshot is exactly the spanDedup rewrite " +
+      "of the landed corpus, extra columns intact") {
+    val root = java.nio.file.Files.createTempDirectory("c4compact")
+    val sink = root.resolve("sink").toString
+    val outDir = root.resolve("snap").toString
+    val docs = Seq(
+      (10L, "s0", j(A, B, C, D)),
+      (20L, "s0", j(E, A, B, C)),   // loses span ABC -> E remains
+      (40L, "s1", j(A, B, C)))      // loses ABC entirely -> gone
+      .toDF("doc_id", "source", "text")
+    docs.write.parquet(sink)
+    val n = Maintenance.c4SpanCompact(spark, sink, outDir, "text", "doc_id")
+    assert(n >= 1)
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[String]("text"))).toMap
+    assert(got == Map(10L -> ("s0", j(A, B, C, D)), 20L -> ("s0", E)))
+    spark.catalog.clearCache()
+  }
+
   test("pagePass is the audit's page verdict") {
     val docs = Seq((1L, j(A, B, C)), (2L, j(A, B)), (3L, j(A, B, "the fa")))
       .toDF("doc_id", "text")

@@ -58,12 +58,13 @@ class QualityAuditStreamSpec extends SparkSpec {
     assert(q.awaitTermination(120000), "quality audit stream did not finish")
   }
 
-  /** q273's + q277's arithmetic computed batch-side over a frame —
-    * the shared summary plus the read-derived pass rates. */
+  /** q273's + q277's + q283's arithmetic computed batch-side over a
+    * frame — the shared summary plus the read-derived pass rates. */
   private def batchForm(rs: Seq[(Long, String, String)]) =
     QualityAuditStream.summary(toDf(rs))
       .withColumn("pass_bp", expr("n_pass * 10000 div n_docs"))
       .withColumn("rep_pass_bp", expr("n_rep_pass * 10000 div n_docs"))
+      .withColumn("c4_pass_bp", expr("c4_pages * 10000 div n_docs"))
 
   private def key(df: DataFrame) = {
     val got = df.collect().map(_.toString).toSeq.sorted
@@ -84,7 +85,9 @@ class QualityAuditStreamSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("source", "n_docs", "v_wordcount",
       "v_meanlen", "v_stopword", "v_diversity", "n_pass",
       "v_top2", "v_top3", "v_top4", "v_dup3", "n_rep_pass",
-      "pass_bp", "rep_pass_bp"))
+      "c4_sent", "c4_short_sent", "c4_unterminated", "c4_few_sent",
+      "c4_pages", "c4_kept_sent",
+      "pass_bp", "rep_pass_bp", "c4_pass_bp"))
     assert(empty.count() == 0)
 
     val b1 = rows(0 until 30)
@@ -100,14 +103,17 @@ class QualityAuditStreamSpec extends SparkSpec {
     assert(key(QualityAuditStream.audit(spark, out)) == full,
       "full stream diverged from the batch audit")
 
-    // every audit column non-vacuous on the fixture — structural AND
+    // every audit column non-vacuous on the fixture — structural,
     // repetition (the 'again'-flood doc violates all four repetition
     // rules; the stopless/short docs keep n_rep_pass below n_docs)
+    // AND the C4 counts (synthetic words segment content-defined:
+    // some sentences short, some docs unterminated or thin)
     val row = batchForm(b1 ++ b2).agg(sum("v_wordcount"), sum("v_meanlen"),
       sum("v_stopword"), sum("v_diversity"), sum("n_pass"),
       sum("v_top2"), sum("v_top3"), sum("v_top4"), sum("v_dup3"),
-      sum("n_rep_pass")).head()
-    (0 until 10).foreach(i => assert(row.getLong(i) > 0,
+      sum("n_rep_pass"), sum("c4_sent"), sum("c4_short_sent"),
+      sum("c4_unterminated"), sum("c4_few_sent")).head()
+    (0 until 14).foreach(i => assert(row.getLong(i) > 0,
       s"fixture vacuous at audit column $i"))
 
     // compaction folds the log; the audit must not move, and later
