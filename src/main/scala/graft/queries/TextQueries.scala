@@ -1838,29 +1838,19 @@ object TextQueries {
               .as("kept_sent"))
       },
       Some({
+        // ONE SQL spelling of the segmentation: the audit reads the
+        // shared keptCtes chain's own stages (bnds for the terminated/
+        // tail facts, sent for the survivors) — never a second copy
         s"""
-        WITH atoks AS (
-          SELECT doc_id, source, string_split(text, ' ') AS ts
-          FROM documents),
-        abnds AS (
-          SELECT doc_id, source, ts,
-                 list_filter(generate_series(1, len(ts)),
-                   i -> ${Portable.pmd5Sql("ts[i]")}
-                     % ${C4Rules.SentModulus} = 0) AS bp
-          FROM atoks),
-        asent AS (
-          SELECT doc_id, source,
-                 len(bp) AS n_sent,
-                 (len(bp) = 0 OR bp[len(bp)] < len(ts)) AS unterminated,
-                 len(list_filter(
-                   list_transform(generate_series(1, len(bp)),
-                     j -> array_to_string(list_slice(ts,
-                            CASE WHEN j = 1 THEN 1 ELSE bp[j-1] + 1 END,
-                            bp[j]), ' ')),
-                   s -> len(string_split(s, ' '))
-                     >= ${C4Rules.MinSentWords})) AS n_kept
-          FROM abnds)
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        WITH ${C4Rules.keptCtes("a", "documents", "text")},
+        audit AS (
+          SELECT b.doc_id,
+                 len(b.bp) AS n_sent,
+                 (len(b.bp) = 0 OR b.bp[len(b.bp)] < len(b.ts))
+                   AS unterminated,
+                 len(k.kept) AS n_kept
+          FROM abnds b JOIN asent k USING (doc_id))
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_sent) AS BIGINT) AS n_sent,
                CAST(sum(n_sent - n_kept) AS BIGINT) AS n_short_sent,
                CAST(count(*) FILTER (WHERE unterminated) AS BIGINT)
@@ -1871,7 +1861,7 @@ object TextQueries {
                  >= ${C4Rules.MinSentences}) AS BIGINT) AS n_pages,
                CAST(coalesce(sum(n_kept) FILTER (WHERE n_kept
                  >= ${C4Rules.MinSentences}), 0) AS BIGINT) AS kept_sent
-        FROM asent GROUP BY 1"""
+        FROM audit JOIN documents d USING (doc_id) GROUP BY 1"""
       })),
     // ----------------------------------------------------------------
     Q(
