@@ -278,4 +278,18 @@ object C4Rules {
 
   /** SQL predicate equivalent of [[pagePass]] over a `kept` column. */
   def pagePassSql: String = s"len(kept) >= $MinSentences"
+
+  /** The C4 page-TERM rule (the recipe's badwords / 'lorem ipsum' /
+    * brace drops): a page passes iff it contains NO blocklisted term.
+    * ONE statement shared by the q91 audit, the q275 matrix column
+    * and [[graft.streaming.CurateStream]]'s termGate. Scan-stage: one
+    * arrays_overlap per row; a production-sized list broadcasts
+    * instead of inlining (stated at q91). */
+  def termPass(text: Column, terms: Seq[String]): Column =
+    !arrays_overlap(split(text, " "), array(terms.map(lit): _*))
+
+  /** DuckDB twin of [[termPass]] applied to SQL fragment `textSql`. */
+  def termPassSql(textSql: String, terms: Seq[String]): String =
+    s"len(list_intersect(string_split($textSql, ' '), " +
+      s"[${terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")}])) = 0"
 }

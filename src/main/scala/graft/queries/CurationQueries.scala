@@ -23,6 +23,12 @@ object CurationQueries {
   /** Blocklist for q91/q92: one common term and one rare term, so the
     * filter exercises both the hot and the cold path of the match. */
   private val BLOCK = Seq("slow", "dup")
+  /** q275's matrix blocklist: 'dup' alone — rare in the corpus (~4%
+    * of training docs at sf0.01), so the term-gate taint column is
+    * non-vacuous without drowning every other gate's admitted set
+    * (q91's two-term list blocks ~80% — right for drop STATISTICS,
+    * wrong for a side-by-side matrix). */
+  private val MatrixBlock = Seq("dup")
   private val MASK = "<MASK>"
   private val TOPP = 20 // q90: merge-candidate pairs reported
   private val MG_K = 64  // q94: Misra-Gries counters; threshold = N/64
@@ -144,9 +150,11 @@ object CurationQueries {
         "(source, flag) ever reaches the shuffle.",
       (s, dir) => {
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        // the predicate is C4Rules.termPass — ONE statement shared
+        // with CurateStream's termGate and the q275 matrix column
         docs.select(col("source"),
-          arrays_overlap(split(col("text"), " "),
-            array(BLOCK.map(lit): _*)).as("blocked"))
+          (!graft.operators.C4Rules.termPass(col("text"), BLOCK))
+            .as("blocked"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("blocked"), 1L).otherwise(0L)).as("n_dropped"))
@@ -1472,10 +1480,10 @@ object CurationQueries {
     Q(
       "q275_recipe_matrix",
       "The FULL public-curation-recipe admission matrix — q271's four " +
-        "gates extended with the recipe's four quality gates, so the " +
+        "gates extended with the recipe's five quality gates, so the " +
         "entire CurateStream gate family (ruleGate + repetitionGate + " +
-        "c4Gate + bucketGate + exact + near-dup + token decon + " +
-        "semantic decon) is scored " +
+        "c4Gate + termGate + bucketGate + exact + near-dup + token " +
+        "decon + semantic decon) is scored " +
         "side by side for every training document (doc_id >= 100) in " +
         "ONE oracled batch table: (0) Gopher rule taint = " +
         "GopherRules.passes fails — the SAME shared statement the " +
@@ -1483,7 +1491,10 @@ object CurationQueries {
         "repetition taint = GopherRules.repetitionFlags fails — q277's " +
         "shared statement, the repetitionGate's exact decision; (0c) " +
         "C4 structural page taint = C4Rules.pagePass fails — q283's " +
-        "shared statement, the c4Gate's exact decision; (1) CCNet " +
+        "shared statement, the c4Gate's exact decision; (0d) C4 page-" +
+        "TERM taint = C4Rules.termPass fails on the rare matrix " +
+        "blocklist — q91's shared statement, the termGate's exact " +
+        "decision; (1) CCNet " +
         "bucket taint = tail-bucket or unscorable under a FROZEN " +
         "reference LM (the eval split doc_id < 100 plays Wikipedia's " +
         "role, q274's smoothed left-join arithmetic with the splits " +
@@ -1520,6 +1531,12 @@ object CurationQueries {
         // the SAME predicate CurateStream's c4Gate filters with)
         val c4Taint = train
           .filter(!graft.operators.C4Rules.pagePass(col("text")))
+          .select("doc_id")
+        // gate 0d: C4 page-TERM rule (q91's shared statement over the
+        // rare matrix blocklist — the termGate's exact decision)
+        val termTaint = train
+          .filter(!graft.operators.C4Rules.termPass(col("text"),
+            MatrixBlock))
           .select("doc_id")
         // gate 1: CCNet bucket vs the frozen reference LM
         def bigrams(d: DataFrame) = d
@@ -1604,6 +1621,7 @@ object CurationQueries {
           .join(flag(ruleTaint, "__rl"), Seq("doc_id"), "left")
           .join(flag(repTaint, "__rep"), Seq("doc_id"), "left")
           .join(flag(c4Taint, "__c4"), Seq("doc_id"), "left")
+          .join(flag(termTaint, "__tb"), Seq("doc_id"), "left")
           .join(flag(bucketTaint, "__bk"), Seq("doc_id"), "left")
           .join(flag(dupTaint, "__dup"), Seq("doc_id"), "left")
           .join(flag(ndTaint, "__nd"), Seq("doc_id"), "left")
@@ -1614,6 +1632,7 @@ object CurationQueries {
             sum(coalesce(col("__rl"), lit(0L))).as("n_rule_fail"),
             sum(coalesce(col("__rep"), lit(0L))).as("n_repetition"),
             sum(coalesce(col("__c4"), lit(0L))).as("n_c4_fail"),
+            sum(coalesce(col("__tb"), lit(0L))).as("n_term_block"),
             sum(coalesce(col("__bk"), lit(0L))).as("n_tail_bucket"),
             sum(coalesce(col("__dup"), lit(0L))).as("n_exact_dup"),
             sum(coalesce(col("__nd"), lit(0L))).as("n_neardup"),
@@ -1622,6 +1641,7 @@ object CurationQueries {
             sum(when(coalesce(col("__rl"), lit(0L)) === 0L &&
               coalesce(col("__rep"), lit(0L)) === 0L &&
               coalesce(col("__c4"), lit(0L)) === 0L &&
+              coalesce(col("__tb"), lit(0L)) === 0L &&
               coalesce(col("__bk"), lit(0L)) === 0L &&
               coalesce(col("__dup"), lit(0L)) === 0L &&
               coalesce(col("__nd"), lit(0L)) === 0L &&
@@ -1732,6 +1752,10 @@ object CurationQueries {
         c4t AS (
           SELECT doc_id FROM mxsent
           WHERE NOT (${graft.operators.C4Rules.pagePassSql})),
+        tbt AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id >= 100 AND NOT (${graft.operators.C4Rules
+            .termPassSql("text", MatrixBlock)})),
         rtoks AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
           WHERE doc_id < 100),
@@ -1804,6 +1828,8 @@ object CurationQueries {
                CAST(count(*) FILTER (WHERE rep) AS BIGINT)
                  AS n_repetition,
                CAST(count(*) FILTER (WHERE c4) AS BIGINT) AS n_c4_fail,
+               CAST(count(*) FILTER (WHERE tb) AS BIGINT)
+                 AS n_term_block,
                CAST(count(*) FILTER (WHERE bkt) AS BIGINT)
                  AS n_tail_bucket,
                CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_exact_dup,
@@ -1813,7 +1839,7 @@ object CurationQueries {
                CAST(count(*) FILTER (WHERE sem) AS BIGINT)
                  AS n_sem_contam,
                CAST(count(*) FILTER (WHERE NOT rl AND NOT rep
-                 AND NOT c4 AND NOT bkt AND NOT dup
+                 AND NOT c4 AND NOT tb AND NOT bkt AND NOT dup
                  AND NOT nd AND NOT tok AND NOT sem) AS BIGINT)
                  AS n_admitted
         FROM (
@@ -1821,6 +1847,7 @@ object CurationQueries {
                  d.doc_id IN (SELECT doc_id FROM rulet) AS rl,
                  d.doc_id IN (SELECT doc_id FROM rept) AS rep,
                  d.doc_id IN (SELECT doc_id FROM c4t) AS c4,
+                 d.doc_id IN (SELECT doc_id FROM tbt) AS tb,
                  d.doc_id IN (SELECT doc_id FROM buckt) AS bkt,
                  d.doc_id IN (SELECT doc_id FROM dupt) AS dup,
                  d.doc_id IN (SELECT doc_id FROM ndt) AS nd,

@@ -256,6 +256,14 @@ object CurateStream {
     *                  — it is the first gate that aggregates (its
     *                  gram counts are batch-local, no model, no
     *                  standing state).
+    * @param termGate opt-in C4 page-TERM gate
+    *                  ([[C4Rules.termPass]] — the SAME statement q91
+    *                  audits and q275 scores): a page containing ANY
+    *                  blocklisted term (badwords / 'lorem ipsum' /
+    *                  braces in the paper) never lands. A pure
+    *                  per-row projection grouped with the rule gate;
+    *                  a production-sized list broadcasts instead of
+    *                  inlining.
     * @param c4Gate opt-in C4 structural PAGE gate
     *                  ([[C4Rules.pagePass]] — the SAME statement q283
     *                  audits and q275 scores): at least
@@ -289,7 +297,8 @@ object CurateStream {
       ruleGate: Boolean = false,
       bucketGate: Option[BucketGate] = None,
       repetitionGate: Boolean = false,
-      c4Gate: Boolean = false): StreamingQuery = {
+      c4Gate: Boolean = false,
+      termGate: Option[Seq[String]] = None): StreamingQuery = {
     semanticGate.foreach { g =>
       require(docs.columns.contains(g.vecCol),
         s"semanticGate requires the stream to carry '${g.vecCol}'; " +
@@ -314,9 +323,17 @@ object CurateStream {
         else batch.toDF().filter(GopherRules.passes(col(textCol)))
       // opt-in C4 PAGE gate: the q283/q275 statement — another pure
       // per-row integer projection, same cost class as the rule gate
-      val afterStructural =
+      val afterStructural1 =
         if (!c4Gate) afterStructural0
         else afterStructural0.filter(C4Rules.pagePass(col(textCol)))
+      // opt-in C4 page-TERM gate: the q91/q275 statement — one
+      // arrays_overlap per row, still the pure-projection cost class
+      val afterStructural = termGate match {
+        case None => afterStructural1
+        case Some(terms) =>
+          require(terms.nonEmpty, "termGate needs a non-empty blocklist")
+          afterStructural1.filter(C4Rules.termPass(col(textCol), terms))
+      }
       // opt-in REPETITION gate: the q277 flags over this batch (the
       // shared GopherRules statement), batch-local and deterministic
       val afterRules =

@@ -781,7 +781,7 @@ class ExplainAuditSpec extends SparkSpec {
     assertHistogramWindow("q274", nodes)
   }
 
-  test("q275 eight-gate matrix: ONE minhash pass feeds both LSH gates, " +
+  test("q275 nine-gate matrix: ONE minhash pass feeds both LSH gates, " +
       "two bigram explodes feed the LM gate, the tercile fold keeps " +
       "the histogram-window class, and nothing sort-merge joins") {
     val nodes = withStaticPlans {

@@ -411,8 +411,9 @@ class CurateStreamSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("c4 gate: admission tracks C4Rules.pagePass exactly and never " +
-      "rewrites landed text (admission-only contract)") {
+  test("c4 + term gates: admission tracks C4Rules.pagePass AND " +
+      "termPass exactly and never rewrites landed text " +
+      "(admission-only contract)") {
     import graft.operators.C4Rules
     val (root, out, cp) = mkRoot("curate-c4")
     // the C4RulesSpec sentence fixture: each 5-word sentence ends in
@@ -421,24 +422,31 @@ class CurateStreamSpec extends SparkSpec {
     val B = "key table window row join"
     val C = "slow small agg value filter"
     val E = "spark hash line part vector"
+    val D = "batch stream merge dup group" // contains the blocked term
     val rows = Seq(
       (10L, Seq(A, B, C, E).mkString(" ")), // 4 kept sentences: passes
       (11L, Seq(A, B).mkString(" ")),       // 2 kept: thin page, gated
-      (12L, "the fast big data"))           // no boundary word: gated
+      (12L, "the fast big data"),           // no boundary word: gated
+      (13L, Seq(A, B, C, D).mkString(" "))) // structurally fine, but
+                                            // 'dup' is term-gated
     stage(root, "a", rows)
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING")
       .parquet(root.resolve("in").toString)
     val q = CurateStream.start(stream, "text", "doc_id", out, cp,
-      Curate.Config(minQuality = 0.0), c4Gate = true)
+      Curate.Config(minQuality = 0.0), c4Gate = true,
+      termGate = Some(Seq("dup")))
     assert(q.awaitTermination(120000), "c4-gated stream did not finish")
     val landed = spark.read.parquet(out)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
-    // admission == the shared pagePass statement, on the ORIGINAL text
+    // admission == the shared pagePass AND termPass statements, on
+    // the ORIGINAL text
     val expected = rows.toDF("doc_id", "text")
-      .filter(C4Rules.pagePass(col("text")))
+      .filter(C4Rules.pagePass(col("text")) &&
+        C4Rules.termPass(col("text"), Seq("dup")))
       .as[(Long, String)].collect().toMap
     assert(landed == expected, s"landed=$landed expected=$expected")
+    assert(!landed.contains(13L) && landed.contains(10L))
     assert(landed(10L) == Seq(A, B, C, E).mkString(" "),
       "the gate must admit the document VERBATIM — line-rule rewrite " +
         "is SpanDedupStream/batch spanDedup territory, not the gate's")
