@@ -46,6 +46,12 @@ object TextQueries {
     * rule). */
   private val TAIL_KEEP_BP = 2000L
 
+  /** q287's training-sequence length (tokens). 512 keeps every rule of
+    * the packing non-vacuous at sf0.01 (multiple cuts per source, so
+    * boundary-straddling docs exist) while staying a realistic
+    * power-of-two context size. Interpolated into the oracle. */
+  private val PACK_LEN = 512L
+
   /** q272's per-document CCNet scoring pipeline — ONE Spark statement
     * of the self-trained surprise model shared by every tercile
     * consumer (q272's aggregate fold, q281's stratified sampling
@@ -1948,19 +1954,25 @@ object TextQueries {
         "engines express it as pure array lambdas — BpeSpec pins the " +
         "closed form against an independent imperative reference over " +
         "every short sequence. Ties break (count desc, pair asc), so " +
-        "reruns and both engines learn the identical table. SCALE " +
-        "SHAPE: one corpus-wide exchange total; per-round work is " +
+        "reruns and both engines learn the identical table. The table " +
+        "is STANDING (BpeIndex — stamp-guarded warehouse table, the " +
+        "DsirIndex/q280 discipline): trained once per corpus " +
+        "generation, reread by q286/q287 and the TokenBudgetStream " +
+        "monitor; the oracle retrains from scratch, so the hash " +
+        "match proves standing == inline. SCALE " +
+        "SHAPE: one corpus-wide exchange total at BUILD time; " +
+        "per-round work is " +
         "vocab-keyed aggregation (corpus-size-independent); driver " +
         "traffic is ONE row per round; the classic incremental pair-" +
         "count update is a vocab-bounded optimization of the recount " +
         "this trainer performs, stated in the operator doc.",
       (s, dir) => {
-        import s.implicits._
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
-        graft.operators.Bpe.trainMerges(docs, "text",
-            graft.operators.Bpe.Rounds)
-          .map { case (r, a, b, c) => (r.toLong, a, b, c) }
-          .toDF("round", "a", "b", "cnt")
+        // the STANDING merge table (BpeIndex — stamp-guarded, built
+        // once per corpus generation); the oracle retrains from
+        // scratch, so the hash match proves standing == inline
+        graft.operators.BpeIndex.table(s, "docs", docs, "doc_id", "text")
+          .select(col("round"), col("a"), col("b"), col("cnt"))
       },
       Some(s"""
         WITH ${graft.operators.Bpe.trainCtes("documents",
@@ -1969,7 +1981,9 @@ object TextQueries {
     // ----------------------------------------------------------------
     Q(
       "q286_bpe_tokenize",
-      "Corpus token statistics under the q285-learned BPE merges — " +
+      "Corpus token statistics under the q285-learned BPE merges " +
+        "(read FROZEN from the standing BpeIndex table — never " +
+        "retrained inline) — " +
         "the number a token-budget owner actually needs (q24/q121/" +
         "q279 count whitespace words; a trained tokenizer does not): " +
         "per source, word count, BPE token count and tokens-per-word " +
@@ -1984,13 +1998,15 @@ object TextQueries {
         "ARRAYS never leave the vocab table — only their lengths " +
         "travel.",
       (s, dir) => {
-        import graft.operators.Bpe
+        import graft.operators.{Bpe, BpeIndex}
         val docs = spread(t(s, dir, "documents"), col("doc_id"))
-        val learned = Bpe.trainMerges(docs, "text", Bpe.Rounds)
+        // frozen merges from the STANDING BpeIndex table (q285's
+        // generation — never retrained inline, the q280 convention)
+        val merges = BpeIndex.mergeList(s, "docs", docs, "doc_id", "text")
         // the fold is Bpe.tokenStats — ONE statement shared with the
         // 28th streaming twin (TokenBudgetStream), so the live monitor
         // sits under this oracle transitively
-        Bpe.tokenStats(docs, "text", learned.map(m => (m._2, m._3)))
+        Bpe.tokenStats(docs, "text", merges)
           .withColumn("tokens_per_word_bp",
             expr("n_tokens * 10000 div n_words"))
       },
@@ -2007,6 +2023,88 @@ object TextQueries {
                CAST(sum(ntok) AS BIGINT) AS n_tokens,
                CAST(sum(ntok) AS BIGINT) * 10000
                  // CAST(count(*) AS BIGINT) AS tokens_per_word_bp
-        FROM w JOIN tv USING (word) GROUP BY 1"""))
+        FROM w JOIN tv USING (word) GROUP BY 1""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q287_pack_manifest",
+      "Sequence-packing manifest under the q285-learned BPE merges " +
+        "(read FROZEN from the standing BpeIndex table) — " +
+        "the concatenate-then-chunk packing every GPT-style pipeline " +
+        "runs (documents concatenated in a pinned order, the token " +
+        s"stream cut into $PACK_LEN-token training sequences, no " +
+        "padding): per source, the sequence count, the documents " +
+        "straddling a cut (they contribute gradient across two " +
+        "sequences — the number a packing owner watches), the final " +
+        "partial sequence's tokens, and utilization in bp. Order is " +
+        "pinned to doc_id within source, so both engines and every " +
+        "rerun cut identically. Per-document token counts come from " +
+        "the tokenized vocabulary (q286's map join); the packing " +
+        "itself is ONE per-source ordered prefix sum over narrow " +
+        "(source, doc_id, n_tok) rows — a document crosses a cut iff " +
+        "(cum - tok) div L != (cum - 1) div L, pure integers. SCALE " +
+        "SHAPE: the window partitions by source and carries three " +
+        "integer columns, never text; at corpus scale the prefix sum " +
+        "is the standard two-pass form (per-partition partials + " +
+        "broadcast offsets) and the manifest aggregation is " +
+        "source-bounded.",
+      (s, dir) => {
+        import graft.operators.{Bpe, BpeIndex}
+        import org.apache.spark.sql.expressions.Window
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        // frozen merges from the standing table (the q280 convention)
+        val merges = BpeIndex.mergeList(s, "docs", docs, "doc_id", "text")
+        val tv = Bpe.tokenizedVocab(docs, "text", merges)
+          .select(col("word"), size(col("form")).cast(LongType).as("ntok"))
+        val perDoc = docs.select(col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .join(tv, Seq("word"))
+          .groupBy(col("source"), col("doc_id"))
+          .agg(sum(col("ntok")).as("tok"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        perDoc
+          .withColumn("cum", sum(col("tok")).over(w))
+          .select(col("source"), col("tok"), col("cum"),
+            // pure integer floor division on both engines (a double
+            // quotient would be hash-fragile at large cums)
+            expr(s"((cum - tok) div $PACK_LEN) != ((cum - 1) div $PACK_LEN)")
+              .as("split"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("n_tokens"),
+            expr(s"(max(cum) + ${PACK_LEN - 1}) div $PACK_LEN")
+              .as("n_seqs"),
+            sum(when(col("split"), 1L).otherwise(0L)).as("n_docs_split"),
+            expr(s"max(cum) % $PACK_LEN").as("tail_tokens"))
+          .withColumn("util_bp",
+            expr(s"n_tokens * 10000 div (n_seqs * $PACK_LEN)"))
+      },
+      Some(s"""
+        WITH ${graft.operators.Bpe.trainCtes("documents",
+          graft.operators.Bpe.Rounds)},
+        tv AS (
+          SELECT word, CAST(len(form) AS BIGINT) AS ntok
+          FROM v${graft.operators.Bpe.Rounds}),
+        pd AS (
+          SELECT source, doc_id, CAST(sum(ntok) AS BIGINT) AS tok
+          FROM (SELECT source, doc_id,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents) w
+          JOIN tv USING (word)
+          GROUP BY 1, 2),
+        c AS (
+          SELECT source, tok,
+                 CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS BIGINT) AS cum
+          FROM pd)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               (max(cum) + ${PACK_LEN - 1}) // $PACK_LEN AS n_seqs,
+               CAST(count(*) FILTER (WHERE (cum - tok) // $PACK_LEN
+                 <> (cum - 1) // $PACK_LEN) AS BIGINT) AS n_docs_split,
+               max(cum) % $PACK_LEN AS tail_tokens,
+               CAST(sum(tok) AS BIGINT) * 10000
+                 // ((max(cum) + ${PACK_LEN - 1}) // $PACK_LEN
+                   * $PACK_LEN) AS util_bp
+        FROM c GROUP BY 1"""))
   )
 }
