@@ -2125,6 +2125,121 @@ object CurationQueries {
         ws AS (SELECT CAST(sum(tws) AS BIGINT) AS wsum FROM tw)
         SELECT source, kept_chars, share_e8, tws AS sqrt_share_e4,
                CAST(tws * 10000 // wsum AS BIGINT) AS weight_bp
-        FROM tw CROSS JOIN ws"""))
+        FROM tw CROSS JOIN ws""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q288_token_epoch_schedule",
+      "q279's epoch manifest restated in TRAINING TOKENS — the unit a " +
+        "scheduler actually budgets (q279 budgets characters; a " +
+        "tokenizer changes per-source costs non-uniformly, so the " +
+        "token plan is NOT a rescaling of the char plan): the two " +
+        "standing models COMPOSED — each kept document (DSIR " +
+        "resample against the frozen graft_dsirmdl_ table, q280's " +
+        "path) is priced in BPE tokens under the frozen BpeIndex " +
+        "merge table (q286's map join), and the uniform TOKEN budget " +
+        "B = total_kept_tokens div n_sources closes into full_epochs " +
+        "+ a deterministic doc_id-ordered partial pass exactly as " +
+        "q279 does for characters. All integer arithmetic; both " +
+        "models are stamp-guarded per-generation constants, and the " +
+        "oracle retrains BOTH from scratch, so the hash match proves " +
+        "the composed standing-model path == inline end to end. " +
+        "SCALE SHAPE: one feature explode + broadcast weight join " +
+        "(DSIR), one exploded-word map join against the tokenized " +
+        "vocab (BPE), ONE cumulative window per source over narrow " +
+        "(doc_id, source, tok) rows, source-bounded aggregation with " +
+        "broadcast totals.",
+      (s, dir) => {
+        import graft.operators.{Bpe, BpeIndex, Dsir, DsirIndex}
+        val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        val model = DsirIndex.model(s, "mix", docs, "doc_id", "text",
+          col("lang") === "en")
+        val merges = BpeIndex.mergeList(s, "docs", docs, "doc_id", "text")
+        val tv = Bpe.tokenizedVocab(docs, "text", merges)
+          .select(col("word"), size(col("form")).cast(LongType).as("ntok"))
+        val ptok = docs.select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .join(tv, Seq("word"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("ntok")).as("tok"))
+        // persisted: feeds the per-source totals AND the cumulative
+        // window (q279's kept convention; harness frees via clearCache)
+        val kept = Dsir.resampleKeep(
+            DsirIndex.scoreFromModel(docs, "doc_id", "text", model),
+            "doc_id")
+          .filter(col("keep"))
+          .join(ptok, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("tok"))
+          .persist()
+        val c = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("kept_tokens"))
+        val tot = c.agg(sum(col("kept_tokens")).as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val cum = kept.withColumn("cum_before",
+          coalesce(sum(col("tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        cum.join(broadcast(c), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("budget_tokens", expr("total_tokens div n_sources"))
+          .withColumn("full_epochs", expr("budget_tokens div kept_tokens"))
+          .withColumn("tail_tokens", expr("budget_tokens % kept_tokens"))
+          .groupBy(col("source"), col("n_kept"), col("kept_tokens"),
+            col("budget_tokens"), col("full_epochs"), col("tail_tokens"))
+          .agg(sum(when(col("cum_before") < col("tail_tokens"), 1L)
+              .otherwise(0L)).as("tail_docs"),
+            coalesce(sum(when(col("cum_before") < col("tail_tokens"),
+              col("tok"))), lit(0L)).as("__tail_sched"))
+          .select(col("source"), col("n_kept"), col("kept_tokens"),
+            col("budget_tokens"), col("full_epochs"), col("tail_tokens"),
+            col("tail_docs"),
+            (col("full_epochs") * col("kept_tokens") + col("__tail_sched"))
+              .as("sched_tokens"))
+      },
+      Some(s"""
+        WITH ${dsirKeepCtes},
+        ${graft.operators.Bpe.trainCtes("documents",
+          graft.operators.Bpe.Rounds)},
+        btv AS (
+          SELECT word, CAST(len(form) AS BIGINT) AS ntok
+          FROM v${graft.operators.Bpe.Rounds}),
+        ptok AS (
+          SELECT doc_id, source, CAST(sum(ntok) AS BIGINT) AS tok
+          FROM (SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents) w
+          JOIN btv USING (word)
+          GROUP BY 1, 2),
+        tkept AS (
+          SELECT k.doc_id, p.source, p.tok
+          FROM keepd k JOIN ptok p USING (doc_id) WHERE keep),
+        tc AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(tok) AS BIGINT) AS kept_tokens
+          FROM tkept GROUP BY 1),
+        tts AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_tokens,
+                       CAST(count(*) AS BIGINT) AS n_sources FROM tc),
+        tcum AS (
+          SELECT source, doc_id, tok,
+                 CAST(coalesce(sum(tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+          FROM tkept),
+        tb AS (
+          SELECT tc.source, n_kept, kept_tokens,
+                 total_tokens // n_sources AS budget_tokens,
+                 (total_tokens // n_sources) // kept_tokens AS full_epochs,
+                 (total_tokens // n_sources) % kept_tokens AS tail_tokens
+          FROM tc, tts)
+        SELECT tb.source, n_kept, kept_tokens, budget_tokens, full_epochs,
+               tail_tokens,
+               CAST(count(*) FILTER (WHERE cum_before < tail_tokens)
+                 AS BIGINT) AS tail_docs,
+               CAST(full_epochs * kept_tokens
+                 + coalesce(sum(tok)
+                     FILTER (WHERE cum_before < tail_tokens), 0)
+                 AS BIGINT) AS sched_tokens
+        FROM tb JOIN tcum ON tb.source = tcum.source
+        GROUP BY 1, 2, 3, 4, 5, 6"""))
   )
 }

@@ -430,11 +430,12 @@ class ExplainAuditSpec extends SparkSpec {
         "with the dominance predicate as its condition")
   }
 
-  test("q279/q280/q282 score from the STANDING dsir model table — one " +
-      "feature explode, a broadcast weight join, no inline training " +
-      "counts") {
+  test("q279/q280/q282/q288 score from the STANDING dsir model table — " +
+      "one feature explode, a broadcast weight join, no inline " +
+      "training counts (q288 additionally reads the standing BPE " +
+      "merge table)") {
     for (n <- Seq("q279_epoch_schedule", "q280_mixture_from_model",
-        "q282_resampled_temperature")) {
+        "q282_resampled_temperature", "q288_token_epoch_schedule")) {
       val nodes = withStaticPlans {
         spark.catalog.clearCache()
         expandedNodes(planOf(n))
@@ -459,6 +460,17 @@ class ExplainAuditSpec extends SparkSpec {
             j.rightKeys.exists(_.references.exists(_.name == "bucket"))
         case _ => false
       }, s"$n: the bucket-keyed weight join must broadcast")
+      if (n == "q288_token_epoch_schedule") {
+        // the frozen merge LIST is driver metadata (collected at
+        // construction), so the table scan cannot appear in the plan —
+        // standing-ness is proven by the stamp: a REPLAN must reuse
+        // the table, never retrain
+        val before = graft.operators.BpeIndex.buildCount
+        withStaticPlans { spark.catalog.clearCache(); planOf(n) }
+        assert(graft.operators.BpeIndex.buildCount == before,
+          "q288 must reuse the standing BPE merge table on replan, " +
+            "never retrain")
+      }
     }
   }
 
