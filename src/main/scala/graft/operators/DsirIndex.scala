@@ -1,12 +1,7 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
-
-import graft.functions.Portable
 
 /** A STANDING DSIR model: the per-bucket (raw, target) feature counts
   * persisted as a warehouse catalog table, so every mixture/scoring
@@ -44,36 +39,10 @@ object DsirIndex {
 
   private[graft] def tableName(tag: String): String = s"graft_dsirmdl_$tag"
 
-  // one build at a time per tag (the SuffixIndex stripe-lock rule)
-  private val tagLocks = new ConcurrentHashMap[String, Object]()
-  private def lockFor(tag: String): Object =
-    tagLocks.computeIfAbsent(tag, _ => new Object)
-
-  /** Corpus fingerprint — the [[SuffixIndex]] scheme (see its object
-    * doc for coverage and blind spots), version-prefixed. */
-  private def stamp(docs: DataFrame, idCol: String, textCol: String): String = {
-    val row = docs.select(
-      length(col(textCol)).cast(LongType).as("__len"),
-      Portable.pmd5(concat_ws("#", col(idCol).cast("string"),
-        length(col(textCol)).cast("string"))).as("__h"))
-      .agg(count(lit(1)),
-        coalesce(sum(col("__len")), lit(0L)),
-        coalesce(expr("bit_xor(__h)"), lit(0L))).head()
-    s"v1:${row.getLong(0)}:${row.getLong(1)}:${row.getLong(2)}"
-  }
-
-  private def fs(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
-    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def tableLocation(spark: SparkSession, name: String): Option[String] =
-    if (!spark.catalog.tableExists(name)) None
-    else spark.sql(s"DESCRIBE TABLE EXTENDED $name").collect()
-      .find(_.getString(0) == "Location").map(_.getString(1))
-
-  private def catalogStamp(spark: SparkSession, name: String): Option[String] =
-    if (!spark.catalog.tableExists(name)) None
-    else spark.sql(s"SHOW TBLPROPERTIES $name").collect()
-      .find(_.getString(0) == "graft.stamp").map(_.getString(1))
+  /** Corpus fingerprint — the [[SuffixIndex]] scheme via the shared
+    * [[StampedCatalog]] scaffold, version-prefixed. */
+  private def stamp(docs: DataFrame, idCol: String, textCol: String): String =
+    "v1:" + StampedCatalog.corpusFingerprint(docs, idCol, textCol)
 
   // test hook: how many builds this JVM ran (the reuse spec pins 1)
   private val builds = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -87,35 +56,22 @@ object DsirIndex {
       idCol: String, textCol: String, targetCol: Column,
       buckets: Int = Dsir.DefaultBuckets): DataFrame = {
     require(tag.matches("[A-Za-z0-9_]+"), s"tag must be alphanumeric: $tag")
-    lockFor(tag).synchronized {
-      val name = tableName(tag)
+    val name = tableName(tag)
+    StampedCatalog.lockFor(name).synchronized {
       val want = stamp(docs, idCol, textCol)
-      val fresh = catalogStamp(spark, name).contains(want) &&
-        tableLocation(spark, name).exists(loc =>
-          fs(spark, new org.apache.hadoop.fs.Path(loc))
-            .exists(new org.apache.hadoop.fs.Path(loc)))
-      if (!fresh) {
+      if (!StampedCatalog.fresh(spark, name, want)) {
         builds.incrementAndGet()
-        spark.sql(s"DROP TABLE IF EXISTS $name")
-        // an orphaned managed dir (previous JVM's leftover this
-        // catalog never heard of) blocks saveAsTable — the q114/q171
-        // never-trusted-leftover, removed before the fresh build
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.defaultTablePath(
-            org.apache.spark.sql.catalyst.TableIdentifier(name)))
-        val f = fs(spark, loc)
-        if (f.exists(loc)) f.delete(loc, true)
-        val feats = Dsir.featureBuckets(
-          docs.select(col(idCol), targetCol.as("__tgt"), col(textCol)),
-          textCol, buckets, Seq(idCol, "__tgt")).persist()
-        try {
-          feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
-            .join(feats.filter(col("__tgt")).groupBy("bucket")
-              .agg(count(lit(1)).as("ct")), Seq("bucket"), "left")
-            .write.mode("overwrite").saveAsTable(name)
-        } finally { feats.unpersist(); () }
-        spark.sql(
-          s"ALTER TABLE $name SET TBLPROPERTIES('graft.stamp' = '$want')")
+        StampedCatalog.rebuildManaged(spark, name, want) { n =>
+          val feats = Dsir.featureBuckets(
+            docs.select(col(idCol), targetCol.as("__tgt"), col(textCol)),
+            textCol, buckets, Seq(idCol, "__tgt")).persist()
+          try {
+            feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+              .join(feats.filter(col("__tgt")).groupBy("bucket")
+                .agg(count(lit(1)).as("ct")), Seq("bucket"), "left")
+              .write.mode("overwrite").saveAsTable(n)
+          } finally { feats.unpersist(); () }
+        }
       }
       spark.table(name)
     }

@@ -71,41 +71,15 @@ object SuffixIndex {
     * unrelated corpus slices — build fully concurrently. The map only
     * ever holds one monitor object per distinct tag string seen this
     * JVM (bounded by the tag universe, not by call volume). */
-  private val tagLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def lockFor(tag: String): Object =
-    tagLocks.computeIfAbsent(tag, _ => new Object)
-
   /** Cheap corpus fingerprint (see object doc for what it can and
-    * cannot catch). Version-prefixed so a format change can never
-    * alias an old stamp. */
-  private def stamp(docs: DataFrame, idCol: String, textCol: String): String = {
-    // reads only (id, length(text)) — column-pruned to two columns,
-    // never the text bytes beyond its length metadata
-    val row = docs.select(
-      length(col(textCol)).cast(LongType).as("__len"),
-      Portable.pmd5(concat_ws("#", col(idCol).cast("string"),
-        length(col(textCol)).cast("string"))).as("__h"))
-      .agg(count(lit(1)),
-        coalesce(sum(col("__len")), lit(0L)),
-        coalesce(expr("bit_xor(__h)"), lit(0L))).head()
-    s"v2:${row.getLong(0)}:${row.getLong(1)}:${row.getLong(2)}"
-  }
+    * cannot catch) via the shared [[StampedCatalog]] scaffold —
+    * version-prefixed so a format change can never alias an old
+    * stamp. Reads only (id, length(text)), column-pruned. */
+  private def stamp(docs: DataFrame, idCol: String, textCol: String): String =
+    "v2:" + StampedCatalog.corpusFingerprint(docs, idCol, textCol)
 
   private def fs(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
-    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** The catalog table's storage location, if the table exists. */
-  private def tableLocation(spark: SparkSession, name: String): Option[String] =
-    if (!spark.catalog.tableExists(name)) None
-    else spark.sql(s"DESCRIBE TABLE EXTENDED $name").collect()
-      .find(_.getString(0) == "Location").map(_.getString(1))
-
-  private def catalogStamp(spark: SparkSession, name: String): Option[String] =
-    if (!spark.catalog.tableExists(name)) None
-    else spark.sql(s"SHOW TBLPROPERTIES $name").collect()
-      .find(_.getString(0) == "graft.stamp").map(_.getString(1))
+    StampedCatalog.fs(spark, path)
 
   private def readSidecar(spark: SparkSession,
       p: org.apache.hadoop.fs.Path): Option[String] = {
@@ -138,7 +112,9 @@ object SuffixIndex {
       idCol: String, textCol: String,
       root: Option[String] = None): DataFrame = {
     require(tag.matches("[A-Za-z0-9_]+"), s"tag must be alphanumeric: $tag")
-    lockFor(tag).synchronized { ranksLocked(spark, tag, docs, idCol, textCol, root) }
+    StampedCatalog.lockFor(tableName(tag)).synchronized {
+      ranksLocked(spark, tag, docs, idCol, textCol, root)
+    }
   }
 
   /** Build-or-reuse body; caller holds the per-tag stripe lock. */
@@ -149,10 +125,7 @@ object SuffixIndex {
     // trust the catalog only if the stamp matches AND the data
     // location still exists (a persistent metastore can outlive the
     // files it points at)
-    val catalogFresh = catalogStamp(spark, name).contains(want) &&
-      tableLocation(spark, name).exists(loc =>
-        fs(spark, new org.apache.hadoop.fs.Path(loc))
-          .exists(new org.apache.hadoop.fs.Path(loc)))
+    val catalogFresh = StampedCatalog.fresh(spark, name, want)
     if (!catalogFresh) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       root match {
@@ -180,19 +153,11 @@ object SuffixIndex {
         case None =>
           // warehouse-managed (the buildIvfIndex convention): no
           // explicit path — the warehouse is the deployment's shared
-          // store, never a driver-local temp dir. An ORPHANED managed
-          // dir (a previous JVM wrote it; this catalog never heard of
-          // it) blocks saveAsTable and is exactly the q114/q171
-          // never-trusted leftover — remove it before the fresh build
-          val loc = new org.apache.hadoop.fs.Path(
-            spark.sessionState.catalog.defaultTablePath(
-              org.apache.spark.sql.catalyst.TableIdentifier(name)))
-          val f = fs(spark, loc)
-          if (f.exists(loc)) f.delete(loc, true)
-          SuffixArray.suffixRanks(docs, idCol, textCol)
-            .write.mode("overwrite").saveAsTable(name)
-          spark.sql(
-            s"ALTER TABLE $name SET TBLPROPERTIES('graft.stamp' = '$want')")
+          // store, never a driver-local temp dir; orphan cleanup +
+          // stamping via the shared scaffold
+          StampedCatalog.rebuildManaged(spark, name, want)(n =>
+            SuffixArray.suffixRanks(docs, idCol, textCol)
+              .write.mode("overwrite").saveAsTable(n))
       }
     }
     spark.table(name)

@@ -61,14 +61,17 @@ object TokenBudgetStream {
       require(docs.columns.contains(c),
         s"TokenBudgetStream needs a '$c' column; stream has " +
           docs.columns.mkString("[", ", ", "]")))
-    AdditiveLog.start(docs,
-      b => {
-        val spark = b.sparkSession
-        require(spark.catalog.tableExists(mergesTable),
-          s"merge table $mergesTable must be trained (Bpe.saveMerges) " +
-            "before the monitor starts")
-        summary(Bpe.loadMerges(spark, mergesTable))(b)
-      },
+    // the model is FROZEN for the monitor's lifetime (retraining
+    // starts a new monitor), so it loads ONCE at wiring time — a
+    // missing table fails here, not inside foreachBatch at epoch 0,
+    // and no batch pays a catalog round-trip + driver collect for a
+    // value that never changes
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(mergesTable),
+      s"merge table $mergesTable must be trained (Bpe.saveMerges) " +
+        "before the monitor starts")
+    val merges = Bpe.loadMerges(spark, mergesTable)
+    AdditiveLog.start(docs, summary(merges),
       logDir(outDir), checkpointDir, trigger)
   }
 
@@ -78,8 +81,11 @@ object TokenBudgetStream {
   def budget(spark: SparkSession, outDir: String): DataFrame =
     AdditiveLog.merged(spark, logDir(outDir), summarySchema,
       Seq("source"), CountCols)
+      // nullif: a source whose only documents carry NULL text counts
+      // docs but prices no words — its rate is UNKNOWN (NULL), never a
+      // DIVIDE_BY_ZERO that bricks the read (ANSI is on in Spark 4)
       .withColumn("tokens_per_word_bp",
-        expr("n_tokens * 10000 div n_words"))
+        expr("n_tokens * 10000 div nullif(n_words, 0)"))
 
   /** Fold the committed prefix into one snapshot (the AdditiveLog
     * compaction contract); returns files collected. */

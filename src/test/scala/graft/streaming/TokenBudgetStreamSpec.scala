@@ -40,7 +40,7 @@ class TokenBudgetStreamSpec extends SparkSpec {
       rs: Seq[(Long, String, String)]): Seq[String] = {
     val got = TokenBudgetStream.summary(merges)(toStream(rs))
       .withColumn("tokens_per_word_bp",
-        expr("n_tokens * 10000 div n_words"))
+        expr("n_tokens * 10000 div nullif(n_words, 0)"))
       .collect().map(_.toString).toSeq.sorted
     spark.catalog.clearCache()
     got
@@ -95,23 +95,45 @@ class TokenBudgetStreamSpec extends SparkSpec {
     assert(streamed() == afterB2, "compaction moved the read")
   }
 
-  test("a missing merge table fails the batch loudly") {
+  test("a missing merge table fails at WIRING time (the model is " +
+      "frozen per monitor, loaded once — never per batch)") {
     val root = Files.createTempDirectory("tokbudget-nomodel")
     Files.createDirectories(root.resolve("in"))
     stage(root, "b1", b1)
+    val e = intercept[IllegalArgumentException] {
+      TokenBudgetStream.start(
+        spark.readStream.schema("doc_id LONG, text STRING, source STRING")
+          .parquet(root.resolve("in").toString),
+        "tokbudget_never_trained",
+        root.resolve("out").toString, root.resolve("cp").toString)
+    }
+    assert(e.getMessage.contains("must be trained"),
+      s"the error must name the contract: ${e.getMessage}")
+  }
+
+  test("a source whose only documents carry NULL text reads as an " +
+      "UNKNOWN rate, never a divide-by-zero that bricks the monitor") {
+    val root = Files.createTempDirectory("tokbudget-nulltext")
+    Files.createDirectories(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val cp = root.resolve("cp").toString
+    val table = "tokbudget_null_merges"
+    Bpe.saveMerges(spark,
+      Bpe.trainMerges(seed.toDF("doc_id", "text"), "text", 4), table)
+    stage(root, "b1", Seq((1L, "aaab ba", "s0"),
+      (2L, null.asInstanceOf[String], "snull")))
     val q = TokenBudgetStream.start(
       spark.readStream.schema("doc_id LONG, text STRING, source STRING")
-        .parquet(root.resolve("in").toString),
-      "tokbudget_never_trained",
-      root.resolve("out").toString, root.resolve("cp").toString)
-    val failed =
-      try { q.awaitTermination(120000); false }
-      catch { case e: Throwable =>
-        Option(e.getMessage).exists(_.contains("must be trained")) ||
-          Option(e.getCause).flatMap(c => Option(c.getMessage))
-            .exists(_.contains("must be trained"))
-      }
-    assert(failed, "an untrained model must fail the stream, not " +
-      "silently score nothing")
+        .parquet(root.resolve("in").toString), table, out, cp)
+    assert(q.awaitTermination(120000))
+    val rows = TokenBudgetStream.budget(spark, out).collect()
+      .map(r => r.getString(0) -> r).toMap
+    spark.catalog.clearCache()
+    assert(rows("snull").getAs[Long]("n_docs") == 1L)
+    assert(rows("snull").getAs[Long]("n_words") == 0L)
+    assert(rows("snull").isNullAt(
+      rows("snull").fieldIndex("tokens_per_word_bp")),
+      "an unpriceable source must read NULL, not throw")
+    assert(rows("s0").getAs[Long]("tokens_per_word_bp") == 10000L)
   }
 }
