@@ -150,7 +150,18 @@ object C4Rules {
         sentencesFrom(col("__ts"), col("__bp")).as("__sents"))
       .select(col(idCol), filter(col("__sents"),
         s => s.getField("nw") >= MinSentWords).as("kept"))
-      .filter(size(col("kept")) >= MinSentences)
+      // The page gate must evaluate HERE, on the `kept` ATTRIBUTE above
+      // the staged projections — a plain deterministic predicate is
+      // pushed below every Project AND below the caller's spread()
+      // exchange, which inlines the whole segmentation pipeline into
+      // one interpreted scan-side filter on the single input split:
+      // measured 5.1 s vs 0.25 s at sf0.1 (r16; guide §2.5 input skew
+      // + §7.2 duplicated-subtree). `spark_partition_id() < 0` is
+      // always false and is there only as the pushdown barrier (Spark
+      // never pushes a nondeterministic predicate); `||` short-
+      // circuits, so it is never evaluated for passing pages.
+      .filter(size(col("kept")) >= MinSentences ||
+        spark_partition_id() < 0)
 
   /** [[pages]] with kept as a plain sentence-string array — the form
     * [[rebuiltText]] folds and the streaming span index appends. */
@@ -160,17 +171,32 @@ object C4Rules {
 
   /** One row per three-sentence span occurrence over a page frame
     * (idCol, kept: array<string>): (idCol, spos, sh) — spos the
-    * 1-based kept-sentence index of the span's first sentence, sh the
-    * 60-bit portable hash of the space-joined span. Only hashes leave
-    * the row: span text never shuffles. */
+    * 1-based kept-sentence index of the span's first sentence, sh a
+    * 64-bit hash of the span's SENTENCE-HASH triple. Only hashes leave
+    * the row: span text never shuffles.
+    *
+    * Hash construction (r16, guide §1.2 "per-task work"): each kept
+    * sentence is pmd5-hashed ONCE per page row (a staged projection —
+    * multi-referenced, so CollapseProject keeps it materialized), and
+    * a span's key is xxhash64 over its three sentence hashes. Equal
+    * spans == equal sentence triples == equal keys, so the dedup's
+    * equality classes are untouched; vs hashing each space-joined
+    * span string this md5s 1x the sentence bytes instead of 3x and
+    * never builds a span string. sh is engine-internal (the oracle
+    * derives its own span grouping; no output column carries sh), so
+    * the non-portable xxhash64 combine is safe here — dedup semantics
+    * need only a collision-free equality key, and 64 bits over
+    * sentence-hash triples is strictly wider than the 60-bit span
+    * hash it replaces. */
   def spansOf(pg: DataFrame, idCol: String): DataFrame =
-    pg.select(col(idCol),
+    pg.select(col(idCol), col("kept"),
+        transform(col("kept"), s => Portable.pmd5(s)).as("__hs"))
+      .select(col(idCol),
         explode(transform(
           sequence(lit(1), size(col("kept")) - (SpanSentences - 1)),
           j => struct(j.cast(LongType).as("spos"),
-            Portable.pmd5(concat_ws(" ",
-              (0 until SpanSentences).map(k =>
-                element_at(col("kept"), j + k)): _*))
+            xxhash64((0 until SpanSentences).map(k =>
+              element_at(col("__hs"), j + k)): _*)
               .as("sh")))).as("sp"))
       .select(col(idCol), col("sp.spos").as("spos"), col("sp.sh").as("sh"))
 

@@ -125,7 +125,15 @@ object TheilSen {
   def slopeMilli(df: DataFrame, g: String, xCol: String, yCol: String,
       xTargetOcc: Long = 64L, zTargetOcc: Long = 64L,
       probesPerRound: Int = 63): DataFrame = {
-    require(xTargetOcc > 0 && zTargetOcc > 0 && probesPerRound > 0)
+    // Probe count is an EXECUTION knob only (any P yields the identical
+    // median — the search is exact); overridable per session for
+    // cluster deployments where the n x P probe frame dominates the
+    // fixed per-round cost and a smaller P wins (see the round-width
+    // comment in the loop).
+    val probesP = df.sparkSession.conf
+      .getOption("graft.theilsen.probesPerRound")
+      .map(_.toInt).getOrElse(probesPerRound)
+    require(xTargetOcc > 0 && zTargetOcc > 0 && probesP > 0)
     val rows = df
       .select(col(g).as("g"), col(xCol).cast(LongType).as("x"),
         col(yCol).cast(LongType).as("y"))
@@ -184,22 +192,26 @@ object TheilSen {
       // P probes split every open interval (P+1)x; closed groups carry
       // their answer through untouched. P trades per-round frame width
       // (n x P rows) against round count (log_{P+1}(span)): at bench
-      // scale rounds are dominated by fixed per-round overhead, so the
-      // default 63 (4 rounds over the full +/-2^21 envelope) measured
-      // 12.1 s warm at sf0.1 (vs 20.1 s with 15 probes/6 rounds, and
-      // vs the round-10 fixed-width implementation's 16.9-18.6 s —
-      // ~30% cut WITH the two-sided occupancy guarantee; fixed-width
-      // z read 9.8 s but leaves the near-linear concentration hazard).
-      // A cluster-scale corpus where the n x P frame dominates tunes
-      // P down.
-      val split = probesPerRound + 1
+      // scale rounds are dominated by fixed per-round overhead, so P
+      // rose 15 -> 63 in r12 (20.1 s -> 12.1 s). r16 swept P in
+      // {63, 127, 255, 511}: by then the per-round frames' shuffle +
+      // window sort grow with P as fast as the round count falls
+      // (10.0 / 10.6 / 14.3 / 10.8 s warm, i.e. flat within host
+      // noise), so 63 stays the default and the sweep knob remains as
+      // graft.theilsen.probesPerRound for corpora with other balances.
+      // Duplicate probes (hi - lo < P makes the integer split collide)
+      // are dropped per-row with array_distinct INSIDE the transform —
+      // search holds ONE row per group, so within-row distinct is
+      // global distinct, without the Exchange a frame-level
+      // .distinct() paid here before r16.
+      val split = probesP + 1
       val probes = search.filter(col("lo") < col("hi"))
-        .select(col("g"), col("k"), col("lo"), col("hi"),
+        .select(col("g"),
           explode(expr(
-            s"transform(sequence(1, $probesPerRound)," +
-              s" i -> lo + (hi - lo) * i div $split)"))
+            s"array_distinct(transform(sequence(1, $probesP)," +
+              s" i -> lo + (hi - lo) * i div $split))"))
             .as("t"))
-        .select(col("g"), col("t")).distinct()
+        .select(col("g"), col("t"))
       // ties in (x, y) collapse BEFORE any self-join: the frames below
       // carry one weighted row per distinct (g, probe, x, z). The
       // frame feeds FOUR join branches (cells + three classes

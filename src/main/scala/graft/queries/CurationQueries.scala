@@ -916,7 +916,12 @@ object CurationQueries {
         // recomputes; same contract as q197's edge persist)
         // @note persists an internal projection; call
         // spark.catalog.clearCache() after the terminal action
-        val sets = t(s, dir, "documents").select(col("doc_id"),
+        // spread (r16): the bigram concat+distinct projection below is
+        // the query's dominant compute and documents is a single-split
+        // scan at bench scale — unspread it ran on ONE core (measured
+        // 38 tasks / 2.6-3.4 s; guide §2.5). No-op on multi-split scans.
+        val sets = spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("doc_id"),
           // indices1: empty (not [1,0] + element_at(w,0) crash) on a
           // 1-token doc, matching the oracle's range(1, len(w))
           array_distinct(transform(

@@ -252,7 +252,13 @@ object TextQueries {
         val sup = t(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"),
             expr("length(s_name) div 3").as("cell"))
-        val probe = sup.select(col("s_suppkey"), col("s_name"),
+        // spread the PROBE side (r16): supplier is a single-split scan
+        // and uniform name lengths put most rows in one cell, so the
+        // per-pair levenshtein otherwise evaluates on ONE core (guide
+        // §2.5 input skew; measured 4 tasks / 1.7 s at sf0.1). On a
+        // multi-split cluster scan spread() is a no-op.
+        val probe = spread(sup, col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
           explode(array(col("cell") - 1, col("cell"), col("cell") + 1))
             .as("cell_key"))
         val build = sup.withColumnRenamed("cell", "cell_key")
