@@ -19,7 +19,7 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.C4Rules
+    import graft.operators.Dedup
     import graft.queries.Tables.{t, spread}
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -27,26 +27,29 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
+    val (kk, shingle, nb, rpb, jt) = (16, 3, 4, 4, 0.7)
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass ---")
       val docs = spread(t(spark, dir, "documents"), col("doc_id"))
-        .select(col("doc_id"), col("source"), col("text"))
-      time("audit agg (q283 shape)")(
-        docs.select(col("doc_id"), C4Rules.audit(col("text")).as("a"))
-          .select(col("doc_id"), col("a.n_kept").as("nk")).count())
-      val ts = docs.select(col("doc_id"), split(col("text"), " ").as("__ts"))
-      time("ts only")(ts.count())
-      val bp = ts.select(col("doc_id"), col("__ts"),
-        filter(sequence(lit(1), size(col("__ts"))), i =>
-          graft.functions.Portable.pmd5(element_at(col("__ts"), i)) % 5 === 0)
-          .as("__bp"))
-      time("ts+bp")(bp.count())
-      val kept = docs.select(col("doc_id"), C4Rules.keptSentences(col("text")).as("kept"))
-      time("keptSentences one-projection")(kept.count())
-      val pgNofilter = kept
-      time("kept + size filter")(pgNofilter.filter(size(col("kept")) >= 3).count())
-      val pg0 = C4Rules.pageRows(docs, "doc_id", "text")
-      time("pageRows (staged)")(pg0.count())
+      val banded = Dedup.bandKeys(
+        Dedup.minhashSignature(docs, "text", kk, shingle), kk, rpb)
+      time("banded count")(banded.count())
+      val cands = Dedup.lshCandidates(banded, "doc_id", nb)
+      time("lsh candidates")(cands.count())
+      val sets = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ts"))
+      val pairs = cands
+        .join(sets.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("ts", "ts_a"), "id_a")
+        .join(sets.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("ts", "ts_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
+        .filter(col("jaccard") >= jt)
+      time("verified pairs")(pairs.count())
+      val comps = time("connectedComponents build")(
+        Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+      time("components count")(comps.count())
       spark.catalog.clearCache()
     }
     spark.stop()
