@@ -105,11 +105,25 @@ object Graph {
       k: Int = 2, rounds: Int = 6): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
     val spark = pairs.sparkSession
-    var edges = symmetrize(pairs, idA, idB)
+    // materialize the INPUT edge set before peeling (r16): the round
+    // body references `edges` three times (degree agg + two semi
+    // joins), so an unmaterialized first round recomputes the whole
+    // upstream pair pipeline (LSH minhash + verify at the call sites)
+    // up to three times; one count job here makes round 1 read rows
+    // like every later round.
     var freePrev: () => Unit = () => ()
+    var edges = truncate(spark, symmetrize(pairs, idA, idB),
+      reliable = false, f => freePrev = f)
+    edges.count()
     for (_ <- 0 until rounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("n"))
         .filter(col("n") >= k).select(col("src").as("node"))
+      // NOTE (r16): broadcasting `keep` into both semi joins was tried
+      // (it would spare the round's edge exchanges at cluster scale)
+      // and measured SLOWER at bench scale — each round then pays a
+      // driver broadcast-build job, serializing the peel. The shuffled
+      // semi joins reuse the degree agg's exchange on the src side, so
+      // the round's real exchange cost is one edge-list hop; kept.
       val next = edges
         .join(keep, edges("src") === keep("node"), "left_semi")
         .join(keep, edges("dst") === keep("node"), "left_semi")
