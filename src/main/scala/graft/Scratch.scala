@@ -1,10 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-/** Throwaway measurement harness for the optimization round — times
-  * the internal stages of a query under investigation. Not part of
-  * the driver contract; removed or inert once the round closes. */
+/** Throwaway measurement harness for the optimization round. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -19,7 +18,6 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.Dedup
     import graft.queries.Tables.{t, spread}
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -27,29 +25,33 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    val (kk, shingle, nb, rpb, jt) = (16, 3, 4, 4, 0.7)
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass ---")
       val docs = spread(t(spark, dir, "documents"), col("doc_id"))
-      val banded = Dedup.bandKeys(
-        Dedup.minhashSignature(docs, "text", kk, shingle), kk, rpb)
-      time("banded count")(banded.count())
-      val cands = Dedup.lshCandidates(banded, "doc_id", nb)
-      time("lsh candidates")(cands.count())
-      val sets = docs.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("ts"))
-      val pairs = cands
-        .join(sets.withColumnRenamed("doc_id", "id_a")
-          .withColumnRenamed("ts", "ts_a"), "id_a")
-        .join(sets.withColumnRenamed("doc_id", "id_b")
-          .withColumnRenamed("ts", "ts_b"), "id_b")
-        .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
-        .filter(col("jaccard") >= jt)
-      time("verified pairs")(pairs.count())
-      val comps = time("connectedComponents build")(
-        Dedup.connectedComponents(pairs.select("id_a", "id_b")))
-      time("components count")(comps.count())
+      val train = docs
+        .filter(col("doc_id") >= 100 && pmod(col("doc_id"), lit(10)) === 0)
+        .select("doc_id", "text")
+      val ranks = time("ranks (stamp check / build)")(
+        graft.operators.SuffixIndex.ranks(spark, "m10", train, "doc_id", "text"))
+      time("ranks count")(ranks.count())
+      val cap = 40
+      val base = train.select(col("doc_id").cast(LongType).as("__id"),
+        col("text").as("__t"))
+      val snips = ranks.join(base, col("doc_id") === col("__id"))
+        .select(col("suffix_rank").as("__r"),
+          expr(s"substring(__t, CAST(pos AS INT), $cap)").as("__snip"))
+        .groupBy(col("__r"))
+        .agg(min(col("__snip")).as("__snip"))
+        .select(col("__snip"))
+        .persist()
+      time("snips build+persist")(snips.count())
+      snips.unpersist()
+      val evalDocs = docs
+        .filter(col("doc_id") < 100 && pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      val lm = graft.operators.LongestMatch.longestMatchFromRanks(
+        ranks, train, "doc_id", "text", evalDocs, "eval_id", "text", 40)
+      time("full longestMatch")(lm.count())
       spark.catalog.clearCache()
     }
     spark.stop()

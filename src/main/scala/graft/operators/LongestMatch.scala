@@ -71,20 +71,36 @@ object LongestMatch {
       eIdCol: String, eTextCol: String, cap: Int,
       fanout: Int = 6, broadcastMaxRows: Long = 1L << 20): DataFrame = {
     require(cap >= 1)
-    require(fanout >= 1)
-
     // rank-deduplicated cap-char snippet table over the standing index
     // (the substringHitsFromRanks construction, existence-only: counts
-    // dropped). Persisted — it feeds every probe round.
+    // dropped), derived inline per call. Callers on the warehouse-
+    // managed index path pass [[SuffixIndex.snippets]]'s standing
+    // table to [[longestMatchFromSnips]] instead (r16) and skip this
+    // per-run derivation.
     val base = train.select(col(idCol).cast(LongType).as("__id"),
       col(textCol).as("__t"))
-    val snips = ranks.join(base, col(idCol) === col("__id"))
+    val snipsInline = ranks.join(base, col(idCol) === col("__id"))
       .select(col("suffix_rank").as("__r"),
         expr(s"substring(__t, CAST(pos AS INT), $cap)").as("__snip"))
       .groupBy(col("__r"))
       .agg(min(col("__snip")).as("__snip"))
       .select(col("__snip"))
-      .persist()
+    longestMatchFromSnips(snipsInline, evalDocs, eIdCol, eTextCol, cap,
+      fanout, broadcastMaxRows)
+  }
+
+  /** [[longestMatchFromRanks]] over an ALREADY-DERIVED snippet frame
+    * (one `__snip` string per distinct suffix rank — e.g. the standing
+    * [[SuffixIndex.snippets]] table). The search reads nothing else of
+    * the training corpus. */
+  def longestMatchFromSnips(snippets: DataFrame, evalDocs: DataFrame,
+      eIdCol: String, eTextCol: String, cap: Int,
+      fanout: Int = 6, broadcastMaxRows: Long = 1L << 20): DataFrame = {
+    require(cap >= 1)
+    require(fanout >= 1)
+
+    // persisted — it feeds every probe round
+    val snips = snippets.select(col("__snip")).persist()
 
     // state: [lo, hi] per doc — match at lo holds (lo = 0 trivially),
     // no match past hi can hold (hi = cap, the stated ceiling).

@@ -117,6 +117,52 @@ object SuffixIndex {
     }
   }
 
+  private def snipsTableName(tag: String, cap: Int) =
+    s"graft_sufsnip_${tag}_c$cap"
+
+  /** The persisted rank-deduplicated cap-char SNIPPET table over the
+    * `tag` suffix index: one `__snip` string per distinct suffix rank
+    * (min over rank ties — deterministic), exactly the probe-side
+    * frame [[LongestMatch]] scans every search round. Derived purely
+    * from ([[ranks]], the corpus text, `cap`), so it shares the ranks
+    * table's amortization: built once per corpus generation, read
+    * thereafter (r16 — the inline derivation cost q266 a ranks-join +
+    * rank groupBy per RUN, ~0.8 s warm at sf0.1, for a table that is
+    * a per-generation constant). Stamp discipline is [[ranks]]'s,
+    * with `cap` folded into both the table name and the stamp so a
+    * cap change can never alias an old snapshot. Warehouse-managed
+    * only (the q266 consumer's mode); externally-rooted deployments
+    * keep the inline [[LongestMatch.longestMatchFromRanks]] path.
+    *
+    * Freshness fast path: when the snippet stamp matches, [[ranks]]
+    * is not consulted at all — one corpus fingerprint per read, same
+    * as every other standing table. A stale snippet table re-ensures
+    * the ranks table first (its own stamp check), then rebuilds. */
+  def snippets(spark: SparkSession, tag: String, docs: DataFrame,
+      idCol: String, textCol: String, cap: Int): DataFrame = {
+    require(tag.matches("[A-Za-z0-9_]+"), s"tag must be alphanumeric: $tag")
+    require(cap >= 1)
+    val name = snipsTableName(tag, cap)
+    StampedCatalog.lockFor(name).synchronized {
+      val want = s"v1:c$cap:" + StampedCatalog.corpusFingerprint(
+        docs, idCol, textCol)
+      if (!StampedCatalog.fresh(spark, name, want)) {
+        val r = ranks(spark, tag, docs, idCol, textCol)
+        val base = docs.select(col(idCol).cast(LongType).as("__id"),
+          col(textCol).as("__t"))
+        StampedCatalog.rebuildManaged(spark, name, want)(n =>
+          r.join(base, col(idCol) === col("__id"))
+            .select(col("suffix_rank").as("__r"),
+              expr(s"substring(__t, CAST(pos AS INT), $cap)").as("__snip"))
+            .groupBy(col("__r"))
+            .agg(min(col("__snip")).as("__snip"))
+            .select(col("__snip"))
+            .write.mode("overwrite").saveAsTable(n))
+      }
+      spark.table(name)
+    }
+  }
+
   /** Build-or-reuse body; caller holds the per-tag stripe lock. */
   private def ranksLocked(spark: SparkSession, tag: String, docs: DataFrame,
       idCol: String, textCol: String, root: Option[String]): DataFrame = {

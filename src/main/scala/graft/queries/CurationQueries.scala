@@ -625,10 +625,11 @@ object CurationQueries {
           .write.mode("overwrite").parquet(s"$root/data")
         Maintenance.writeBloomManifest(s, s"$root/data", s"$root/manifest",
           "doc_id")
-        BLOOM_LOOKUP_IDS.map { id =>
-          Maintenance.readPointLookup(s, s"$root/data", s"$root/manifest",
-            "doc_id", id.toString)
-        }.reduce(_ unionByName _)
+        // one batched manifest probe for all three keys (r16): same
+        // rows as unioning per-key lookups, one manifest scan + one
+        // pruned read instead of three of each
+        Maintenance.readPointLookupMany(s, s"$root/data", s"$root/manifest",
+            "doc_id", BLOOM_LOOKUP_IDS.map(_.toString))
           .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
       },
       Some(s"""

@@ -1185,9 +1185,14 @@ object TextQueries {
         val evalDocs = docs
           .filter(col("doc_id") < 100 && pmod(col("doc_id"), lit(2)) === 0)
           .select(col("doc_id").as("eval_id"), col("text"))
-        graft.operators.LongestMatch.longestMatchFromRanks(
-          graft.operators.SuffixIndex.ranks(s, "m10", train, "doc_id", "text"),
-          train, "doc_id", "text", evalDocs, "eval_id", "text", 40)
+        // the snippet table is STANDING (r16): derived once per corpus
+        // generation from the m10 ranks (SuffixIndex.snippets, stamp-
+        // guarded), so a run pays one fingerprint check + the search —
+        // not a ranks-join + rank-dedup groupBy per run
+        graft.operators.LongestMatch.longestMatchFromSnips(
+          graft.operators.SuffixIndex.snippets(
+            s, "m10", train, "doc_id", "text", 40),
+          evalDocs, "eval_id", "text", 40)
       },
       Some("""
         WITH train AS (

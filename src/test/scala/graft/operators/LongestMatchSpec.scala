@@ -142,6 +142,50 @@ class LongestMatchSpec extends SparkSpec {
     assert(got == reference(train, eval, 12), s"got $got")
   }
 
+  test("the standing SuffixIndex.snippets table path (r16) equals the " +
+      "inline-ranks path — content and search results") {
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+    val eval = Seq(
+      (1L, "a quick brown fox leaps"),
+      (2L, "five dozen boxes"),
+      (3L, "&&&&"))
+    val cap = 12
+    val trainDf = train.toDF("doc_id", "text")
+    // standing snippet table == the inline derivation, row for row
+    val standing = SuffixIndex.snippets(
+      spark, "lmsniptest", trainDf, "doc_id", "text", cap)
+    val ranks = SuffixArray.suffixRanks(trainDf, "doc_id", "text")
+    val inline = ranks
+      .join(trainDf.select(col("doc_id").as("__id"), col("text").as("__t")),
+        col("doc_id") === col("__id"))
+      .select(col("suffix_rank").as("__r"),
+        expr(s"substring(__t, CAST(pos AS INT), $cap)").as("__snip"))
+      .groupBy(col("__r")).agg(min(col("__snip")).as("__snip"))
+      .select(col("__snip"))
+    assert(standing.collect().map(_.getString(0)).sorted.toSeq ==
+      inline.collect().map(_.getString(0)).sorted.toSeq,
+      "standing snippet table diverged from the inline derivation")
+    // the search over the standing table == the inline-ranks search
+    val got = LongestMatch.longestMatchFromSnips(standing,
+      eval.toDF("eval_id", "text"), "eval_id", "text", cap)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2)))).toMap
+    spark.catalog.clearCache()
+    assert(got == reference(train, eval, cap), s"got $got")
+    // and a second call reuses the table (no rebuild while fresh)
+    val before = SuffixIndex.snippets(
+      spark, "lmsniptest", trainDf, "doc_id", "text", cap)
+      .inputFiles.toSet
+    val again = SuffixIndex.snippets(
+      spark, "lmsniptest", trainDf, "doc_id", "text", cap)
+    assert(again.inputFiles.toSet == before,
+      "a fresh corpus must not rebuild the snippet table between reads")
+    spark.sql("DROP TABLE IF EXISTS graft_sufsnip_lmsniptest_c12")
+    spark.sql("DROP TABLE IF EXISTS graft_sufidx_lmsniptest")
+  }
+
   test("empty eval frame returns the right empty schema") {
     val train = Seq((100L, "abc"))
     val out = LongestMatch.longestMatchFromRanks(
