@@ -428,10 +428,16 @@ object StatsQueries {
         "all-pairs double sum, so the hash match PROVES the " +
         "decomposition exhaustive and disjoint, ties included.",
       (s, dir) => {
+        // persisted (r16): `b` is referenced SIX times (both equi-depth
+        // bucketings, the combo collapse, and the three tie-count
+        // aggregates n0/n1/n2) and its projection re-tokenizes the
+        // corpus per reference when unpersisted. Freed by the
+        // harness's clearCache-after-terminal-action contract.
         val b = spread(t(s, dir, "documents"), col("doc_id"))
           .select(col("source"), col("doc_id"),
             col("n_chars").as("x"),
             size(split(col("text"), " ")).cast(LongType).as("y"))
+          .persist()
         val xb = graft.operators.Buckets.equiDepth(
             b.select(col("source"), col("x")), Seq("source"), "x", 64L)
           .withColumnRenamed("bkt", "bx")
@@ -976,9 +982,14 @@ object StatsQueries {
         "bucket counts, one moments reduce; six numbers per source " +
         "cross the final shuffle.",
       (s, dir) =>
+        // cells persisted (r16): moments() reads the cell table three
+        // times (two marginal windows + the join base) — unpersisted,
+        // the "corpus touched exactly once" aggregation re-ran per
+        // reference. Freed by the clearCache contract. The streaming
+        // twin folds a pre-merged log (bounded rows) and stays as is.
         graft.operators.SpearmanHist.rho(
           graft.operators.SpearmanHist.cells(
-            spread(t(s, dir, "documents"), col("doc_id")))),
+            spread(t(s, dir, "documents"), col("doc_id"))).persist()),
       Some("""
         WITH h AS (
           SELECT source, n_chars // 16 AS xb,
@@ -1055,10 +1066,13 @@ object StatsQueries {
         "moments reduce; six numbers per source cross the final " +
         "shuffle.",
       (s, dir) =>
+        // cells persisted (r16) — the q259 rationale, same three
+        // moments() consumers
         graft.operators.SpearmanHist.rhoScaled(
           graft.operators.SpearmanHist.cells(
             spread(t(s, dir, "documents"), col("doc_id")))
-            .withColumn("cnt", col("cnt") * lit(SPEARMAN_REPL))),
+            .withColumn("cnt", col("cnt") * lit(SPEARMAN_REPL))
+            .persist()),
       Some(s"""
         WITH h AS (
           SELECT source, n_chars // 16 AS xb,

@@ -681,13 +681,21 @@ object TextQueries {
           .partitionBy(col("doc_id")).orderBy(col("idx"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
+        // persisted (r16): `runs` feeds THREE consumers (phrases, the
+        // word-score join, the phrase-score join) and `phrases` two —
+        // unpersisted, each consumer re-ran the token explode + the
+        // doc-partitioned run window (ReuseExchange dedups only the
+        // exchange, not the window compute above it). Freed by the
+        // harness's clearCache-after-terminal-action contract.
         val runs = toks
           .withColumn("run", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
           .where(!col("is_stop"))
+          .persist()
         val phrases = runs.groupBy(col("doc_id"), col("run"))
           .agg(count(lit(1)).as("plen"),
             array_join(transform(array_sort(collect_list(struct(col("idx"),
               col("tok")))), x => x.getField("tok")), " ").as("phrase"))
+          .persist()
         val wordStats = runs.join(phrases, Seq("doc_id", "run"))
           .groupBy(col("tok"))
           .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
