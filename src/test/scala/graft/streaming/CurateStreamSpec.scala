@@ -227,8 +227,17 @@ class CurateStreamSpec extends SparkSpec {
       .select(CurateStream.HashCol).as[Long].collect().toSet
       .contains(fifthHash),
       "an unscoreable row leaked into the hash index")
-    assert(graft.operators.ObservedWarn
-      .lastFired("curate_semantic_unscoreable").contains(3L),
+    // async listener delivery: poll under a deadline (the
+    // DedupIndexStream idiom) so a loaded host cannot lose the race
+    var firedUnscoreable = graft.operators.ObservedWarn
+      .lastFired("curate_semantic_unscoreable")
+    val dlA = System.nanoTime() + 10_000_000_000L
+    while (firedUnscoreable.isEmpty && System.nanoTime() < dlA) {
+      Thread.sleep(50)
+      firedUnscoreable = graft.operators.ObservedWarn
+        .lastFired("curate_semantic_unscoreable")
+    }
+    assert(firedUnscoreable.contains(3L),
       "the fail-closed drop must be observed, not silent — the " +
         "null-element row counts too (coalesced predicate)")
     spark.catalog.clearCache()
@@ -339,8 +348,15 @@ class CurateStreamSpec extends SparkSpec {
     val afterA = spark.read.parquet(out).select("doc_id").as[Long]
       .collect().toSet
     assert(afterA == Set(0L), s"batch A recipe gating wrong: $afterA")
-    assert(graft.operators.ObservedWarn
-      .lastFired("curate_bucket_unjudgeable").contains(1L),
+    var firedUnjudgeable = graft.operators.ObservedWarn
+      .lastFired("curate_bucket_unjudgeable")
+    val dlB = System.nanoTime() + 10_000_000_000L
+    while (firedUnjudgeable.isEmpty && System.nanoTime() < dlB) {
+      Thread.sleep(50)
+      firedUnjudgeable = graft.operators.ObservedWarn
+        .lastFired("curate_bucket_unjudgeable")
+    }
+    assert(firedUnjudgeable.contains(1L),
       "the unknown-language drop must be observed, not silent")
 
     // batch b (restart): a cross-batch exact dup of landed d0; a
