@@ -54,6 +54,10 @@ object Profile {
         case Some(fn) =>
           var dt = 0.0
           (1 to 2).foreach { pass =>
+            // the listener bus drains async: settle BEFORE resetting
+            // too, or the previous pass/query's late events bleed
+            // into this pass's counters (r16 advisory)
+            Thread.sleep(400)
             jobs.set(0); stages.set(0); tasks.set(0); shuffleBytes.set(0L)
             val t0 = System.nanoTime()
             try fn(spark, sfDir).count()
@@ -61,7 +65,7 @@ object Profile {
             dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             if (pass == 2) {
-              // listener events drain async; settle before reading
+              // ...and again before reading this pass's counts
               Thread.sleep(400)
               println(f"$n%-38s $dt%7.2f ${jobs.get}%5d ${stages.get}%7d ${tasks.get}%6d ${shuffleBytes.get / 1e6}%7.1f")
             }

@@ -108,4 +108,46 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[KeyedPrice]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** Upper-triangle second-moment sum over integer code vectors: for
+    * input rows c (long arrays of length `dim`), accumulates
+    * A_ij = sum_rows c_i * c_j for j >= i as a flat row-major
+    * triangle of dim*(dim+1)/2 BIGINTs (index walks i ascending,
+    * then j = i..dim-1). Every entry is a sum of Int64 products —
+    * commutative and associative, so the result is EXACT and
+    * partitioning-independent, the same guarantee the q127 explode
+    * spelling had. The buffer is mutated in place (a long[] per
+    * partial aggregation, not per row), so the corpus-sized stage
+    * does dim*(dim+1)/2 fused multiply-adds per row in one tight
+    * loop instead of generating that many rows through two
+    * generators into a hash aggregation (guide "expressions and
+    * codegen": the explode was the hot path's non-codegen row
+    * machinery). */
+  final class TriangleMomentSum(dim: Int)
+      extends Aggregator[Array[Long], Array[Long], Seq[Long]] {
+    private val len = dim * (dim + 1) / 2
+    override def zero: Array[Long] = new Array[Long](len)
+    override def reduce(b: Array[Long], c: Array[Long]): Array[Long] = {
+      var idx = 0
+      var i = 0
+      while (i < dim) {
+        val ci = c(i)
+        var j = i
+        while (j < dim) { b(idx) += ci * c(j); idx += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

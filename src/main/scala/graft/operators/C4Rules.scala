@@ -45,7 +45,7 @@ import graft.functions.Portable
   * counts are array lambdas over it) — no join, no window, no
   * shuffle, and the gate form ([[pagePass]]) is a pure predicate. The
   * span dedup's irreducible exchange is the span-hash aggregation:
-  * 60-bit span HASHES travel, never span text, and only documents
+  * 64-bit span HASHES travel, never span text, and only documents
   * that actually lose a span pay the sentence-level reassembly
   * exchange ([[Dedup.cutRepeatedRuns]]'s untouched-bypass shape).
   */
@@ -63,6 +63,19 @@ object C4Rules {
   val MinSentences = 3L
   /** C4's dedup grain: spans of three consecutive sentences. */
   val SpanSentences = 3
+
+  /** Version of [[spansOf]]'s span-hash construction. Span hashes are
+    * engine-internal for BATCH queries, but the streaming span index
+    * ([[graft.streaming.SpanDedupStream]]) PERSISTS them in its
+    * append-only span log — so a scheme change must never mix with
+    * rows hashed under an older scheme (equal spans would land in
+    * different groups and silently survive dedup). Appends stamp this
+    * version; reads fall back to re-deriving from the page log when
+    * the standing log is not entirely at the current version, and
+    * compaction migrates the log (r17, the r16 advisory's fix).
+    * History: 1 = pmd5 of the space-joined span text (pre-r16);
+    * 2 = xxhash64 over the three sentence pmd5 hashes (r16+). */
+  val SpanHashVersion = 2L
 
   private def toks(text: Column): Column = split(text, " ")
 
@@ -148,20 +161,38 @@ object C4Rules {
         bpos(col("__ts")).as("__bp"))
       .select(col(idCol),
         sentencesFrom(col("__ts"), col("__bp")).as("__sents"))
+      // The page gate must evaluate on the `kept` ATTRIBUTE above the
+      // staged projections — a plain deterministic predicate is pushed
+      // below every Project AND below the caller's spread() exchange,
+      // inlining the whole segmentation pipeline into one interpreted
+      // scan-side filter on the single input split: measured 5.1 s vs
+      // 0.25 s at sf0.1 (r16; guide §2.5 input skew + §7.2
+      // duplicated-subtree). TWO barriers are needed (r17):
+      //  - a condition-level one is NOT enough: PushPredicateThrough-
+      //    NonJoin only checks condition determinism at REPARTITION
+      //    boundaries; through a Project it pushes ANY condition by
+      //    alias substitution, so the r16 spelling (`|| spark_
+      //    partition_id() < 0` in the filter) stopped at the exchange
+      //    but still inlined the segmentation below the projections —
+      //    the gate re-ran the whole HOF pipeline per row and the
+      //    projections above re-ran it again for survivors (the guide
+      //    §4.4 duplicated-evaluation shape, verified in the r16
+      //    committed plan: Filter (9) under Project (10..12));
+      //  - so the barrier is a FIELD of the kept-projection itself:
+      //    `__barrier = spark_partition_id()` makes the projection's
+      //    field list nondeterministic, which pushDownPredicate
+      //    refuses to substitute through — the gate stays ABOVE the
+      //    projection, reads the `kept` attribute, and the
+      //    segmentation evaluates ONCE per row (r16: twice; r15: once
+      //    but on one core). `__barrier < 0` is always false, `||`
+      //    short-circuits, and the column is dropped right above —
+      //    ExplainAuditSpec locks the gate filter HOF-free and above
+      //    an exchange on a single-split corpus.
       .select(col(idCol), filter(col("__sents"),
-        s => s.getField("nw") >= MinSentWords).as("kept"))
-      // The page gate must evaluate HERE, on the `kept` ATTRIBUTE above
-      // the staged projections — a plain deterministic predicate is
-      // pushed below every Project AND below the caller's spread()
-      // exchange, which inlines the whole segmentation pipeline into
-      // one interpreted scan-side filter on the single input split:
-      // measured 5.1 s vs 0.25 s at sf0.1 (r16; guide §2.5 input skew
-      // + §7.2 duplicated-subtree). `spark_partition_id() < 0` is
-      // always false and is there only as the pushdown barrier (Spark
-      // never pushes a nondeterministic predicate); `||` short-
-      // circuits, so it is never evaluated for passing pages.
-      .filter(size(col("kept")) >= MinSentences ||
-        spark_partition_id() < 0)
+        s => s.getField("nw") >= MinSentWords).as("kept"),
+        spark_partition_id().as("__barrier"))
+      .filter(size(col("kept")) >= MinSentences || col("__barrier") < 0)
+      .select(col(idCol), col("kept"))
 
   /** [[pages]] with kept as a plain sentence-string array — the form
     * [[rebuiltText]] folds and the streaming span index appends. */

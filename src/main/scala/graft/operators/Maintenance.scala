@@ -403,8 +403,31 @@ object Maintenance {
               meta.getInt(0), meta.getInt(1))).reduce(_ || _))
           .select(col("file")).collect().map(_.getString(0))
     }
-    readFiles(spark, dataDir, files)
-      .filter(col(keyCol).cast("string").isin(values: _*))
+    val pruned = readFiles(spark, dataDir, files)
+    // Exact filter: probe values arrive as strings (the manifest's
+    // key form); typing the LITERALS to the key column's type keeps
+    // the predicate a parquet-pushable `In(keyCol, ...)` — casting
+    // the COLUMN to string instead (the r16 spelling) blocked
+    // pushdown entirely, so every bloom-surviving file was scanned
+    // in full (guide §6: PushedFilters must reach the scan). Only
+    // safe when every value ROUND-TRIPS through the key type (a
+    // typed cast would e.g. match '07' where string equality does
+    // not); non-round-tripping probes keep the string-compare path.
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val typed: Option[Seq[Any]] = pruned.schema(keyCol).dataType match {
+      case StringType => Some(values)
+      case LongType => scala.util.Try {
+        values.map { v => require(v.toLong.toString == v); v.toLong }
+      }.toOption
+      case IntegerType => scala.util.Try {
+        values.map { v => require(v.toInt.toString == v); v.toInt }
+      }.toOption
+      case _ => None
+    }
+    typed match {
+      case Some(vs) => pruned.filter(col(keyCol).isin(vs: _*))
+      case None => pruned.filter(col(keyCol).cast("string").isin(values: _*))
+    }
   }
 
   /** Algebraic per-key summary of a long-valued column: (cnt, sum,

@@ -1108,29 +1108,42 @@ object Similarity {
       .select(transform(col("v"), x =>
         when(col("scale") === 0, lit(0L))
           .otherwise(floor(x / col("scale")).cast(LongType))).as("c"))
-    // A is symmetric: generate only j >= i (dim*(dim+1)/2 rows per
-    // vector instead of dim^2), aggregate, then mirror the strict
-    // upper triangle — the mirrored integers are the SAME sums, so
-    // exactness is untouched and the corpus-sized stage halves
-    val upper = codes
-      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
-      .select(col("i"), col("ci"),
-        posexplode(slice(col("c"), col("i") + 1, lit(dim) - col("i")))
-          .as(Seq("dj", "cj")))
-      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
-      .agg(sum(col("ci") * col("cj")).as("a"))
-    val nRow = codes.agg(count(lit(1)).as("n"))
-    // ONE driver read: dim*(dim+1)/2 integer entries + the count —
-    // the same bounded-metadata class as a manifest or a BPE argmax
-    val collected = upper.crossJoin(broadcast(nRow))
-      .select(col("i"), col("j"), col("a"), col("n")).collect()
-    val n = collected.head.getAs[Long]("n").toDouble
+    // A is symmetric: accumulate only j >= i (dim*(dim+1)/2 entries)
+    // and mirror the strict upper triangle — the mirrored integers
+    // are the SAME sums, so exactness is untouched. The triangle is
+    // ONE in-place array aggregation ([[graft.functions.Aggregators
+    // .TriangleMomentSum]]): per row a tight dim*(dim+1)/2
+    // multiply-add loop over a long[] buffer, instead of the r16
+    // shape's two generators exploding that many ROWS per vector
+    // into a hash aggregation (guide codegen/expressions; r17:
+    // q127 1.8 -> 0.6 s, q129 1.5 -> 0.5 s at sf0.1, plan loses
+    // both Generate nodes). Entry sums commute under any
+    // partitioning, so the result is bit-identical.
+    val triSum = udaf(
+      new graft.functions.Aggregators.TriangleMomentSum(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    // ONE driver read: dim*(dim+1)/2 integer entries + the count in a
+    // single row — the same bounded-metadata class as a manifest or a
+    // BPE argmax
+    val momentFrame = codes
+      .agg(triSum(col("c")).as("tri"), count(lit(1)).as("n"))
+    // measurement hook: the registered q127/q129 frames are the
+    // driver-side eigensolve's LocalTableScan (vacuous in Explain), so
+    // the corpus-sized half's REAL plan is printed here on demand
+    if (corpus.sparkSession.conf.getOption("graft.pca.explainMoment")
+        .contains("true"))
+      println(momentFrame.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    val head = momentFrame.head()
+    val tri = head.getAs[scala.collection.Seq[Long]]("tri")
+    val n = head.getAs[Long]("n").toDouble
     val b = Array.ofDim[Double](dim, dim)
-    collected.foreach { r =>
-      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-      val v = r.getAs[Long]("a").toDouble / n
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = tri(idx).toDouble / n
       b(i)(j) = v
       b(j)(i) = v
+      idx += 1
     }
     // ascending-index left folds, mirroring list_reduce exactly
     def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =

@@ -76,40 +76,54 @@ object TheilSen {
   /** Count, per (group, probe), the pairs with x_i < x_j and
     * z_j < z_i — the q253 three-class bucket decomposition over
     * WEIGHTED distinct combos. `zb` needs (g, pid, x, z, bx, xlight,
-    * bz, zlight, cnt), one row per distinct (g, pid, x, z). */
+    * bz, zlight, cnt), one row per distinct (g, pid, x, z).
+    *
+    * The three classes are spelled as ONE self-join (r17, guide
+    * §2.4/§3): each class's condition has the same shape
+    * `u_1 < u_2 && v_2 < v_1` under a class-specific (u, v) reading
+    * and a class-specific equality key, so the three frames union
+    * into one tagged frame `uni` keyed (g, pid, cls, sub) and join
+    * once — classes cannot cross-match (cls differs) and within a
+    * class the key equals the original join key exactly:
+    *
+    *   cls 0  cross-bucket cells   sub = 0    u = bx  v = bz
+    *   cls 1  intra-x-bucket rows  sub = bx   u = x   v = z
+    *   cls 2  intra-z-bucket rows  sub = bz   u = bx  v = z
+    *
+    * Only LIGHT buckets enter cls 1/2 (heavy buckets are singleton-
+    * valued — every intra-bucket pair ties on that dimension and is
+    * excluded by definition), so the two-sided occupancy bound is
+    * untouched: per (g, pid, cls, sub) key the matching set is
+    * identical to the unfused spelling's, bounded by < 2*targetOcc
+    * rows for cls 1/2 and by the (bx, bz) cell support for cls 0.
+    * vs the unfused three self-joins + union + re-aggregation this
+    * is ONE join Exchange pair + one final aggregation per probe
+    * round instead of three join Exchange pairs and four aggregation
+    * Exchanges — measured (with the zb checkpoint fix in slopeMilli)
+    * 73 -> 46 stages, 2026 -> 1162 tasks, 12.1 -> 7.5 s warm on q254
+    * at sf0.1, identical output (oracle re-green). The round plan
+    * shrinks from 10 SortMergeJoins + 15 Window occurrences to 3
+    * SortMergeJoins + 0 (plans/r17/q254_theilsen_round_*.txt). */
   private def inversions(zb: DataFrame): DataFrame = {
     val cells = zb.groupBy(col("g"), col("pid"), col("bx"), col("bz"))
       .agg(sum(col("cnt")).as("cnt"))
-    val a = cells.as("c1")
-      .join(cells.as("c2"), col("c1.g") === col("c2.g")
-        && col("c1.pid") === col("c2.pid"))
-      .filter(col("c1.bx") < col("c2.bx") && col("c2.bz") < col("c1.bz"))
-      .groupBy(col("c1.g").as("g"), col("c1.pid").as("pid"))
-      .agg(sum(col("c1.cnt") * col("c2.cnt")).as("c"))
-    // intra-x-bucket pairs: only LIGHT buckets can hold two distinct x
-    // (heavy buckets are singleton-valued — every pair ties on x and
-    // is excluded by definition), so the join never touches them
+      .select(col("g"), col("pid"), lit(0L).as("cls"), lit(0L).as("sub"),
+        col("bx").as("u"), col("bz").as("v"), col("cnt"))
     val lights = zb.filter(col("xlight"))
-    val bfr = lights.as("p1")
-      .join(lights.as("p2"), col("p1.g") === col("p2.g")
-        && col("p1.pid") === col("p2.pid")
-        && col("p1.bx") === col("p2.bx"))
-      .filter(col("p1.x") < col("p2.x") && col("p2.z") < col("p1.z"))
-      .groupBy(col("p1.g").as("g"), col("p1.pid").as("pid"))
-      .agg(sum(col("p1.cnt") * col("p2.cnt")).as("c"))
-    // intra-z-bucket pairs: same heavy-singleton rule as bfr — a
-    // heavy z value's bucket pairs all tie on z (z_j < z_i is false),
-    // so only LIGHT z-buckets join
+      .select(col("g"), col("pid"), lit(1L).as("cls"), col("bx").as("sub"),
+        col("x").as("u"), col("z").as("v"), col("cnt"))
     val zlights = zb.filter(col("zlight"))
-    val cfr = zlights.as("p1")
-      .join(zlights.as("p2"), col("p1.g") === col("p2.g")
+      .select(col("g"), col("pid"), lit(2L).as("cls"), col("bz").as("sub"),
+        col("bx").as("u"), col("z").as("v"), col("cnt"))
+    val uni = cells.unionByName(lights).unionByName(zlights)
+    uni.as("p1")
+      .join(uni.as("p2"), col("p1.g") === col("p2.g")
         && col("p1.pid") === col("p2.pid")
-        && col("p1.bz") === col("p2.bz"))
-      .filter(col("p1.bx") < col("p2.bx") && col("p2.z") < col("p1.z"))
+        && col("p1.cls") === col("p2.cls")
+        && col("p1.sub") === col("p2.sub"))
+      .filter(col("p1.u") < col("p2.u") && col("p2.v") < col("p1.v"))
       .groupBy(col("p1.g").as("g"), col("p1.pid").as("pid"))
-      .agg(sum(col("p1.cnt") * col("p2.cnt")).as("c"))
-    a.unionByName(bfr).unionByName(cfr)
-      .groupBy(col("g"), col("pid")).agg(sum(col("c")).as("cnt"))
+      .agg(sum(col("p1.cnt") * col("p2.cnt")).as("cnt"))
   }
 
   /** Lower-median pairwise milli-slope per group:
@@ -214,11 +228,20 @@ object TheilSen {
         .select(col("g"), col("t"))
       // ties in (x, y) collapse BEFORE any self-join: the frames below
       // carry one weighted row per distinct (g, probe, x, z). The
-      // frame feeds FOUR join branches (cells + three classes
-      // reference it six times) and its lineage holds shuffles (the
-      // collapse and/or the z-bucket join) — persist it for the round
-      // or every branch re-aggregates (measured 8x the round cost
-      // without the cache).
+      // frame feeds every class of the fused self-join (six references
+      // across the two sides) and its lineage holds shuffles (the
+      // collapse and/or the z-bucket window) — materialize it ONCE per
+      // round. localCheckpoint, NOT persist (r17): the frame's lineage
+      // contains the probes explode over the checkpointed search
+      // state, and DeduplicateRelations' newInstance() on that
+      // LogicalRDD makes the re-aliased references (every union branch
+      // after the first, and the whole self-join right side) fail the
+      // CacheManager's canonical match — measured: 5 of 6 references
+      // recomputed the z-window pipeline from `b` instead of reading
+      // the persisted frame (plans/r17/q254_theilsen_round_*.txt). A
+      // checkpoint needs no cache lookup: every re-aliased instance
+      // scans the SAME materialized RDD. Blocks are released
+      // deterministically per round via Coverage.freeCheckpoint.
       val zb0 = b.join(broadcast(probes.withColumnRenamed("t", "__t")
           .withColumn("pid", col("__t"))), "g")
         .select(col("g"), col("pid"), col("x"),
@@ -250,7 +273,8 @@ object TheilSen {
           + when(col("__tzm") >= zTargetOcc, 1L).otherwise(0L))
         .withColumn("zlight", col("__tzm") < zTargetOcc)
         .drop("__czb", "__tzm")
-        .persist()
+        .localCheckpoint(true) // eager: this round's ONE materialize job
+      val freeZb = Coverage.freeCheckpoint(zb)
       // A probe below every pair's slope has ZERO inversions and so
       // no row in the class counts at all — left-join back onto the
       // probe grid and coalesce, or such probes would vanish from the
@@ -272,8 +296,15 @@ object TheilSen {
         .select(col("g"), col("np"), col("k"),
           greatest(col("lo"), coalesce(col("lo_c"), col("lo"))).as("lo"),
           least(col("hi"), coalesce(col("hi_c"), col("hi"))).as("hi"))
-      search = next.localCheckpoint() // eager: zb consumed before the unpersist
-      zb.unpersist()
+      // measurement hook: q254's registered frame is checkpoint-backed
+      // (vacuous in Explain — the r16 verdict's evidence nit), so the
+      // per-round count pipeline's REAL plan is printed here on demand
+      if (df.sparkSession.conf.getOption("graft.theilsen.explainRound")
+          .contains("true"))
+        println(next.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      search = next.localCheckpoint() // eager: zb consumed before the release
+      freeZb()
     }
     val out = search.select(col("g"), col("np").as("n_pairs"),
       col("lo").as("theilsen_milli"))

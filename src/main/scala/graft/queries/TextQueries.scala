@@ -1898,7 +1898,7 @@ object TextQueries {
         "copy; C4 keeps the first). Over q283's content-defined " +
         "sentences: structural line/page rules first (the paper's " +
         "order), then every three-consecutive-sentence span is " +
-        "60-bit-hashed and each duplicated span keeps only its " +
+        "64-bit-hashed and each duplicated span keeps only its " +
         "global first occurrence (winner = min (doc_id, position) — " +
         "the paper leaves 'one' unspecified; the pin makes both " +
         "engines and every replay agree). Losing occurrences " +
@@ -1908,7 +1908,7 @@ object TextQueries {
         "surviving page: word count and portable hash of the " +
         "rewritten text — the corpus digest. SCALE SHAPE: " +
         "segmentation is scan-stage; the dedup's irreducible " +
-        "exchange is the span-hash aggregation (60-bit hashes " +
+        "exchange is the span-hash aggregation (64-bit hashes " +
         "travel, never span text); winners resolve by groupBy-min, " +
         "not a corpus window; only documents that LOSE a span pay " +
         "the sentence-level reassembly exchange (the q97 " +
@@ -1922,6 +1922,16 @@ object TextQueries {
             Portable.pmd5(col("text")).as("thash"))
       },
       Some({
+        // NOTE (r16 hash-scheme change, recorded per the r16 advisory):
+        // the engine keys spans by xxhash64 over the three sentence
+        // pmd5 hashes while this oracle keys them by pmd5 of the
+        // joined span text. Through r15 both engines computed the
+        // IDENTICAL hash, so even a hash collision matched by
+        // construction; since r16 the grouping agreement is
+        // collision-probabilistic (~n^2/2^61 for n distinct spans) —
+        // equal spans still always agree (equal sentence triples =>
+        // equal keys on both sides), only colliding UNEQUAL spans
+        // could diverge.
         s"""
         WITH ${C4Rules.keptCtes("c4", "documents", "text")},
         pg AS (

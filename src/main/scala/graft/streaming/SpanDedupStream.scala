@@ -17,10 +17,19 @@ import graft.operators.C4Rules
   * Two logs, both append-only parquet:
   *   - the PAGE log (doc_id, kept sentence array) — the structural
   *     survivors, appended once per document;
-  *   - the SPAN log (doc_id, spos, sh) — each page's three-sentence
-  *     span occurrences as 60-bit hashes. The expensive pass
-  *     (segmentation + span hashing) happens once per document, EVER;
-  *     reads fold hashes and never re-hash history.
+  *   - the SPAN log (doc_id, spos, sh, __hv) — each page's three-
+  *     sentence span occurrences as 64-bit hashes (xxhash64 over the
+  *     sentence-pmd5 triple, [[C4Rules.spansOf]]), stamped with the
+  *     hash-scheme version [[C4Rules.SpanHashVersion]]. The expensive
+  *     pass (segmentation + span hashing) happens once per document,
+  *     EVER; reads fold hashes and never re-hash history — UNLESS the
+  *     standing log carries rows from an older hash scheme (a log
+  *     written before the stamp existed, or across a scheme bump), in
+  *     which case mixing old and new hashes would let cross-boundary
+  *     duplicates silently survive, so [[spanLog]] falls back to
+  *     re-deriving spans from the page log (always correct: pages
+  *     carry content, not hashes) and [[compactLogs]] migrates the
+  *     span log to the current scheme.
   * Both are SET-FACT logs (the [[DedupIndexStream]] family, not
   * [[AdditiveLog]] counts): every row is a deterministic function of
   * its document alone, so the merge law holds trivially (multi-epoch
@@ -88,6 +97,7 @@ object SpanDedupStream {
           .write.mode("append").parquet(pageDir(outDir))
         C4Rules.spansOf(pg, "doc_id")
           .withColumn("__batch", lit(batchId))
+          .withColumn("__hv", lit(C4Rules.SpanHashVersion))
           .write.mode("append").parquet(spanDir(outDir))
       } finally { pg.unpersist(); () }
     }
@@ -105,11 +115,41 @@ object SpanDedupStream {
     else spark.read.parquet(pageDir(outDir))
       .select(col("doc_id"), col("kept")).distinct()
 
-  /** The standing span log, replay-collapsed. */
+  /** True iff every standing span-log row was hashed under the
+    * CURRENT scheme ([[C4Rules.SpanHashVersion]]). A log from before
+    * the stamp existed has no `__hv` column at all; a log appended to
+    * across a scheme bump mixes versions (schema-picked-from-one-file
+    * reads surface foreign rows as NULL `__hv`) — both must not be
+    * folded as-is. The check prunes to the one stamp column (footer
+    * schema + a min over `__hv`), never the hashes themselves. */
+  private def spanLogCurrent(spark: SparkSession, outDir: String): Boolean = {
+    val raw = spark.read.parquet(spanDir(outDir))
+    raw.columns.contains("__hv") && {
+      raw.agg(min(coalesce(col("__hv"), lit(0L)))).head() match {
+        case r if r.isNullAt(0) => true // zero-row log: nothing foreign
+        case r => r.getLong(0) == C4Rules.SpanHashVersion
+      }
+    }
+  }
+
+  /** The standing span log, replay-collapsed. When the log is not
+    * entirely at the current hash scheme, spans are re-derived from
+    * the PAGE log instead (content, not hashes — so the fold is
+    * correct by construction; the page log is a superset of the span
+    * log's documents because pages append first). One-time cost until
+    * [[compactLogs]] migrates the log. */
   def spanLog(spark: SparkSession, outDir: String): DataFrame =
     if (!exists(spark, spanDir(outDir))) emptyDf(spark, spanSchema)
-    else spark.read.parquet(spanDir(outDir))
-      .select(col("doc_id"), col("spos"), col("sh")).distinct()
+    else if (spanLogCurrent(spark, outDir))
+      spark.read.parquet(spanDir(outDir))
+        .select(col("doc_id"), col("spos"), col("sh")).distinct()
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"span log at ${spanDir(outDir)} predates hash scheme " +
+          s"v${C4Rules.SpanHashVersion}; deriving spans from the page " +
+          "log for this read - run compactLogs to migrate")
+      C4Rules.spansOf(pages(spark, outDir), "doc_id")
+    }
 
   /** The deduplicated corpus over everything that has arrived:
     * (doc_id, text) — the SAME resolution + reassembly statement as
@@ -129,14 +169,32 @@ object SpanDedupStream {
 
   /** Rewrite both accreted logs back to one distinct generation each
     * (data first, delete after — a crash between the two leaves
-    * duplicates the readers' distinct absorbs). Returns files
-    * collected. */
-  def compactLogs(spark: SparkSession, outDir: String): Long =
-    compactOne(spark, pageDir(outDir), Seq("doc_id", "kept")) +
-      compactOne(spark, spanDir(outDir), Seq("doc_id", "spos", "sh"))
+    * duplicates the readers' distinct absorbs). A span log not
+    * entirely at the current hash scheme is MIGRATED here: rebuilt
+    * from the page log under [[C4Rules.SpanHashVersion]] (the one
+    * sanctioned re-hash — compaction is already a full-log rewrite;
+    * reads stay hash-only). Returns files collected. */
+  def compactLogs(spark: SparkSession, outDir: String): Long = {
+    val pagesCollected =
+      compactOne(spark, pageDir(outDir),
+        spark.read.parquet(pageDir(outDir))
+          .select(col("doc_id"), col("kept")).distinct())
+    val spansCollected =
+      if (!exists(spark, spanDir(outDir))) 0L
+      else if (spanLogCurrent(spark, outDir))
+        compactOne(spark, spanDir(outDir),
+          spark.read.parquet(spanDir(outDir))
+            .select(col("doc_id"), col("spos"), col("sh")).distinct()
+            .withColumn("__hv", lit(C4Rules.SpanHashVersion)))
+      else
+        compactOne(spark, spanDir(outDir),
+          C4Rules.spansOf(pages(spark, outDir), "doc_id")
+            .withColumn("__hv", lit(C4Rules.SpanHashVersion)))
+    pagesCollected + spansCollected
+  }
 
   private def compactOne(spark: SparkSession, dir: String,
-      cols: Seq[String]): Long = {
+      rows: => DataFrame): Long = {
     if (!exists(spark, dir)) return 0L
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -149,9 +207,7 @@ object SpanDedupStream {
       }
     val nFiles = math.max(1L,
       before.map(_.getLen).sum / CompactBytesPerFile).toInt
-    spark.read.parquet(dir)
-      .select(cols.map(col): _*)
-      .distinct()
+    rows
       .withColumn("__batch", lit(gen))
       .repartition(nFiles, col("doc_id"))
       .write.mode("append").parquet(dir)

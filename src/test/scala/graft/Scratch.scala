@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Throwaway measurement harness for the optimization round. */
+/** Throwaway measurement harness for the optimization rounds — lives
+  * in the TEST source set (dev-only; never ships in the production
+  * jar — the r16 advisory): `sbt "Test/runMain graft.Scratch [dir]"`. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -501,6 +501,103 @@ class ExplainAuditSpec extends SparkSpec {
     * nested AQE wrappers. Each DISTINCT cached relation expands once —
     * a persisted frame shared by two consumers counts its compute
     * ONCE, which is exactly what the single-pass locks measure. */
+  /** Single-split copy of the fixture — the bench-scale layout where
+    * [[Tables.spread]] MUST fire. The r16 single-core-cliff fixes
+    * (q284's gate pushdown barrier, q229/q45's spread-before-
+    * projection) have no observable shape on the multi-file fixture
+    * (spread is a no-op there), so their locks plan against this. */
+  private lazy val dir1: String = {
+    val root = java.nio.file.Files.createTempDirectory("explain-audit-1f").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { tb =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$tb.parquet")
+        .coalesce(1)
+        .write.parquet(s"$root/$tb.parquet")
+    }
+    root
+  }
+
+  /** Is a file scan reachable from `p` WITHOUT crossing a stage
+    * boundary (shuffle/broadcast exchange, cached table)? A node whose
+    * expensive expression is in the same stage as the scan runs on the
+    * scan's split count — ONE core on a single-split corpus (guide
+    * §2.5; the r16 cliffs). */
+  private def scanInSameStage(p: SparkPlan): Boolean = p match {
+    case _: ShuffleExchangeExec => false
+    case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+    case _: InMemoryTableScanExec => false
+    case _: ReusedExchangeExec => false
+    case _: FileSourceScanExec => true
+    case other => other.children.exists(scanInSameStage)
+  }
+
+  test("r16 cliff fixes hold on a single-split corpus: q229's bigram " +
+      "HOFs, q45's levenshtein and q284's segmentation all evaluate " +
+      "ABOVE an exchange, and q284's page gate keeps its pushdown barrier") {
+    import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, Levenshtein, SparkPartitionID}
+    def hasHof(n: SparkPlan): Boolean = n.expressions.exists(_.exists {
+      case _: HigherOrderFunction => true
+      case _ => false
+    })
+    def hasLev(n: SparkPlan): Boolean = n.expressions.exists(_.exists {
+      case _: Levenshtein => true
+      case _ => false
+    })
+    def offenders(nodes: Seq[SparkPlan], pred: SparkPlan => Boolean) =
+      nodes.filter(n => pred(n) && !n.isInstanceOf[FileSourceScanExec] &&
+        n.children.exists(scanInSameStage))
+
+    for ((q, pred, what) <- Seq[(String, SparkPlan => Boolean, String)](
+      ("q229_coverage_select", hasHof, "bigram concat+distinct HOFs"),
+      ("q45_edit_distance", hasLev, "per-pair levenshtein"),
+      ("q284_c4_span_dedup", hasHof, "content-defined segmentation HOFs"))) {
+      val nodes = withStaticPlans {
+        spark.catalog.clearCache()
+        expandedNodes(SparkEntry.queries(q)(spark, dir1)
+          .queryExecution.executedPlan)
+      }
+      val exp = nodes.filter(pred)
+      assert(exp.nonEmpty, s"$q: lock is vacuous — no node carries $what")
+      val off = offenders(nodes, pred)
+      assert(off.isEmpty,
+        s"$q: $what evaluate in the SCAN stage of a single-split corpus " +
+          s"(the r16 one-core cliff is back): " +
+          off.map(_.simpleStringWithNodeId()).mkString("; "))
+      if (q == "q284_c4_span_dedup") {
+        // the gate itself (the r17 field-level barrier shape): the
+        // kept-projection carries a nondeterministic `__barrier` field
+        // (spark_partition_id), and the gate Filter reads the `kept`
+        // and `__barrier` ATTRIBUTES — never the segmentation inline.
+        // A Catalyst change that resumes substituting the predicate
+        // through the projection (re-running the segmentation per
+        // filter evaluation, or — worse — inlining it into the
+        // scan-side filter) turns red here instead of silently slow.
+        val barrierProjects = nodes.collect {
+          case pr: ProjectExec if pr.projectList.exists(_.exists {
+              case _: SparkPartitionID => true
+              case _ => false
+            }) => pr
+        }
+        assert(barrierProjects.nonEmpty,
+          "q284: the kept-projection's spark_partition_id barrier " +
+            "field is gone")
+        val gateFilters = nodes.collect {
+          case f: FilterExec
+              if f.condition.references.exists(_.name == "__barrier") => f
+        }
+        assert(gateFilters.nonEmpty,
+          "q284: no Filter reads the __barrier attribute — the page " +
+            "gate moved or lost its barrier")
+        assert(gateFilters.forall(f => !f.condition.exists {
+            case _: HigherOrderFunction => true
+            case _ => false
+          }),
+          "q284: the page gate inlined the segmentation (it must read " +
+            "the staged `kept` attribute)")
+      }
+    }
+  }
+
   private def expandedNodes(p: SparkPlan): Seq[SparkPlan] = {
     val seenCaches = scala.collection.mutable.Set[AnyRef]()
     def walk(pl: SparkPlan): Seq[SparkPlan] = {

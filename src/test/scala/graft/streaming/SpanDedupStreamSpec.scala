@@ -93,6 +93,67 @@ class SpanDedupStreamSpec extends SparkSpec {
     assert(streamed(out) == afterB2, "compaction moved the read")
   }
 
+  test("a pre-stamp span log (foreign hash scheme) is never folded " +
+      "as-is: reads re-derive from the page log, compaction migrates") {
+    val root = Files.createTempDirectory("spandedup-migrate")
+    Files.createDirectories(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val cp = root.resolve("cp").toString
+
+    // run the maintainer once, then FORGE the span log back to the
+    // pre-r16 state: no __hv stamp and span hashes from a different
+    // scheme (sh+1 relabels every hash consistently within the forged
+    // log — exactly what an old pmd5-text scheme looks like next to
+    // new xxhash64 appends: same-text spans no longer share a key
+    // across the boundary)
+    stage(root, "b1", b1)
+    runOnce(root, out, cp)
+    val forged = spark.read.parquet(SpanDedupStream.spanDir(out))
+      .select($"doc_id", $"spos", ($"sh" + 1L).as("sh"), $"__batch")
+      .collect()
+    val sd = SpanDedupStream.spanDir(out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sd))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(forged.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("spos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__batch",
+          org.apache.spark.sql.types.LongType))))
+      .write.parquet(sd)
+
+    // new-scheme appends now land NEXT TO the forged old rows — the
+    // mixed-scheme log the r16 advisory flagged. The read must still
+    // equal batch over everything (fallback derives from pages; had
+    // it folded the mixed hashes, doc 5's ABC-span theft of doc 10
+    // would be missed and both copies would survive)
+    stage(root, "b2", b2)
+    runOnce(root, out, cp)
+    assert(streamed(out) == batchForm(b1 ++ b2),
+      "mixed-scheme span log was folded as-is")
+
+    // compaction migrates: afterwards the log is entirely at the
+    // current version and the fast hash-only read path is back
+    SpanDedupStream.compactLogs(spark, out)
+    val hv = spark.read.parquet(SpanDedupStream.spanDir(out))
+      .select($"__hv").distinct().collect().map(_.getLong(0)).toSeq
+    assert(hv == Seq(C4Rules.SpanHashVersion),
+      s"compaction left non-current rows: $hv")
+    assert(streamed(out) == batchForm(b1 ++ b2), "migration moved the read")
+
+    // and the migrated log's spans equal a fresh batch derivation
+    val migrated = SpanDedupStream.spanLog(spark, out)
+      .collect().map(_.toString).toSeq.sorted
+    val fresh = C4Rules.spansOf(
+      C4Rules.pageRows(toDf(b1 ++ b2), "doc_id", "text"), "doc_id")
+      .collect().map(_.toString).toSeq.sorted
+    assert(migrated == fresh, "migrated span log != fresh derivation")
+  }
+
   test("a thin page and a boundary-free document never enter the logs") {
     val root = Files.createTempDirectory("spandedup-thin")
     Files.createDirectories(root.resolve("in"))
