@@ -43,9 +43,12 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   * further by the standing index — one prefix-doubling build per
   * corpus snapshot shared with q260/q264); log2(cap) rounds, each a
   * map-only broadcast-join scan of the persisted snippet table per
-  * length class; per-round driver traffic = the bounded distinct-mid
-  * list plus one count. Eval text explodes to (position x round)
-  * query rows — linear in EVAL corpus size, the small side.
+  * length class; per-round driver traffic = ONE bounded aggregation
+  * returning the distinct-mid list together with the exact probe-frame
+  * row count (the broadcast gate's input — r17; counting the probe
+  * frame itself was a second pure-scheduling job per round). Eval text
+  * explodes to (position x round) query rows — linear in EVAL corpus
+  * size, the small side.
   */
 object LongestMatch {
 
@@ -166,15 +169,26 @@ object LongestMatch {
     while (r < maxRounds && live) {
       val active = state.filter(col("__lo") < col("__hi"))
         .withColumn("__ps", psExpr)
-      val lens = active.select(explode(col("__ps")).as("__l")).distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq // interval-structure-bounded
+      // ONE driver job returns both the round's distinct probe lengths
+      // (interval-structure-bounded) and the EXACT probe-frame row
+      // count (each doc contributes max(0, len - l + 1) rows per
+      // probed length, by construction of [[probes]]) — r17: the
+      // count previously ran as its own job over a persisted probe
+      // frame that the round's single join consumer never re-read,
+      // i.e. one pure-scheduling job per round for a number this
+      // aggregation already knows.
+      val lenStats = active
+        .select(explode(col("__ps")).as("__l"), length(col("__et"))
+          .cast(LongType).as("__n"))
+        .groupBy(col("__l"))
+        .agg(sum(greatest(col("__n") - col("__l") + 1L, lit(0L))).as("__c"))
+        .collect()
+      val lens = lenStats.map(_.getLong(0)).sorted.toSeq
       if (lens.isEmpty) live = false
       else {
-        // persisted: the probe join and the hit aggregation read it;
-        // the materializing count also feeds the broadcast gate
+        val qRows = lenStats.map(_.getLong(1)).sum
         val qf = probes(active.withColumn("__l", explode(col("__ps"))),
-          "__l").persist()
-        val qRows = qf.count()
+          "__l")
         // per-doc MAX hit length among its probes (null = all missed)
         val p = prefixes(lens)
         val hits = p.join(gated(qf, qRows),
@@ -198,7 +212,6 @@ object LongestMatch {
           .withColumnRenamed("__lo2", "__lo")
           .withColumnRenamed("__hi2", "__hi")
           .localCheckpoint(true) // eager: this round's ONE materialize job
-        qf.unpersist(blocking = false)
         stateFree() // predecessor's checkpoint blocks
         stateFree = Coverage.freeCheckpoint(next)
         state = next
@@ -208,16 +221,22 @@ object LongestMatch {
 
     // witness probe at the converged length: the lexicographically
     // smallest matching span (deterministic); distinct converged
-    // lengths bounded by cap
+    // lengths bounded by cap. Same one-job lens+rows fold as the
+    // search rounds (r17).
     val matched = state.filter(col("__lo") > 0)
-    val wLens0 = matched.select(col("__lo")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
+    val wStats = matched
+      .select(col("__lo").as("__l"), length(col("__et"))
+        .cast(LongType).as("__n"))
+      .groupBy(col("__l"))
+      .agg(sum(greatest(col("__n") - col("__l") + 1L, lit(0L))).as("__c"))
+      .collect()
+    val wLens0 = wStats.map(_.getLong(0)).sorted.toSeq
     // no matches anywhere: run the real pipeline over the (empty)
     // matched frame once so the witness schema has one source of truth
     val wLens = if (wLens0.isEmpty) Seq(1L) else wLens0
     val wp = prefixes(wLens)
-    val wq = probes(matched, "__lo").persist()
-    val wRows = wq.count() // materializes the cache + gates the hint
+    val wq = probes(matched, "__lo")
+    val wRows = wStats.map(_.getLong(1)).sum
     val witnesses = wp.join(gated(wq, wRows),
       wp("__l") === wq("__l") && wp("__pfx") === wq("__q"))
       .groupBy(col(eIdCol)).agg(min(col("__q")).as("witness"))
@@ -231,7 +250,6 @@ object LongestMatch {
         col("witness").cast(StringType).as("witness"))
       .localCheckpoint(true)
     stateFree()
-    wq.unpersist(blocking = false)
     snips.unpersist(blocking = false)
     result
   }

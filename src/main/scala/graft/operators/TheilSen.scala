@@ -196,8 +196,9 @@ object TheilSen {
     // when ties would shrink the frame by less than 10% (the collapse
     // + cache overhead measured ~+30% on a tie-free corpus; the tied
     // corpus it exists for shrinks orders of magnitude)
-    val nRows = b.count()
-    val nCombos = b.select(col("g"), col("x"), col("y")).distinct().count()
+    val tieStats = b.agg(count(lit(1)),
+      countDistinct(col("g"), col("x"), col("y"))).head() // one job, not two
+    val (nRows, nCombos) = (tieStats.getLong(0), tieStats.getLong(1))
     val collapse = nCombos * 10L <= nRows * 9L
 
     def maxSpan(s: DataFrame): Long =

@@ -272,22 +272,24 @@ object DedupQueries {
         "cluster collapses to (most characters wins; lowest doc_id " +
         "breaks ties — an integer argmax, so every engine picks the " +
         "same doc). Output per component: representative and member " +
-        "count. Same component machinery as q48; the argmax is one " +
-        "grouped max plus an equi-join back, shuffling 16 bytes/doc.",
+        "count. Same component machinery as q48; the argmax is ONE " +
+        "grouped aggregation (count + min(struct(-n_chars, doc_id)) — " +
+        "the struct's lexicographic order IS the (chars DESC, id ASC) " +
+        "pick, and doc_id is a total tiebreak), shuffling 24 " +
+        "bytes/doc once; r16's spelling paid a second groupBy plus an " +
+        "equi-join back onto a persisted member frame for the same " +
+        "rows (r17, guide §2.4 — one Exchange instead of three).",
       (s, dir) => {
         val comps = Dedup.connectedComponents(lshVerifiedPairs(s, dir))
           .select(col("id").as("doc_id"), col("comp"))
-        val j = comps
+        comps
           .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
             "doc_id")
-          .persist()
-        val stats = j.groupBy(col("comp"))
-          .agg(count(lit(1)).as("n_members"), max(col("n_chars")).as("max_chars"))
-        j.join(stats, "comp")
-          .filter(col("n_chars") === col("max_chars"))
-          .groupBy(col("comp"), col("n_members"))
-          .agg(min(col("doc_id")).as("rep_id"))
-          .select(col("comp"), col("rep_id"), col("n_members"))
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"),
+            min(struct((-col("n_chars")).as("nc"), col("doc_id").as("d")))
+              .as("__w"))
+          .select(col("comp"), col("__w.d").as("rep_id"), col("n_members"))
       },
       Some(s"""${pairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
